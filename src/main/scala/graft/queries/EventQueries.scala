@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/** Time-ordered / stateful operators over the `events` table — the
+  * relational analog of the reference's frame-sequential processing
+  * (relabel.py:263-274) plus the windowed-aggregation surface a
+  * streaming pipeline needs. The Structured Streaming variant of the
+  * hourly aggregation lives in graft.streaming.StreamOps.
+  */
+object EventQueries {
+
+  /** Tumbling-window aggregation: hourly counts + exact decimal sums
+    * per event type (the batch form of the streaming hourly rollup).
+    */
+  private def qEvtHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity): lag + cumulative
+    * sum of session-start flags — W2's sequential dependency as pure
+    * window algebra, exact in integer microseconds.
+    */
+  private def qEvtSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Session statistics: per-session event counts via the session-id
+    * running sum, then distribution of session lengths.
+    */
+  private def qEvtSessionStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(wRun))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("session_len"))
+      .groupBy("session_len")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("session_len")
+  }
+
+  /** Semi-structured extraction: JSON props -> typed column
+    * (the metadata-JSON load of pre_annotation/data_loader.py:380-384).
+    */
+  private def qEvtJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** Event-type transition counts: lag over the per-user ordered
+    * stream, then census of (prev -> curr) transitions — the Markov
+    * summary of the event stream.
+    */
+  private def qEvtTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  val defs: Map[String, QueryFn] = Map(
+    "q_evt_hourly" -> qEvtHourly _,
+    "q_evt_sessionize" -> qEvtSessionize _,
+    "q_evt_session_stats" -> qEvtSessionStats _,
+    "q_evt_json" -> qEvtJson _,
+    "q_evt_transitions" -> qEvtTransitions _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_evt_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_evt_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_evt_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged),
+        |lens AS (
+        |  SELECT user_id, sess_id, count(*) AS session_len
+        |  FROM sessions GROUP BY user_id, sess_id)
+        |SELECT session_len, count(*) AS n_sessions
+        |FROM lens GROUP BY session_len ORDER BY session_len""".stripMargin,
+    "q_evt_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q_evt_transitions" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n
+        |FROM e WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin,
+  )
+}

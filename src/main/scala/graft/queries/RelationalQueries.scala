@@ -1,0 +1,431 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/** Relational operator inventory over the driver testdata (TPC-H-ish).
+  *
+  * Each query re-expresses one operator family from SURVEY.md §2 —
+  * filters (P1/P7/P8), the implicit joins (J1), aggregations
+  * (A1/A2/A4/A5/A6/A7/A9), windows (W1/W3), sorts/top-k (S16), set
+  * ops/splits (R1/R2/R4/R5) — as an idiomatic Spark DataFrame plan with
+  * a DuckDB oracle. Reference citations are to
+  * vanvalenlab/deepcell-data-engineering (read-only at /root/reference).
+  */
+object RelationalQueries {
+
+  /** A2 `summarize_dataset` shape (dataset_builder.py:651-692): grouped
+    * sums + counts. TPC-H Q1 flavor; decimal-exact aggregation.
+    */
+  private def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** J1 broadcast join (dataset_builder.py:150-163) + top-k (S16):
+    * TPC-H Q3 flavor — join, filter, agg, deterministic top-10.
+    */
+  private def q03ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), asDate(col("o_orderdate")).as("o_orderdate"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** J1 multi-way join with broadcast dims (region/nation are tiny —
+    * the metadata-side of dataset_builder.py:191-212): revenue per
+    * nation. TPC-H Q5 flavor without the supplier-colocation predicate.
+    */
+  private def q05RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** P2/P3-style pushed-down predicate + single exact agg (TPC-H Q6
+    * flavor). The whole filter reaches the parquet scan.
+    */
+  private def q06ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 25)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** P1 `_subset_data_dict` (dataset_builder.py:256-290): isin filter on
+    * two categorical columns + range predicate, projected + ordered.
+    */
+  private def qP1Subset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") &&
+              col("c_acctbal") > 1000.0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  /** P8 vocab normalization (pre_annotation/data_loader.py:110-146):
+    * lowercase + misspelling map via when/otherwise, then census.
+    */
+  private def qP8VocabNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("kind",
+        when(lower(col("event_type")).isin("click", "view"), "impression")
+          .when(lower(col("event_type")) === "signup", "conversion")
+          .when(lower(col("event_type")) === "purchase", "conversion")
+          .otherwise("other"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("kind")
+
+  /** A1 `compute_cell_size` median (build.py:38-98) — exact per-group
+    * median via window rank (engine-portable: avg of the middle one or
+    * two elements, identical arithmetic in Spark and DuckDB).
+    */
+  private def qA1MedianAcctbal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    t(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+              col("rn") === floor((col("cnt") + 2) / 2))
+      .groupBy("c_mktsegment")
+      .agg(avg("c_acctbal").as("median_acctbal"), count(lit(1)).as("n_mid"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** A4 benchmark rollup (dataset_benchmarker.py:112-121): the
+    * reference's `['all']` pseudo-category is the grand-total row of a
+    * ROLLUP.
+    */
+  private def qA4Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).cast("double").as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_price"))
+      .orderBy("status", "priority")
+
+  /** A5 `_identify_tissue_and_platform_types` (dataset_builder.py:
+    * 109-121): distinct category scan.
+    */
+  private def qA5Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_mktsegment")).distinct()
+      .orderBy("c_mktsegment")
+
+  /** A6 `_check_compatibility` (pre_annotation/data_loader.py:333-361):
+    * grouped count-distinct assertions.
+    */
+  private def qA6CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(countDistinct("c_mktsegment").as("n_segments"),
+           count(lit(1)).as("n_customers"))
+      .orderBy("c_nationkey")
+
+  /** A7 max-frames discovery (pre_annotation/data_loader.py:423-432):
+    * global max/min/count scan.
+    */
+  private def qA7Extremes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(max("value").as("max_value"), min("value").as("min_value"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** W1 running max (crop_utils.py:174-176: label-offset cumulative max
+    * over crop placement order), re-expressed over events per user.
+    */
+  private def qW1RunningMax(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+              max("value").over(w).as("run_max"))
+      .orderBy("event_id")
+  }
+
+  /** W2/J2 frame-adjacency (relabel.py:263-274: frame t vs t+1) — the
+    * as-of/lag join: previous event of the same user.
+    */
+  private def qJ2PrevEvent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+              lag("value", 1).over(w).as("prev_value"),
+              lag("event_id", 1).over(w).as("prev_event_id"))
+      .orderBy("event_id")
+  }
+
+  /** W3 `relabel_preserve_relationships` (relabel.py:31-68): dense_rank
+    * over the distinct id set = order-preserving relabel to 1..n.
+    */
+  private def qW3DenseRelabel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("l_suppkey")
+    t(s, dir, "lineitem").select("l_suppkey").distinct()
+      .withColumn("new_id", dense_rank().over(w))
+      .orderBy("l_suppkey")
+  }
+
+  /** S16 latest-log / top-k per group (figure_eight_functions.py:57-70):
+    * row_number <= k with full deterministic ordering.
+    */
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** R1 batch concatenation (dataset_builder.py:224-238) + A5: schema-
+    * checked union with distinct.
+    */
+  private def qR1UnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val hi = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("custkey"), lit("high").as("tier"))
+    val lo = t(s, dir, "customer").filter(col("c_acctbal") < -900)
+      .select(col("c_custkey").as("custkey"), lit("low").as("tier"))
+    hi.unionAll(lo).distinct().orderBy("custkey", "tier")
+  }
+
+  /** R2 `train_val_test_split` contract (build.py:179-263): a
+    * deterministic keyed split (modular arithmetic stands in for the
+    * seeded permutation so the oracle can reproduce it; the seeded
+    * variant lives in graft.dataset.Splitter and is covered by specs).
+    */
+  private def qR2SplitAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("split",
+        when(col("o_orderkey") % 10 < 8, "train")
+          .when(col("o_orderkey") % 10 === 8, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).cast("double").as("total_price"))
+      .orderBy("split")
+
+  /** R4 `_duplicate_indices` (dataset_splitter.py:77-92): cyclic tiling
+    * of rows via explode(sequence(...)).
+    */
+  private def qR4Tile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .withColumn("copy_idx", explode(sequence(lit(1), col("r_regionkey") + 1)))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_copies"), sum("copy_idx").as("idx_sum"))
+      .orderBy("r_name")
+
+  /** R5 `_balance_dict` (dataset_builder.py:441-496): deterministic
+    * oversampling of minority categories to the max category count —
+    * row rn gets floor((max-rn)/cnt)+1 copies, cycling in rank order.
+    */
+  private def qR5Balance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    val counted = t(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+    val maxCnt = counted.agg(max("cnt").as("max_cnt"))
+    counted
+      .crossJoin(broadcast(maxCnt))
+      .withColumn("n_copies", floor((col("max_cnt") - col("rn")) / col("cnt")) + 1)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Semi join — orders having any heavy lineitem (EXISTS). */
+  private def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val heavy = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+    t(s, dir, "orders")
+      .join(heavy, col("o_orderkey") === heavy("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Anti join — customers with no orders (NOT EXISTS). */
+  private def qJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    t(s, dir, "customer")
+      .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val defs: Map[String, QueryFn] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q03_shipping_priority" -> q03ShippingPriority _,
+    "q05_region_revenue" -> q05RegionRevenue _,
+    "q06_forecast_revenue" -> q06ForecastRevenue _,
+    "q_p1_subset" -> qP1Subset _,
+    "q_p8_vocab_norm" -> qP8VocabNorm _,
+    "q_a1_median" -> qA1MedianAcctbal _,
+    "q_a4_rollup" -> qA4Rollup _,
+    "q_a5_distinct" -> qA5Distinct _,
+    "q_a6_count_distinct" -> qA6CountDistinct _,
+    "q_a7_extremes" -> qA7Extremes _,
+    "q_w1_running_max" -> qW1RunningMax _,
+    "q_j2_prev_event" -> qJ2PrevEvent _,
+    "q_w3_dense_relabel" -> qW3DenseRelabel _,
+    "q_topk_per_group" -> qTopkPerGroup _,
+    "q_r1_union_distinct" -> qR1UnionDistinct _,
+    "q_r2_split_assign" -> qR2SplitAssign _,
+    "q_r4_tile" -> qR4Tile _,
+    "q_r5_balance" -> qR5Balance _,
+    "q_join_semi" -> qJoinSemi _,
+    "q_join_anti" -> qJoinAnti _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q05_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""".stripMargin,
+    "q_p1_subset" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND c_acctbal > 1000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_p8_vocab_norm" ->
+      """SELECT CASE WHEN lower(event_type) IN ('click','view') THEN 'impression'
+        |  WHEN lower(event_type) = 'signup' THEN 'conversion'
+        |  WHEN lower(event_type) = 'purchase' THEN 'conversion'
+        |  ELSE 'other' END AS kind, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_a1_median" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer)
+        |SELECT c_mktsegment, avg(c_acctbal) AS median_acctbal, count(*) AS n_mid
+        |FROM ranked WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT) OR rn = CAST(floor((cnt + 2) / 2) AS BIGINT)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_a4_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_a5_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q_a6_count_distinct" ->
+      """SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments, count(*) AS n_customers
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_a7_extremes" ->
+      """SELECT event_type, max(value) AS max_value, min(value) AS min_value, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_w1_running_max" ->
+      """SELECT event_id, user_id, value,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_j2_prev_event" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_w3_dense_relabel" ->
+      """SELECT l_suppkey, dense_rank() OVER (ORDER BY l_suppkey) AS new_id
+        |FROM (SELECT DISTINCT l_suppkey FROM lineitem) ORDER BY l_suppkey""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_r1_union_distinct" ->
+      """SELECT DISTINCT * FROM (
+        |  SELECT c_custkey AS custkey, 'high' AS tier FROM customer WHERE c_acctbal > 9000
+        |  UNION ALL
+        |  SELECT c_custkey AS custkey, 'low' AS tier FROM customer WHERE c_acctbal < -900)
+        |ORDER BY custkey, tier""".stripMargin,
+    "q_r2_split_assign" ->
+      """SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'train'
+        |  WHEN o_orderkey % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_r4_tile" ->
+      """SELECT r_name, count(*) AS n_copies, sum(copy_idx) AS idx_sum FROM (
+        |  SELECT r_name, unnest(range(1, r_regionkey + 2)) AS copy_idx FROM region)
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_r5_balance" ->
+      """WITH counted AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer),
+        |m AS (SELECT max(cnt) AS max_cnt FROM counted),
+        |tiled AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    unnest(range(1, CAST(floor((max_cnt - rn) / cnt) AS BIGINT) + 2)) AS copy
+        |  FROM counted, m)
+        |SELECT c_mktsegment, count(*) AS n, sum(c_custkey) AS key_sum
+        |FROM tiled GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}

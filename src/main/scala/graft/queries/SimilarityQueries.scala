@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors). Brute-force cosine is the exact baseline (oracle-checked
+  * against DuckDB with identical double arithmetic); the LSH-bucketed
+  * ANN path lives in graft.functions.Similarity and is registered
+  * rows-only.
+  *
+  * Numeric parity notes: vectors are cast float->double *before* any
+  * arithmetic, dot products are sequential left-fold `aggregate`
+  * (same order DuckDB evaluates `list_sum(list_transform(...))`), and
+  * similarities are rounded to 6 decimals before they enter the
+  * output or the sort key, so the hash compare never sees the last
+  * ulp of a float expression.
+  */
+object SimilarityQueries {
+
+  private def dvec(c: Column): Column = transform(c, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+
+  /** Brute-force cosine top-k: 10 nearest neighbors of vec_id = 0.
+    * The probe vector is a broadcast single-row cross join — the same
+    * shape a 1000-executor scan would use.
+    */
+  private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").withColumn("vec", dvec(col("embedding")))
+    val probe = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("cos_sim",
+        round(dot(col("vec"), col("qvec")) / (norm(col("vec")) * norm(col("qvec"))), 6))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** Pairwise similarity join on a bounded id range (vec_id < 100 on
+    * both sides): counts pairs above threshold per label pair — the
+    * exact-verification stage of an ANN pipeline.
+    */
+  private def qSimPairCount(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("label"), dvec(col("embedding")).as("vec"))
+    val a = e.select(col("vec_id").as("id_a"), col("label").as("label_a"), col("vec").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("vec").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 6))
+      .filter(col("cos_sim") > 0.3)
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("n_pairs"), max("cos_sim").as("max_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** Vector norms + dimensionality census (the sanity scan every
+    * embedding pipeline starts with).
+    */
+  private def qSimNorms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(norm(dvec(col("embedding"))), 6).as("l2_norm"))
+      .orderBy("vec_id")
+
+  /** Per-label centroid norm: groupwise mean vector via exact decimal-
+    * free arithmetic — implemented as posexplode + groupBy(pos) mean,
+    * the distributed form of a centroid computation.
+    */
+  private def qSimCentroid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(dvec(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean_x"))
+      .filter(col("pos") < 4)
+      .orderBy("label", "pos")
+
+  val defs: Map[String, QueryFn] = Map(
+    "q_sim_topk" -> qSimTopk _,
+    "q_sim_pair_count" -> qSimPairCount _,
+    "q_sim_norms" -> qSimNorms _,
+    "q_sim_centroid" -> qSimCentroid _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |probe AS (SELECT vec FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  round(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * probe.vec[i]))
+        |    / (sqrt(list_sum(list_transform(e.vec, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(probe.vec, x -> x * x)))), 6) AS cos_sim
+        |FROM e, probe WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_sim_pair_count" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings WHERE vec_id < 100),
+        |pairs AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    round(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+        |      / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT label_a, label_b, count(*) AS n_pairs, max(sim) AS max_sim
+        |FROM pairs WHERE sim > 0.3 GROUP BY label_a, label_b ORDER BY label_a, label_b""".stripMargin,
+    "q_sim_norms" ->
+      """SELECT vec_id, label, len(embedding) AS dim,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_sim_centroid" ->
+      """WITH ex AS (
+        |  SELECT label, i - 1 AS pos, vec[i] AS x
+        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |       unnest(range(1, 65)) AS t(i))
+        |SELECT label, pos, count(*) AS n, round(avg(x), 6) AS mean_x
+        |FROM ex WHERE pos < 4 GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+  )
+}

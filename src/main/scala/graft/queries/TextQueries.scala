@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extensions mandated by BASELINE.json
+  * (language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting), expressed with codegen'd built-ins (`split`,
+  * higher-order `filter`/`transform`, `md5`) rather than UDFs so the
+  * whole pipeline stays inside whole-stage codegen.
+  */
+object TextQueries {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Token counting: whitespace tokens, distinct tokens, type/token
+    * ratio, mean token length — all scalar array expressions.
+    */
+  private def qTxtTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+        ((col("n_chars") - (size(toks) - 1)).cast("double") / size(toks)).as("avg_tok_len"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio + short-token ratio + length
+    * bucket — the length/stopword-ratio heuristics of LLM data
+    * pipelines (C4/Gopher-style rules, public recipe).
+    */
+  private def qTxtQuality(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "is", "to", "in")
+    t(s, dir, "documents")
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stop", size(filter(toks, c => c.isin(stop.map(x => x: Any): _*))))
+      .withColumn("n_short", size(filter(toks, c => length(c) <= 2)))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_short").cast("double") / col("n_tokens")).as("short_ratio"),
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 400, "medium")
+          .otherwise("long").as("len_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID: n-gram/marker-word vote with a deterministic
+    * tie-break priority (en > fr > de > es), 'und' when no marker hits.
+    */
+  private def qTxtLangid(s: SparkSession, dir: String): DataFrame = {
+    def hits(words: String*): Column =
+      size(filter(toks, c => c.isin(words.map(x => x: Any): _*)))
+    t(s, dir, "documents")
+      .withColumn("en_hits", hits("the", "a", "and", "is"))
+      .withColumn("fr_hits", hits("le", "et", "une", "est"))
+      .withColumn("de_hits", hits("der", "und", "die", "ist"))
+      .withColumn("es_hits", hits("el", "los", "una", "es"))
+      .withColumn("guess",
+        when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("de_hits") &&
+             col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+          .when(col("fr_hits") >= col("de_hits") && col("fr_hits") >= col("es_hits") &&
+                col("fr_hits") > 0, "fr")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") > 0, "de")
+          .when(col("es_hits") > 0, "es")
+          .otherwise("und"))
+      .select(col("doc_id"), col("lang"), col("guess"),
+              (col("lang") === col("guess")).as("agree"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus word frequency: explode + count + deterministic top-20
+    * (the scaled-up sibling of A8's unique-label census).
+    */
+  private def qTxtWordfreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(20)
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase
+    * text (the exact-dedup key; reference analog: the NPZ filename
+    * identity of io_utils.py:73).
+    */
+  private def qTxtFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .orderBy("doc_id")
+
+  /** 3-token shingles per document (the MinHash input feature):
+    * count of distinct shingles via higher-order transform.
+    */
+  private def qTxtShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("tk", toks)
+      .withColumn("shingles",
+        when(size(col("tk")) >= 3,
+          array_distinct(transform(
+            sequence(lit(0), size(col("tk")) - 3),
+            i => concat_ws(" ",
+              element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2),
+              element_at(col("tk"), i + 3)))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+              size(col("tk")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  val defs: Map[String, QueryFn] = Map(
+    "q_txt_tokens" -> qTxtTokens _,
+    "q_txt_quality" -> qTxtQuality _,
+    "q_txt_langid" -> qTxtLangid _,
+    "q_txt_wordfreq" -> qTxtWordfreq _,
+    "q_txt_fingerprint" -> qTxtFingerprint _,
+    "q_txt_shingles" -> qTxtShingles _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_txt_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+        |  CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_txt_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','is','to','in'))) AS n_stop,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','is','to','in'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> len(x) <= 2)) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS short_ratio,
+        |  CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS len_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_txt_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','is'))) AS en_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('le','et','une','est'))) AS fr_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('der','und','die','ist'))) AS de_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('el','los','una','es'))) AS es_hits
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |       WHEN fr_hits >= de_hits AND fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'und' END AS guess,
+        |  lang = (CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |       WHEN fr_hits >= de_hits AND fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'und' END) AS agree
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_txt_wordfreq" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q_txt_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_txt_shingles" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |  ELSE 0 END AS n_shingles,
+        |  len(toks) AS n_tokens
+        |FROM tk ORDER BY doc_id""".stripMargin,
+  )
+}
