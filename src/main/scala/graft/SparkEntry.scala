@@ -24,7 +24,8 @@ object SparkEntry {
       TextQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
-      EventQueries.defs
+      EventQueries.defs ++
+      ImageQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.core.ImagePlane
+import graft.ops.{CropOps, Relabel, SliceOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Image-domain operator queries (crop/slice/stitch/relabel — the
+  * reference's core semantics, SURVEY.md §2.8). Not SQL-expressible
+  * over the driver tables, so these are registered WITHOUT oracles
+  * (rows-only check); each row carries its own invariant verdict so a
+  * failed round trip is visible in the output, and the ScalaTest
+  * suite asserts the same invariants.
+  *
+  * Input planes are derived deterministically from the `region` table
+  * (ids/names) so the queries run against every sf dir.
+  */
+object ImageQueries {
+
+  /** Deterministic fixture: 4 fovs x 4 stacks of 60x60 grid-labeled
+    * planes (reshape_data_test.py:163-169 pattern).
+    */
+  private def fixturePlanes(spark: SparkSession): Seq[ImagePlane] =
+    ImagePlane.blankPlanes(4, 4, 60, 60)
+      .map(ImagePlane.gridLabels(_, cellSize = 10))
+
+  /** Crop -> stitch round trip; one row per plane with the reference's
+    * three invariants (shape, nonzero mask, distinct cell count).
+    */
+  private def qImgCropRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orig = fixturePlanes(s)
+    val plan = CropOps.planCrops(60, 60, 24, 24, 0.5)
+    val ds = ImagePlane.toDataset(s, orig)
+    val stitched = CropOps.stitchCrops(CropOps.cropPlanes(ds, plan), plan)
+    val origCounts = orig.map(p =>
+      (p.fov, p.stack) -> (p.labels.count(_ != 0), p.labels.filter(_ != 0).distinct.length)).toMap
+    stitched.map { p =>
+      val (nnz, cells) = origCounts((p.fov, p.stack))
+      (p.fov, p.stack, p.nRows, p.nCols,
+        p.labels.count(_ != 0) == nnz,
+        p.labels.filter(_ != 0).distinct.length == cells)
+    }.toDF("fov", "stack", "n_rows", "n_cols", "mask_ok", "count_ok")
+      .orderBy("fov", "stack")
+  }
+
+  /** Slice -> stitch round trip on corner-tagged stacks
+    * (reshape_data_test.py:209-210 invariant).
+    */
+  private def qImgSliceRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orig = ImagePlane.blankPlanes(4, 9, 20, 20).map(ImagePlane.cornerTag)
+    val plan = SliceOps.planSlices(9, 4, 1)
+    val ds = ImagePlane.toDataset(s, orig)
+    SliceOps.stitchSlices(SliceOps.slicePlanes(ds, plan), plan)
+      .map(p => (p.fov, p.stack, p.labels(0), p.labels(0) == p.stack + 1))
+      .toDF("fov", "stack", "corner_tag", "tag_ok")
+      .orderBy("fov", "stack")
+  }
+
+  /** IOU frame-chain relabel (relabel.py:97-276): moving cells keep
+    * one id across the stack.
+    */
+  private def qImgRelabelChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 32
+    val frames = for {
+      f <- 0 until 4
+      t <- 0 until 6
+    } yield {
+      val labels = new Array[Int](n * n)
+      for (r <- 4 until 14; c <- (4 + t) until (14 + t)) labels(r * n + c) = 37 + t * 13 + f
+      ImagePlane(s"fov${f + 1}", t, 0, 0, n, n, Seq("c"), new Array[Float](n * n), labels)
+    }
+    Relabel.predictRelationships(ImagePlane.toDataset(s, frames))
+      .map(p => (p.fov, p.stack, p.labels.filter(_ != 0).distinct.toSeq.sorted.mkString(",")))
+      .toDF("fov", "stack", "ids")
+      .orderBy("fov", "stack")
+  }
+
+  val defs: Map[String, QueryFn] = Map(
+    "q_img_crop_roundtrip" -> qImgCropRoundtrip _,
+    "q_img_slice_roundtrip" -> qImgSliceRoundtrip _,
+    "q_img_relabel_chain" -> qImgRelabelChain _,
+  )
+
+  /** No oracles: image ops are not SQL-expressible on the driver
+    * tables; invariants are carried in the result columns and in the
+    * ScalaTest suites.
+    */
+  val oracles: Map[String, String] = Map.empty
+}
