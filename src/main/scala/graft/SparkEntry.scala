@@ -25,7 +25,8 @@ object SparkEntry {
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       EventQueries.defs ++
-      ImageQueries.defs
+      ImageQueries.defs ++
+      DatasetQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -73,7 +73,7 @@ object CropOps {
     }
   }
 
-  private[ops] def cropOne(p: ImagePlane, plan: CropPlan): Seq[ImagePlane] = {
+  private[graft] def cropOne(p: ImagePlane, plan: CropPlan): Seq[ImagePlane] = {
     val cr = plan.cropRows
     val cc = plan.cropCols
     val nCh = p.channels.length

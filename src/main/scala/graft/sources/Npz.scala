@@ -1,0 +1,198 @@
+package graft.sources
+
+import graft.core.ImagePlane
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, File, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+/** NPZ (zip of NPY) source/sink — the reference's unit of annotation
+  * work and training data (io_utils.py:37-239, S10/S12/S13/S14 in
+  * SURVEY.md §2.1).
+  *
+  * Read path: `spark.read.format("binaryFile")` over a directory +
+  * per-file decode in a `flatMap` — each executor decodes its own
+  * files; nothing funnels through the driver. Legacy key `annotated`
+  * is accepted for `y` (io_utils.py:206). A training NPZ
+  * `{X: [batch, rows, cols, chan], y: [batch, rows, cols, 1]}` fans
+  * out to one ImagePlane per batch index.
+  *
+  * Write path: one NPZ per (fov, crop, slice) named
+  * `fov_{f}_crop_{c}_slice_{s}.npz` (io_utils.py:73) with the blank-
+  * label routing of S10 (include / skip / separate), executed with
+  * `foreachPartition` so files are written where the data lives.
+  */
+object Npz {
+
+  def readEntries(bytes: Array[Byte]): Map[String, Npy.Data] = {
+    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Map.newBuilder[String, Npy.Data]
+    var e: ZipEntry = zis.getNextEntry
+    while (e != null) {
+      val name = e.getName.stripSuffix(".npy")
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = zis.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = zis.read(buf) }
+      out += name -> Npy.read(bos.toByteArray)
+      e = zis.getNextEntry
+    }
+    zis.close()
+    out.result()
+  }
+
+  def writeEntries(entries: Map[String, Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    entries.foreach { case (name, bytes) =>
+      zos.putNextEntry(new ZipEntry(s"$name.npy"))
+      zos.write(bytes)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** Decode one training NPZ into planes; `fov` is derived from the
+    * file name, batch index becomes `stack`.
+    */
+  def decodeTrainingNpz(fileName: String, bytes: Array[Byte],
+                        channels: Seq[String] = Seq.empty): Seq[ImagePlane] = {
+    val entries = readEntries(bytes)
+    val x = entries.getOrElse("X", sys.error(s"$fileName: no X key"))
+    val y = entries.get("y").orElse(entries.get("annotated"))
+      .getOrElse(sys.error(s"$fileName: no y/annotated key"))
+    val Seq(batch, rows, cols, nCh) = x.shape match {
+      case s if s.length == 4 => s
+      case s if s.length == 3 => Seq(1) ++ s
+      case s => sys.error(s"$fileName: unsupported X shape $s")
+    }
+    val chNames = if (channels.nonEmpty) channels else (0 until nCh).map(i => s"channel$i")
+    val xv = x.toFloats
+    val yv = y.toInts
+    val base = new File(fileName).getName.stripSuffix(".npz")
+    (0 until batch).map { b =>
+      // reference layout is [batch, rows, cols, channels] (channel-last);
+      // repack to our channel-major planes
+      val pixels = new Array[Float](nCh * rows * cols)
+      var r = 0
+      while (r < rows) {
+        var c = 0
+        while (c < cols) {
+          var ch = 0
+          while (ch < nCh) {
+            pixels(ch * rows * cols + r * cols + c) =
+              xv(((b * rows + r) * cols + c) * nCh + ch)
+            ch += 1
+          }
+          c += 1
+        }
+        r += 1
+      }
+      val labels = new Array[Int](rows * cols)
+      var i = 0
+      while (i < rows * cols) {
+        labels(i) = yv(b * rows * cols + i)
+        i += 1
+      }
+      ImagePlane(base, b, 0, 0, rows, cols, chNames, pixels, labels)
+    }
+  }
+
+  /** S12-flavored source: read every NPZ under `dir` into planes. */
+  def readTrainingNpzDir(spark: SparkSession, dir: String,
+                         channels: Seq[String] = Seq.empty): Dataset[ImagePlane] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.npz")
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => decodeTrainingNpz(path, bytes, channels) }
+  }
+
+  def encodePlane(p: ImagePlane): Array[Byte] = {
+    // channel-last [1, rows, cols, chan] to match the reference layout
+    val nCh = p.channels.length
+    val x = new Array[Float](p.nRows * p.nCols * nCh)
+    var r = 0
+    while (r < p.nRows) {
+      var c = 0
+      while (c < p.nCols) {
+        var ch = 0
+        while (ch < nCh) {
+          x((r * p.nCols + c) * nCh + ch) = p.pixels(ch * p.nRows * p.nCols + r * p.nCols + c)
+          ch += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    writeEntries(Map(
+      "X" -> Npy.writeFloats(x, Seq(1, p.nRows, p.nCols, nCh)),
+      "y" -> Npy.writeInts(p.labels, Seq(1, p.nRows, p.nCols, 1))))
+  }
+
+  /** S10 `save_npzs_for_caliban`: one NPZ per plane with blank-label
+    * routing: "include" (write normally), "skip" (drop blanks),
+    * "separate" (blanks into `separate/`).
+    */
+  def saveNpzsForCaliban(ds: Dataset[ImagePlane], saveDir: String,
+                         blankLabels: String = "include"): Unit = {
+    require(Seq("include", "skip", "separate").contains(blankLabels),
+      s"invalid blank_labels $blankLabels")
+    new File(saveDir).mkdirs()
+    if (blankLabels == "separate") new File(saveDir, "separate").mkdirs()
+    ds.foreachPartition { (it: Iterator[ImagePlane]) =>
+      it.foreach { p =>
+        val blank = p.labels.forall(_ == 0)
+        val target =
+          if (!blank || blankLabels == "include") Some(saveDir)
+          else if (blankLabels == "separate") Some(s"$saveDir/separate")
+          else None
+        target.foreach { d =>
+          val f = new File(d, s"fov_${p.fov}_crop_${p.crop}_slice_${p.slice}.npz")
+          val fos = new FileOutputStream(f)
+          try fos.write(encodePlane(p)) finally fos.close()
+        }
+      }
+    }
+  }
+
+  /** S12 `load_npzs` (io_utils.py:166-239): read a caliban crop dir
+    * back, zero-filling planes whose NPZ is missing (annotator never
+    * returned it) against the expected (fov, crop, slice) grid.
+    */
+  def loadNpzsWithGrid(spark: SparkSession, dir: String,
+                       expected: Seq[(String, Int, Int)],
+                       nRows: Int, nCols: Int,
+                       channels: Seq[String] = Seq("channel0")): Dataset[ImagePlane] = {
+    import spark.implicits._
+    val present = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.npz")
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = new File(path).getName.stripSuffix(".npz")
+        "fov_(.+)_crop_(\\d+)_slice_(\\d+)".r.findFirstMatchIn(name).map { m =>
+          val planes = decodeTrainingNpz(path, bytes, channels)
+          planes.head.copy(fov = m.group(1), crop = m.group(2).toInt,
+            slice = m.group(3).toInt)
+        }
+      }
+    val expectedDs = spark.createDataset(expected).toDF("fov", "crop", "slice")
+    val presentDf = present.toDF()
+    // left join the expected grid; missing units materialize as zeros
+    val joined = expectedDs.join(presentDf, Seq("fov", "crop", "slice"), "left")
+    joined.as[(String, Int, Int, Option[Int], Option[Int], Option[Int],
+      Option[Seq[String]], Option[Array[Float]], Option[Array[Int]])]
+      .map { case (fov, crop, slice, stack, nR, nC, ch, px, lb) =>
+        ImagePlane(fov, stack.getOrElse(0), crop, slice,
+          nR.getOrElse(nRows), nC.getOrElse(nCols),
+          ch.getOrElse(channels),
+          px.getOrElse(new Array[Float](channels.length * nRows * nCols)),
+          lb.getOrElse(new Array[Int](nRows * nCols)))
+      }
+  }
+}

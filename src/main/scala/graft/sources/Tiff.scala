@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.core.ImagePlane
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+/** TIFF ingest (S6/S7 in SURVEY.md §2.1: data_loader.load_imagedata,
+  * misc_utils.get_image) and the CellNet-ontology directory scan
+  * (S1/S2: the 9-level tree whose walk-with-pruning is Hive-style
+  * partition pruning).
+  *
+  * Decode uses the JDK's built-in TIFF ImageIO plugin (JDK 9+) inside
+  * a distributed `binaryFile` scan — executors decode their own files.
+  * Multi-frame TIFFs yield one plane per frame (stack index).
+  */
+object Tiff {
+
+  /** Decode all frames of one TIFF into (stack, rows, cols, pixels). */
+  def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Array[Float])] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val readers = ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "no ImageIO reader for input (TIFF plugin missing?)")
+    val reader = readers.next()
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    val out = (0 until n).map { i =>
+      val img = reader.read(i)
+      val raster = img.getRaster
+      val rows = img.getHeight
+      val cols = img.getWidth
+      val pixels = new Array[Float](rows * cols)
+      val row = new Array[Float](cols)
+      var r = 0
+      while (r < rows) {
+        raster.getSamples(0, r, cols, 1, 0, row)
+        System.arraycopy(row, 0, pixels, r * cols, cols)
+        r += 1
+      }
+      (i, rows, cols, pixels)
+    }
+    reader.dispose()
+    iis.close()
+    out
+  }
+
+  /** S6/S7: scan a directory tree of TIFFs into planes; fov = file
+    * name, stack = frame index. `pathGlobFilter` pushes the filename
+    * pattern (e.g. `*_s01_p02.tif`) into the file listing — the
+    * reference's filename-pattern pushdown (data_loader.py:294-316).
+    */
+  def readTiffDir(spark: SparkSession, dir: String,
+                  glob: String = "*.tif"): Dataset[ImagePlane] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val fov = new java.io.File(path).getName.replaceAll("\\.tiff?$", "")
+        decodeFrames(bytes).map { case (stack, rows, cols, pixels) =>
+          ImagePlane(fov, stack, 0, 0, rows, cols, Seq("channel0"),
+            pixels, new Array[Int](rows * cols))
+        }
+      }
+  }
+
+  /** S1 vocab normalization (data_loader.py:110-146): canonicalize the
+    * common misspellings of ontology enum values.
+    */
+  val VocabMap: Map[String, String] = Map(
+    "fluorescent" -> "fluo", "fluorescence" -> "fluo",
+    "nuc" -> "Nuclear", "nuclear" -> "Nuclear",
+    "wholecell" -> "WholeCell", "whole_cell" -> "WholeCell")
+
+  def normalizeVocab(term: String): String =
+    VocabMap.getOrElse(term.toLowerCase, term)
+
+  /** S2/S4: scan the ontology tree
+    * `raw/<dynamic|static>/<2d|3d>/<imaging>/<specimen>/<Compartment_Marker>/<exp_id>/file.tif`
+    * into a DataFrame with the ontology levels as columns parsed from
+    * `input_file_name` — the partition-column mapping that lets
+    * Catalyst prune directories the way `_assemble_paths` walks them.
+    * Predicates passed as 'all' mean no filter.
+    */
+  def scanOntology(spark: SparkSession, baseDir: String,
+                   dataKinds: Seq[String] = Seq("all"),
+                   dims: Seq[String] = Seq("all"),
+                   imagingTypes: Seq[String] = Seq("all"),
+                   specimenTypes: Seq[String] = Seq("all"),
+                   compartments: Seq[String] = Seq("all"),
+                   markers: Seq[String] = Seq("all")): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tif")
+      .option("recursiveFileLookup", "true")
+      .load(baseDir)
+      .select(col("path"), col("length"))
+    val rel = regexp_replace(col("path"), lit(s".*${java.util.regex.Pattern.quote(baseDir)}/?"), lit(""))
+    val parts = split(rel, "/")
+    var out = files
+      .withColumn("data_kind", element_at(parts, 1))
+      .withColumn("dims", element_at(parts, 2))
+      .withColumn("imaging", element_at(parts, 3))
+      .withColumn("specimen", element_at(parts, 4))
+      .withColumn("compartment", split(element_at(parts, 5), "_").getItem(0))
+      .withColumn("marker", split(element_at(parts, 5), "_").getItem(1))
+      .withColumn("exp_id", element_at(parts, 6))
+      .withColumn("file_name", element_at(parts, 7))
+    def applyFilter(c: String, vals: Seq[String]): Unit =
+      if (vals.nonEmpty && vals != Seq("all"))
+        out = out.filter(col(c).isin(vals.map(normalizeVocab): _*))
+    applyFilter("data_kind", dataKinds)
+    applyFilter("dims", dims)
+    applyFilter("imaging", imagingTypes)
+    applyFilter("specimen", specimenTypes)
+    applyFilter("compartment", compartments)
+    applyFilter("marker", markers)
+    out
+  }
+
+  /** S4 `load_metadata`: one row per experiment metadata JSON, arrays
+    * space-joined as the reference does (data_loader.py:383-390).
+    */
+  def loadMetadata(spark: SparkSession, baseDir: String): DataFrame = {
+    val df = spark.read.option("recursiveFileLookup", "true")
+      .option("multiLine", "true")
+      .json(s"$baseDir")
+    df
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.ImagePlane
+
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  test("NPY round trip: floats and ints") {
+    val f = Array(1.5f, -2f, 3e7f, 0f)
+    val back = Npy.read(Npy.writeFloats(f, Seq(2, 2)))
+    assert(back.shape == Seq(2, 2) && back.toFloats.toSeq == f.toSeq)
+    val i = Array(1, -5, 65000, 0)
+    val backI = Npy.read(Npy.writeInts(i, Seq(4)))
+    assert(backI.shape == Seq(4) && backI.toInts.toSeq == i.toSeq)
+  }
+
+  test("NPZ round trip through encode/decode preserves planes") {
+    val p = ImagePlane.gridLabels(
+      ImagePlane.blankPlanes(1, 1, 12, 12, Seq("c0", "c1")).head, 4)
+      .copy(pixels = Array.tabulate(288)(_.toFloat))
+    val bytes = Npz.encodePlane(p)
+    val decoded = Npz.decodeTrainingNpz("fov1.npz", bytes, Seq("c0", "c1"))
+    assert(decoded.length == 1)
+    val d = decoded.head
+    assert(d.nRows == 12 && d.nCols == 12)
+    assert(d.pixels.toSeq == p.pixels.toSeq, "channel-major repack round trips")
+    assert(d.labels.toSeq == p.labels.toSeq)
+  }
+
+  test("saveNpzsForCaliban + readTrainingNpzDir round trip with blank routing") {
+    val dir = Files.createTempDirectory("npz_sink").toFile.getAbsolutePath
+    val planes = Seq(
+      ImagePlane.gridLabels(ImagePlane.blankPlanes(1, 1, 10, 10).head, 5),
+      ImagePlane.blankPlanes(1, 1, 10, 10).head.copy(fov = "fov_blank"))
+    Npz.saveNpzsForCaliban(ImagePlane.toDataset(spark, planes), dir, "skip")
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(files == Seq("fov_fov1_crop_0_slice_0.npz"), s"blank skipped: $files")
+    val back = Npz.readTrainingNpzDir(spark, dir).collect()
+    assert(back.length == 1)
+    assert(back.head.labels.toSeq == planes.head.labels.toSeq)
+  }
+
+  test("loadNpzsWithGrid zero-fills missing units (io_utils.py:202-218)") {
+    val dir = Files.createTempDirectory("npz_grid").toFile.getAbsolutePath
+    val p = ImagePlane.gridLabels(ImagePlane.blankPlanes(1, 1, 10, 10).head, 5)
+    Npz.saveNpzsForCaliban(ImagePlane.toDataset(spark, Seq(p)), dir, "include")
+    val expected = Seq(("fov1", 0, 0), ("fov1", 1, 0), ("fov2", 0, 0))
+    val back = Npz.loadNpzsWithGrid(spark, dir, expected, 10, 10, Seq("channel1"))
+      .collect().map(x => (x.fov, x.crop, x.slice) -> x).toMap
+    assert(back.size == 3)
+    assert(back(("fov1", 0, 0)).labels.exists(_ != 0), "present unit loaded")
+    assert(back(("fov1", 1, 0)).labels.forall(_ == 0), "missing unit zero-filled")
+    assert(back(("fov2", 0, 0)).labels.forall(_ == 0))
+  }
+
+  test("TIFF decode: reference fixture reads with correct dims") {
+    val path = "/root/reference/data/raw_data/static/2d/mibi/DCIS/" +
+      "Nuclear_DNA/20200116_DCIS/20200116_DCIS_Point2304_crop_0.tif"
+    assume(new java.io.File(path).exists())
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val frames = Tiff.decodeFrames(bytes)
+    assert(frames.nonEmpty)
+    val (_, rows, cols, pixels) = frames.head
+    assert(rows == 512 && cols == 512, s"got ${rows}x$cols")
+    assert(pixels.exists(_ != 0f), "non-blank image")
+  }
+
+  test("scanOntology parses levels and prunes by predicate") {
+    val df = Tiff.scanOntology(spark, "/root/reference/data/raw_data",
+      imagingTypes = Seq("mibi"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val first = df.select("data_kind", "dims", "imaging", "specimen", "compartment")
+      .distinct().collect().map(_.toSeq)
+    assert(first.forall(_(2) == "mibi"))
+    assert(first.exists(r => r(0) == "static" && r(1) == "2d" && r(3) == "DCIS"))
+    // vocab normalization
+    assert(Tiff.normalizeVocab("Fluorescent") == "fluo")
+    assert(Tiff.normalizeVocab("nuc") == "Nuclear")
+  }
+}
