@@ -8,6 +8,10 @@ object Bench {
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up executor threads, codegen and the parquet reader so the
+    // first measured query doesn't absorb JVM startup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -43,6 +43,7 @@ object DedupQueries {
     * sf0.01 both find exactly the 25 planted near-dup pairs.
     */
   private def qDedupJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val base = t(s, dir, "documents")
       .withColumn("tk", split(col("text"), " "))
       .withColumn("shingles",
@@ -54,22 +55,40 @@ object DedupQueries {
               element_at(col("tk"), i + 2),
               element_at(col("tk"), i + 3)))))
           .otherwise(array().cast("array<string>")))
-      .withColumn("bucket",
-        explode(array(floor(size(col("tk")) / 4), floor(size(col("tk")) / 4) + 1)))
-      .select(col("doc_id"), col("bucket"), col("shingles"))
+      // ship 64-bit shingle hashes, not strings: 4x smaller shuffle
+      // payload and cheaper set probes; a cross-engine count mismatch
+      // needs an xxhash64 collision inside one compared pair (~1e-12)
+      .select(col("doc_id"), floor(size(col("tk")) / 4).as("bucket"),
+        transform(col("shingles"), x => xxhash64(x)).as("shingles"))
+    // asymmetric bucket join: the a-side keeps its primary bucket, the
+    // b-side fans out to bucket-1/bucket/bucket+1 — every pair within
+    // one bucket width meets EXACTLY once, so no distinct (and no
+    // shuffle of the shingle payload to dedupe) is needed
     val a = base.select(col("doc_id").as("doc_a"), col("bucket"),
                         col("shingles").as("sh_a"))
-    val b = base.select(col("doc_id").as("doc_b"), col("bucket"),
-                        col("shingles").as("sh_b"))
-    a.join(b, Seq("bucket"))
+    val b = base
+      .withColumn("bucket", explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+      .select(col("doc_id").as("doc_b"), col("bucket"), col("shingles").as("sh_b"))
+    // SHUFFLE_MERGE hint: a broadcast join here would stream the a-side
+    // straight off the scan with `shingles` still an unevaluated
+    // expression, recomputing the shingle set for every PAIR; the
+    // shuffle materializes each side's shingles exactly once per row.
+    a.hint("SHUFFLE_MERGE").join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("uni") > 0)
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      // one fused pass per pair (sets are already distinct): Catalyst
+      // would otherwise evaluate intersect/union once per referencing
+      // expression (inter, uni, jaccard, and both filters)
+      .map { case (da, db, sa, sb) =>
+        val setA = sa.toSet
+        var inter = 0
+        sb.foreach(x => if (setA.contains(x)) inter += 1)
+        val uni = sa.length + sb.length - inter
+        (da, db, inter, uni, if (uni > 0) inter.toDouble / uni else 0.0)
+      }
+      .toDF("doc_a", "doc_b", "inter", "uni", "jaccard")
+      .filter(col("uni") > 0 && col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -107,14 +126,15 @@ object DedupQueries {
         |    ELSE [] END AS shingles
         |  FROM documents),
         |base AS (
-        |  SELECT doc_id, unnest([CAST(floor(n_tokens / 4) AS BIGINT),
-        |                               CAST(floor(n_tokens / 4) AS BIGINT) + 1]) AS bucket,
-        |         shingles
+        |  SELECT doc_id, CAST(floor(n_tokens / 4) AS BIGINT) AS bucket, shingles
         |  FROM base0),
+        |bexp AS (
+        |  SELECT doc_id, unnest([bucket - 1, bucket, bucket + 1]) AS bucket, shingles
+        |  FROM base),
         |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.shingles AS sh_a, b.shingles AS sh_b
-        |  FROM base a JOIN base b
+        |  FROM base a JOIN bexp b
         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,
         |  len(list_intersect(sh_a, sh_b)) AS inter,
