@@ -45,13 +45,13 @@ object Similarity {
     df.withColumn("bucket", bkt(col(vecCol)))
   }
 
-  def cosineCol(a: Column, b: Column): Column = {
-    val da = transform(a, (x: Column) => x.cast("double"))
-    val db = transform(b, (x: Column) => x.cast("double"))
-    aggregate(zip_with(da, db, _ * _), lit(0.0), _ + _) /
-      (sqrt(aggregate(transform(da, x => x * x), lit(0.0), _ + _)) *
-       sqrt(aggregate(transform(db, x => x * x), lit(0.0), _ + _)))
-  }
+  /** Native codegen'd expression (graft.functions.CosineSimilarity):
+    * one fused primitive loop instead of aggregate(zip_with(...))'s
+    * per-row intermediate arrays; numerically identical (double,
+    * left-to-right).
+    */
+  def cosineCol(a: Column, b: Column): Column =
+    CosineSimilarity.cosineSim(a, b)
 
   /** Exact brute-force top-k neighbors of `probeId`. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,

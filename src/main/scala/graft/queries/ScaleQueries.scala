@@ -73,7 +73,16 @@ object ScaleQueries {
   private def qStreamHourly(s: SparkSession, dir: String): DataFrame =
     StreamOps.hourlyCounts(s, dir, queryName = s"stream_hourly_${math.abs(dir.hashCode)}")
 
+  /** Stateful streaming sessionization (flatMapGroupsWithState) —
+    * must equal the batch window-algebra sessionization, so it shares
+    * q_evt_sessionize's oracle.
+    */
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionCounts(s, dir,
+      queryName = s"stream_sessions_${math.abs(dir.hashCode)}")
+
   val defs: Map[String, QueryFn] = Map(
+    "q_stream_sessionize" -> qStreamSessionize _,
     "q_dedup_minhash_pairs" -> qDedupMinhash _,
     "q_dedup_simhash_pairs" -> qDedupSimhash _,
     "q_sim_ann_lsh" -> qSimAnnLsh _,
@@ -82,6 +91,15 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -37,7 +37,7 @@ object SimilarityQueries {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .withColumn("cos_sim",
-        round(dot(col("vec"), col("qvec")) / (norm(col("vec")) * norm(col("qvec"))), 6))
+        round(graft.functions.CosineSimilarity.cosineSim(col("vec"), col("qvec")), 6))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
@@ -54,7 +54,8 @@ object SimilarityQueries {
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("vec").as("vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 6))
+      .withColumn("cos_sim",
+        round(graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")), 6))
       .filter(col("cos_sim") > 0.3)
       .groupBy(col("label_a"), col("label_b"))
       .agg(count(lit(1)).as("n_pairs"), max("cos_sim").as("max_sim"))

@@ -111,31 +111,47 @@ object Npz {
       .flatMap { case (path, bytes) => decodeTrainingNpz(path, bytes, channels) }
   }
 
-  def encodePlane(p: ImagePlane): Array[Byte] = {
-    // channel-last [1, rows, cols, chan] to match the reference layout
-    val nCh = p.channels.length
-    val x = new Array[Float](p.nRows * p.nCols * nCh)
-    var r = 0
-    while (r < p.nRows) {
-      var c = 0
-      while (c < p.nCols) {
-        var ch = 0
-        while (ch < nCh) {
-          x((r * p.nCols + c) * nCh + ch) = p.pixels(ch * p.nRows * p.nCols + r * p.nCols + c)
-          ch += 1
+  /** Encode one work unit (all stacks of a (fov, crop, slice)) as a
+    * channel-last `[stacks, rows, cols, chan]` NPZ, the reference
+    * layout.
+    */
+  def encodeStack(planes: Seq[ImagePlane]): Array[Byte] = {
+    val sorted = planes.sortBy(_.stack)
+    val h = sorted.head
+    val nCh = h.channels.length
+    val n = sorted.length
+    val x = new Array[Float](n * h.nRows * h.nCols * nCh)
+    val y = new Array[Int](n * h.nRows * h.nCols)
+    sorted.zipWithIndex.foreach { case (p, b) =>
+      var r = 0
+      while (r < p.nRows) {
+        var c = 0
+        while (c < p.nCols) {
+          var ch = 0
+          while (ch < nCh) {
+            x(((b * p.nRows + r) * p.nCols + c) * nCh + ch) =
+              p.pixels(ch * p.nRows * p.nCols + r * p.nCols + c)
+            ch += 1
+          }
+          y(b * p.nRows * p.nCols + r * p.nCols + c) = p.labels(r * p.nCols + c)
+          c += 1
         }
-        c += 1
+        r += 1
       }
-      r += 1
     }
     writeEntries(Map(
-      "X" -> Npy.writeFloats(x, Seq(1, p.nRows, p.nCols, nCh)),
-      "y" -> Npy.writeInts(p.labels, Seq(1, p.nRows, p.nCols, 1))))
+      "X" -> Npy.writeFloats(x, Seq(n, h.nRows, h.nCols, nCh)),
+      "y" -> Npy.writeInts(y, Seq(n, h.nRows, h.nCols, 1))))
   }
 
-  /** S10 `save_npzs_for_caliban`: one NPZ per plane with blank-label
-    * routing: "include" (write normally), "skip" (drop blanks),
-    * "separate" (blanks into `separate/`).
+  def encodePlane(p: ImagePlane): Array[Byte] = encodeStack(Seq(p))
+
+  /** S10 `save_npzs_for_caliban`: one NPZ per (fov, crop, slice) work
+    * unit — `fov_{f}_crop_{c}_slice_{s}.npz` (io_utils.py:73) holding
+    * that unit's whole sub-stack — with blank-label routing: "include"
+    * (write normally), "skip" (drop blanks), "separate" (blanks into
+    * `separate/`). Grouping happens executor-side (groupByKey), one
+    * file written per group where the data lives.
     */
   def saveNpzsForCaliban(ds: Dataset[ImagePlane], saveDir: String,
                          blankLabels: String = "include"): Unit = {
@@ -143,28 +159,35 @@ object Npz {
       s"invalid blank_labels $blankLabels")
     new File(saveDir).mkdirs()
     if (blankLabels == "separate") new File(saveDir, "separate").mkdirs()
-    ds.foreachPartition { (it: Iterator[ImagePlane]) =>
-      it.foreach { p =>
-        val blank = p.labels.forall(_ == 0)
+    import ds.sparkSession.implicits._
+    ds.groupByKey(p => (p.fov, p.crop, p.slice))
+      .mapGroups { (key, it) =>
+        val planes = it.toSeq
+        val blank = planes.forall(_.labels.forall(_ == 0))
+        (key._1, key._2, key._3, encodeStack(planes), blank)
+      }
+      .foreach { (t: (String, Int, Int, Array[Byte], Boolean)) =>
+        val (fov, crop, slice, bytes, blank) = t
         val target =
           if (!blank || blankLabels == "include") Some(saveDir)
           else if (blankLabels == "separate") Some(s"$saveDir/separate")
           else None
         target.foreach { d =>
-          val f = new File(d, s"fov_${p.fov}_crop_${p.crop}_slice_${p.slice}.npz")
+          val f = new File(d, s"fov_${fov}_crop_${crop}_slice_${slice}.npz")
           val fos = new FileOutputStream(f)
-          try fos.write(encodePlane(p)) finally fos.close()
+          try fos.write(bytes) finally fos.close()
         }
       }
-    }
   }
 
   /** S12 `load_npzs` (io_utils.py:166-239): read a caliban crop dir
     * back, zero-filling planes whose NPZ is missing (annotator never
-    * returned it) against the expected (fov, crop, slice) grid.
+    * returned it) against the expected (fov, crop, slice, stackLen)
+    * grid — the truncated last slice simply declares a shorter
+    * stackLen, as the reference handles it.
     */
   def loadNpzsWithGrid(spark: SparkSession, dir: String,
-                       expected: Seq[(String, Int, Int)],
+                       expected: Seq[(String, Int, Int, Int)],
                        nRows: Int, nCols: Int,
                        channels: Seq[String] = Seq("channel0")): Dataset[ImagePlane] = {
     import spark.implicits._
@@ -175,20 +198,20 @@ object Npz {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val name = new File(path).getName.stripSuffix(".npz")
-        "fov_(.+)_crop_(\\d+)_slice_(\\d+)".r.findFirstMatchIn(name).map { m =>
-          val planes = decodeTrainingNpz(path, bytes, channels)
-          planes.head.copy(fov = m.group(1), crop = m.group(2).toInt,
-            slice = m.group(3).toInt)
+        "fov_(.+)_crop_(\\d+)_slice_(\\d+)".r.findFirstMatchIn(name).toSeq.flatMap { m =>
+          decodeTrainingNpz(path, bytes, channels).map(
+            _.copy(fov = m.group(1), crop = m.group(2).toInt, slice = m.group(3).toInt))
         }
       }
-    val expectedDs = spark.createDataset(expected).toDF("fov", "crop", "slice")
-    val presentDf = present.toDF()
-    // left join the expected grid; missing units materialize as zeros
-    val joined = expectedDs.join(presentDf, Seq("fov", "crop", "slice"), "left")
-    joined.as[(String, Int, Int, Option[Int], Option[Int], Option[Int],
+    val expectedDs = spark.createDataset(
+      expected.flatMap { case (fov, crop, slice, stackLen) =>
+        (0 until stackLen).map(st => (fov, crop, slice, st))
+      }).toDF("fov", "crop", "slice", "stack")
+    val joined = expectedDs.join(present.toDF(), Seq("fov", "crop", "slice", "stack"), "left")
+    joined.as[(String, Int, Int, Int, Option[Int], Option[Int],
       Option[Seq[String]], Option[Array[Float]], Option[Array[Int]])]
       .map { case (fov, crop, slice, stack, nR, nC, ch, px, lb) =>
-        ImagePlane(fov, stack.getOrElse(0), crop, slice,
+        ImagePlane(fov, stack, crop, slice,
           nR.getOrElse(nRows), nC.getOrElse(nCols),
           ch.getOrElse(channels),
           px.getOrElse(new Array[Float](channels.length * nRows * nCols)),

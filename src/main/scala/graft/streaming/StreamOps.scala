@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (SURVEY.md §2.10): the reference has
   * no streaming runtime, but the engine exposes the event pipeline as
@@ -48,5 +48,60 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName).orderBy("hour", "event_type")
+  }
+
+  case class Evt(user_id: Long, us: Long, event_id: Long)
+  case class SessState(lastUs: Long, nSessions: Long, nEvents: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState
+    * (the W2-style sequential dependency as managed per-key state):
+    * per user, events extend the current session unless the gap
+    * exceeds `gapMinutes`. State survives across micro-batches; each
+    * batch emits the updated per-user totals. Matches the batch
+    * window-algebra sessionization exactly (same oracle).
+    */
+  def sessionCounts(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
+                    queryName: String = "stream_sessions"): DataFrame = {
+    import spark.implicits._
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    var stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val events = stream
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[Evt]
+    val updated = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Evt], state: GroupState[SessState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
+          var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = s.lastUs == Long.MinValue || e.us - s.lastUs > gapUs
+            s = SessState(e.us,
+              s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+          }
+          state.update(s)
+          Iterator((uid, s.nSessions, s.nEvents))
+        })
+      .toDF("user_id", "n_sessions", "n_events")
+    val q = updated.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink appends per-batch emissions; keep each
+    // user's final totals (single-batch local runs emit exactly once)
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+      .orderBy("user_id")
   }
 }

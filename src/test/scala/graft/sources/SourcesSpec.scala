@@ -46,7 +46,7 @@ class SourcesSpec extends SparkSpec {
     val dir = Files.createTempDirectory("npz_grid").toFile.getAbsolutePath
     val p = ImagePlane.gridLabels(ImagePlane.blankPlanes(1, 1, 10, 10).head, 5)
     Npz.saveNpzsForCaliban(ImagePlane.toDataset(spark, Seq(p)), dir, "include")
-    val expected = Seq(("fov1", 0, 0), ("fov1", 1, 0), ("fov2", 0, 0))
+    val expected = Seq(("fov1", 0, 0, 1), ("fov1", 1, 0, 1), ("fov2", 0, 0, 1))
     val back = Npz.loadNpzsWithGrid(spark, dir, expected, 10, 10, Seq("channel1"))
       .collect().map(x => (x.fov, x.crop, x.slice) -> x).toMap
     assert(back.size == 3)
