@@ -27,7 +27,8 @@ object SparkEntry {
       EventQueries.defs ++
       ImageQueries.defs ++
       DatasetQueries.defs ++
-      ScaleQueries.defs
+      ScaleQueries.defs ++
+      AdvancedQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       EventQueries.oracles ++
-      ScaleQueries.oracles
+      ScaleQueries.oracles ++
+      AdvancedQueries.oracles
 }

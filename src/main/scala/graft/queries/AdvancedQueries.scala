@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/** Second-ring relational coverage: range-frame windows, grouping
+  * sets, conditional aggregation, regex extraction, as-of joins,
+  * correlated subqueries, natural ordering — the long tail a user of
+  * a full engine expects, each with a DuckDB oracle.
+  */
+object AdvancedQueries {
+
+  /** Range-frame window: per event, sum of the same user's values in
+    * the preceding 10 minutes (event-time sliding aggregate — the
+    * micro-batch form of a stream window).
+    */
+  private def qWRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-600000000L, 0L)
+    t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("sum_10min", sum(dec("value")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("sum_10min"))
+      .orderBy("event_id")
+  }
+
+  /** GROUPING SETS with grouping() flags — finer than rollup (A4's
+    * generalization).
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+      .orderBy("status", "priority")
+
+  /** Conditional aggregation (FILTER / CASE pivot): event-type counts
+    * as columns per user — the manual PIVOT.
+    */
+  private def qCondAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        sum(when(col("event_type") === "purchase", dec("value"))).cast("double").as("purchase_value"))
+      .orderBy("user_id")
+
+  /** Regex extraction: pull the numeric id out of c_name
+    * (regexp_extract — F10's string-function family).
+    */
+  private def qRegexExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).cast("long").as("name_num"),
+        length(col("c_name")).as("name_len"))
+      .withColumn("id_matches_name", col("name_num") === col("c_custkey"))
+      .orderBy("c_custkey")
+
+  /** As-of join within the event stream: for each purchase, the same
+    * user's most recent prior view (J2's adjacency generalized to
+    * typed events — last_value over a filtered ordered window).
+    */
+  private def qAsofPrevView(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("last_view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_view_id"))
+      .orderBy("event_id")
+  }
+
+  /** Correlated scalar subquery shape: customers whose account balance
+    * exceeds their nation's average (decorrelated by Catalyst into a
+    * join against the per-nation aggregate).
+    */
+  private def qAboveNationAvg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val nationAvg = c.groupBy("c_nationkey")
+      .agg((sum(dec("c_acctbal")) / count(lit(1))).cast("double").as("nation_avg"))
+    c.join(broadcast(nationAvg), Seq("c_nationkey"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        round(col("nation_avg"), 6).as("nation_avg"))
+      .orderBy("c_custkey")
+  }
+
+  /** W5 natural ordering as a query (misc_utils.py:35-38): nation
+    * names sorted naturally vs lexically ("NATION_2" before
+    * "NATION_10"), counting rank disagreements. The oracle replays the
+    * ordering as (digit-stripped prefix, numeric value) — equivalent
+    * for single-digit-run names.
+    */
+  private def qNaturalSort(s: SparkSession, dir: String): DataFrame = {
+    val withKey = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"),
+        graft.functions.Strings.naturalKeyCol(col("n_name")).as("nat_key"))
+    withKey
+      .withColumn("lex_rank", row_number().over(Window.orderBy("n_name", "n_nationkey")))
+      .withColumn("nat_rank", row_number().over(Window.orderBy("nat_key", "n_nationkey")))
+      .select(col("n_nationkey"), col("lex_rank"), col("nat_rank"),
+        (col("lex_rank") =!= col("nat_rank")).as("order_differs"))
+      .orderBy("n_nationkey")
+  }
+
+  val defs: Map[String, QueryFn] = Map(
+    "q_w_range_frame" -> qWRangeFrame _,
+    "q_grouping_sets" -> qGroupingSets _,
+    "q_cond_agg" -> qCondAgg _,
+    "q_regex_extract" -> qRegexExtract _,
+    "q_asof_prev_view" -> qAsofPrevView _,
+    "q_above_nation_avg" -> qAboveNationAvg _,
+    "q_natural_sort" -> qNaturalSort _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_w_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_10min
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'view') AS n_view,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS name_num,
+        |  length(c_name) AS name_len,
+        |  CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) = c_custkey AS id_matches_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_asof_prev_view" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id
+        |  FROM events)
+        |SELECT event_id, user_id, last_view_id
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_above_nation_avg" ->
+      """WITH na AS (
+        |  SELECT c_nationkey,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*) AS DOUBLE) AS nation_avg
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_custkey, c.c_nationkey, c_acctbal, round(nation_avg, 6) AS nation_avg
+        |FROM customer c JOIN na ON c.c_nationkey = na.c_nationkey
+        |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin,
+    "q_natural_sort" ->
+      """WITH k AS (
+        |  SELECT n_nationkey, n_name,
+        |    regexp_replace(n_name, '\d+', '', 'g') AS prefix,
+        |    CAST(coalesce(nullif(regexp_extract(n_name, '(\d+)', 1), ''), '-1') AS BIGINT) AS num
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  row_number() OVER (ORDER BY n_name, n_nationkey) AS lex_rank,
+        |  row_number() OVER (ORDER BY prefix, num, n_nationkey) AS nat_rank,
+        |  row_number() OVER (ORDER BY n_name, n_nationkey)
+        |    <> row_number() OVER (ORDER BY prefix, num, n_nationkey) AS order_differs
+        |FROM k ORDER BY n_nationkey""".stripMargin,
+  )
+}

@@ -180,6 +180,24 @@ object Npz {
       }
   }
 
+  /** S14 `concatenate_npz_files` / `create_combined_npz`
+    * (pipeline.py:70-110): fold a directory of NPZs into one combined
+    * training NPZ. Single-file by definition, so the encode runs on
+    * the driver over a local iterator (bounded memory: one work unit
+    * at a time); the distributed form of the same data is
+    * PlaneStore.save.
+    */
+  def createCombinedNpz(ds: Dataset[ImagePlane], outFile: String): Unit = {
+    val planes = ds.toLocalIterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[ImagePlane]
+    planes.forEachRemaining(p => buf += p)
+    require(buf.nonEmpty, "no planes to combine")
+    val bytes = encodeStack(buf.toSeq.sortBy(p => (p.fov, p.crop, p.slice, p.stack))
+      .zipWithIndex.map { case (p, i) => p.copy(stack = i) })
+    val fos = new FileOutputStream(new File(outFile))
+    try fos.write(bytes) finally fos.close()
+  }
+
   /** S12 `load_npzs` (io_utils.py:166-239): read a caliban crop dir
     * back, zero-filling planes whose NPZ is missing (annotator never
     * returned it) against the expected (fov, crop, slice, stackLen)

@@ -122,6 +122,28 @@ object Tiff {
     out
   }
 
+  /** S3 `_datasets_available` (data_loader.py:320-331): per-directory
+    * file census, flagging empty or single-file experiment dirs.
+    */
+  def datasetsAvailable(spark: SparkSession, baseDir: String): DataFrame =
+    scanOntology(spark, baseDir)
+      .groupBy("data_kind", "dims", "imaging", "specimen", "compartment", "marker", "exp_id")
+      .agg(count(lit(1)).as("n_files"))
+      .withColumn("flag",
+        when(col("n_files") <= 1, lit("sparse")).otherwise(lit("ok")))
+      .orderBy("data_kind", "dims", "imaging", "specimen", "exp_id")
+
+  /** S5 `_check_compatibility` (data_loader.py:333-361): assert the
+    * selected datasets agree on the given columns (one distinct value
+    * each); returns the offending column names.
+    */
+  def incompatibleColumns(df: DataFrame, cols: Seq[String]): Seq[String] = {
+    val counts = df.agg(
+      countDistinct(col(cols.head)).as(cols.head),
+      cols.tail.map(c => countDistinct(col(c)).as(c)): _*).first()
+    cols.filter(c => counts.getAs[Long](c) > 1)
+  }
+
   /** S4 `load_metadata`: one row per experiment metadata JSON, arrays
     * space-joined as the reference does (data_loader.py:383-390).
     */
