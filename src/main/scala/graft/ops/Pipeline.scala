@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.core.ImagePlane
+import graft.sources.Npz
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** The reference's top-level composed flows (`pipeline.py` + the EP1
+  * notebook, SURVEY.md §3), as engine functions.
+  */
+object Pipeline {
+
+  /** P2 `find_sparse_images` (pipeline.py:33-51): keep planes whose
+    * distinct-cell count exceeds the cutoff. Narrow scalar filter.
+    */
+  def findSparseImages(ds: Dataset[ImagePlane], cutoff: Int): Dataset[ImagePlane] =
+    ds.filter((p: ImagePlane) => p.labels.filter(_ != 0).distinct.length > cutoff)
+
+  /** S13 `save_stitched_npzs` (pipeline.py:54-67): one NPZ per fov of
+    * the stitched stack, named `{fov}.npz`.
+    */
+  def saveStitchedNpzs(ds: Dataset[ImagePlane], saveDir: String): Unit = {
+    new java.io.File(saveDir).mkdirs()
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.fov)
+      .mapGroups((fov, it) => (fov, Npz.encodeStack(it.toSeq)))
+      .foreach { (t: (String, Array[Byte])) =>
+        val fos = new java.io.FileOutputStream(new java.io.File(saveDir, s"${t._1}.npz"))
+        try fos.write(t._2) finally fos.close()
+      }
+  }
+
+  /** EP1 pre-annotation flow (SURVEY.md §3 EP1): contrast-adjust each
+    * channel, crop, slice, write NPZ work units, return the upload-log
+    * table. One narrow map + two narrow generators + the partitioned
+    * sink; the only wide edge is the NPZ unit grouping.
+    */
+  def preAnnotationFlow(spark: SparkSession,
+                        planes: Dataset[ImagePlane],
+                        origRows: Int, origCols: Int, stackLen: Int,
+                        cropSize: (Int, Int, Double),
+                        sliceLen: Option[(Int, Int)],
+                        fovs: Seq[String], channels: Seq[String],
+                        saveDir: String,
+                        blurSigma: Double = 0.0,
+                        blankLabels: String = "include")
+      : (Reconstruct.ReconstructionPlan, DataFrame) = {
+    implicit val enc = planes.encoder
+    val adjusted =
+      if (blurSigma > 0)
+        planes.map { p =>
+          val planeSize = p.nRows * p.nCols
+          val out = p.pixels.clone()
+          p.channels.indices.foreach { ch =>
+            val slice = java.util.Arrays.copyOfRange(out, ch * planeSize, (ch + 1) * planeSize)
+            val adj = ImageFunctions.adjustImage(slice, p.nRows, p.nCols, blurSigma = blurSigma)
+            System.arraycopy(adj, 0, out, ch * planeSize, planeSize)
+          }
+          p.copy(pixels = out)
+        }
+      else planes
+    val (units, plan) = Reconstruct.cropAndSlice(adjusted,
+      origRows, origCols, stackLen, Some(cropSize), sliceLen, fovs, channels)
+    Npz.saveNpzsForCaliban(units, saveDir, blankLabels)
+    import spark.implicits._
+    val names = new java.io.File(saveDir).listFiles()
+      .filter(_.getName.endsWith(".npz")).map(_.getName).toSeq.sorted
+    val log = graft.jobs.JobLog.createUploadLog(
+      names.toDF("filename"), stage = "annotation",
+      awsFolder = saveDir.split("/").last, jobId = 0L)
+    (plan, log)
+  }
+}
