@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{Dedup, Strings}
+import graft.ops.{CropOps, SliceOps}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based coverage (SURVEY §5 pattern 7): analytic invariants
+  * of the geometry planners and hash sketches over generated inputs.
+  * Driven directly off ScalaCheck Gens (fixed seed stream, 200 cases
+  * per property) inside ScalaTest.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int = 200): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("crop indices: full coverage, in-bounds starts, padded final end") {
+    val gen = for {
+      imgLen <- Gen.choose(10, 2000)
+      cropSize <- Gen.choose(2, math.min(500, imgLen))
+      overlap <- Gen.choose(0.0, 0.9)
+    } yield (imgLen, cropSize, overlap)
+    samples(gen).foreach { case (imgLen, cropSize, overlap) =>
+      val (starts, ends, pad) = CropOps.computeCropIndices(imgLen, cropSize, overlap)
+      assert(starts.head == 0)
+      assert(starts.forall(_ < imgLen))
+      assert(ends.zip(starts).forall { case (e, s) => e - s == cropSize })
+      assert(ends.last == imgLen + pad && pad >= 0 && pad < cropSize)
+      // consecutive crops leave no gap
+      assert(starts.drop(1).zip(ends.dropRight(1)).forall { case (s, prevEnd) => s <= prevEnd })
+    }
+  }
+
+  test("slice indices: reference formula invariants") {
+    val gen = for {
+      stackLen <- Gen.choose(2, 500)
+      sliceLen <- Gen.choose(1, math.min(100, stackLen))
+      overlap <- Gen.choose(0, math.max(0, sliceLen - 1))
+    } yield (stackLen, sliceLen, overlap)
+    samples(gen).foreach { case (stackLen, sliceLen, overlap) =>
+      val (starts, ends) = SliceOps.computeSliceIndices(stackLen, sliceLen, overlap)
+      assert(starts.head == 0 && ends.last == stackLen)
+      assert(starts.zip(ends).forall { case (s, e) => e > s })
+      (0 until stackLen).foreach { st =>
+        assert(starts.zip(ends).exists { case (s, e) => st >= s && st < e },
+          s"stack $st uncovered for ($stackLen, $sliceLen, $overlap)")
+      }
+    }
+  }
+
+  test("natural sort is total and numerically consistent") {
+    val token = Gen.oneOf(Gen.alphaStr.map(_.take(4)), Gen.choose(0, 99999).map(_.toString))
+    val name = Gen.listOfN(3, token).map(_.mkString)
+    samples(Gen.listOf(name), 100).foreach { names =>
+      val sorted = Strings.sortedNicely(names)
+      assert(sorted.sortBy(Strings.naturalKey) == sorted, "idempotent total order")
+      assert(sorted.toSet == names.toSet, "permutation only")
+    }
+    assert(Strings.sortedNicely(Seq("f10", "f2")) == Seq("f2", "f10"))
+  }
+
+  test("minhash: identical docs estimate 1.0; signatures deterministic") {
+    val words = Gen.listOfN(30, Gen.oneOf("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta"))
+    samples(words, 50).foreach { ws =>
+      val sig = Dedup.minhashSignature(ws, 64, 3)
+      assert(Dedup.estimateJaccard(sig, Dedup.minhashSignature(ws, 64, 3)) == 1.0)
+    }
+  }
+
+  test("simhash: deterministic and order-insensitive (bag semantics)") {
+    samples(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty)), 100).foreach { ws =>
+      val a = Dedup.simhash(ws)
+      assert(Dedup.simhash(ws) == a)
+      assert(Dedup.simhash(ws.reverse) == a)
+    }
+  }
+}
