@@ -86,8 +86,10 @@ object AdvancedQueries {
     */
   private def qAboveNationAvg(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
+    // divide as double (exact decimal sum cast first): decimal-division
+    // scale rules differ between engines, double division is identical
     val nationAvg = c.groupBy("c_nationkey")
-      .agg((sum(dec("c_acctbal")) / count(lit(1))).cast("double").as("nation_avg"))
+      .agg((sum(dec("c_acctbal")).cast("double") / count(lit(1))).as("nation_avg"))
     c.join(broadcast(nationAvg), Seq("c_nationkey"))
       .filter(col("c_acctbal") > col("nation_avg"))
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
@@ -161,7 +163,7 @@ object AdvancedQueries {
     "q_above_nation_avg" ->
       """WITH na AS (
         |  SELECT c_nationkey,
-        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*) AS DOUBLE) AS nation_avg
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS nation_avg
         |  FROM customer GROUP BY c_nationkey)
         |SELECT c_custkey, c.c_nationkey, c_acctbal, round(nation_avg, 6) AS nation_avg
         |FROM customer c JOIN na ON c.c_nationkey = na.c_nationkey
