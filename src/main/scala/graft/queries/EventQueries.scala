@@ -59,6 +59,20 @@ object EventQueries {
       .orderBy("session_len")
   }
 
+  /** Hopping (sliding) windows: 1-hour windows every 30 minutes —
+    * each event lands in exactly two windows (the streaming
+    * `window(ts, '1 hour', '30 minutes')` shape, replayed relationally
+    * for the oracle).
+    */
+  private def qEvtHopping(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+
   /** Semi-structured extraction: JSON props -> typed column
     * (the metadata-JSON load of pre_annotation/data_loader.py:380-384).
     */
@@ -88,6 +102,7 @@ object EventQueries {
     "q_evt_hourly" -> qEvtHourly _,
     "q_evt_sessionize" -> qEvtSessionize _,
     "q_evt_session_stats" -> qEvtSessionStats _,
+    "q_evt_hopping" -> qEvtHopping _,
     "q_evt_json" -> qEvtJson _,
     "q_evt_transitions" -> qEvtTransitions _,
   )
@@ -125,6 +140,15 @@ object EventQueries {
         |  FROM sessions GROUP BY user_id, sess_id)
         |SELECT session_len, count(*) AS n_sessions
         |FROM lens GROUP BY session_len ORDER BY session_len""".stripMargin,
+    "q_evt_hopping" ->
+      """WITH hopped AS (
+        |  SELECT event_type, value,
+        |    unnest([to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800),
+        |            to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800)]) AS wstart
+        |  FROM events)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM hopped GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "q_evt_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,

@@ -40,6 +40,21 @@ object PlaneStore {
       .as[ImagePlane]
   }
 
+  /** Bucketed variant: hash-bucket by fov so downstream per-fov
+    * groupings (stitch, relabel, summaries) read a pre-shuffled layout
+    * and plan WITHOUT an exchange — at 100 TB the stitch shuffle
+    * disappears into the write once, amortized over every later query.
+    */
+  def saveBucketedTable(ds: Dataset[ImagePlane], table: String, path: String,
+                        buckets: Int = 32): Unit =
+    ds.toDF()
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, "fov")
+      .sortBy("fov", "stack")
+      .saveAsTable(table)
+
   /** Partition-pruned single-fov read (P7 `test_parameters` fast path,
     * reshape_data.py:105-106: "first fov only" becomes a pruned scan).
     */

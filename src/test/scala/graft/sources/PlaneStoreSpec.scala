@@ -24,6 +24,22 @@ class PlaneStoreSpec extends SparkSpec {
       s"partition pruning visible in plan:\n$plan")
   }
 
+  test("bucketed table: per-fov aggregation plans without a shuffle") {
+    val path = Files.createTempDirectory("bucketed").toFile.getAbsolutePath + "/t"
+    val planes = ImagePlane.blankPlanes(4, 2, 8, 8)
+    PlaneStore.saveBucketedTable(ImagePlane.toDataset(spark, planes),
+      "plane_bucket_spec", path, buckets = 4)
+    val agg = spark.table("plane_bucket_spec")
+      .groupBy("fov").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed layout should aggregate shuffle-free:\n$plan")
+    assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("fov1" -> 2L, "fov2" -> 2L, "fov3" -> 2L, "fov4" -> 2L))
+    spark.sql("DROP TABLE IF EXISTS plane_bucket_spec")
+  }
+
   test("createCombinedNpz folds planes into one training NPZ (S14)") {
     val out = Files.createTempDirectory("combined").toFile.getAbsolutePath + "/all.npz"
     val planes = ImagePlane.blankPlanes(2, 2, 8, 8).map(ImagePlane.gridLabels(_, 4))
