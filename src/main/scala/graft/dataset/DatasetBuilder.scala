@@ -137,7 +137,7 @@ object DatasetBuilder {
   def summarize(ds: Dataset[TrainPlane], categoryCol: String): DataFrame = {
     ds.toDF()
       .withColumn("n_cells",
-        size(array_distinct(filter(col("labels"), l => l =!= 0))))
+        graft.functions.LabelExprs.distinctNonzeroCount(col("labels")))
       .groupBy(categoryCol)
       .agg(sum("n_cells").as("total_cells"), count(lit(1)).as("n_images"))
       .orderBy(categoryCol)

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native label-mask expressions (A8's `np.unique` family): the cell
+  * count `distinct_nonzero_count(labels)` appears in summarize (A2),
+  * sparse filtering (P2) and cleaning (P4); as a built-in composition
+  * it is `size(array_distinct(filter(col, x -> x != 0)))` — three
+  * passes and two intermediate arrays per row. This expression is one
+  * pass, one open-addressing int set, zero boxing, inside whole-stage
+  * codegen (doGenCode emits a static call — the StaticInvoke pattern).
+  */
+case class DistinctNonzeroCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"distinct_nonzero_count expects array<int>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    LabelExprs.distinctNonzero(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LabelExprs.distinctNonzero($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LabelExprs {
+
+  /** One-pass distinct count of nonzero ints over ArrayData, using an
+    * open-addressing table sized to the array (labels are dense small
+    * ints in practice; collisions are rare).
+    */
+  def distinctNonzero(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    var cap = Integer.highestOneBit(math.max(4, n)) * 2
+    val table = new Array[Int](cap) // 0 = empty slot (0 is background anyway)
+    val mask = cap - 1
+    var count = 0
+    var i = 0
+    while (i < n) {
+      val v = arr.getInt(i)
+      if (v != 0) {
+        var idx = (v * 0x9E3779B9) >>> (32 - Integer.numberOfTrailingZeros(cap)) & mask
+        var found = false
+        while (!found && table(idx) != 0) {
+          if (table(idx) == v) found = true else idx = (idx + 1) & mask
+        }
+        if (!found) { table(idx) = v; count += 1 }
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** Column-API entry (resolves via GraftExtensions' registration). */
+  def distinctNonzeroCount(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("distinct_nonzero_count", c)
+}

@@ -68,7 +68,7 @@ object DatasetQueries {
     built.toDF()
       .groupBy("tissue", "split")
       .agg(count(lit(1)).as("n_images"),
-        sum(size(array_distinct(filter(col("labels"), l => l =!= 0)))).as("n_cells"))
+        sum(graft.functions.LabelExprs.distinctNonzeroCount(col("labels"))).as("n_cells"))
       .orderBy("tissue", "split")
   }
 

@@ -24,17 +24,26 @@ import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
   */
 object Npz {
 
-  def readEntries(bytes: Array[Byte]): Map[String, Npy.Data] = {
+  def readEntries(bytes: Array[Byte]): Map[String, Npy.Data] =
+    readEntriesFiltered(bytes, _ => true)
+
+  /** Selective decode: zip entries whose name fails `keep` are skipped
+    * without decompression (column pruning at the container level).
+    */
+  def readEntriesFiltered(bytes: Array[Byte], keep: String => Boolean)
+      : Map[String, Npy.Data] = {
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Npy.Data]
     var e: ZipEntry = zis.getNextEntry
     while (e != null) {
       val name = e.getName.stripSuffix(".npy")
-      val bos = new ByteArrayOutputStream()
-      val buf = new Array[Byte](65536)
-      var n = zis.read(buf)
-      while (n > 0) { bos.write(buf, 0, n); n = zis.read(buf) }
-      out += name -> Npy.read(bos.toByteArray)
+      if (keep(name)) {
+        val bos = new ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = zis.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = zis.read(buf) }
+        out += name -> Npy.read(bos.toByteArray)
+      }
       e = zis.getNextEntry
     }
     zis.close()
