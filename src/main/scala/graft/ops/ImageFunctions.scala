@@ -118,15 +118,111 @@ object ImageFunctions {
     }
   }
 
+  /** CLAHE — contrast-limited adaptive histogram equalization
+    * (widget_utils.py:141-151's `equalize_adapthist`): per-tile
+    * 256-bin histograms, clipped at `clipLimit * tilePixels` with the
+    * excess redistributed uniformly, per-tile CDF mappings, and
+    * bilinear interpolation of the 4 surrounding tile mappings per
+    * pixel (the standard Zuiderveld '94 construction; numerics are
+    * ours, not skimage's — the chain feeds human viewing, not labels).
+    * Input expected in [0, 255].
+    */
+  def clahe(img: Array[Float], rows: Int, cols: Int,
+            tilesR: Int = 8, tilesC: Int = 8, clipLimit: Double = 0.01): Array[Float] = {
+    val bins = 256
+    val tR = math.max(1, math.min(tilesR, rows))
+    val tC = math.max(1, math.min(tilesC, cols))
+    // tile boundaries
+    val rEdges = Array.tabulate(tR + 1)(i => i * rows / tR)
+    val cEdges = Array.tabulate(tC + 1)(i => i * cols / tC)
+    // per-tile clipped CDF mapping: bin -> [0,255]
+    val mapping = Array.ofDim[Float](tR, tC, bins)
+    var ti = 0
+    while (ti < tR) {
+      var tj = 0
+      while (tj < tC) {
+        val hist = new Array[Long](bins)
+        var r = rEdges(ti)
+        var nPix = 0L
+        while (r < rEdges(ti + 1)) {
+          var c = cEdges(tj)
+          while (c < cEdges(tj + 1)) {
+            val b = math.min(math.max(img(r * cols + c).toInt, 0), bins - 1)
+            hist(b) += 1
+            nPix += 1
+            c += 1
+          }
+          r += 1
+        }
+        // clip + uniform redistribution
+        val limit = math.max(1L, (clipLimit * nPix).toLong)
+        var excess = 0L
+        var b = 0
+        while (b < bins) {
+          if (hist(b) > limit) { excess += hist(b) - limit; hist(b) = limit }
+          b += 1
+        }
+        val add = excess / bins
+        b = 0
+        while (b < bins) { hist(b) += add; b += 1 }
+        // cdf -> mapping
+        var acc = 0L
+        val total = nPix max 1L
+        b = 0
+        while (b < bins) {
+          acc += hist(b)
+          mapping(ti)(tj)(b) = (acc.toDouble / total * 255.0).toFloat
+          b += 1
+        }
+        tj += 1
+      }
+      ti += 1
+    }
+    // bilinear interpolation between tile centers
+    val out = new Array[Float](img.length)
+    val centersR = Array.tabulate(tR)(i => (rEdges(i) + rEdges(i + 1) - 1) / 2.0)
+    val centersC = Array.tabulate(tC)(j => (cEdges(j) + cEdges(j + 1) - 1) / 2.0)
+    var r = 0
+    while (r < rows) {
+      // surrounding tile rows
+      var i1 = 0
+      while (i1 < tR - 1 && centersR(i1 + 1) < r) i1 += 1
+      val i2 = if (r <= centersR(i1) || i1 == tR - 1) i1 else i1 + 1
+      val fr = if (i1 == i2) 0.0
+        else math.min(math.max((r - centersR(i1)) / (centersR(i2) - centersR(i1)), 0.0), 1.0)
+      var c = 0
+      while (c < cols) {
+        var j1 = 0
+        while (j1 < tC - 1 && centersC(j1 + 1) < c) j1 += 1
+        val j2 = if (c <= centersC(j1) || j1 == tC - 1) j1 else j1 + 1
+        val fc = if (j1 == j2) 0.0
+          else math.min(math.max((c - centersC(j1)) / (centersC(j2) - centersC(j1)), 0.0), 1.0)
+        val b = math.min(math.max(img(r * cols + c).toInt, 0), bins - 1)
+        val v =
+          mapping(i1)(j1)(b) * (1 - fr) * (1 - fc) +
+          mapping(i1)(j2)(b) * (1 - fr) * fc +
+          mapping(i2)(j1)(b) * fr * (1 - fc) +
+          mapping(i2)(j2)(b) * fr * fc
+        out(r * cols + c) = v.toFloat
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** Window to [vMin, vMax] (the widget's display clamp). */
   def window(img: Array[Float], vMin: Float, vMax: Float): Array[Float] =
     img.map(v => math.min(math.max(v, vMin), vMax))
 
-  /** F1 `adjust_image` (widget_utils.py:93-199): the full chain. */
+  /** F1 `adjust_image` (widget_utils.py:93-199): the full chain —
+    * blur -> sobel-add -> rescale -> gamma -> invert -> equalize ->
+    * CLAHE -> window, each stage optional as in the reference.
+    */
   def adjustImage(img: Array[Float], rows: Int, cols: Int,
                   blurSigma: Double = 0.0, sobelFactor: Double = 0.0,
                   gamma: Double = 1.0, doInvert: Boolean = false,
-                  doEqualize: Boolean = false,
+                  doEqualize: Boolean = false, doClahe: Boolean = false,
                   vMin: Float = 0f, vMax: Float = 255f): Array[Float] = {
     var x = gaussianBlur(img, rows, cols, blurSigma)
     if (sobelFactor != 0) {
@@ -138,6 +234,7 @@ object ImageFunctions {
     if (gamma != 1.0) x = gammaAdjust(x, gamma)
     if (doInvert) x = invert(x)
     if (doEqualize) x = equalizeHist(x)
+    if (doClahe) x = clahe(x, rows, cols)
     window(x, vMin, vMax)
   }
 
