@@ -115,7 +115,17 @@ object AdvancedQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Skew-salted two-stage distinct count — must equal the plain
+    * count(DISTINCT) the oracle computes, proving the salting rewrite
+    * exact on real data.
+    */
+  private def qSkewDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Skew.saltedCountDistinct(
+      t(s, dir, "lineitem"), "l_returnflag", "l_partkey", salts = 16)
+      .orderBy("l_returnflag")
+
   val defs: Map[String, QueryFn] = Map(
+    "q_skew_distinct" -> qSkewDistinct _,
     "q_w_range_frame" -> qWRangeFrame _,
     "q_grouping_sets" -> qGroupingSets _,
     "q_cond_agg" -> qCondAgg _,
@@ -126,6 +136,9 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_w_range_frame" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (

@@ -79,7 +79,27 @@ object ImageQueries {
       .orderBy("fov", "stack")
   }
 
+  /** F1 contrast chain self-check: adjust (blur+gamma+CLAHE) each
+    * fixture plane; rows carry range/monotonicity verdicts.
+    */
+  private def qImgAdjust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planes = fixturePlanes(s).map { p =>
+      val rng = new scala.util.Random(p.stack + p.fov.hashCode)
+      p.copy(pixels = Array.fill(p.nRows * p.nCols)(rng.nextFloat() * 120f))
+    }
+    ImagePlane.toDataset(s, planes).map { p =>
+      val adj = graft.ops.ImageFunctions.adjustImage(
+        p.pixels, p.nRows, p.nCols, blurSigma = 1.0, gamma = 0.8, doClahe = true)
+      (p.fov, p.stack,
+        adj.forall(v => v >= 0f && v <= 255.5f),
+        adj.max > adj.min)
+    }.toDF("fov", "stack", "range_ok", "non_degenerate")
+      .orderBy("fov", "stack")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_img_adjust" -> qImgAdjust _,
     "q_img_crop_roundtrip" -> qImgCropRoundtrip _,
     "q_img_slice_roundtrip" -> qImgSliceRoundtrip _,
     "q_img_relabel_chain" -> qImgRelabelChain _,
