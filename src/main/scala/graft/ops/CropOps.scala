@@ -122,7 +122,7 @@ object CropOps {
       }
   }
 
-  private[ops] def stitchGroup(fov: String, stack: Int, slice: Int,
+  private[graft] def stitchGroup(fov: String, stack: Int, slice: Int,
                                crops: Seq[ImagePlane], plan: CropPlan): ImagePlane = {
     val padR = plan.origRows + plan.rowPadding
     val padC = plan.origCols + plan.colPadding

@@ -53,6 +53,63 @@ object StreamOps {
   case class Evt(user_id: Long, us: Long, event_id: Long)
   case class SessState(lastUs: Long, nSessions: Long, nEvents: Long)
 
+  /** Streaming EP2: incremental crop-stitching. Annotated work units
+    * arrive as a file stream (the post-annotation download of
+    * figure_eight_functions.py:362, incremental instead of batch);
+    * per-(fov, stack, slice) state accumulates crops and the canvas is
+    * stitched and EMITTED the moment its last crop arrives — partial
+    * canvases never leave state. `maxFilesPerTrigger` in the caller
+    * makes the arrival genuinely incremental across micro-batches.
+    *
+    * Emits (fov, stack, slice, n_cells, n_nonzero) — the stitched
+    * plane's invariants (the full plane can equally be written to a
+    * sink; the summary keeps the memory-sink spec light).
+    */
+  def incrementalStitch(spark: SparkSession, planesDir: String,
+                        plan: graft.ops.CropOps.CropPlan,
+                        queryName: String = "stream_stitch",
+                        maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    import graft.core.ImagePlane
+    val schema = spark.read.parquet(planesDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("basePath", planesDir)
+      .parquet(planesDir)
+      .select("fov", "stack", "crop", "slice", "nRows", "nCols",
+        "channels", "pixels", "labels")
+      .as[ImagePlane]
+    val stitched = stream
+      .groupByKey(p => (p.fov, p.stack, p.slice))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, Int, Int), it: Iterator[ImagePlane],
+         state: GroupState[Seq[ImagePlane]]) => {
+          val acc = state.getOption.getOrElse(Seq.empty) ++ it
+          if (acc.length >= plan.numCrops) {
+            state.remove()
+            val full = graft.ops.CropOps.stitchGroup(key._1, key._2, key._3,
+              acc.sortBy(_.crop), plan)
+            Iterator((full.fov, full.stack, full.slice,
+              full.labels.filter(_ != 0).distinct.length.toLong,
+              full.labels.count(_ != 0).toLong))
+          } else {
+            state.update(acc)
+            Iterator.empty
+          }
+        })
+      .toDF("fov", "stack", "slice", "n_cells", "n_nonzero")
+    val q = stitched.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).orderBy("fov", "stack", "slice")
+  }
+
   /** Stateful streaming sessionization via flatMapGroupsWithState
     * (the W2-style sequential dependency as managed per-key state):
     * per user, events extend the current session unless the gap

@@ -14,6 +14,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch, "watermarked stream result == batch result")
   }
 
+  test("incremental stitch: canvases complete as crops stream in") {
+    import graft.core.ImagePlane
+    import graft.ops.CropOps
+    import graft.sources.PlaneStore
+    val dir = java.nio.file.Files.createTempDirectory("stream_stitch")
+      .toFile.getAbsolutePath + "/crops"
+    val orig = ImagePlane.blankPlanes(2, 2, 40, 40)
+      .map(ImagePlane.gridLabels(_, cellSize = 8))
+    val plan = CropOps.planCrops(40, 40, 20, 20, 0.5)
+    PlaneStore.save(CropOps.cropPlanes(ImagePlane.toDataset(spark, orig), plan),
+      dir, maxRecordsPerFile = 3) // several files => several micro-batches
+    val out = StreamOps.incrementalStitch(spark, dir, plan,
+      queryName = "spec_stitch", maxFilesPerTrigger = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == orig.size, s"every canvas completed: ${out.keys}")
+    orig.foreach { o =>
+      val (cells, nonzero) = out((o.fov, o.stack))
+      assert(cells == o.labels.filter(_ != 0).distinct.length.toLong)
+      assert(nonzero == o.labels.count(_ != 0).toLong)
+    }
+  }
+
   test("stateful sessionization equals the batch window algebra") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.sessionCounts(spark, dir, queryName = "spec_sessions")
