@@ -403,7 +403,7 @@ object RelationalQueries {
         |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1 ORDER BY split""".stripMargin,
     "q_r4_tile" ->
-      """SELECT r_name, count(*) AS n_copies, sum(copy_idx) AS idx_sum FROM (
+      """SELECT r_name, count(*) AS n_copies, CAST(sum(copy_idx) AS BIGINT) AS idx_sum FROM (
         |  SELECT r_name, unnest(range(1, r_regionkey + 2)) AS copy_idx FROM region)
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_r5_balance" ->
@@ -417,7 +417,7 @@ object RelationalQueries {
         |  SELECT c_mktsegment, c_custkey,
         |    unnest(range(1, CAST(floor((max_cnt - rn) / cnt) AS BIGINT) + 2)) AS copy
         |  FROM counted, m)
-        |SELECT c_mktsegment, count(*) AS n, sum(c_custkey) AS key_sum
+        |SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
         |FROM tiled GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_semi" ->
       """SELECT o_orderkey, o_totalprice FROM orders

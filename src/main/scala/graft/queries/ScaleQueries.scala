@@ -97,7 +97,7 @@ object ScaleQueries {
         |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM events)
         |SELECT user_id,
-        |  sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_hourly" ->

@@ -58,6 +58,24 @@ def main():
             print(f"FAIL  {name:28s} oracle SQL error: {e}")
             n_fail += 1
             continue
+        # Dtype gate first: the driver hashes raw values, so int64 `5` vs
+        # float64 `5.0` (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64) must
+        # FAIL here too, even though %.17g would collapse them below.
+        dtype_mismatch = None
+        if sorted(spark_df.columns) == sorted(duck_df.columns):
+            for c in sorted(spark_df.columns):
+                ka = spark_df[c].dtype.kind
+                kb = duck_df[c].dtype.kind
+                # treat int/uint as one family; object (strings/decimals) skips
+                fam = lambda k: "i" if k in "iu" else k
+                if fam(ka) != fam(kb) and "O" not in (ka, kb):
+                    dtype_mismatch = (c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                    break
+        if dtype_mismatch is not None:
+            c, da, db = dtype_mismatch
+            print(f"FAIL  {name:28s} dtype mismatch on '{c}': spark={da} vs duck={db}")
+            n_fail += 1
+            continue
         a, b = normalize(spark_df), normalize(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name:28s} columns {list(a.columns)} vs {list(b.columns)}")
