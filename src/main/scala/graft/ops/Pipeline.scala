@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.core.ImagePlane
-import graft.sources.Npz
+import graft.sources.{Npz, SerializableHadoopConf}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** The reference's top-level composed flows (`pipeline.py` + the EP1
@@ -16,16 +17,23 @@ object Pipeline {
     ds.filter((p: ImagePlane) => p.labels.filter(_ != 0).distinct.length > cutoff)
 
   /** S13 `save_stitched_npzs` (pipeline.py:54-67): one NPZ per fov of
-    * the stitched stack, named `{fov}.npz`.
+    * the stitched stack, named `{fov}.npz`, written where the data
+    * lives through the Hadoop FileSystem for `saveDir`'s scheme
+    * (executor-local disk is NOT the shared store on a real cluster).
     */
   def saveStitchedNpzs(ds: Dataset[ImagePlane], saveDir: String): Unit = {
-    new java.io.File(saveDir).mkdirs()
-    import ds.sparkSession.implicits._
+    val spark = ds.sparkSession
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    new Path(saveDir).getFileSystem(hconf.value).mkdirs(new Path(saveDir))
+    import spark.implicits._
     ds.groupByKey(_.fov)
       .mapGroups((fov, it) => (fov, Npz.encodeStack(it.toSeq)))
-      .foreach { (t: (String, Array[Byte])) =>
-        val fos = new java.io.FileOutputStream(new java.io.File(saveDir, s"${t._1}.npz"))
-        try fos.write(t._2) finally fos.close()
+      .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+        val fs = new Path(saveDir).getFileSystem(hconf.value)
+        it.foreach { case (fov, bytes) =>
+          val out = fs.create(new Path(saveDir, s"$fov.npz"), true)
+          try out.write(bytes) finally out.close()
+        }
       }
   }
 
@@ -62,8 +70,9 @@ object Pipeline {
       origRows, origCols, stackLen, Some(cropSize), sliceLen, fovs, channels)
     Npz.saveNpzsForCaliban(units, saveDir, blankLabels)
     import spark.implicits._
-    val names = new java.io.File(saveDir).listFiles()
-      .filter(_.getName.endsWith(".npz")).map(_.getName).toSeq.sorted
+    val fs = new Path(saveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.globStatus(new Path(saveDir, "*.npz"))
+      .map(_.getPath.getName).toSeq.sorted
     val log = graft.jobs.JobLog.createUploadLog(
       names.toDF("filename"), stage = "annotation",
       awsFolder = saveDir.split("/").last, jobId = 0L)

@@ -77,6 +77,13 @@ object Npy {
     }
   }
 
+  /** Write just the NPY v1.0 header; callers stream the payload after
+    * it (the combined-NPZ sink appends plane-by-plane without ever
+    * materializing the full tensor).
+    */
+  def writeHeaderTo(out: DataOutputStream, descr: String, shape: Seq[Int]): Unit =
+    writeHeader(out, descr, shape)
+
   private def writeHeader(out: DataOutputStream, descr: String, shape: Seq[Int]): Unit = {
     val shapeStr = shape.mkString("(", ", ", if (shape.length == 1) ",)" else ")")
     var header = s"{'descr': '$descr', 'fortran_order': False, 'shape': $shapeStr, }"

@@ -1,9 +1,12 @@
 package graft.sources
 
 import graft.core.ImagePlane
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, File, FileOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream, File}
+import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
 /** NPZ (zip of NPY) source/sink — the reference's unit of annotation
@@ -160,51 +163,118 @@ object Npz {
     * that unit's whole sub-stack — with blank-label routing: "include"
     * (write normally), "skip" (drop blanks), "separate" (blanks into
     * `separate/`). Grouping happens executor-side (groupByKey), one
-    * file written per group where the data lives.
+    * file written per group where the data lives, through the Hadoop
+    * `FileSystem` for `saveDir`'s scheme — so the shared dir can be
+    * `file://` in tests and `s3a://`/`hdfs://` on a cluster, where the
+    * executors' local disks are NOT the driver's.
     */
   def saveNpzsForCaliban(ds: Dataset[ImagePlane], saveDir: String,
                          blankLabels: String = "include"): Unit = {
     require(Seq("include", "skip", "separate").contains(blankLabels),
       s"invalid blank_labels $blankLabels")
-    new File(saveDir).mkdirs()
-    if (blankLabels == "separate") new File(saveDir, "separate").mkdirs()
-    import ds.sparkSession.implicits._
+    val spark = ds.sparkSession
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val dirFs = new Path(saveDir).getFileSystem(hconf.value)
+    dirFs.mkdirs(new Path(saveDir))
+    if (blankLabels == "separate") dirFs.mkdirs(new Path(saveDir, "separate"))
+    import spark.implicits._
     ds.groupByKey(p => (p.fov, p.crop, p.slice))
       .mapGroups { (key, it) =>
         val planes = it.toSeq
         val blank = planes.forall(_.labels.forall(_ == 0))
         (key._1, key._2, key._3, encodeStack(planes), blank)
       }
-      .foreach { (t: (String, Int, Int, Array[Byte], Boolean)) =>
-        val (fov, crop, slice, bytes, blank) = t
-        val target =
-          if (!blank || blankLabels == "include") Some(saveDir)
-          else if (blankLabels == "separate") Some(s"$saveDir/separate")
-          else None
-        target.foreach { d =>
-          val f = new File(d, s"fov_${fov}_crop_${crop}_slice_${slice}.npz")
-          val fos = new FileOutputStream(f)
-          try fos.write(bytes) finally fos.close()
+      .foreachPartition { (it: Iterator[(String, Int, Int, Array[Byte], Boolean)]) =>
+        val fs = new Path(saveDir).getFileSystem(hconf.value)
+        it.foreach { case (fov, crop, slice, bytes, blank) =>
+          val target =
+            if (!blank || blankLabels == "include") Some(saveDir)
+            else if (blankLabels == "separate") Some(s"$saveDir/separate")
+            else None
+          target.foreach { d =>
+            val out = fs.create(new Path(d, s"fov_${fov}_crop_${crop}_slice_${slice}.npz"), true)
+            try out.write(bytes) finally out.close()
+          }
         }
       }
   }
 
+  /** Channel-last little-endian float bytes of one plane (the NPY
+    * payload row of the combined X tensor).
+    */
+  private def channelLastFloatBytes(p: ImagePlane): Array[Byte] = {
+    val nCh = p.channels.length
+    val planeSize = p.nRows * p.nCols
+    val bb = ByteBuffer.allocate(planeSize * nCh * 4).order(ByteOrder.LITTLE_ENDIAN)
+    val fb = bb.asFloatBuffer()
+    var r = 0
+    while (r < p.nRows) {
+      var c = 0
+      while (c < p.nCols) {
+        var ch = 0
+        while (ch < nCh) {
+          fb.put(p.pixels(ch * planeSize + r * p.nCols + c))
+          ch += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    bb.array()
+  }
+
+  private def labelIntBytes(p: ImagePlane): Array[Byte] = {
+    val bb = ByteBuffer.allocate(p.labels.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asIntBuffer().put(p.labels)
+    bb.array()
+  }
+
   /** S14 `concatenate_npz_files` / `create_combined_npz`
-    * (pipeline.py:70-110): fold a directory of NPZs into one combined
-    * training NPZ. Single-file by definition, so the encode runs on
-    * the driver over a local iterator (bounded memory: one work unit
-    * at a time); the distributed form of the same data is
-    * PlaneStore.save.
+    * (pipeline.py:70-110): fold a dataset of planes into one combined
+    * training NPZ `{X: [n, rows, cols, chan], y: [n, rows, cols, 1]}`.
+    *
+    * Single-file output is inherently driver-written, but the encode
+    * STREAMS: a first pass establishes the count and the (uniform)
+    * plane shape, then the X and y NPY entries are written header
+    * first and appended plane-by-plane from `toLocalIterator` — driver
+    * heap holds one plane at a time, never the dataset. The sorted
+    * input is disk-persisted so the three passes don't recompute
+    * upstream, and the file goes through the Hadoop FileSystem so
+    * `outFile` may live on any mounted store. The distributed form of
+    * the same data is PlaneStore.save.
     */
   def createCombinedNpz(ds: Dataset[ImagePlane], outFile: String): Unit = {
-    val planes = ds.toLocalIterator()
-    val buf = scala.collection.mutable.ArrayBuffer.empty[ImagePlane]
-    planes.forEachRemaining(p => buf += p)
-    require(buf.nonEmpty, "no planes to combine")
-    val bytes = encodeStack(buf.toSeq.sortBy(p => (p.fov, p.crop, p.slice, p.stack))
-      .zipWithIndex.map { case (p, i) => p.copy(stack = i) })
-    val fos = new FileOutputStream(new File(outFile))
-    try fos.write(bytes) finally fos.close()
+    val spark = ds.sparkSession
+    val sorted = ds.sort("fov", "crop", "slice", "stack")
+      .persist(StorageLevel.DISK_ONLY)
+    try {
+      val n = sorted.count().toInt
+      require(n > 0, "no planes to combine")
+      import org.apache.spark.sql.functions.size
+      import spark.implicits._
+      val shapes = sorted
+        .select($"nRows", $"nCols", size($"channels").as("nCh"))
+        .distinct().limit(2).collect()
+      require(shapes.length == 1,
+        s"combined NPZ requires uniform plane shape, got ${shapes.mkString(", ")}")
+      val (rows, cols, nCh) =
+        (shapes(0).getInt(0), shapes(0).getInt(1), shapes(0).getInt(2))
+      val fs = new Path(outFile).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val zos = new ZipOutputStream(fs.create(new Path(outFile), true))
+      try {
+        val dout = new DataOutputStream(zos)
+        zos.putNextEntry(new ZipEntry("X.npy"))
+        Npy.writeHeaderTo(dout, "<f4", Seq(n, rows, cols, nCh))
+        sorted.toLocalIterator().forEachRemaining(p => dout.write(channelLastFloatBytes(p)))
+        dout.flush()
+        zos.closeEntry()
+        zos.putNextEntry(new ZipEntry("y.npy"))
+        Npy.writeHeaderTo(dout, "<i4", Seq(n, rows, cols, 1))
+        sorted.toLocalIterator().forEachRemaining(p => dout.write(labelIntBytes(p)))
+        dout.flush()
+        zos.closeEntry()
+      } finally zos.close()
+    } finally sorted.unpersist()
   }
 
   /** S12 `load_npzs` (io_utils.py:166-239): read a caliban crop dir

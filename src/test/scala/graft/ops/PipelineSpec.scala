@@ -20,7 +20,10 @@ class PipelineSpec extends SparkSpec {
     val dir = Files.createTempDirectory("stitched").toFile.getAbsolutePath
     val planes = ImagePlane.blankPlanes(2, 3, 10, 10).map(ImagePlane.cornerTag)
     Pipeline.saveStitchedNpzs(ImagePlane.toDataset(spark, planes), dir)
-    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    // filter *.npz: the local ChecksumFileSystem adds .crc sidecars that
+    // real stores (s3a/hdfs) never surface in listings
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".npz")).sorted
     assert(files.toSeq == Seq("fov1.npz", "fov2.npz"))
     val back = Npz.decodeTrainingNpz("fov1.npz",
       Files.readAllBytes(java.nio.file.Paths.get(s"$dir/fov1.npz")))

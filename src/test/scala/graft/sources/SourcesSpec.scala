@@ -35,7 +35,10 @@ class SourcesSpec extends SparkSpec {
       ImagePlane.gridLabels(ImagePlane.blankPlanes(1, 1, 10, 10).head, 5),
       ImagePlane.blankPlanes(1, 1, 10, 10).head.copy(fov = "fov_blank"))
     Npz.saveNpzsForCaliban(ImagePlane.toDataset(spark, planes), dir, "skip")
-    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    // filter *.npz: the local ChecksumFileSystem adds .crc sidecars that
+    // real stores (s3a/hdfs) never surface in listings
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".npz")).toSeq.sorted
     assert(files == Seq("fov_fov1_crop_0_slice_0.npz"), s"blank skipped: $files")
     val back = Npz.readTrainingNpzDir(spark, dir).collect()
     assert(back.length == 1)
