@@ -71,7 +71,14 @@ object Dedup {
   }
 
   /** LSH candidate pairs: explode into bands, equi-join on band bucket,
-    * dedupe pairs, estimate jaccard from full signatures, threshold.
+    * estimate jaccard from full signatures, threshold.
+    *
+    * A pair can collide in several bands; instead of `.distinct()`
+    * (which would shuffle both 128-long signatures once per colliding
+    * band) each pair is emitted only from its FIRST matching band — a
+    * narrow filter computable from the two signatures already present
+    * on the joined row. The only shuffle in the whole pipeline is the
+    * banding equi-join itself.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String,
                         bands: Int = 16, minEstimate: Double = 0.5): DataFrame = {
@@ -89,10 +96,21 @@ object Dedup {
       col("band"), col("bucket"))
     val est = udf((x: Seq[Long], y: Seq[Long]) =>
       estimateJaccard(x.toArray, y.toArray))
+    // same slice hash as the join key, so "first matching band" agrees
+    // with the bands the join actually matched (collisions included)
+    val firstBand = udf((x: Seq[Long], y: Seq[Long]) => {
+      var band = 0
+      var found = -1
+      while (band < bands && found < 0) {
+        if (x.slice(band * r, (band + 1) * r).hashCode() ==
+            y.slice(band * r, (band + 1) * r).hashCode()) found = band
+        band += 1
+      }
+      found
+    })
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "mh_a", "mh_b")
-      .distinct() // a pair can collide in several bands
+      .filter(col("band") === firstBand(col("mh_a"), col("mh_b")))
       .withColumn("est_jaccard", est(col("mh_a"), col("mh_b")))
       .filter(col("est_jaccard") >= minEstimate)
       .select("id_a", "id_b", "est_jaccard")
@@ -139,10 +157,20 @@ object Dedup {
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
       col("chunk_idx"), col("chunk"))
     val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
+    // emit each pair only from its first shared chunk: dedup as a
+    // narrow filter instead of a distinct's extra shuffle
+    val firstChunk = udf((x: Long, y: Long) => {
+      var i = 0
+      var found = -1
+      while (i < 4 && found < 0) {
+        if (((x >>> (16 * i)) & 0xffffL) == ((y >>> (16 * i)) & 0xffffL)) found = i
+        i += 1
+      }
+      found
+    })
     a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .distinct()
+      .filter(col("chunk_idx") === firstChunk(col("sh_a"), col("sh_b")))
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate nearest-neighbor search over embedding columns.
@@ -66,33 +66,82 @@ object Similarity {
       .limit(k)
   }
 
-  /** ANN top-k: restrict the scan to buckets within `maxFlips` bit
-    * flips of the probe's bucket (multi-probe LSH). With nBits=12 and
-    * maxFlips=1 that's 13 of 4096 buckets — a ~300x scan reduction at
-    * equal recall for clustered data.
+  /** Driver-side multi-probe bucket list: the probe's bucket plus all
+    * buckets within `maxFlips` sign-bit flips. Hyperplanes are
+    * deterministic driver values, so this needs no Spark job — which
+    * is exactly what lets the bucket restriction become a pushable
+    * `IN` filter instead of a join condition.
+    */
+  def probeBuckets(vec: Seq[Float], dim: Int, nBits: Int,
+                   maxFlips: Int, seed: Long = 13L): Seq[Long] = {
+    val qb = bucketOf(vec, hyperplanes(dim, nBits, seed))
+    val out = scala.collection.mutable.ArrayBuffer(qb)
+    if (maxFlips >= 1) (0 until nBits).foreach(b => out += (qb ^ (1L << b)))
+    if (maxFlips >= 2)
+      for (b1 <- 0 until nBits; b2 <- (b1 + 1) until nBits)
+        out += (qb ^ (1L << b1) ^ (1L << b2))
+    out.toSeq
+  }
+
+  /** ANN top-k against a known query vector: restrict the scan to
+    * buckets within `maxFlips` bit flips of the query's bucket
+    * (multi-probe LSH). The bucket list is computed on the driver and
+    * planned as `bucket IN (...)` — a plain pushable filter, NOT a
+    * join — so against a `bucket`-partitioned store (saveBucketedStore)
+    * the scan prunes at planning time: with nBits=12 and maxFlips=1
+    * that's 13 of 4096 partitions read. The query vector rides along
+    * as a literal; cosine is computed only for surviving rows.
+    *
+    * If `df` lacks a `bucket` column one is derived on the fly (no
+    * source pruning then, but still a narrow filter plan with no
+    * BroadcastNestedLoopJoin).
+    */
+  def annTopKVec(df: DataFrame, idCol: String, vecCol: String,
+                 queryVec: Seq[Float], k: Int, dim: Int, nBits: Int = 12,
+                 maxFlips: Int = 1, seed: Long = 13L,
+                 excludeId: Option[Long] = None): DataFrame = {
+    val buckets = probeBuckets(queryVec, dim, nBits, maxFlips, seed)
+    val bucketed =
+      if (df.columns.contains("bucket")) df
+      else withBucket(df, vecCol, dim, nBits, seed)
+    bucketed
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
+      .withColumn("cos_sim", cosineCol(col(vecCol), typedLit(queryVec)))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** ANN top-k by probe id: one driver point-lookup for the probe's
+    * vector, then the pruned `annTopKVec` plan.
     */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               probeId: Long, k: Int, dim: Int, nBits: Int = 12,
               maxFlips: Int = 1, seed: Long = 13L): DataFrame = {
-    val planes = hyperplanes(dim, nBits, seed)
-    val bkt = udf((v: Seq[Float]) => bucketOf(v, planes))
-    val bucketed = df.withColumn("bucket", bkt(col(vecCol)))
-    val probeRow = bucketed.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("__qvec"), col("bucket").as("__qbucket"))
-    val probeBuckets = udf((qb: Long) => {
-      val out = scala.collection.mutable.ArrayBuffer(qb)
-      if (maxFlips >= 1) (0 until nBits).foreach(b => out += (qb ^ (1L << b)))
-      if (maxFlips >= 2)
-        for (b1 <- 0 until nBits; b2 <- (b1 + 1) until nBits)
-          out += (qb ^ (1L << b1) ^ (1L << b2))
-      out.toSeq
-    })
-    bucketed.filter(col(idCol) =!= probeId)
-      .join(broadcast(probeRow.withColumn("__probe_buckets", probeBuckets(col("__qbucket")))),
-        array_contains(col("__probe_buckets"), col("bucket")))
-      .withColumn("cos_sim", cosineCol(col(vecCol), col("__qvec")))
-      .drop("__qvec", "__qbucket", "__probe_buckets")
-      .orderBy(desc("cos_sim"), col(idCol))
-      .limit(k)
+    val queryVec = df.filter(col(idCol) === probeId)
+      .select(col(vecCol)).head().getSeq[Float](0).toSeq
+    annTopKVec(df, idCol, vecCol, queryVec, k, dim, nBits, maxFlips, seed,
+      excludeId = Some(probeId))
   }
+
+  /** Write the embedding table partitioned by LSH bucket: the layout
+    * that makes `annTopKVec`'s `bucket IN (...)` prune whole
+    * directories at planning time. At 100 TB this is the difference
+    * between reading ~0.3% of the corpus and all of it.
+    */
+  def saveBucketedStore(df: DataFrame, vecCol: String, path: String,
+                        dim: Int, nBits: Int = 12, seed: Long = 13L): Unit =
+    withBucket(df, vecCol, dim, nBits, seed)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** ANN over a bucket-partitioned store written by
+    * `saveBucketedStore`; the scan's partition filters prune to the
+    * probed buckets.
+    */
+  def annTopKFromStore(spark: SparkSession, path: String, idCol: String,
+                       vecCol: String, queryVec: Seq[Float], k: Int, dim: Int,
+                       nBits: Int = 12, maxFlips: Int = 1, seed: Long = 13L,
+                       excludeId: Option[Long] = None): DataFrame =
+    annTopKVec(spark.read.parquet(path), idCol, vecCol, queryVec, k,
+      dim, nBits, maxFlips, seed, excludeId)
 }

@@ -69,6 +69,9 @@ object Pipeline {
     val (units, plan) = Reconstruct.cropAndSlice(adjusted,
       origRows, origCols, stackLen, Some(cropSize), sliceLen, fovs, channels)
     Npz.saveNpzsForCaliban(units, saveDir, blankLabels)
+    // the reference persists reconstruction geometry next to the work
+    // units (log_data.json) so EP2 can run in a later process
+    Reconstruct.savePlan(spark, saveDir, plan)
     import spark.implicits._
     val fs = new Path(saveDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = fs.globStatus(new Path(saveDir, "*.npz"))

@@ -1,8 +1,12 @@
 package graft.ops
 
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.core.ImagePlane
 import graft.sources.Npz
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SparkSession}
+
+import scala.jdk.CollectionConverters._
 
 /** C9 `reconstruct_image_stack` (reshape_data.py:194-234) — the EP2
   * post-annotation inverse pipeline:
@@ -21,7 +25,8 @@ object Reconstruct {
       cropPlan: Option[CropOps.CropPlan],
       slicePlan: Option[SliceOps.SlicePlan],
       nRows: Int, nCols: Int,
-      channels: Seq[String])
+      channels: Seq[String],
+      stackLen: Int = 1)
 
   /** Forward pass bookkeeping: run crop (optional) then slice
     * (optional), returning the work units plus the inversion plan.
@@ -41,8 +46,78 @@ object Reconstruct {
     var out = ds
     cropPlan.foreach(p => out = CropOps.cropPlanes(out, p))
     slicePlan.foreach(p => out = SliceOps.slicePlanes(out, p))
-    (out, ReconstructionPlan(fovs, cropPlan, slicePlan, origRows, origCols, channels))
+    (out, ReconstructionPlan(fovs, cropPlan, slicePlan, origRows, origCols, channels, stackLen))
   }
+
+  /** Persist the plan as the reference's `log_data.json` sidecar next
+    * to the NPZ work units (io_utils.py:124-133, reshape_data.py:210-211)
+    * so EP2 can run in a LATER process — the reference's actual
+    * workflow, where annotators hold the crops for days. Field names
+    * mirror the reference's log_data keys. Written through the Hadoop
+    * FileSystem so the sidecar lands on the same shared store as the
+    * NPZs.
+    */
+  def savePlan(spark: SparkSession, dir: String, plan: ReconstructionPlan): Unit = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    val fovs = root.putArray("fov_names"); plan.fovs.foreach(fovs.add)
+    val chs = root.putArray("channels"); plan.channels.foreach(chs.add)
+    root.put("original_rows", plan.nRows)
+    root.put("original_cols", plan.nCols)
+    root.put("stack_len", plan.stackLen)
+    plan.cropPlan.foreach { cp =>
+      val c = root.putObject("crop")
+      Seq("row_starts" -> cp.rowStarts, "row_ends" -> cp.rowEnds,
+          "col_starts" -> cp.colStarts, "col_ends" -> cp.colEnds)
+        .foreach { case (k, arr) => val a = c.putArray(k); arr.foreach(a.add) }
+      c.put("row_padding", cp.rowPadding)
+      c.put("col_padding", cp.colPadding)
+    }
+    plan.slicePlan.foreach { sp =>
+      val s = root.putObject("slice")
+      val st = s.putArray("slice_start_indices"); sp.starts.foreach(st.add)
+      val en = s.putArray("slice_end_indices"); sp.ends.foreach(en.add)
+      s.put("slice_stack_len", sp.stackLen)
+    }
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(dir, "log_data.json"), true)
+    try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  private def intArr(n: JsonNode): Array[Int] =
+    n.elements().asScala.map(_.asInt).toArray
+
+  /** Load a `log_data.json` sidecar written by [[savePlan]]. */
+  def loadPlan(spark: SparkSession, dir: String): ReconstructionPlan = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(dir, "log_data.json"))
+    val root = try new ObjectMapper().readTree(in.readAllBytes()) finally in.close()
+    val cropPlan = Option(root.get("crop")).map { c =>
+      CropOps.CropPlan(
+        intArr(c.get("row_starts")), intArr(c.get("row_ends")),
+        intArr(c.get("col_starts")), intArr(c.get("col_ends")),
+        c.get("row_padding").asInt, c.get("col_padding").asInt,
+        root.get("original_rows").asInt, root.get("original_cols").asInt)
+    }
+    val slicePlan = Option(root.get("slice")).map { s =>
+      SliceOps.SlicePlan(
+        intArr(s.get("slice_start_indices")), intArr(s.get("slice_end_indices")),
+        s.get("slice_stack_len").asInt)
+    }
+    ReconstructionPlan(
+      root.get("fov_names").elements().asScala.map(_.asText).toSeq,
+      cropPlan, slicePlan,
+      root.get("original_rows").asInt, root.get("original_cols").asInt,
+      root.get("channels").elements().asScala.map(_.asText).toSeq,
+      Option(root.get("stack_len")).map(_.asInt).getOrElse(1))
+  }
+
+  /** EP2 inverse for a later process: read the `log_data.json` sidecar
+    * from the NPZ dir itself, then reconstruct.
+    */
+  def reconstructFromNpzDir(spark: SparkSession, dir: String): Dataset[ImagePlane] =
+    reconstructFromNpzDir(spark, dir, loadPlan(spark, dir))
 
   /** EP2 inverse: NPZ dir -> reconstructed full-size planes. */
   def reconstructFromNpzDir(spark: SparkSession, dir: String,
@@ -50,7 +125,7 @@ object Reconstruct {
     val nCrops = plan.cropPlan.map(_.numCrops).getOrElse(1)
     val sliceLens: Seq[(Int, Int)] = plan.slicePlan match {
       case Some(p) => p.starts.indices.map(i => i -> (p.ends(i) - p.starts(i)))
-      case None => Seq(0 -> 1)
+      case None => Seq(0 -> plan.stackLen)
     }
     val expected = for {
       fov <- plan.fovs

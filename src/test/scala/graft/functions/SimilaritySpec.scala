@@ -59,4 +59,39 @@ class SimilaritySpec extends SparkSpec {
     val inOneBucket = bucketed.filter(col("bucket") === probeBucket).count()
     assert(inOneBucket < total, s"bucket $inOneBucket of $total")
   }
+
+  test("annTopK plans a pushable IN filter, not a nested-loop join") {
+    val plan = Similarity.annTopK(embeddings, "vec_id", "embedding", 0L, 10,
+      dim = 64, nBits = 6, maxFlips = 1).queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket restriction must be a filter, not a join:\n$plan")
+    assert(!plan.contains("Join"), s"no join of any kind in the ANN plan:\n$plan")
+  }
+
+  test("annTopKFromStore prunes bucket partitions at planning time") {
+    val path = java.nio.file.Files.createTempDirectory("annstore")
+      .toFile.getAbsolutePath + "/emb"
+    Similarity.saveBucketedStore(embeddings, "embedding", path, dim = 64, nBits = 6)
+    val qv = embeddings.filter(col("vec_id") === 0L)
+      .select("embedding").first().getSeq[Float](0).toSeq
+    val q = Similarity.annTopKFromStore(spark, path, "vec_id", "embedding", qv,
+      10, 64, nBits = 6, maxFlips = 1, excludeId = Some(0L))
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val plannedParts =
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    val totalParts = spark.read.parquet(path).select("bucket").distinct().count()
+    val probed = Similarity.probeBuckets(qv, 64, 6, 1).distinct.length
+    assert(plannedParts <= probed,
+      s"scan planned $plannedParts partitions; at most $probed probed buckets")
+    assert(plannedParts < totalParts,
+      s"pruned: $plannedParts of $totalParts bucket partitions")
+    // pruned store plan and the in-memory plan agree exactly
+    val fromStore = q.collect().map(_.getAs[Long]("vec_id")).toSeq
+    val inMem = Similarity.annTopKVec(embeddings, "vec_id", "embedding", qv,
+      10, 64, nBits = 6, maxFlips = 1, excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(fromStore == inMem, s"store $fromStore vs in-mem $inMem")
+  }
 }

@@ -40,6 +40,54 @@ class ReconstructSpec extends SparkSpec {
     }
   }
 
+  test("log_data.json sidecar: EP2 reconstructs in a fresh session from disk alone") {
+    val dir = Files.createTempDirectory("reconstruct_sidecar").toFile.getAbsolutePath
+    val stackLen = 4
+    val orig = ImagePlane.blankPlanes(2, stackLen, 32, 32)
+      .map(ImagePlane.gridLabels(_, cellSize = 8))
+    val (units, plan) = Reconstruct.cropAndSlice(
+      ImagePlane.toDataset(spark, orig),
+      origRows = 32, origCols = 32, stackLen = stackLen,
+      cropSize = Some((16, 16, 0.25)), sliceLen = Some((2, 0)),
+      fovs = Seq("fov1", "fov2"), channels = Seq("channel1"))
+    Npz.saveNpzsForCaliban(units, dir, "include")
+    Reconstruct.savePlan(spark, dir, plan)
+    assert(new java.io.File(dir, "log_data.json").exists(), "sidecar persisted")
+
+    // the plan round-trips through JSON exactly
+    val loaded = Reconstruct.loadPlan(spark, dir)
+    assert(loaded.fovs == plan.fovs && loaded.channels == plan.channels)
+    assert(loaded.nRows == plan.nRows && loaded.nCols == plan.nCols)
+    assert(loaded.cropPlan.get.rowStarts.toSeq == plan.cropPlan.get.rowStarts.toSeq)
+    assert(loaded.cropPlan.get.colEnds.toSeq == plan.cropPlan.get.colEnds.toSeq)
+    assert(loaded.slicePlan.get.starts.toSeq == plan.slicePlan.get.starts.toSeq)
+    assert(loaded.slicePlan.get.stackLen == plan.slicePlan.get.stackLen)
+
+    // reconstruct in a FRESH session with no in-memory plan object —
+    // the reference's actual workflow (annotators return days later)
+    val fresh = spark.newSession()
+    val back = Reconstruct.reconstructFromNpzDir(fresh, dir)
+      .collect().map(p => (p.fov, p.stack) -> p).toMap
+    assert(back.size == orig.size)
+    orig.foreach { o =>
+      val b = back((o.fov, o.stack))
+      assert(b.nRows == 32 && b.nCols == 32)
+      assert(b.labels.map(_ != 0).toSeq == o.labels.map(_ != 0).toSeq,
+        s"mask preserved for ${o.fov}/${o.stack}")
+    }
+  }
+
+  test("preAnnotationFlow persists the sidecar next to the work units") {
+    val dir = Files.createTempDirectory("flow_sidecar").toFile.getAbsolutePath
+    val orig = ImagePlane.blankPlanes(1, 2, 20, 20).map(ImagePlane.gridLabels(_, 5))
+    Pipeline.preAnnotationFlow(spark, ImagePlane.toDataset(spark, orig),
+      origRows = 20, origCols = 20, stackLen = 2,
+      cropSize = (10, 10, 0.0), sliceLen = None,
+      fovs = Seq("fov1"), channels = Seq("channel1"), saveDir = dir)
+    val back = Reconstruct.reconstructFromNpzDir(spark.newSession(), dir).collect()
+    assert(back.length == 2, "both stacks reconstructed from disk alone")
+  }
+
   test("missing NPZ units come back as zeros, rest reconstructs") {
     val dir = Files.createTempDirectory("reconstruct_missing").toFile.getAbsolutePath
     val orig = ImagePlane.blankPlanes(1, 1, 30, 30).map(ImagePlane.gridLabels(_, 10))
