@@ -9,9 +9,11 @@ import graft.core.ImagePlane
   *
   * Numerics follow the reference's *pipeline order* (blur -> sobel ->
   * gamma -> invert -> equalize -> rescale -> window); kernel internals
-  * are standard implementations (documented divergence: skimage's
-  * CLAHE is approximated by global histogram equalization — these
-  * feed human viewing, not training labels, widget_utils.py:195).
+  * are standard implementations. `clahe` is a real tiled CLAHE
+  * (Zuiderveld: per-tile clipped histograms + bilinear LUT
+  * interpolation); remaining documented divergence vs skimage is
+  * float handling inside the contrast chain, which feeds human
+  * viewing, not training labels (widget_utils.py:195).
   */
 object ImageFunctions {
 

@@ -22,19 +22,24 @@ object DatasetQueries {
       .orderBy("split")
 
   /** R3: nested prefix splits of customer; each row checks the subset
-    * property against the next larger split.
+    * property against the next larger split — expressed as a
+    * left-anti-join count (rows of the smaller split absent from the
+    * larger one), so nothing is collected to the driver and the check
+    * runs at any split size.
     */
   private def qDsNestedPrefix(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val df = t(s, dir, "customer").select("c_custkey")
     val splits = Splitter.nestedSplit(df, splitCounts = Seq(10, 100, 500), seed = 42)
-    val sets = Seq("10", "100", "500").map(k =>
-      k -> splits(k).collect().map(_.getLong(0)).toSet)
-    sets.sliding(2).map {
-      case Seq((k1, s1), (_, s2)) => (k1, s1.size.toLong, s1.subsetOf(s2))
-      case other => (other.head._1, other.head._2.size.toLong, true)
-    }.toSeq.toDF("split", "n", "is_prefix_of_next")
-      .orderBy("split")
+    Seq(("10", "100"), ("100", "500")).map { case (k1, k2) =>
+      val smaller = splits(k1)
+      val larger = splits(k2)
+      val violations = smaller
+        .join(larger, smaller("c_custkey") === larger("c_custkey"), "left_anti")
+      smaller.agg(count(lit(1)).as("n"))
+        .crossJoin(violations.agg(count(lit(1)).as("n_violations")))
+        .select(lit(k1).as("split"), col("n"),
+          (col("n_violations") === 0).as("is_prefix_of_next"))
+    }.reduce(_ unionByName _).orderBy("split")
   }
 
   /** R5 on real data: balance customers by segment; every category

@@ -144,13 +144,31 @@ object Tiff {
     cols.filter(c => counts.getAs[Long](c) > 1)
   }
 
-  /** S4 `load_metadata`: one row per experiment metadata JSON, arrays
-    * space-joined as the reference does (data_loader.py:383-390).
+  /** S4 `load_metadata` (data_loader.py:375-394): one row per
+    * experiment `metadata` JSON with the reference's enrichment —
+    * `TYPE`/`ONTOLOGY` arrays space-joined (`str.cat(sep=' ')`,
+    * data_loader.py:385-386), the single-element array wrappers around
+    * scalars/structs unwrapped (the pandas transpose + dropna
+    * equivalent), rows with missing keys dropped, and the experiment's
+    * image directory attached (the `PATHS` column,
+    * data_loader.py:389-390) derived from each file's own path.
     */
   def loadMetadata(spark: SparkSession, baseDir: String): DataFrame = {
-    val df = spark.read.option("recursiveFileLookup", "true")
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "metadata")
       .option("multiLine", "true")
-      .json(s"$baseDir")
-    df
+      .json(baseDir)
+    val cols = raw.schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(StringType, _) if f.name == "TYPE" || f.name == "ONTOLOGY" =>
+          array_join(col(f.name), " ").as(f.name)
+        case ArrayType(_, _) => element_at(col(f.name), 1).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    raw.select(cols :+ input_file_name().as("metadata_path"): _*)
+      .withColumn("image_path", regexp_replace(col("metadata_path"), "/metadata$", ""))
+      .na.drop()
   }
 }

@@ -70,6 +70,28 @@ class SourcesSpec extends SparkSpec {
     assert(pixels.exists(_ != 0f), "non-blank image")
   }
 
+  test("loadMetadata enriches like the reference (S4, data_loader.py:375-394)") {
+    val base = "/root/reference/data/raw_data"
+    assume(new java.io.File(base).exists())
+    val df = Tiff.loadMetadata(spark, base)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "metadata fixtures found")
+    val a549 = rows.find(_.getAs[String]("metadata_path")
+      .contains("20190514_EP01")).get
+    // TYPE/ONTOLOGY arrays space-joined (str.cat(sep=' '))
+    assert(a549.getAs[String]("TYPE") == "cell A549")
+    assert(a549.getAs[String]("ONTOLOGY") == "static 2d Phase")
+    // single-element array wrappers unwrapped to scalars/structs
+    assert(a549.getAs[String]("EXP_ID") == "20190514_EP01")
+    val dims = a549.getAs[org.apache.spark.sql.Row]("DIMENSIONS")
+    assert(dims.getAs[String]("X") == "1608" && dims.getAs[String]("Y") == "1608")
+    // image path attach: the experiment dir holding the metadata file
+    assert(a549.getAs[String]("image_path").endsWith("A549/20190514_EP01"))
+    assert(!a549.getAs[String]("image_path").endsWith("metadata"))
+    // dropna: every surviving row has all keys present
+    assert(rows.forall(r => !r.anyNull), "rows with missing keys dropped")
+  }
+
   test("scanOntology parses levels and prunes by predicate") {
     val df = Tiff.scanOntology(spark, "/root/reference/data/raw_data",
       imagingTypes = Seq("mibi"))
