@@ -62,6 +62,31 @@ object SimilarityQueries {
       .orderBy("label_a", "label_b")
   }
 
+  /** Embedding-cosine near-duplicate census: candidate pairs blocked
+    * on `label` (the natural blocking key — cluster/language/shard id
+    * in a real corpus), exact cosine verify, then the per-label
+    * keep-first drop census (`n_dup_docs` = docs that lose to an
+    * earlier id). The blocked equi-join shuffles only on the key, so
+    * the pipeline scales like the jaccard dedup path; the unblocked
+    * scale path is the LSH-bucketed ANN store.
+    */
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), dvec(col("embedding")).as("vec"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("vec").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("vec").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        round(graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= 0.2)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("id_b")).as("n_dup_docs"),
+        round(max("cos_sim"), 6).as("max_sim"))
+      .orderBy("label")
+  }
+
   /** Vector norms + dimensionality census (the sanity scan every
     * embedding pipeline starts with).
     */
@@ -89,6 +114,7 @@ object SimilarityQueries {
     "q_sim_pair_count" -> qSimPairCount _,
     "q_sim_norms" -> qSimNorms _,
     "q_sim_centroid" -> qSimCentroid _,
+    "q_dedup_embedding" -> qDedupEmbedding _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,6 +138,17 @@ object SimilarityQueries {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT label_a, label_b, count(*) AS n_pairs, max(sim) AS max_sim
         |FROM pairs WHERE sim > 0.3 GROUP BY label_a, label_b ORDER BY label_a, label_b""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |pairs AS (
+        |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+        |      / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) AS sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, count(*) AS n_dup_pairs, count(DISTINCT id_b) AS n_dup_docs,
+        |  round(max(sim), 6) AS max_sim
+        |FROM pairs WHERE sim >= 0.2 GROUP BY label ORDER BY label""".stripMargin,
     "q_sim_norms" ->
       """SELECT vec_id, label, len(embedding) AS dim,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm

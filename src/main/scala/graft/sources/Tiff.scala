@@ -69,6 +69,67 @@ object Tiff {
       }
   }
 
+  /** S9 `get_images_from_directory` (misc_utils.py:72-104; the
+    * reference body is dead code — it calls an undefined `K.floatx()`
+    * — so semantics are reconstructed from its docstring and shape
+    * logic): every file whose name contains a channel name, naturally
+    * sorted per channel, aligned by list position into channel-stacked
+    * planes. The per-channel listings are driver-side metadata (file
+    * NAMES only); decode and stacking run distributed — each stack
+    * index is one `groupByKey` group of `nChannels` single-channel
+    * frames.
+    */
+  def readChannelStackedDir(spark: SparkSession, dir: String, channels: Seq[String],
+                            glob: String = "*.tif*"): Dataset[ImagePlane] = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.globStatus(new org.apache.hadoop.fs.Path(dir, glob))
+      .map(_.getPath.getName).toSeq
+    val byChannel = channels.map(c =>
+      graft.functions.Strings.sortedNicely(names.filter(_.contains(c))))
+    val counts = byChannel.map(_.length)
+    require(counts.nonEmpty && counts.head > 0 && counts.distinct.length == 1,
+      s"per-channel file lists must be equal and non-empty: ${channels.zip(counts)}")
+    // name -> (channelIdx, stackIdx); stack fov = channel-0 file base
+    val index: Map[String, (Int, Int)] = byChannel.zipWithIndex.flatMap {
+      case (files, ch) => files.zipWithIndex.map { case (f, st) => f -> (ch, st) }
+    }.toMap
+    val stackFov: Map[Int, String] = byChannel.head.zipWithIndex.map {
+      case (f, st) => st -> f.replaceAll("\\.tiff?$", "")
+    }.toMap
+    val bIndex = spark.sparkContext.broadcast(index)
+    val bFov = spark.sparkContext.broadcast(stackFov)
+    val chNames = channels
+    val nCh = channels.length
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = new java.io.File(path).getName
+        bIndex.value.get(name).toSeq.map { case (ch, st) =>
+          val (_, rows, cols, px) = decodeFrames(bytes).head
+          (st, ch, rows, cols, px)
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (st, it) =>
+        val frames = it.toSeq.sortBy(_._2)
+        require(frames.length == nCh, s"stack $st has ${frames.length} of $nCh channels")
+        val rows = frames.head._3
+        val cols = frames.head._4
+        val pixels = new Array[Float](nCh * rows * cols)
+        frames.foreach { case (_, ch, r, c, px) =>
+          require(r == rows && c == cols, s"stack $st frame size mismatch")
+          System.arraycopy(px, 0, pixels, ch * rows * cols, rows * cols)
+        }
+        ImagePlane(bFov.value(st), st, 0, 0, rows, cols, chNames,
+          pixels, new Array[Int](rows * cols))
+      }
+  }
+
   /** S1 vocab normalization (data_loader.py:110-146): canonicalize the
     * common misspellings of ontology enum values.
     */

@@ -70,6 +70,32 @@ class SourcesSpec extends SparkSpec {
     assert(pixels.exists(_ != 0f), "non-blank image")
   }
 
+  test("readChannelStackedDir aligns per-channel files into stacked planes (S9)") {
+    val dir = Files.createTempDirectory("chan_stack").toFile
+    def writeTiff(name: String, value: Int): Unit = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+      for (r <- 0 until 4; c <- 0 until 4) img.getRaster.setSample(c, r, 0, value)
+      assert(javax.imageio.ImageIO.write(img, "TIFF", new java.io.File(dir, name)))
+    }
+    // natural-sort order matters: pos10 must follow pos2 in each channel
+    writeTiff("pos2_DAPI.tif", 10); writeTiff("pos10_DAPI.tif", 20)
+    writeTiff("pos2_FITC.tif", 11); writeTiff("pos10_FITC.tif", 21)
+    val planes = Tiff.readChannelStackedDir(spark, dir.getAbsolutePath,
+      Seq("DAPI", "FITC")).collect().sortBy(_.stack)
+    assert(planes.length == 2)
+    assert(planes.map(_.channels.toSeq).distinct.toSeq == Seq(Seq("DAPI", "FITC")))
+    val p0 = planes(0) // pos2 pair
+    assert(p0.fov == "pos2_DAPI" && p0.pixel(0, 0, 0) == 10f && p0.pixel(1, 0, 0) == 11f)
+    val p1 = planes(1) // pos10 pair
+    assert(p1.fov == "pos10_DAPI" && p1.pixel(0, 0, 0) == 20f && p1.pixel(1, 0, 0) == 21f)
+    // unequal channel lists rejected
+    writeTiff("pos11_DAPI.tif", 30)
+    intercept[IllegalArgumentException] {
+      Tiff.readChannelStackedDir(spark, dir.getAbsolutePath, Seq("DAPI", "FITC"))
+    }
+  }
+
   test("loadMetadata enriches like the reference (S4, data_loader.py:375-394)") {
     val base = "/root/reference/data/raw_data"
     assume(new java.io.File(base).exists())
