@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor — the second scale
+  * path next to random-hyperplane LSH ([[Similarity]]), the standard
+  * coarse-quantizer design of the public FAISS/IVF literature:
+  *
+  *   - TRAIN a small k-means codebook over the corpus (spherical:
+  *     assignment by max cosine). Training is distributed — assignment
+  *     is a narrow map over broadcast centroids, the update step is a
+  *     `posexplode + groupBy(cell, pos).avg` aggregation — and only
+  *     the k x dim codebook (metadata-scale) ever reaches the driver.
+  *   - STORE vectors partitioned by their cell id: at 100 TB each cell
+  *     is a directory, and a query reads `nprobe` of `k` directories.
+  *   - PROBE: the query's `nprobe` nearest cells are computed on the
+  *     driver from the codebook, planned as a pushable `cell IN (...)`
+  *     filter — partition pruning at the source, same construction as
+  *     the LSH bucket store.
+  *
+  * With nprobe = k the result is exactly the brute-force top-k (every
+  * cell probed), which is the spec's correctness anchor.
+  */
+object Ivf {
+
+  /** Cosine-normalized copy of a vector (zero vectors pass through). */
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private def bestCell(vec: Seq[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var dot = 0.0
+      var i = 0
+      while (i < cen.length && i < vec.length) { dot += cen(i) * vec(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train a spherical k-means codebook with `iters` Lloyd rounds.
+    * Deterministic: initial centroids are the k corpus vectors with the
+    * smallest `xxhash64(id, seed)` (a seeded uniform draw both engines
+    * can replay), updates are exact means. Returns k x dim centroids,
+    * cosine-normalized.
+    */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     iters: Int = 5, seed: Long = 29L): Array[Array[Double]] = {
+    val init = df
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(k)
+      .collect()
+      .map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray))
+    var centroids = init
+    var it = 0
+    while (it < iters) {
+      val bc = df.sparkSession.sparkContext.broadcast(centroids)
+      val cellOf = udf((v: Seq[Float]) => bestCell(v, bc.value))
+      val means = df
+        .select(cellOf(col(vecCol)).as("cell"),
+          posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg("x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next.map(normalize)
+      it += 1
+    }
+    centroids
+  }
+
+  /** Add the IVF `cell` assignment column. */
+  def withCell(df: DataFrame, vecCol: String,
+               centroids: Array[Array[Double]]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val cellOf = udf((v: Seq[Float]) => bestCell(v, bc.value))
+    df.withColumn("cell", cellOf(col(vecCol)))
+  }
+
+  /** Write the corpus partitioned by IVF cell: the layout that lets a
+    * probe read `nprobe` of `k` directories.
+    */
+  def saveIvfStore(df: DataFrame, vecCol: String, path: String,
+                   centroids: Array[Array[Double]]): Unit =
+    withCell(df, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** The query's `nprobe` nearest cells, computed on the driver from
+    * the codebook — no Spark job, which is what makes the cell
+    * restriction a pushable IN filter.
+    */
+  def probeCells(queryVec: Seq[Float], centroids: Array[Array[Double]],
+                 nprobe: Int): Seq[Int] = {
+    val q = normalize(queryVec.map(_.toDouble).toArray)
+    centroids.indices
+      .map(c => c -> centroids(c).zip(q).map { case (a, b) => a * b }.sum)
+      .sortBy { case (c, dot) => (-dot, c) }
+      .take(nprobe)
+      .map(_._1)
+  }
+
+  /** IVF ANN top-k: prune to the `nprobe` nearest cells, exact cosine
+    * inside them. Works on any DataFrame bearing a `cell` column
+    * ([[withCell]] or an IVF store read).
+    */
+  def annTopKIvf(df: DataFrame, idCol: String, vecCol: String,
+                 queryVec: Seq[Float], k: Int,
+                 centroids: Array[Array[Double]], nprobe: Int,
+                 excludeId: Option[Long] = None): DataFrame = {
+    val cells = probeCells(queryVec, centroids, nprobe)
+    val withCells =
+      if (df.columns.contains("cell")) df else withCell(df, vecCol, centroids)
+    withCells
+      .filter(col("cell").isin(cells: _*))
+      .filter(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
+      .withColumn("cos_sim",
+        CosineSimilarity.cosineSim(col(vecCol), typedLit(queryVec)))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF ANN over a cell-partitioned store written by [[saveIvfStore]];
+    * the scan's partition filters prune to the probed cells.
+    */
+  def annTopKFromStore(spark: SparkSession, path: String, idCol: String,
+                       vecCol: String, queryVec: Seq[Float], k: Int,
+                       centroids: Array[Array[Double]], nprobe: Int,
+                       excludeId: Option[Long] = None): DataFrame =
+    annTopKIvf(spark.read.parquet(path), idCol, vecCol, queryVec, k,
+      centroids, nprobe, excludeId)
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, Multimodal, Similarity}
+import graft.functions.{Dedup, Ivf, Multimodal, Similarity}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,6 +51,28 @@ object ScaleQueries {
       .orderBy(desc("cos_sim"), col("vec_id"))
   }
 
+  /** IVF ANN (the second scale path next to LSH): train an 8-cell
+    * spherical k-means codebook, probe half the cells, self-check
+    * recall against the exact top-k. nprobe = k would equal the exact
+    * result (IvfSpec proves it); 4 of 8 demonstrates the pruned read.
+    */
+  private def qSimAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = Ivf.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", 0L, 10)
+      .select(col("vec_id").as("exact_id"))
+    Ivf.annTopKIvf(e, "vec_id", "embedding", qv, 10, centroids, nprobe = 4,
+        excludeId = Some(0L))
+      .select(col("vec_id"), col("label"), round(col("cos_sim"), 6).as("cos_sim"))
+      .join(exact.withColumn("in_exact_topk", lit(true)),
+        col("vec_id") === col("exact_id"), "left")
+      .select(col("vec_id"), col("label"), col("cos_sim"),
+        coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+  }
+
   /** Multimodal plumbing: documents' text bytes as stand-in blobs ->
     * partition-batched feature extraction (histogram/entropy/thumb).
     */
@@ -86,6 +108,7 @@ object ScaleQueries {
     "q_dedup_minhash_pairs" -> qDedupMinhash _,
     "q_dedup_simhash_pairs" -> qDedupSimhash _,
     "q_sim_ann_lsh" -> qSimAnnLsh _,
+    "q_sim_ann_ivf" -> qSimAnnIvf _,
     "q_mm_features" -> qMmFeatures _,
     "q_stream_hourly" -> qStreamHourly _,
   )

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private lazy val centroids =
+    Ivf.trainCentroids(embeddings, "vec_id", "embedding", k = 8, iters = 3)
+
+  private lazy val queryVec = embeddings.filter(col("vec_id") === 0L)
+    .select("embedding").first().getSeq[Float](0).toSeq
+
+  test("training is deterministic and produces k normalized centroids") {
+    assert(centroids.length == 8)
+    centroids.foreach { c =>
+      assert(c.length == 64)
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"normalized, got $n")
+    }
+    val again = Ivf.trainCentroids(embeddings, "vec_id", "embedding", k = 8, iters = 3)
+    assert(centroids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "seed-stable")
+  }
+
+  test("nprobe = k probes every cell and equals brute force exactly") {
+    val full = Ivf.annTopKIvf(embeddings, "vec_id", "embedding", queryVec, 10,
+      centroids, nprobe = 8, excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val exact = Similarity.bruteForceTopK(embeddings, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == exact, s"ivf-full $full vs exact $exact")
+  }
+
+  test("store probe prunes cell partitions at planning time") {
+    val path = java.nio.file.Files.createTempDirectory("ivfstore")
+      .toFile.getAbsolutePath + "/emb"
+    Ivf.saveIvfStore(embeddings, "embedding", path, centroids)
+    val q = Ivf.annTopKFromStore(spark, path, "vec_id", "embedding", queryVec,
+      10, centroids, nprobe = 2, excludeId = Some(0L))
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val planned =
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(planned <= 2, s"scan planned $planned partitions for nprobe=2")
+    val total = spark.read.parquet(path).select("cell").distinct().count()
+    assert(planned < total, s"pruned: $planned of $total cells")
+    // pruned store result == in-memory result at the same nprobe
+    val inMem = Ivf.annTopKIvf(embeddings, "vec_id", "embedding", queryVec, 10,
+      centroids, nprobe = 2, excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(q.collect().map(_.getAs[Long]("vec_id")).toSeq == inMem)
+  }
+
+  test("a planted near-duplicate is found in the probe's own cell (nprobe=1)") {
+    import spark.implicits._
+    val planted = Seq((200000L, queryVec.map(v => v * 1.001f), 42))
+      .toDF("vec_id", "embedding", "label")
+    val all = embeddings.unionByName(planted)
+    val top = Ivf.annTopKIvf(all, "vec_id", "embedding", queryVec, 1,
+      centroids, nprobe = 1, excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(top == Seq(200000L), s"planted near-dup ranked first: $top")
+  }
+}
