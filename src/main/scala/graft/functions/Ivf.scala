@@ -53,6 +53,12 @@ object Ivf {
     * smallest `xxhash64(id, seed)` (a seeded uniform draw both engines
     * can replay), updates are exact means. Returns k x dim centroids,
     * cosine-normalized.
+    *
+    * Each Lloyd round is ONE narrow pass: every partition folds its
+    * vectors into k local (count, sum) accumulators, and only those
+    * nPartitions x k x dim partials reach the driver — no shuffle, no
+    * row explosion. This is the treeAggregate shape that holds at any
+    * corpus size (driver cost is k x dim, independent of rows).
     */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
                      iters: Int = 5, seed: Long = 29L): Array[Array[Double]] = {
@@ -62,20 +68,42 @@ object Ivf {
       .limit(k)
       .collect()
       .map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(vecCol)).as[Seq[Float]]
     var centroids = init
     var it = 0
     while (it < iters) {
-      val bc = df.sparkSession.sparkContext.broadcast(centroids)
-      val cellOf = udf((v: Seq[Float]) => bestCell(v, bc.value))
-      val means = df
-        .select(cellOf(col(vecCol)).as("cell"),
-          posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(avg("x").as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next.map(normalize)
+      val bc = spark.sparkContext.broadcast(centroids)
+      val partials = vecs.mapPartitions { rows =>
+        val cents = bc.value
+        val dim = cents(0).length
+        val counts = new Array[Long](cents.length)
+        val sums = Array.fill(cents.length)(new Array[Double](dim))
+        rows.foreach { v =>
+          val c = bestCell(v, cents)
+          counts(c) += 1
+          val s = sums(c)
+          var i = 0
+          while (i < dim && i < v.length) { s(i) += v(i); i += 1 }
+        }
+        Iterator.single((counts, sums))
+      }.collect()
+      val counts = new Array[Long](k)
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      partials.foreach { case (pc, ps) =>
+        var c = 0
+        while (c < k) {
+          counts(c) += pc(c)
+          var i = 0
+          while (i < sums(c).length) { sums(c)(i) += ps(c)(i); i += 1 }
+          c += 1
+        }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else normalize(sums(c).map(_ / counts(c)))
+      }.toArray
       it += 1
     }
     centroids

@@ -72,4 +72,53 @@ object Multimodal {
       struct(lit(modality).as("modality"),
         length(col(binCol)).cast("long").as("declaredBytes")).as("meta"),
       col(binCol).as("content"))
+
+  case class MediaFrame(id: Long, frameIdx: Int, nBytes: Long, byteEntropy: Double)
+
+  /** Frame sampling — the video-modality path. The stub container is
+    * chunked into fixed-size frames (a real decoder would seek
+    * keyframes); only every `every`-th frame is DECODED, which is the
+    * contract that matters at scale: one input row fans out to a
+    * bounded number of frame rows and undecoded frames cost nothing.
+    * Narrow flatMap, no shuffle.
+    */
+  def sampleFrames(ds: Dataset[MediaRow], every: Int,
+                   frameBytes: Int = 4096): Dataset[MediaFrame] = {
+    require(every >= 1, s"sample every-th frame, got $every")
+    import ds.sparkSession.implicits._
+    ds.flatMap { row =>
+      val n = math.max(1, row.content.length / frameBytes)
+      (0 until n by every).map { f =>
+        val from = f * frameBytes
+        val until = math.min(row.content.length, from + frameBytes)
+        val frame = java.util.Arrays.copyOfRange(row.content, from, until)
+        val (hist, _) = stubDecode(frame)
+        MediaFrame(row.id, f, (until - from).toLong, entropy(hist))
+      }
+    }
+  }
+
+  /** Resize — fixed-target linear resample of the decoded thumbnail
+    * (the 1-D stub analog of bilinear image resize; with a real codec
+    * this is graft.ops.ImageResize over decoded pixels). Variable-size
+    * blob in, fixed-size vector out, per row, no shuffle.
+    */
+  def resizeThumbnails(ds: Dataset[MediaFeatures], outSize: Int): Dataset[MediaFeatures] = {
+    require(outSize >= 1, s"bad resize target $outSize")
+    import ds.sparkSession.implicits._
+    ds.map { f =>
+      val in = f.thumbnail.toArray
+      val out = new Array[Float](outSize)
+      var i = 0
+      while (i < outSize) {
+        val pos = if (outSize == 1) 0.0 else i.toDouble * (in.length - 1) / (outSize - 1)
+        val lo = pos.toInt
+        val hi = math.min(in.length - 1, lo + 1)
+        val frac = (pos - lo).toFloat
+        out(i) = in(lo) * (1 - frac) + in(hi) * frac
+        i += 1
+      }
+      f.copy(thumbnail = out.toSeq)
+    }
+  }
 }

@@ -89,6 +89,24 @@ object ScaleQueries {
       .orderBy("id")
   }
 
+  /** Frame-sampling plumbing (video modality): chunked stub frames,
+    * every 2nd decoded, per-doc census. Narrow fan-out, no shuffle
+    * until the final rollup.
+    */
+  private def qMmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.asMedia(
+      t(s, dir, "documents").withColumn("blob", col("text").cast("binary")),
+      "doc_id", "blob", "video/fake")
+      .as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(media, every = 2, frameBytes = 256)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("nBytes").as("sampled_bytes"),
+        round(avg("byteEntropy"), 6).as("mean_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Structured Streaming hourly rollup — must equal the batch
     * aggregation, so it shares q_evt_hourly's oracle.
     */
@@ -110,6 +128,7 @@ object ScaleQueries {
     "q_sim_ann_lsh" -> qSimAnnLsh _,
     "q_sim_ann_ivf" -> qSimAnnIvf _,
     "q_mm_features" -> qMmFeatures _,
+    "q_mm_frames" -> qMmFrames _,
     "q_stream_hourly" -> qStreamHourly _,
   )
 
