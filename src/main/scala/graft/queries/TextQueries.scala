@@ -28,6 +28,25 @@ object TextQueries {
         ((col("n_chars") - (size(toks) - 1)).cast("double") / size(toks)).as("avg_tok_len"))
       .orderBy("doc_id")
 
+  /** BPE-ish token counting: a GPT-2-pretokenizer-style regex splits
+    * text into space-prefixed letter runs, digit runs and punctuation
+    * runs — the pre-merge unit count a byte-pair tokenizer starts
+    * from, and the standard cheap "LLM tokens per document" estimate.
+    * Pure `regexp_count`, stays in codegen; the same pattern replays
+    * identically in DuckDB.
+    */
+  private def qTxtBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n_ws_tokens"),
+        regexp_count(col("text"), lit(pat)).as("n_bpe_tokens"),
+        round(regexp_count(col("text"), lit(pat)).cast("double") / size(toks), 6)
+          .as("bpe_per_ws"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: stopword ratio + short-token ratio + length
     * bucket — the length/stopword-ratio heuristics of LLM data
     * pipelines (C4/Gopher-style rules, public recipe).
@@ -115,6 +134,7 @@ object TextQueries {
 
   val defs: Map[String, QueryFn] = Map(
     "q_txt_tokens" -> qTxtTokens _,
+    "q_txt_bpe_tokens" -> qTxtBpeTokens _,
     "q_txt_quality" -> qTxtQuality _,
     "q_txt_langid" -> qTxtLangid _,
     "q_txt_wordfreq" -> qTxtWordfreq _,
@@ -129,6 +149,13 @@ object TextQueries {
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
         |  CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_txt_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
+        |  round(CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS bpe_per_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_txt_quality" ->
       """SELECT doc_id,
