@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Scale-hygiene gate over the ENTIRE query inventory: plans that are
+  * fine at sf0.01 but lethal at 100 TB must not sneak in. Every
+  * registered query's physical plan is swept for unbounded join
+  * shapes; the allowlist names the queries whose cross join is a
+  * DECLARED bounded construction (single-row broadcast probe, id<100
+  * exact-verify stage, 1-row aggregate combination) — anything else
+  * showing a cartesian or nested-loop join fails the build.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose cross join is bounded by construction. */
+  private val declaredBoundedCross = Set(
+    "q_sim_topk",       // broadcast single-row probe vector
+    "q_sim_ann_lsh",    // brute-force recall stage: same single-row probe
+    "q_sim_ann_ivf",    // same single-row probe in the exact stage
+    "q_sim_pair_count", // id<100-bounded exact-verify stage (declared)
+    "q_ds_nested_prefix", // crossJoin of two 1-row aggregate counts
+    "q_r5_balance",     // Balancer: broadcast of the 1-row max-count agg
+    "q_ds_balance",     // same Balancer construction
+    "q_ds_build"        // buildDataset balances per split: same 1-row agg
+  )
+
+  // streaming queries execute a real stream per call; keep them out of
+  // the sweep (their batch twins are covered) to bound suite time
+  private val skip = Set("q_stream_hourly", "q_stream_sessionize")
+
+  test("no undeclared cartesian/nested-loop joins anywhere in the inventory") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (n, _) => skip(n) || declaredBoundedCross(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+      }
+    assert(offenders.isEmpty, s"unbounded join shapes:\n${offenders.mkString("\n")}")
+  }
+
+  test("parquet scans prune columns: no query reads text/pixels it doesn't use") {
+    // q_txt_fingerprint needs only doc_id + text; q_a5_distinct only
+    // two lineitem columns — representative pruning probes
+    val fp = SparkEntry.queries("q_txt_fingerprint")(spark, sfDir)
+    val fpScan = fp.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }.head
+    assert(fpScan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"fingerprint reads ${fpScan.requiredSchema.fieldNames.mkString(",")}")
+    val a5 = SparkEntry.queries("q_a5_distinct")(spark, sfDir)
+    val a5Scan = a5.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }.head
+    assert(a5Scan.requiredSchema.fieldNames.length <= 2,
+      s"a5 reads ${a5Scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+}
