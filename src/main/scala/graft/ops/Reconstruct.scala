@@ -119,22 +119,28 @@ object Reconstruct {
   def reconstructFromNpzDir(spark: SparkSession, dir: String): Dataset[ImagePlane] =
     reconstructFromNpzDir(spark, dir, loadPlan(spark, dir))
 
-  /** EP2 inverse: NPZ dir -> reconstructed full-size planes. */
+  /** EP2 inverse: NPZ dir -> reconstructed full-size planes. The
+    * expected-unit grid (fovs x crops x slices) is built by narrow
+    * explodes from one row per fov — the driver never materializes the
+    * product, so the same code plans a 100k-fov reconstruction.
+    */
   def reconstructFromNpzDir(spark: SparkSession, dir: String,
                             plan: ReconstructionPlan): Dataset[ImagePlane] = {
+    import org.apache.spark.sql.functions.{col, explode, lit, typedlit}
+    import spark.implicits._
     val nCrops = plan.cropPlan.map(_.numCrops).getOrElse(1)
     val sliceLens: Seq[(Int, Int)] = plan.slicePlan match {
       case Some(p) => p.starts.indices.map(i => i -> (p.ends(i) - p.starts(i)))
       case None => Seq(0 -> plan.stackLen)
     }
-    val expected = for {
-      fov <- plan.fovs
-      crop <- 0 until nCrops
-      (slice, stackLen) <- sliceLens
-    } yield (fov, crop, slice, stackLen)
+    val grid = spark.createDataset(plan.fovs).toDF("fov")
+      .withColumn("crop", explode(lit((0 until nCrops).toArray)))
+      .select(col("fov"), col("crop"), explode(typedlit(sliceLens)).as("sl"))
+      .select(col("fov"), col("crop"),
+        col("sl._1").as("slice"), col("sl._2").as("stackLen"))
     val unitRows = plan.cropPlan.map(_.cropRows).getOrElse(plan.nRows)
     val unitCols = plan.cropPlan.map(_.cropCols).getOrElse(plan.nCols)
-    var ds = Npz.loadNpzsWithGrid(spark, dir, expected, unitRows, unitCols, plan.channels)
+    var ds = Npz.loadNpzsWithGridDf(spark, dir, grid, unitRows, unitCols, plan.channels)
     plan.slicePlan.foreach(p => ds = SliceOps.stitchSlices(ds, p))
     plan.cropPlan.foreach(p => ds = CropOps.stitchCrops(ds, p))
     ds

@@ -281,13 +281,31 @@ object Npz {
     * back, zero-filling planes whose NPZ is missing (annotator never
     * returned it) against the expected (fov, crop, slice, stackLen)
     * grid — the truncated last slice simply declares a shorter
-    * stackLen, as the reference handles it.
+    * stackLen, as the reference handles it. The per-unit stack
+    * expansion runs distributed (narrow explode), so only one row per
+    * work unit ever exists driver-side.
     */
   def loadNpzsWithGrid(spark: SparkSession, dir: String,
                        expected: Seq[(String, Int, Int, Int)],
                        nRows: Int, nCols: Int,
                        channels: Seq[String] = Seq("channel0")): Dataset[ImagePlane] = {
     import spark.implicits._
+    val grid = spark.createDataset(expected)
+      .toDF("fov", "crop", "slice", "stackLen")
+    loadNpzsWithGridDf(spark, dir, grid, nRows, nCols, channels)
+  }
+
+  /** Distributed-grid variant: `expectedGrid` has columns
+    * (fov, crop, slice, stackLen) and may come from any plan — e.g.
+    * the narrow fov-fanout Reconstruct builds, which never
+    * materializes the fovs x crops x slices product on the driver.
+    */
+  def loadNpzsWithGridDf(spark: SparkSession, dir: String,
+                         expectedGrid: org.apache.spark.sql.DataFrame,
+                         nRows: Int, nCols: Int,
+                         channels: Seq[String] = Seq("channel0")): Dataset[ImagePlane] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence}
     val present = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.npz")
       .load(dir)
@@ -300,10 +318,9 @@ object Npz {
             _.copy(fov = m.group(1), crop = m.group(2).toInt, slice = m.group(3).toInt))
         }
       }
-    val expectedDs = spark.createDataset(
-      expected.flatMap { case (fov, crop, slice, stackLen) =>
-        (0 until stackLen).map(st => (fov, crop, slice, st))
-      }).toDF("fov", "crop", "slice", "stack")
+    val expectedDs = expectedGrid
+      .withColumn("stack", explode(sequence(lit(0), col("stackLen") - 1)))
+      .drop("stackLen")
     val joined = expectedDs.join(present.toDF(), Seq("fov", "crop", "slice", "stack"), "left")
     joined.as[(String, Int, Int, Int, Option[Int], Option[Int],
       Option[Seq[String]], Option[Array[Float]], Option[Array[Int]])]
