@@ -113,6 +113,13 @@ object ScaleQueries {
   private def qStreamHourly(s: SparkSession, dir: String): DataFrame =
     StreamOps.hourlyCounts(s, dir, queryName = s"stream_hourly_${math.abs(dir.hashCode)}")
 
+  /** Streaming exact dedup (watermarked dropDuplicates) — the census
+    * of the deduped stream must equal batch count-distinct.
+    */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    StreamOps.dedupCounts(s, dir,
+      queryName = s"stream_dedup_${math.abs(dir.hashCode)}")
+
   /** Stateful streaming sessionization (flatMapGroupsWithState) —
     * must equal the batch window-algebra sessionization, so it shares
     * q_evt_sessionize's oracle.
@@ -130,6 +137,7 @@ object ScaleQueries {
     "q_mm_features" -> qMmFeatures _,
     "q_mm_frames" -> qMmFrames _,
     "q_stream_hourly" -> qStreamHourly _,
+    "q_stream_dedup" -> qStreamDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +150,9 @@ object ScaleQueries {
         |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

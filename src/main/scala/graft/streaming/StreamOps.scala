@@ -50,6 +50,41 @@ object StreamOps {
     spark.table(queryName).orderBy("hour", "event_type")
   }
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` on
+    * (user_id, event_type) — first occurrence wins, downstream sees
+    * each key once — then a per-type census of the deduped stream.
+    * Equals the batch `count(DISTINCT user_id)` per type exactly, so
+    * it shares an oracle. On a live source the watermark bounds
+    * arrival lateness; the dedup state itself is keyed, not windowed,
+    * matching the batch semantics.
+    */
+  def dedupCounts(spark: SparkSession, sfDir: String,
+                  queryName: String = "stream_dedup"): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    var stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = stream
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
   case class Evt(user_id: Long, us: Long, event_id: Long)
   case class SessState(lastUs: Long, nSessions: Long, nEvents: Long)
 

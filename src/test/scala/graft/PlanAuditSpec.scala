@@ -28,7 +28,7 @@ class PlanAuditSpec extends SparkSpec {
 
   // streaming queries execute a real stream per call; keep them out of
   // the sweep (their batch twins are covered) to bound suite time
-  private val skip = Set("q_stream_hourly", "q_stream_sessionize")
+  private val skip = Set("q_stream_hourly", "q_stream_sessionize", "q_stream_dedup")
 
   test("no undeclared cartesian/nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.toSeq

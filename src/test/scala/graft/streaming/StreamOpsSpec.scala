@@ -36,6 +36,17 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup census equals batch count-distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.dedupCounts(spark, dir, "spec_dedup")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Q.t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "dropDuplicates stream == batch count-distinct")
+  }
+
   test("stateful sessionization equals the batch window algebra") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.sessionCounts(spark, dir, queryName = "spec_sessions")
