@@ -104,6 +104,9 @@ object AdvancedQueries {
     * for single-digit-run names.
     */
   private def qNaturalSort(s: SparkSession, dir: String): DataFrame = {
+    // global rank windows are fine HERE and only here: nation is a
+    // 25-row dimension at every scale factor (TPC-H contract), so the
+    // single-partition WindowExec holds 25 rows, not the fact table
     val withKey = t(s, dir, "nation")
       .select(col("n_nationkey"), col("n_name"),
         graft.functions.Strings.naturalKeyCol(col("n_name")).as("nat_key"))

@@ -186,14 +186,22 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
-  /** W3 `relabel_preserve_relationships` (relabel.py:31-68): dense_rank
-    * over the distinct id set = order-preserving relabel to 1..n.
+  /** W3 `relabel_preserve_relationships` (relabel.py:31-68): order-
+    * preserving relabel of the distinct id set to 1..n. A global
+    * `dense_rank` window would funnel every id into ONE partition
+    * (WindowExec warns exactly this); instead the ids go through a
+    * range-partitioned sort + `zipWithIndex` — per-partition offsets
+    * from partition sizes, no single-partition stage — which computes
+    * the identical rank at any id-set size.
     */
   private def qW3DenseRelabel(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("l_suppkey")
-    t(s, dir, "lineitem").select("l_suppkey").distinct()
-      .withColumn("new_id", dense_rank().over(w))
+    import s.implicits._
+    val ranked = t(s, dir, "lineitem").select("l_suppkey").distinct()
       .orderBy("l_suppkey")
+      .as[Long].rdd
+      .zipWithIndex()
+      .map { case (k, i) => (k, i + 1) }
+    s.createDataset(ranked).toDF("l_suppkey", "new_id").orderBy("l_suppkey")
   }
 
   /** S16 latest-log / top-k per group (figure_eight_functions.py:57-70):
