@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{CosineSimilarity, DistinctNonzeroCount}
+import graft.functions.{CosineSimilarity, DistinctNonzeroCount, MinhashEstimate}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_est"),
+      new ExpressionInfo(classOf[MinhashEstimate].getName, "minhash_est"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_est takes exactly 2 arguments")
+        MinhashEstimate(children.head, children(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("distinct_nonzero_count"),

@@ -94,8 +94,6 @@ object Dedup {
       col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("minhash").as("mh_b"),
       col("band"), col("bucket"))
-    val est = udf((x: Seq[Long], y: Seq[Long]) =>
-      estimateJaccard(x.toArray, y.toArray))
     // same slice hash as the join key, so "first matching band" agrees
     // with the bands the join actually matched (collisions included)
     val firstBand = udf((x: Seq[Long], y: Seq[Long]) => {
@@ -111,7 +109,8 @@ object Dedup {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("band") === firstBand(col("mh_a"), col("mh_b")))
-      .withColumn("est_jaccard", est(col("mh_a"), col("mh_b")))
+      // native codegen'd expression — no per-pair ArrayData->Seq UDF cost
+      .withColumn("est_jaccard", MinhashEstimate.minhashEst(col("mh_a"), col("mh_b")))
       .filter(col("est_jaccard") >= minEstimate)
       .select("id_a", "id_b", "est_jaccard")
   }
@@ -148,30 +147,28 @@ object Dedup {
     * then exact hamming filter.
     */
   def simhashPairs(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val chunk = udf((h: Long, i: Int) => (h >>> (16 * i)) & 0xffffL)
+    // all bit manipulation stays in built-in (codegen'd) expressions:
+    // shiftrightunsigned/&/^/bit_count — no UDF anywhere in this path
+    def chunkOf(c: Column, i: Int): Column =
+      shiftrightunsigned(c, 16 * i).bitwiseAND(lit(0xffffL))
     val chunked = df.select(col(idCol), col("simhash"))
       .withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", chunk(col("simhash"), col("chunk_idx")))
+      .withColumn("chunk",
+        expr("shiftrightunsigned(simhash, chunk_idx * 16) & 65535"))
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
       col("chunk_idx"), col("chunk"))
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
       col("chunk_idx"), col("chunk"))
-    val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
     // emit each pair only from its first shared chunk: dedup as a
     // narrow filter instead of a distinct's extra shuffle
-    val firstChunk = udf((x: Long, y: Long) => {
-      var i = 0
-      var found = -1
-      while (i < 4 && found < 0) {
-        if (((x >>> (16 * i)) & 0xffffL) == ((y >>> (16 * i)) & 0xffffL)) found = i
-        i += 1
-      }
-      found
-    })
+    val firstChunk = (0 until 4).foldRight(lit(-1): Column) { (i, rest) =>
+      when(chunkOf(col("sh_a"), i) === chunkOf(col("sh_b"), i), i)
+        .otherwise(rest)
+    }
     a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("chunk_idx") === firstChunk(col("sh_a"), col("sh_b")))
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("chunk_idx") === firstChunk)
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
