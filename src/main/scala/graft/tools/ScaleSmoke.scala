@@ -58,6 +58,31 @@ object ScaleSmoke {
       PlaneStore.loadFov(spark, outDir, "fov00000").count()
     }
     println(s"[scale] single-fov units: $pruned")
+
+    // EP1 -> EP2 annotation loop through the cluster-safe NPZ sinks: a
+    // subset of fovs goes crop -> one NPZ per work unit + log_data.json
+    // sidecar -> fresh-session reconstruction from disk alone. Subset
+    // because the loop's cost is one small FILE per unit — the
+    // annotation-tool contract (io_utils.py:73), not a columnar format.
+    val npzFovs = math.min(nFovs, 16)
+    val npzDir = s"$outDir-npz"
+    val subset = planes.filter((p: graft.core.ImagePlane) =>
+      p.fov < f"fov$npzFovs%05d")
+    val (units, rplan) = graft.ops.Reconstruct.cropAndSlice(subset,
+      origRows = 512, origCols = 512, stackLen = stacks,
+      cropSize = Some((128, 128, 0.25)), sliceLen = None,
+      fovs = (0 until npzFovs).map(f => f"fov$f%05d"),
+      channels = Seq("channel1"))
+    timed(s"NPZ sink ($npzFovs fovs -> ${npzFovs * plan.numCrops} files)") {
+      graft.sources.Npz.saveNpzsForCaliban(units, npzDir)
+      graft.ops.Reconstruct.savePlan(spark, npzDir, rplan)
+    }
+    val reconCells = timed("EP2 reconstruct from sidecar") {
+      graft.ops.Reconstruct.reconstructFromNpzDir(spark.newSession(), npzDir)
+        .map(p => p.labels.filter(_ != 0).distinct.length)
+        .groupBy("value").count().collect()
+    }
+    println(s"[scale] reconstructed cell census: ${reconCells.mkString(", ")}")
     spark.stop()
   }
 }
