@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{CosineSimilarity, DistinctNonzeroCount, MinhashEstimate}
+import graft.functions.{CosineSimilarity, DistinctNonzeroCount, MinhashEstimate, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,6 +25,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "minhash_est takes exactly 2 arguments")
         MinhashEstimate(children.head, children(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "rolling_hash takes (text, k, base, mod); k/base/mod literals")
+        def asLong(e: Expression): Long = e.eval() match {
+          case n: java.lang.Number => n.longValue()
+          case other => sys.error(s"rolling_hash parameter must be a literal, got $other")
+        }
+        RollingHash(children.head, asLong(children(1)).toInt,
+          asLong(children(2)), asLong(children(3)))
       }))
     e.injectFunction((
       new FunctionIdentifier("distinct_nonzero_count"),

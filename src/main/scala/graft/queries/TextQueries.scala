@@ -113,6 +113,30 @@ object TextQueries {
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
       .orderBy("doc_id")
 
+  /** Rolling-hash document fingerprinting (Rabin-Karp 4-gram hashes
+    * via the native O(n) `rolling_hash` expression) + winnowing
+    * (Schleimer et al.: the min hash of every 8-hash window, distinct
+    * count = the document's fingerprint size). The DuckDB oracle
+    * recomputes each 4-gram polynomially — same values, proving the
+    * rolling recurrence exact.
+    */
+  private def qTxtRolling(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    t(s, dir, "documents")
+      .withColumn("h", graft.functions.RollingHash.rollingHash(col("text"), 4))
+      .select(
+        col("doc_id"),
+        size(col("h")).as("n_grams"),
+        array_min(col("h")).as("min_fp"),
+        when(size(col("h")) >= w,
+          size(array_distinct(transform(
+            sequence(lit(1), size(col("h")) - w + 1),
+            j => array_min(slice(col("h"), j, lit(w)))))))
+          .when(size(col("h")) > 0, 1)
+          .otherwise(0).as("n_winnow"))
+      .orderBy("doc_id")
+  }
+
   /** 3-token shingles per document (the MinHash input feature):
     * count of distinct shingles via higher-order transform.
     */
@@ -139,6 +163,7 @@ object TextQueries {
     "q_txt_langid" -> qTxtLangid _,
     "q_txt_wordfreq" -> qTxtWordfreq _,
     "q_txt_fingerprint" -> qTxtFingerprint _,
+    "q_txt_rolling_fp" -> qTxtRolling _,
     "q_txt_shingles" -> qTxtShingles _,
   )
 
@@ -194,6 +219,18 @@ object TextQueries {
     "q_txt_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_txt_rolling_fp" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(range(1, len(text) - 2), i ->
+        |    (((CAST(ord(text[i]) AS BIGINT) * 31 + ord(text[i+1])) * 31
+        |      + ord(text[i+2])) * 31 + ord(text[i+3])) % 1000000007) AS hs
+        |  FROM documents)
+        |SELECT doc_id, len(hs) AS n_grams, list_min(hs) AS min_fp,
+        |  CASE WHEN len(hs) >= 8 THEN
+        |    len(list_distinct(list_transform(range(1, len(hs) - 6),
+        |      j -> list_min(hs[j:j+7]))))
+        |  WHEN len(hs) > 0 THEN 1 ELSE 0 END AS n_winnow
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_txt_shingles" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,
