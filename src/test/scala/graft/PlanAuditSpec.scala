@@ -41,6 +41,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unbounded join shapes:\n${offenders.mkString("\n")}")
   }
 
+  test("no undeclared global windows: every Window has a partition spec") {
+    // a window with no partitionBy funnels ALL rows into one task —
+    // the quiet 100 TB killer WindowExec only warns about. Allowlist:
+    // q_natural_sort ranks the 25-row nation dimension (bounded at
+    // every scale factor by the TPC-H contract).
+    val boundedDim = Set("q_natural_sort")
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (n, _) => skip(n) || boundedDim(n) }
+      .flatMap { case (name, fn) =>
+        val globals = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
+  }
+
   test("parquet scans prune columns: no query reads text/pixels it doesn't use") {
     // q_txt_fingerprint needs only doc_id + text; q_a5_distinct only
     // two lineitem columns — representative pruning probes
