@@ -121,6 +121,38 @@ object RelationalQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** A1 scale path: one-pass mergeable sketches instead of the exact
+    * per-group sort (percentile_approx) and exact distinct shuffle
+    * (approx_count_distinct / HLL++). At 100 TB the exact forms pay a
+    * per-group sort and a full key shuffle; the sketches are map-side
+    * combinable with bounded error. Self-check columns verify each
+    * sketch against the exact value on the same data — rows-only by
+    * design (sketch internals differ across engines).
+    */
+  private def qA1SketchScale(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val exactMedian = qA1MedianAcctbal(s, dir)
+      .select(col("c_mktsegment"), col("median_acctbal"))
+    val exactDistinct = c.groupBy("c_mktsegment")
+      .agg(countDistinct("c_nationkey").as("exact_nations"))
+    c.groupBy("c_mktsegment")
+      .agg(
+        percentile_approx(col("c_acctbal"), lit(0.5), lit(10000)).as("approx_median"),
+        approx_count_distinct("c_nationkey", rsd = 0.02).as("approx_nations"),
+        count(lit(1)).as("n"))
+      .join(exactMedian, Seq("c_mktsegment"))
+      .join(exactDistinct, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("n"),
+        round(col("approx_median"), 2).as("approx_median"),
+        round(col("median_acctbal"), 2).as("exact_median"),
+        (abs(col("approx_median") - col("median_acctbal")) <=
+          col("median_acctbal") * 0.05 + lit(50.0)).as("median_within_tol"),
+        col("approx_nations"), col("exact_nations"),
+        (abs(col("approx_nations") - col("exact_nations")) <=
+          greatest(col("exact_nations") * 0.1, lit(2.0))).as("distinct_within_tol"))
+      .orderBy("c_mktsegment")
+  }
+
   /** A4 benchmark rollup (dataset_benchmarker.py:112-121): the
     * reference's `['all']` pseudo-category is the grand-total row of a
     * ROLLUP.
@@ -297,6 +329,7 @@ object RelationalQueries {
     "q_p1_subset" -> qP1Subset _,
     "q_p8_vocab_norm" -> qP8VocabNorm _,
     "q_a1_median" -> qA1MedianAcctbal _,
+    "q_a1_sketch_scale" -> qA1SketchScale _,
     "q_a4_rollup" -> qA4Rollup _,
     "q_a5_distinct" -> qA5Distinct _,
     "q_a6_count_distinct" -> qA6CountDistinct _,
