@@ -57,11 +57,35 @@ object Relabel {
   def predictRelationships(ds: Dataset[ImagePlane], threshold: Double = 0.1)
       : Dataset[ImagePlane] = {
     implicit val enc = ds.encoder
-    import ds.sparkSession.implicits._
-    ds.groupByKey(_.fov).flatMapGroups { (_, it) =>
-      val planes = it.toSeq.sortBy(p => (p.crop, p.slice, p.stack))
-      propagateChain(planes, threshold)
-    }
+    import org.apache.spark.sql.functions.col
+    // secondary sort instead of groupByKey + toSeq: the chain only ever
+    // needs (prev, cur), so a repartition-by-fov + within-partition sort
+    // lets one streaming pass hold TWO planes per task — a deep time
+    // series (10k frames) costs the same task memory as a 2-frame one.
+    // Frame order matches the previous toSeq.sortBy: (crop, slice, stack).
+    ds.repartition(col("fov"))
+      .sortWithinPartitions("fov", "crop", "slice", "stack")
+      .mapPartitions { it =>
+        new Iterator[ImagePlane] {
+          private var prevFov: String = null
+          private var prev: ImagePlane = _
+          private var nextId = 0
+          def hasNext: Boolean = it.hasNext
+          def next(): ImagePlane = {
+            val cur = it.next()
+            if (cur.fov != prevFov) {
+              prevFov = cur.fov
+              prev = cur.copy(labels = relabelArray(cur.labels))
+              nextId = (0 +: prev.labels.toSeq).max + 1
+            } else {
+              val (linked, maxUsed) = linkFrames(prev.labels, cur.labels, threshold, nextId)
+              nextId = math.max(nextId, maxUsed + 1)
+              prev = cur.copy(labels = linked)
+            }
+            prev
+          }
+        }
+      }
   }
 
   private[ops] def propagateChain(planes: Seq[ImagePlane], threshold: Double)
