@@ -20,6 +20,13 @@ object Pipeline {
     * the stitched stack, named `{fov}.npz`, written where the data
     * lives through the Hadoop FileSystem for `saveDir`'s scheme
     * (executor-local disk is NOT the shared store on a real cluster).
+    *
+    * Per-task memory bound: ONE fov's stack — inherent to this sink's
+    * contract (a single NPZ holds the X entry fully before the y
+    * entry, so the stack must be assembled before the zip can close).
+    * Deep stacks that exceed that bound belong in PlaneStore (columnar,
+    * plane-per-row) instead; this format exists for the annotation
+    * tool.
     */
   def saveStitchedNpzs(ds: Dataset[ImagePlane], saveDir: String): Unit = {
     val spark = ds.sparkSession
