@@ -77,4 +77,39 @@ class PropertySpec extends AnyFunSuite {
       assert(Dedup.simhash(ws.reverse) == a)
     }
   }
+
+  test("rolling hash: O(n) recurrence equals the naive polynomial on random input") {
+    def naive(s: String, k: Int, b: Long, m: Long): Seq[Long] =
+      if (s.length < k) Seq.empty
+      else (0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((h, c) => (h * b + c) % m)
+      }
+    val gen = for {
+      s <- Gen.asciiPrintableStr
+      k <- Gen.choose(1, 8)
+    } yield (s, k)
+    // evaluate the expression directly (interpreted path); the codegen
+    // path is covered by RollingHashSpec through a real query
+    samples(gen, 150).foreach { case (s, k) =>
+      val e = graft.functions.RollingHash(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType), k, 31L, 1000000007L)
+      val got = e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      assert(got == naive(s, k, 31L, 1000000007L), s"mismatch for '$s' k=$k")
+    }
+  }
+
+  test("minhash estimate: symmetric, bounded, exact on hand-built signatures") {
+    val gen = Gen.listOfN(32, Gen.choose(0L, 50L))
+    samples(gen.flatMap(a => gen.map(b => (a, b))), 100).foreach { case (a, b) =>
+      val ab = Dedup.estimateJaccard(a.toArray, b.toArray)
+      val ba = Dedup.estimateJaccard(b.toArray, a.toArray)
+      assert(ab == ba && ab >= 0.0 && ab <= 1.0)
+      val expected = a.zip(b).count { case (x, y) => x == y }.toDouble / 32
+      assert(ab == expected)
+    }
+  }
 }
