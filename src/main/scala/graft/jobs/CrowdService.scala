@@ -143,12 +143,6 @@ object CrowdService {
     try out.write(text.getBytes(UTF_8)) finally out.close()
   }
 
-  private def readString(spark: SparkSession, path: String): String = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new Path(path))
-    try new String(in.readAllBytes(), UTF_8) finally in.close()
-  }
-
   private def latestLog(spark: SparkSession, logDir: String): String = {
     val fs = new Path(logDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = fs.listStatus(new Path(logDir)).map(_.getPath.getName).toSeq
