@@ -68,6 +68,10 @@ object Ivf {
       .limit(k)
       .collect()
       .map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(init.nonEmpty, "trainCentroids: empty corpus")
+    // Standard k-means clamp: a corpus smaller than k trains
+    // corpus-many cells instead of indexing past the init array.
+    val kEff = init.length
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(vecCol)).as[Seq[Float]]
@@ -89,11 +93,11 @@ object Ivf {
         }
         Iterator.single((counts, sums))
       }.collect()
-      val counts = new Array[Long](k)
-      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](kEff)
+      val sums = Array.fill(kEff)(new Array[Double](centroids(0).length))
       partials.foreach { case (pc, ps) =>
         var c = 0
-        while (c < k) {
+        while (c < kEff) {
           counts(c) += pc(c)
           var i = 0
           while (i < sums(c).length) { sums(c)(i) += ps(c)(i); i += 1 }

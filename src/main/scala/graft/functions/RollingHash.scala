@@ -42,19 +42,22 @@ case class RollingHash(child: Expression, k: Int, base: Long, mod: Long)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // Codepoint units, not UTF-16 code units: `ord(text[i])` semantics —
+    // a non-BMP char (emoji, astral CJK) is ONE gram element, matching
+    // the oracle's per-codepoint polynomial.
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     if (n < k) new GenericArrayData(Array.empty[Long])
     else {
       val out = new Array[Long](n - k + 1)
       var h = 0L
       var j = 0
-      while (j < k) { h = (h * base + s.charAt(j)) % mod; j += 1 }
+      while (j < k) { h = (h * base + cps(j)) % mod; j += 1 }
       out(0) = h
       var i = 1
       while (i <= n - k) {
-        h = (h - s.charAt(i - 1) * outPow % mod + mod) % mod
-        h = (h * base + s.charAt(i + k - 1)) % mod
+        h = (h - cps(i - 1) * outPow % mod + mod) % mod
+        h = (h * base + cps(i + k - 1)) % mod
         out(i) = h
         i += 1
       }
@@ -65,25 +68,25 @@ case class RollingHash(child: Expression, k: Int, base: Long, mod: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val arrCls = classOf[GenericArrayData].getName
     nullSafeCodeGen(ctx, ev, c => {
-      val s = ctx.freshName("s")
+      val cps = ctx.freshName("cps")
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val h = ctx.freshName("h")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       s"""
-         |java.lang.String $s = $c.toString();
-         |int $n = $s.length();
+         |int[] $cps = $c.toString().codePoints().toArray();
+         |int $n = $cps.length;
          |if ($n < $k) {
          |  ${ev.value} = new $arrCls(new long[0]);
          |} else {
          |  long[] $out = new long[$n - $k + 1];
          |  long $h = 0L;
-         |  for (int $j = 0; $j < $k; $j++) { $h = ($h * ${base}L + $s.charAt($j)) % ${mod}L; }
+         |  for (int $j = 0; $j < $k; $j++) { $h = ($h * ${base}L + $cps[$j]) % ${mod}L; }
          |  $out[0] = $h;
          |  for (int $i = 1; $i <= $n - $k; $i++) {
-         |    $h = ($h - $s.charAt($i - 1) * ${outPow}L % ${mod}L + ${mod}L) % ${mod}L;
-         |    $h = ($h * ${base}L + $s.charAt($i + $k - 1)) % ${mod}L;
+         |    $h = ($h - (long) $cps[$i - 1] * ${outPow}L % ${mod}L + ${mod}L) % ${mod}L;
+         |    $h = ($h * ${base}L + $cps[$i + $k - 1]) % ${mod}L;
          |    $out[$i] = $h;
          |  }
          |  ${ev.value} = new $arrCls($out);

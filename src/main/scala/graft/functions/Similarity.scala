@@ -118,10 +118,21 @@ object Similarity {
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               probeId: Long, k: Int, dim: Int, nBits: Int = 12,
               maxFlips: Int = 1, seed: Long = 13L): DataFrame = {
-    val queryVec = df.filter(col(idCol) === probeId)
-      .select(col(vecCol)).head().getSeq[Float](0).toSeq
-    annTopKVec(df, idCol, vecCol, queryVec, k, dim, nBits, maxFlips, seed,
-      excludeId = Some(probeId))
+    val probeRow = df.filter(col(idCol) === probeId)
+      .select(col(vecCol)).limit(1).collect().headOption
+    probeRow match {
+      case None =>
+        // Absent probe id -> empty result (the pre-r2 join-based
+        // implementation's contract), not a NoSuchElementException.
+        df.sparkSession.createDataFrame(
+          df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          annTopKVec(df, idCol, vecCol, Seq.fill(dim)(0f), k, dim, nBits,
+            maxFlips, seed).schema)
+      case Some(row) =>
+        val queryVec = row.getSeq[Float](0).toSeq
+        annTopKVec(df, idCol, vecCol, queryVec, k, dim, nBits, maxFlips, seed,
+          excludeId = Some(probeId))
+    }
   }
 
   /** Write the embedding table partitioned by LSH bucket: the layout

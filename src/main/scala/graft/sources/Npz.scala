@@ -305,7 +305,7 @@ object Npz {
                          nRows: Int, nCols: Int,
                          channels: Seq[String] = Seq("channel0")): Dataset[ImagePlane] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, explode, lit, sequence}
+    import org.apache.spark.sql.functions.{array, col, explode, lit, sequence, when}
     val present = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.npz")
       .load(dir)
@@ -318,8 +318,12 @@ object Npz {
             _.copy(fov = m.group(1), crop = m.group(2).toInt, slice = m.group(3).toInt))
         }
       }
+    // sequence(0, -1) would step BACKWARD ([0, -1]) for stackLen=0 —
+    // guard so an empty stack contributes zero rows, not phantom indices.
     val expectedDs = expectedGrid
-      .withColumn("stack", explode(sequence(lit(0), col("stackLen") - 1)))
+      .withColumn("stack", explode(when(col("stackLen") > 0,
+        sequence(lit(0), col("stackLen") - 1))
+        .otherwise(array().cast("array<int>"))))
       .drop("stackLen")
     val joined = expectedDs.join(present.toDF(), Seq("fov", "crop", "slice", "stack"), "left")
     joined.as[(String, Int, Int, Int, Option[Int], Option[Int],

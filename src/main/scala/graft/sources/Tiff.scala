@@ -209,27 +209,44 @@ object Tiff {
     * experiment `metadata` JSON with the reference's enrichment —
     * `TYPE`/`ONTOLOGY` arrays space-joined (`str.cat(sep=' ')`,
     * data_loader.py:385-386), the single-element array wrappers around
-    * scalars/structs unwrapped (the pandas transpose + dropna
-    * equivalent), rows with missing keys dropped, and the experiment's
-    * image directory attached (the `PATHS` column,
-    * data_loader.py:389-390) derived from each file's own path.
+    * scalars/structs unwrapped, and the experiment's image directory
+    * attached (the `PATHS` column, data_loader.py:389-390) derived from
+    * each file's own path.
+    *
+    * The reference's `dropna()` runs PER FILE before `pd.concat`
+    * (data_loader.py:386, 393): a row drops only when a key present in
+    * that document's own JSON is null. Keys the document never had —
+    * introduced by other experiments' metadata during the schema union —
+    * stay null, exactly as `pd.concat` fills NaN without dropping.
     */
   def loadMetadata(spark: SparkSession, baseDir: String): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    val raw = spark.read.option("recursiveFileLookup", "true")
+    val schema = spark.read.option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "metadata")
       .option("multiLine", "true")
-      .json(baseDir)
-    val cols = raw.schema.fields.map { f =>
+      .json(baseDir).schema
+    val parsed = spark.read.option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "metadata")
+      .option("wholetext", "true")
+      .text(baseDir)
+      .select(
+        from_json(col("value"), schema).as("_doc"),
+        expr("json_object_keys(value)").as("_present"),
+        input_file_name().as("metadata_path"))
+    val presentKeyNull = schema.fields.map { f =>
+      array_contains(col("_present"), f.name) && col("_doc").getField(f.name).isNull
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val cols = schema.fields.map { f =>
+      val v = col("_doc").getField(f.name)
       f.dataType match {
         case ArrayType(StringType, _) if f.name == "TYPE" || f.name == "ONTOLOGY" =>
-          array_join(col(f.name), " ").as(f.name)
-        case ArrayType(_, _) => element_at(col(f.name), 1).as(f.name)
-        case _ => col(f.name)
+          array_join(v, " ").as(f.name)
+        case ArrayType(_, _) => element_at(v, 1).as(f.name)
+        case _ => v.as(f.name)
       }
     }
-    raw.select(cols :+ input_file_name().as("metadata_path"): _*)
+    parsed.filter(!presentKeyNull)
+      .select(cols :+ col("metadata_path"): _*)
       .withColumn("image_path", regexp_replace(col("metadata_path"), "/metadata$", ""))
-      .na.drop()
   }
 }

@@ -25,6 +25,17 @@ class IvfSpec extends SparkSpec {
     assert(centroids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "seed-stable")
   }
 
+  test("k larger than the corpus clamps to corpus size instead of crashing") {
+    import spark.implicits._
+    val tiny = embeddings.limit(3)
+    val cents = Ivf.trainCentroids(tiny, "vec_id", "embedding", k = 8, iters = 2)
+    assert(cents.length == 3, "kEff = corpus rows")
+    cents.foreach(c => assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+    intercept[IllegalArgumentException] {
+      Ivf.trainCentroids(embeddings.limit(0), "vec_id", "embedding", k = 4)
+    }
+  }
+
   test("nprobe = k probes every cell and equals brute force exactly") {
     val full = Ivf.annTopKIvf(embeddings, "vec_id", "embedding", queryVec, 10,
       centroids, nprobe = 8, excludeId = Some(0L))

@@ -8,11 +8,13 @@ class RollingHashSpec extends SparkSpec {
   /** Naive per-position polynomial — the semantics the rolling
     * recurrence must reproduce exactly.
     */
-  private def naive(s: String, k: Int, b: Long, m: Long): Seq[Long] =
-    if (s.length < k) Seq.empty
-    else (0 to s.length - k).map { i =>
-      s.substring(i, i + k).foldLeft(0L)((h, c) => (h * b + c) % m)
+  private def naive(s: String, k: Int, b: Long, m: Long): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) Seq.empty
+    else (0 to cps.length - k).map { i =>
+      cps.slice(i, i + k).foldLeft(0L)((h, c) => (h * b + c) % m)
     }
+  }
 
   test("rolling recurrence equals the naive polynomial at every position") {
     import spark.implicits._
@@ -37,5 +39,19 @@ class RollingHashSpec extends SparkSpec {
     val a = naive("abcdefghij", 4, 31L, 1000000007L)
     val b = naive("abcdeXghij", 4, 31L, 1000000007L)
     assert(a.zip(b).count { case (x, y) => x != y } == 4, "exactly k windows differ")
+  }
+
+  test("non-BMP characters are single gram units (codepoint semantics)") {
+    import spark.implicits._
+    // U+1F600 is two UTF-16 code units but ONE codepoint: "a😀b" has
+    // exactly one 3-gram, hashed over (97, 128512, 98).
+    val s = "a😀b"
+    val got = Seq(s).toDF("t")
+      .select(RollingHash.rollingHash(col("t"), 3).as("h"))
+      .collect().head.getSeq[Long](0).toSeq
+    assert(got.length == 1, "one window over 3 codepoints")
+    assert(got == naive(s, 3, 31L, 1000000007L))
+    val expected = Seq(97L, 128512L, 98L).foldLeft(0L)((h, c) => (h * 31L + c) % 1000000007L)
+    assert(got.head == expected)
   }
 }

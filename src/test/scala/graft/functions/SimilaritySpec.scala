@@ -48,6 +48,13 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("annTopK on an absent probe id returns empty, not an exception") {
+    val missing = Similarity.annTopK(embeddings, "vec_id", "embedding",
+      probeId = -12345L, 10, dim = 64, nBits = 6)
+    assert(missing.count() == 0L, "absent probe -> empty result")
+    assert(missing.columns.contains("cos_sim"), "schema preserved")
+  }
+
   test("annTopK scans fewer rows than brute force") {
     // bucket restriction: candidate set < full table
     val planes = Similarity.hyperplanes(64, 10, 13L)

@@ -56,6 +56,13 @@ class SourcesSpec extends SparkSpec {
     assert(back(("fov1", 0, 0)).labels.exists(_ != 0), "present unit loaded")
     assert(back(("fov1", 1, 0)).labels.forall(_ == 0), "missing unit zero-filled")
     assert(back(("fov2", 0, 0)).labels.forall(_ == 0))
+    // stackLen=0 contributes ZERO rows — sequence(0, -1) must not step
+    // backward into phantom stack indices [0, -1]
+    val withEmpty = Seq(("fov1", 0, 0, 1), ("fov3", 0, 0, 0))
+    val rows2 = Npz.loadNpzsWithGrid(spark, dir, withEmpty, 10, 10, Seq("channel1"))
+      .collect()
+    assert(rows2.length == 1 && rows2.head.fov == "fov1",
+      s"empty stack yields no rows: ${rows2.map(p => (p.fov, p.stack)).toSeq}")
   }
 
   test("TIFF decode: reference fixture reads with correct dims") {
@@ -114,8 +121,30 @@ class SourcesSpec extends SparkSpec {
     // image path attach: the experiment dir holding the metadata file
     assert(a549.getAs[String]("image_path").endsWith("A549/20190514_EP01"))
     assert(!a549.getAs[String]("image_path").endsWith("metadata"))
-    // dropna: every surviving row has all keys present
+    // dropna: every surviving row has all keys present (fixture is key-homogeneous)
     assert(rows.forall(r => !r.anyNull), "rows with missing keys dropped")
+  }
+
+  test("loadMetadata dropna is per-file: union nulls survive, own-key nulls drop (data_loader.py:386)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("meta").toFile
+    def write(sub: String, json: String): Unit = {
+      val d = new java.io.File(dir, sub); d.mkdirs()
+      val w = new java.io.PrintWriter(new java.io.File(d, "metadata"))
+      try w.write(json) finally w.close()
+    }
+    // expA carries an EXTRA key the others lack; expB must survive the
+    // schema union with EXTRA null (pandas concat fills NaN, no drop)
+    write("expA", """{"EXP_ID": ["A"], "TYPE": ["cell"], "ONTOLOGY": ["2d"], "EXTRA": ["x"]}""")
+    write("expB", """{"EXP_ID": ["B"], "TYPE": ["cell"], "ONTOLOGY": ["2d"]}""")
+    // expC's own JSON holds a null value -> per-file dropna kills the row
+    write("expC", """{"EXP_ID": ["C"], "TYPE": ["cell"], "ONTOLOGY": ["2d"], "EXTRA": null}""")
+    val df = Tiff.loadMetadata(spark, dir.getAbsolutePath)
+    val ids = df.select("EXP_ID").collect().map(_.getString(0)).toSet
+    assert(ids == Set("A", "B"), "B kept despite missing EXTRA; C dropped for its own null")
+    val b = df.filter(col("EXP_ID") === "B").head()
+    assert(b.isNullAt(b.fieldIndex("EXTRA")), "union-introduced key stays null")
+    assert(df.filter(col("EXP_ID") === "A").head().getAs[String]("EXTRA") == "x")
   }
 
   test("scanOntology parses levels and prunes by predicate") {
