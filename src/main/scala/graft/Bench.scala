@@ -12,15 +12,23 @@ object Bench {
     // first measured query doesn't absorb JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic (sorted) timing order, run-to-run comparable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the full line: stdout tail-grabs truncate on long
+    // logs, and per-query numbers must survive intact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val w = new java.io.PrintWriter(out)
+    try w.println(line) finally w.close()
     spark.stop()
   }
 }

@@ -3,29 +3,125 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side machinery (schema, batch shape, partition-local
-  * processing, feature columns) is real and tested; the codec itself
-  * is STUBBED with a deterministic fake (`stubDecode`) because no
-  * image/audio libraries ship in this environment — swap `stubDecode`
-  * for a real decoder (e.g. ImageIO / ffmpeg bindings) and nothing
-  * else changes.
+  * The IMAGE path is a real decoder: JDK ImageIO reads PNG/JPEG/BMP/
+  * GIF/WBMP out of the box (the same toolkit `sources/Tiff.scala` uses
+  * for the reference TIFFs), and features — luminance histogram,
+  * pixel entropy, bilinear thumbnail via `ops.ImageResize` — come from
+  * decoded pixels. Blobs ImageIO does not recognize (audio, video,
+  * arbitrary bytes) fall back to the deterministic byte-level featurizer
+  * `stubDecode`, which keeps the pipeline shape (fixed-size feature
+  * vectors out of variable-size blobs) faithful until a real
+  * audio/video codec is plugged in.
   */
 object Multimodal {
+
+  // ByteArrayInputStream decode must not round-trip through ImageIO's
+  // disk-backed stream cache — per-blob temp files would be the hot-path
+  // cost at scale.
+  ImageIO.setUseCache(false)
+
+  /** Thumbnail side: features carry a thumbSide x thumbSide grid. */
+  val thumbSide = 4
 
   case class MediaMeta(modality: String, declaredBytes: Long)
   case class MediaRow(id: Long, meta: MediaMeta, content: Array[Byte])
   case class MediaFeatures(id: Long, modality: String, nBytes: Long,
                            byteEntropy: Double, histogram: Seq[Long],
-                           thumbnail: Seq[Float])
+                           thumbnail: Seq[Float],
+                           pixelWidth: Int = -1, pixelHeight: Int = -1)
 
-  /** STUB decoder: a real implementation would parse the container
-    * (PNG/JPEG/WAV...) and return pixels/samples. The fake derives a
-    * deterministic 16-bin byte histogram + 8-float "thumbnail" from
-    * the raw bytes so the pipeline shape (fixed-size feature vectors
-    * out of variable-size blobs) is faithful.
+  /** Real image decode: luminance plane in [0,255], row-major, plus
+    * (height, width). Single-band images read the raster sample
+    * EXACTLY (no sRGB conversion — `getRGB` on TYPE_BYTE_GRAY distorts
+    * linear gray), so gray PNG encode->decode round-trips bit-for-bit;
+    * multi-band images use the Rec.601 luma weights. Returns None for
+    * anything ImageIO has no reader for.
+    */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (content == null || content.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = new Array[Float](w * h)
+      val raster = img.getRaster
+      if (raster.getNumBands == 1) {
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) { lum(r * w + c) = raster.getSample(c, r, 0).toFloat; c += 1 }
+          r += 1
+        }
+      } else {
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            val rgb = img.getRGB(c, r)
+            lum(r * w + c) = (0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)).toFloat
+            c += 1
+          }
+          r += 1
+        }
+      }
+      Some((h, w, lum))
+    }
+  }
+
+  /** Encode a row-major gray plane (one byte per pixel) as PNG —
+    * lossless, so decode recovers the exact samples. Test-fixture and
+    * demo-query helper.
+    */
+  def encodeGrayPng(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(gray.length == w * h, s"${gray.length} bytes for ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, gray)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic side x side gray tile from a string's UTF-8 bytes
+    * (cyclic fill). The seedable "render" behind the PNG decode demo.
+    */
+  def grayTileOf(text: String, side: Int): Array[Byte] = {
+    val src = text.getBytes("UTF-8")
+    Array.tabulate(side * side)(i => if (src.isEmpty) 0.toByte else src(i % src.length))
+  }
+
+  /** 16-bin histogram over luminance values in [0,255]. */
+  def pixelHistogram(lum: Array[Float]): Array[Long] = {
+    val hist = new Array[Long](16)
+    lum.foreach { v =>
+      hist(math.min(15, math.max(0, math.round(v) >> 4))) += 1
+    }
+    hist
+  }
+
+  /** 16-bin histogram of raw gray bytes — by construction identical to
+    * `pixelHistogram` over the decoded single-band image.
+    */
+  def grayHistogram(gray: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
+    gray.foreach(b => hist((b & 0xff) >> 4) += 1)
+    hist
+  }
+
+  /** Byte-level fallback featurizer for modalities without an in-JVM
+    * decoder (audio/video containers, unrecognized blobs): 16-bin byte
+    * histogram + 8-float byte "thumbnail", deterministic, so the
+    * pipeline shape stays faithful where the codec is not yet real.
     */
   def stubDecode(content: Array[Byte]): (Array[Long], Array[Float]) = {
     val hist = new Array[Long](16)
@@ -51,16 +147,30 @@ object Multimodal {
 
   /** Batch feature extraction: one partition-local pass, fixed-size
     * outputs. `mapPartitions` is the Scala analog of `mapInPandas` —
-    * the decoder amortizes any per-batch setup across the partition.
+    * per-partition decoder setup amortizes across the batch. Images
+    * (anything ImageIO recognizes) get PIXEL features: luminance
+    * histogram, pixel entropy, and a bilinear thumbSide x thumbSide
+    * thumbnail through `ops.ImageResize`'s kernel, normalized to [0,1].
+    * Unrecognized blobs keep the byte-level fallback and report
+    * pixelWidth/pixelHeight = -1.
     */
   def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // per-partition decoder setup would go here (codec init, model load)
       it.map { row =>
-        val (hist, thumb) = stubDecode(row.content)
-        MediaFeatures(row.id, row.meta.modality, row.content.length.toLong,
-          entropy(hist), hist.toSeq, thumb.toSeq)
+        decodeImage(row.content) match {
+          case Some((h, w, lum)) =>
+            val hist = pixelHistogram(lum)
+            val thumb = graft.ops.ImageResize
+              .bilinear(lum, h, w, 1, thumbSide, thumbSide).map(_ / 255f)
+            MediaFeatures(row.id, row.meta.modality, row.content.length.toLong,
+              entropy(hist), hist.toSeq, thumb.toSeq, w, h)
+          case None =>
+            val (hist, thumb) = stubDecode(row.content)
+            MediaFeatures(row.id, row.meta.modality, row.content.length.toLong,
+              entropy(hist), hist.toSeq, thumb.toSeq)
+        }
       }
     }
   }
@@ -98,10 +208,10 @@ object Multimodal {
     }
   }
 
-  /** Resize — fixed-target linear resample of the decoded thumbnail
-    * (the 1-D stub analog of bilinear image resize; with a real codec
-    * this is graft.ops.ImageResize over decoded pixels). Variable-size
-    * blob in, fixed-size vector out, per row, no shuffle.
+  /** Resize — fixed-target linear resample of the feature thumbnail
+    * (for decoded images this rescales the real pixel thumbnail; the
+    * full-resolution path is `graft.ops.ImageResize` over planes).
+    * Variable-size blob in, fixed-size vector out, per row, no shuffle.
     */
   def resizeThumbnails(ds: Dataset[MediaFeatures], outSize: Int): Dataset[MediaFeatures] = {
     require(outSize >= 1, s"bad resize target $outSize")

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object ImageResize {
 
   /** Bilinear resample of one channel-major pixel array. */
-  private[ops] def bilinear(src: Array[Float], rows: Int, cols: Int, nCh: Int,
+  private[graft] def bilinear(src: Array[Float], rows: Int, cols: Int, nCh: Int,
                             outRows: Int, outCols: Int): Array[Float] = {
     val out = new Array[Float](nCh * outRows * outCols)
     val rScale = rows.toDouble / outRows

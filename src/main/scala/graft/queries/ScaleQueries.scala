@@ -73,8 +73,10 @@ object ScaleQueries {
       .orderBy(desc("cos_sim"), col("vec_id"))
   }
 
-  /** Multimodal plumbing: documents' text bytes as stand-in blobs ->
-    * partition-batched feature extraction (histogram/entropy/thumb).
+  /** Multimodal plumbing over NON-image blobs: documents' text bytes
+    * exercise the byte-level fallback featurizer (ImageIO has no reader
+    * for them) -> partition-batched extraction (histogram/entropy/
+    * thumb). The real-codec path is q_mm_decode.
     */
   private def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -87,6 +89,33 @@ object ScaleQueries {
         round(col("byteEntropy"), 6).as("byte_entropy"),
         element_at(col("histogram"), 7).as("hist_bin6"))
       .orderBy("id")
+  }
+
+  /** REAL image decode end-to-end: each document's text renders to a
+    * deterministic 8x8 gray tile, encodes as PNG (lossless), and the
+    * feature extractor decodes it back through JDK ImageIO. The in-row
+    * self-check compares the decoded-pixel histogram against the
+    * histogram of the source tile bytes — true iff the codec recovered
+    * every pixel exactly. Narrow map -> mapPartitions -> equi-join on
+    * id (broadcastable; scale-safe either way).
+    */
+  private def qMmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val gray = Multimodal.grayTileOf(text, 8)
+        (id, Multimodal.encodeGrayPng(gray, 8, 8), Multimodal.grayHistogram(gray).toSeq)
+      }.toDF("doc_id", "png", "expected_hist")
+    val media = Multimodal.asMedia(src, "doc_id", "png", "image/png")
+      .as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(media).toDF()
+      .join(src.select(col("doc_id").as("id"), col("expected_hist")), Seq("id"))
+      .select(col("id").as("doc_id"),
+        col("pixelWidth").as("px_w"), col("pixelHeight").as("px_h"),
+        round(col("byteEntropy"), 6).as("pixel_entropy"),
+        (col("histogram") === col("expected_hist")).as("decode_ok"))
+      .orderBy("doc_id")
   }
 
   /** Frame-sampling plumbing (video modality): chunked stub frames,
@@ -135,6 +164,7 @@ object ScaleQueries {
     "q_sim_ann_lsh" -> qSimAnnLsh _,
     "q_sim_ann_ivf" -> qSimAnnIvf _,
     "q_mm_features" -> qMmFeatures _,
+    "q_mm_decode" -> qMmDecode _,
     "q_mm_frames" -> qMmFrames _,
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_dedup" -> qStreamDedup _,

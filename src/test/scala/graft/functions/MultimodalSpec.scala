@@ -24,6 +24,54 @@ class MultimodalSpec extends SparkSpec {
     assert(again(3L) == out(3L).histogram)
   }
 
+  test("real ImageIO decode: gray PNG round-trips pixels exactly into features") {
+    import spark.implicits._
+    // known pixels: gradient 0..63 scaled x4 -> values 0,4,...,252
+    val gray = Array.tabulate(64)(i => (i * 4).toByte)
+    val png = Multimodal.encodeGrayPng(gray, 8, 8)
+    val decoded = Multimodal.decodeImage(png)
+    assert(decoded.isDefined, "ImageIO reads its own PNG")
+    val (h, w, lum) = decoded.get
+    assert(h == 8 && w == 8)
+    assert(lum.toSeq == gray.map(b => (b & 0xff).toFloat).toSeq,
+      "single-band decode is sample-exact (no sRGB distortion)")
+    val rows = Seq(Multimodal.MediaRow(1L,
+      Multimodal.MediaMeta("image/png", png.length.toLong), png))
+    val f = Multimodal.extractFeatures(spark.createDataset(rows)).collect().head
+    assert(f.pixelWidth == 8 && f.pixelHeight == 8, "decoded dimensions reported")
+    assert(f.histogram == Multimodal.grayHistogram(gray).toSeq,
+      "pixel histogram == source-byte histogram")
+    // 0..252 step 4 fills each of the 16 bins with exactly 4 pixels
+    assert(f.histogram.forall(_ == 4L))
+    assert(math.abs(f.byteEntropy - 4.0) < 1e-9, "uniform bins -> log2(16) bits")
+    assert(f.thumbnail.length == Multimodal.thumbSide * Multimodal.thumbSide)
+    assert(f.thumbnail.forall(v => v >= 0f && v <= 1f), "thumbnail normalized")
+  }
+
+  test("real ImageIO decode: RGB PNG uses Rec.601 luminance; garbage falls back") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until 4; c <- 0 until 4) img.setRGB(c, r, 0xff8040) // r=255 g=128 b=64
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (hh, ww, lum) = Multimodal.decodeImage(bos.toByteArray).get
+    assert(hh == 4 && ww == 4)
+    val expected = (0.299 * 255 + 0.587 * 128 + 0.114 * 64).toFloat
+    assert(lum.forall(v => math.abs(v - expected) < 1e-3), s"got ${lum.head}")
+    // constant image thumbnails to the constant value
+    val rows = Seq(Multimodal.MediaRow(7L,
+      Multimodal.MediaMeta("image/png", 0L), bos.toByteArray))
+    val f = Multimodal.extractFeatures(spark.createDataset(rows)).collect().head
+    assert(f.thumbnail.forall(v => math.abs(v - expected / 255f) < 1e-4))
+    // non-image bytes: decode None -> byte-level fallback, no crash
+    assert(Multimodal.decodeImage("definitely not an image".getBytes).isEmpty)
+    val fb = Multimodal.extractFeatures(spark.createDataset(Seq(
+      Multimodal.MediaRow(8L, Multimodal.MediaMeta("audio/fake", 3L),
+        "abc".getBytes)))).collect().head
+    assert(fb.pixelWidth == -1 && fb.pixelHeight == -1 && fb.thumbnail.length == 8)
+  }
+
   test("sampleFrames decodes only every k-th fixed-size chunk") {
     import spark.implicits._
     val rows = Seq(
