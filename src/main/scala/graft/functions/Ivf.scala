@@ -122,12 +122,39 @@ object Ivf {
   }
 
   /** Write the corpus partitioned by IVF cell: the layout that lets a
-    * probe read `nprobe` of `k` directories.
+    * probe read `nprobe` of `k` directories. The codebook persists
+    * next to the cells as `_codebook.json` (underscore-prefixed so
+    * parquet readers skip it, same convention as `_SUCCESS`; the
+    * `log_data.json` sidecar pattern of `ops.Reconstruct`) — a later
+    * session probes the store WITHOUT retraining.
     */
   def saveIvfStore(df: DataFrame, vecCol: String, path: String,
-                   centroids: Array[Array[Double]]): Unit =
+                   centroids: Array[Array[Double]]): Unit = {
     withCell(df, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    val cents = root.putArray("centroids")
+    centroids.foreach { c => val a = cents.addArray(); c.foreach(a.add) }
+    val p = new org.apache.hadoop.fs.Path(path, "_codebook.json")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  /** Read a codebook persisted by [[saveIvfStore]]. */
+  def loadCodebook(spark: SparkSession, path: String): Array[Array[Double]] = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(path, "_codebook.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in.readAllBytes())
+      finally in.close()
+    root.get("centroids").elements().asScala
+      .map(_.elements().asScala.map(_.asDouble).toArray).toArray
+  }
 
   /** The query's `nprobe` nearest cells, computed on the driver from
     * the codebook — no Spark job, which is what makes the cell
@@ -172,4 +199,14 @@ object Ivf {
                        excludeId: Option[Long] = None): DataFrame =
     annTopKIvf(spark.read.parquet(path), idCol, vecCol, queryVec, k,
       centroids, nprobe, excludeId)
+
+  /** Fresh-session probe: centroids come from the store's own
+    * `_codebook.json` — no retraining, no dependency on the training
+    * session.
+    */
+  def annTopKFromStore(spark: SparkSession, path: String, idCol: String,
+                       vecCol: String, queryVec: Seq[Float], k: Int,
+                       nprobe: Int, excludeId: Option[Long]): DataFrame =
+    annTopKFromStore(spark, path, idCol, vecCol, queryVec, k,
+      loadCodebook(spark, path), nprobe, excludeId)
 }

@@ -57,6 +57,73 @@ object ObjectStore {
     }
   }
 
+  /** Per-object attributes the reference sets on upload
+    * (aws_functions.py:80-81): ACL `public-read` so annotators can
+    * fetch work units without credentials, plus the originating local
+    * path recorded as object metadata; store-to-store copies re-assert
+    * the ACL (aws_functions.py:102).
+    */
+  final case class ObjectAttrs(acl: String = "public-read",
+                               metadata: Map[String, String] = Map.empty)
+
+  /** Client seam for per-object attributes the Hadoop FileSystem API
+    * cannot express. Production binds an AWS-SDK-backed adapter here
+    * (one `putObject`/`copyObject` per call); tests inject a recording
+    * fake — the reference's own test pattern
+    * (aws_functions_test.py FakeS3).
+    */
+  trait AttributedStore {
+    def put(localFile: String, destUri: String, attrs: ObjectAttrs): Unit
+    def copy(srcUri: String, destUri: String, attrs: ObjectAttrs): Unit
+  }
+
+  /** Default binding when no SDK client is injected: Hadoop FS moves
+    * the bytes; the per-object ACL is approximated by the s3a
+    * connector's bucket-wide conf — set
+    * `spark.hadoop.fs.s3a.acl.default=PublicRead` to match the
+    * reference's annotator-readable uploads. `source_path` metadata is
+    * NOT expressible through s3a; inject an SDK adapter when it must
+    * land on the object.
+    */
+  final class HadoopAttributedStore(spark: SparkSession) extends AttributedStore {
+    def put(localFile: String, destUri: String, attrs: ObjectAttrs): Unit = {
+      val target = fs(spark, destUri)
+      target.copyFromLocalFile(new Path(localFile), new Path(destUri))
+    }
+    def copy(srcUri: String, destUri: String, attrs: ObjectAttrs): Unit =
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs(spark, srcUri), new Path(srcUri),
+        fs(spark, destUri), new Path(destUri),
+        false, spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** `aws_upload_files` with the reference's per-object extras
+    * (aws_functions.py:76-81): every file uploads with
+    * `ACL=public-read` and `Metadata.source_path=<local path>`.
+    */
+  def uploadWithAttrs(spark: SparkSession, localFiles: Seq[String],
+                      destDir: String, store: AttributedStore = null,
+                      acl: String = "public-read"): Unit = {
+    val s = Option(store).getOrElse(new HadoopAttributedStore(spark))
+    localFiles.foreach { f =>
+      val dest = new Path(destDir, new java.io.File(f).getName).toString
+      s.put(f, dest, ObjectAttrs(acl, Map("source_path" -> f)))
+    }
+  }
+
+  /** `aws_copy_files` with the ACL re-asserted on the copied object
+    * (aws_functions.py:98-102).
+    */
+  def copyWithAttrs(spark: SparkSession, srcDir: String, names: Seq[String],
+                    destDir: String, store: AttributedStore = null,
+                    acl: String = "public-read"): Unit = {
+    val s = Option(store).getOrElse(new HadoopAttributedStore(spark))
+    names.foreach { n =>
+      s.copy(new Path(srcDir, n).toString, new Path(destDir, n).toString,
+        ObjectAttrs(acl))
+    }
+  }
+
   /** S11 `get_saved_file_path` (io_utils.py:136-163): resolve a work
     * unit's file among possible `_save_version_N` suffixes; error on
     * ambiguity.

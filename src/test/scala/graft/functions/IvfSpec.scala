@@ -66,6 +66,26 @@ class IvfSpec extends SparkSpec {
     assert(q.collect().map(_.getAs[Long]("vec_id")).toSeq == inMem)
   }
 
+  test("codebook persists with the store: a fresh session probes without retraining") {
+    val path = java.nio.file.Files.createTempDirectory("ivfbook")
+      .toFile.getAbsolutePath + "/emb"
+    Ivf.saveIvfStore(embeddings, "embedding", path, centroids)
+    val book = Ivf.loadCodebook(spark, path)
+    assert(book.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq,
+      "codebook round-trips exactly")
+    // fresh session, no centroids passed: probe resolves from _codebook.json
+    val fresh = spark.newSession()
+    val fromBook = Ivf.annTopKFromStore(fresh, path, "vec_id", "embedding",
+      queryVec, 10, nprobe = 2, excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val withCents = Ivf.annTopKFromStore(spark, path, "vec_id", "embedding",
+      queryVec, 10, centroids, nprobe = 2, excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(fromBook == withCents, "identical top-k from the persisted codebook")
+    // the sidecar must not break plain parquet reads of the store
+    assert(fresh.read.parquet(path).count() == embeddings.count())
+  }
+
   test("a planted near-duplicate is found in the probe's own cell (nprobe=1)") {
     import spark.implicits._
     val planted = Seq((200000L, queryVec.map(v => v * 1.001f), 42))

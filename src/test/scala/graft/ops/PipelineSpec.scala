@@ -67,6 +67,37 @@ class PipelineSpec extends SparkSpec {
     assert(new java.io.File(dl, "a.npz").exists())
   }
 
+  test("uploadWithAttrs sets per-object ACL + source_path metadata (S17, aws_functions.py:76-102)") {
+    // recording fake client — the reference's FakeS3 test pattern
+    val puts = scala.collection.mutable.ArrayBuffer.empty[(String, String, ObjectStore.ObjectAttrs)]
+    val copies = scala.collection.mutable.ArrayBuffer.empty[(String, String, ObjectStore.ObjectAttrs)]
+    val fake = new ObjectStore.AttributedStore {
+      def put(localFile: String, destUri: String, attrs: ObjectStore.ObjectAttrs): Unit =
+        puts += ((localFile, destUri, attrs))
+      def copy(srcUri: String, destUri: String, attrs: ObjectStore.ObjectAttrs): Unit =
+        copies += ((srcUri, destUri, attrs))
+    }
+    val local = Files.createTempDirectory("os_acl").toFile
+    val a = new java.io.File(local, "a.npz"); Files.writeString(a.toPath, "x")
+    val b = new java.io.File(local, "b.npz"); Files.writeString(b.toPath, "y")
+    ObjectStore.uploadWithAttrs(spark, Seq(a.getAbsolutePath, b.getAbsolutePath),
+      "s3a://caliban-input/jobs/1", store = fake)
+    assert(puts.map(_._2).toSeq ==
+      Seq("s3a://caliban-input/jobs/1/a.npz", "s3a://caliban-input/jobs/1/b.npz"))
+    // every object: public-read + its own source path (aws_functions.py:80-81)
+    assert(puts.forall(_._3.acl == "public-read"))
+    assert(puts.map(p => p._3.metadata("source_path")).toSeq ==
+      Seq(a.getAbsolutePath, b.getAbsolutePath))
+    ObjectStore.copyWithAttrs(spark, "s3a://caliban-output/done", Seq("a.npz"),
+      "s3a://caliban-input/next", store = fake)
+    assert(copies.toSeq == Seq(("s3a://caliban-output/done/a.npz",
+      "s3a://caliban-input/next/a.npz", ObjectStore.ObjectAttrs("public-read", Map.empty))))
+    // default Hadoop binding still moves real bytes (conf-level ACL documented)
+    val store = "file://" + Files.createTempDirectory("os_acl_store").toFile.getAbsolutePath
+    ObjectStore.uploadWithAttrs(spark, Seq(a.getAbsolutePath), store)
+    assert(new java.io.File(new java.net.URI(store + "/a.npz")).exists())
+  }
+
   test("resolveSavedFile picks the latest save version, rejects conflicts (S11)") {
     val names = Seq(
       "fov_f1_crop_0_slice_0.npz",
