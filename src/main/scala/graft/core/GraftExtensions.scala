@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{CosineSimilarity, DistinctNonzeroCount, MinhashEstimate, RollingHash}
+import graft.functions.{CosineSimilarity, DistinctNonzeroCount, LabelAreas, MinhashEstimate, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         RollingHash(children.head, asLong(children(1)).toInt,
           asLong(children(2)), asLong(children(3)))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("label_areas"),
+      new ExpressionInfo(classOf[LabelAreas].getName, "label_areas"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "label_areas takes exactly 1 argument")
+        LabelAreas(children.head)
       }))
     e.injectFunction((
       new FunctionIdentifier("distinct_nonzero_count"),

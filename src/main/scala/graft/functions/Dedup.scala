@@ -115,6 +115,62 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Skew-hardened LSH candidate pairs — same results as
+    * [[lshCandidatePairs]], salted band-bucket join.
+    *
+    * The adversarial corpus for LSH is a degenerate one: many identical
+    * (or boilerplate-heavy) documents collapse into ONE (band, bucket)
+    * key, and the unsalted equi-join funnels every copy into a single
+    * shuffle partition — one straggler task doing all the pair work.
+    * Salting splits each hot key `saltBuckets` ways: the LEFT side
+    * hashes its id into a salt, the RIGHT side replicates one row per
+    * salt value, and the join key becomes (band, bucket, salt). Every
+    * (a, b) pair still meets EXACTLY once per matching band — in the
+    * partition owned by a's salt — so the first-matching-band emission
+    * and the estimate threshold are unchanged; the N^2 pair work of a
+    * hot bucket now spreads across `saltBuckets` tasks, and the left
+    * side's max per-key row count drops by that factor. Cost: the
+    * right side's rows replicate saltBuckets times (bounded, chosen at
+    * plan time) — the standard skew-join trade, worth it only when a
+    * degenerate key is possible; AQE's skew-join handles the milder
+    * cases without replication.
+    */
+  def lshCandidatePairsSalted(df: DataFrame, idCol: String,
+                              bands: Int = 16, minEstimate: Double = 0.5,
+                              saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, s"bad saltBuckets $saltBuckets")
+    val numHashes = 128
+    val r = numHashes / bands
+    val bandHash = udf((sig: Seq[Long], band: Int) =>
+      sig.slice(band * r, (band + 1) * r).hashCode().toLong)
+    val banded = df
+      .select(col(idCol), col("minhash"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket", bandHash(col("minhash"), col("band")))
+    val a = banded.select(col(idCol).as("id_a"), col("minhash").as("mh_a"),
+      col("band"), col("bucket"))
+      .withColumn("salt", pmod(xxhash64(col("id_a")), lit(saltBuckets)).cast("int"))
+    val b = banded.select(col(idCol).as("id_b"), col("minhash").as("mh_b"),
+      col("band"), col("bucket"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    val firstBand = udf((x: Seq[Long], y: Seq[Long]) => {
+      var band = 0
+      var found = -1
+      while (band < bands && found < 0) {
+        if (x.slice(band * r, (band + 1) * r).hashCode() ==
+            y.slice(band * r, (band + 1) * r).hashCode()) found = band
+        band += 1
+      }
+      found
+    })
+    a.join(b, Seq("band", "bucket", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("band") === firstBand(col("mh_a"), col("mh_b")))
+      .withColumn("est_jaccard", MinhashEstimate.minhashEst(col("mh_a"), col("mh_b")))
+      .filter(col("est_jaccard") >= minEstimate)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** 64-bit SimHash of a token sequence (Charikar '02, public
     * algorithm): per-token stable hash, bitwise majority vote.
     */

@@ -37,6 +37,39 @@ case class DistinctNonzeroCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native per-object area extraction (`np.unique(labels,
+  * return_counts=True)` minus background — crop_utils.py /
+  * compute_cell_size semantics): `label_areas(labels)` returns
+  * `map<label, pixel_count>` with keys sorted ascending. One pass, one
+  * open-addressing table, no intermediate arrays — the built-in
+  * composition would be explode + groupBy (a SHUFFLE per plane); this
+  * keeps area extraction inside whole-stage codegen as a narrow
+  * projection, so A1/A3 plans have no typed-map stage.
+  */
+case class LabelAreas(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    MapType(IntegerType, IntegerType, valueContainsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"label_areas expects array<int>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    LabelExprs.labelAreas(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LabelExprs.labelAreas($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object LabelExprs {
 
   /** One-pass distinct count of nonzero ints over ArrayData, using an
@@ -66,7 +99,52 @@ object LabelExprs {
     count
   }
 
+  /** One-pass label->area histogram over ArrayData; background (0)
+    * excluded, keys sorted ascending for deterministic map layout.
+    */
+  def labelAreas(arr: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
+    val n = arr.numElements()
+    val cap = Integer.highestOneBit(math.max(4, n)) * 2
+    val keys = new Array[Int](cap) // 0 = empty slot (0 is background anyway)
+    val cnts = new Array[Int](cap)
+    val mask = cap - 1
+    val shift = 32 - Integer.numberOfTrailingZeros(cap)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val v = arr.getInt(i)
+      if (v != 0) {
+        var idx = (v * 0x9E3779B9) >>> shift & mask
+        var found = false
+        while (!found && keys(idx) != 0) {
+          if (keys(idx) == v) found = true else idx = (idx + 1) & mask
+        }
+        if (!found) { keys(idx) = v; m += 1 }
+        cnts(idx) += 1
+      }
+      i += 1
+    }
+    val ks = new Array[Int](m)
+    val vs = new Array[Int](m)
+    var j = 0; var s = 0
+    while (j < cap) {
+      if (keys(j) != 0) { ks(s) = keys(j); vs(s) = cnts(j); s += 1 }
+      j += 1
+    }
+    // sort pairs by label id (m = distinct objects per plane, small)
+    val order = ks.indices.sortBy(ks)
+    val ksS = order.map(ks).toArray
+    val vsS = order.map(vs).toArray
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(ksS),
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(vsS))
+  }
+
   /** Column-API entry (resolves via GraftExtensions' registration). */
   def distinctNonzeroCount(c: Column): Column =
     org.apache.spark.sql.functions.call_function("distinct_nonzero_count", c)
+
+  /** Column-API entry for [[LabelAreas]]. */
+  def labelAreasCol(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("label_areas", c)
 }

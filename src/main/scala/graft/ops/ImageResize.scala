@@ -114,14 +114,14 @@ object ImageResize {
     * byImage, or a single global value. Exact median via sort-rank
     * (same construction as the oracle-checked q_a1_median).
     */
-  def cellSizes(ds: Dataset[ImagePlane]): DataFrame = {
-    import ds.sparkSession.implicits._
-    ds.flatMap { p =>
-      val areas = scala.collection.mutable.Map.empty[Int, Int]
-      p.labels.foreach(l => if (l != 0) areas.updateWith(l)(v => Some(v.getOrElse(0) + 1)))
-      areas.toSeq.map { case (id, a) => (p.fov, p.stack, p.crop, p.slice, id, a) }
-    }.toDF("fov", "stack", "crop", "slice", "cell_id", "area")
-  }
+  def cellSizes(ds: Dataset[ImagePlane]): DataFrame =
+    // native label_areas expression + explode: area extraction stays a
+    // narrow codegen'd projection — no typed-map stage, no shuffle
+    ds.toDF()
+      .select(col("fov"), col("stack"), col("crop"), col("slice"),
+        explode(graft.functions.LabelExprs.labelAreasCol(col("labels"))))
+      .withColumnRenamed("key", "cell_id")
+      .withColumnRenamed("value", "area")
 
   def medianCellSize(ds: Dataset[ImagePlane]): Option[Double] = {
     val areas = cellSizes(ds).select(col("area").cast("double"))

@@ -36,6 +36,45 @@ class DedupSpec extends SparkSpec {
       s"no spurious unrelated pairs: $pairs")
   }
 
+  test("salted LSH: degenerate identical-doc corpus spreads the hot key, identical results") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial skew: 200 identical docs collapse every band into ONE
+    // (band,bucket) key; 100 unique docs as background
+    val rng = new scala.util.Random(3)
+    val docs = ((0 until 200).map(i =>
+      (i.toLong, "the same boilerplate text repeated in every copy of this page")) ++
+      (200 until 300).map(i =>
+        (i.toLong, s"unique document $i " + Seq.fill(12)(rng.nextInt(10000)).mkString(" "))))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.withMinhash(docs, "text", numHashes = 128, shingleWidth = 3)
+      .persist()
+    try {
+      val unsalted = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val salted = Dedup.lshCandidatePairsSalted(sigs, "doc_id", bands = 16,
+        saltBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(salted == unsalted, "salting must not change the pair set")
+      assert(unsalted.count { case (a, b, e) => a < 200 && b < 200 && e == 1.0 } ==
+        200 * 199 / 2, "all identical-doc pairs found at estimate 1.0")
+      // the join-key distribution: salting caps the left side's hot key
+      val bandHash = udf((sig: Seq[Long], band: Int) =>
+        sig.slice(band * 8, (band + 1) * 8).hashCode().toLong)
+      val banded = sigs
+        .withColumn("band", explode(sequence(lit(0), lit(15))))
+        .withColumn("bucket", bandHash(col("minhash"), col("band")))
+      def maxKey(cols: Seq[String]): Long =
+        banded.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(8)))
+          .groupBy(cols.map(col): _*).count()
+          .agg(max("count")).head().getLong(0)
+      val hot = maxKey(Seq("band", "bucket"))
+      val spread = maxKey(Seq("band", "bucket", "salt"))
+      assert(hot >= 200L, s"degenerate corpus produced no hot key ($hot)")
+      assert(spread <= 200 / 8 + 30, s"salt must split the hot key: $hot -> $spread")
+    } finally sigs.unpersist()
+  }
+
   test("simhash: identical -> distance 0, similar -> small, different -> large") {
     val a = Dedup.simhash(base)
     assert(Dedup.simhash(base) == a)
