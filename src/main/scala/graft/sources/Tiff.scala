@@ -46,6 +46,24 @@ object Tiff {
     out
   }
 
+  /** Frame dimensions only — reads the TIFF directory headers, never
+    * decodes a raster. The column-pruned metadata path of the V2
+    * source: `SELECT file_name, count(*)` costs header parses, not
+    * tensor decodes.
+    */
+  def frameDims(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val readers = ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "no ImageIO reader for input (TIFF plugin missing?)")
+    val reader = readers.next()
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    val out = (0 until n).map(i => (reader.getHeight(i), reader.getWidth(i)))
+    reader.dispose()
+    iis.close()
+    out
+  }
+
   /** S6/S7: scan a directory tree of TIFFs into planes; fov = file
     * name, stack = frame index. `pathGlobFilter` pushes the filename
     * pattern (e.g. `*_s01_p02.tif`) into the file listing — the
@@ -143,10 +161,13 @@ object Tiff {
 
   /** S2/S4: scan the ontology tree
     * `raw/<dynamic|static>/<2d|3d>/<imaging>/<specimen>/<Compartment_Marker>/<exp_id>/file.tif`
-    * into a DataFrame with the ontology levels as columns parsed from
-    * `input_file_name` — the partition-column mapping that lets
-    * Catalyst prune directories the way `_assemble_paths` walks them.
-    * Predicates passed as 'all' mean no filter.
+    * via the V2 source (`graft.sources.v2.TiffDataSource`): each
+    * predicate becomes a Catalyst `In` filter pushed into the scan,
+    * which prunes the DIRECTORY WALK itself level by level — the
+    * planner never lists subtrees a predicate excludes, exactly the
+    * reference's `_assemble_paths` fnmatch walk
+    * (data_loader.py:197-320). Predicates passed as 'all' mean no
+    * filter.
     */
   def scanOntology(spark: SparkSession, baseDir: String,
                    dataKinds: Seq[String] = Seq("all"),
@@ -155,22 +176,9 @@ object Tiff {
                    specimenTypes: Seq[String] = Seq("all"),
                    compartments: Seq[String] = Seq("all"),
                    markers: Seq[String] = Seq("all")): DataFrame = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tif")
-      .option("recursiveFileLookup", "true")
+    var out = spark.read.format("graft.sources.v2.TiffDataSource")
+      .option("granularity", "file")
       .load(baseDir)
-      .select(col("path"), col("length"))
-    val rel = regexp_replace(col("path"), lit(s".*${java.util.regex.Pattern.quote(baseDir)}/?"), lit(""))
-    val parts = split(rel, "/")
-    var out = files
-      .withColumn("data_kind", element_at(parts, 1))
-      .withColumn("dims", element_at(parts, 2))
-      .withColumn("imaging", element_at(parts, 3))
-      .withColumn("specimen", element_at(parts, 4))
-      .withColumn("compartment", split(element_at(parts, 5), "_").getItem(0))
-      .withColumn("marker", split(element_at(parts, 5), "_").getItem(1))
-      .withColumn("exp_id", element_at(parts, 6))
-      .withColumn("file_name", element_at(parts, 7))
     def applyFilter(c: String, vals: Seq[String]): Unit =
       if (vals.nonEmpty && vals != Seq("all"))
         out = out.filter(col(c).isin(vals.map(normalizeVocab): _*))
