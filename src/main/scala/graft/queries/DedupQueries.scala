@@ -19,6 +19,56 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_docs"),
            countDistinct(md5(col("text"))).as("n_unique"))
 
+  /** Duplicate-cluster assembly: connected components over the
+    * near-dup pair graph (the step after pair generation in a real
+    * dedup pipeline — transitive closure turns pairwise matches into
+    * clusters with one canonical keeper). Iterative min-label
+    * propagation: each round every node takes the smallest component
+    * id among itself and its neighbors, converging in graph-diameter
+    * rounds; dedup clusters are shallow (near-dups of a common
+    * original), so the round count is small and each round is one
+    * equi-join + groupBy on the (tiny relative to the corpus) edge
+    * list. The edge list persists once — the expensive pair pipeline
+    * never re-runs — and `localCheckpoint` truncates the growing
+    * lineage each round. At 100 TB scale the same loop applies to the
+    * MinHash-LSH pair output; the large-star/small-star variant would
+    * cut rounds to O(log n) if diameters ever grew.
+    *
+    * Oracle: DuckDB replays the exact pair query plus a recursive-CTE
+    * reachability closure — full hash-match, not rows-only.
+    */
+  private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupJaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val neighborMin = edges
+        .join(comp.withColumnRenamed("id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min("component").as("n_comp"))
+      val next = comp
+        .join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = comp.withColumnRenamed("component", "prev")
+        .join(next, "id")
+        .filter(col("prev") =!= col("component")).count()
+      comp = next
+      rounds += 1
+    }
+    edges.unpersist()
+    comp.select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
+  }
+
   /** Exact-dedup survivor selection: keep min doc_id per content hash
     * (the classic keep-first policy), via window min — no shuffle of
     * the text payload itself, only the 128-bit key.
@@ -105,6 +155,7 @@ object DedupQueries {
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_keep_first" -> qDedupKeepFirst _,
     "q_dedup_jaccard_pairs" -> qDedupJaccardPairs _,
+    "q_dedup_components" -> qDedupComponents _,
     "q_dedup_group_keeper" -> qDedupGroupKeeper _,
   )
 
@@ -149,5 +200,35 @@ object DedupQueries {
     "q_dedup_group_keeper" ->
       """SELECT lang, source, min(doc_id) AS keeper, count(*) AS n_members
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_dedup_components" ->
+      """WITH RECURSIVE base0 AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(floor(n_tokens / 4) AS BIGINT) AS bucket, shingles
+        |  FROM base0),
+        |bexp AS (
+        |  SELECT doc_id, unnest([bucket - 1, bucket, bucket + 1]) AS bucket, shingles
+        |  FROM base),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN bexp b
+        |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(id, root) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)
+        |SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
   )
 }
