@@ -17,9 +17,14 @@ import org.apache.spark.sql.types.LongType
   *     dataset_splitter_test.py:135-140), with cyclic duplication up
   *     to `minSize` (dataset_splitter.py:77-92).
   *
-  * We reproduce the *contracts* (seed-stable, exact counts, nested
-  * prefix, small-N rules), not numpy's RNG stream — the reference's
-  * tests assert the contracts too (SURVEY.md §5 pattern 5).
+  * RNG parity: `nestedSplit` offers BYTE-PARITY with the reference's
+  * `np.random.RandomState(seed).permutation` stream via
+  * [[withNumpyShuffleIndex]] ([[NumpyRandom]], MT19937) — same seed,
+  * same split membership as dataset_splitter.py. The sklearn
+  * `train_test_split` CHAIN of build.py:213-256 remains contract-parity
+  * only (seed-stable, exact counts, small-N rules): sklearn's internal
+  * slicing composition is not replicated, and is unverifiable in this
+  * environment (no sklearn to generate fixtures).
   *
   * Scale note: the permutation is a distributed range-partitioned sort
   * on rand(seed) plus a per-partition-offset index (zipWithIndex) —
@@ -40,6 +45,29 @@ object Splitter {
       Row.fromSeq(row.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(indexed, schema)
+  }
+
+  /** Numpy-parity shuffle index: `IdxCol` = the row's position in
+    * `np.random.RandomState(seed).permutation(n)` — byte-parity with
+    * dataset_splitter.py:139 in both membership and order (prefix
+    * splits and cyclic tiling positions line up with `np.tile`).
+    * Requires an explicit 0..n-1 batch-index column, because the
+    * reference permutes ARRAY POSITIONS. The permutation is
+    * driver-computed (O(n) ints, n = the reference's in-memory batch
+    * count) and broadcast; corpus-scale splits use the distributed
+    * [[withShuffleIndex]] instead.
+    */
+  def withNumpyShuffleIndex(df: DataFrame, batchIdxCol: String, seed: Long): DataFrame = {
+    val n = df.count()
+    require(n <= Int.MaxValue,
+      "numpy-parity shuffle is for in-memory-scale batch counts")
+    val perm = new NumpyRandom(seed).permutation(n.toInt)
+    val inv = new Array[Int](n.toInt)
+    var p = 0
+    while (p < perm.length) { inv(perm(p)) = p; p += 1 }
+    val bc = df.sparkSession.sparkContext.broadcast(inv)
+    val posOf = udf((i: Int) => bc.value(i).toLong)
+    df.withColumn(IdxCol, posOf(col(batchIdxCol).cast("int")))
   }
 
   /** Split counts per build.py:213-256 (sklearn ceil semantics for
@@ -92,14 +120,18 @@ object Splitter {
                   splitCounts: Seq[Long] = Seq.empty,
                   splitProportions: Seq[Double] = Seq.empty,
                   minSize: Long = 1L,
-                  seed: Long = 0L): Map[String, DataFrame] = {
+                  seed: Long = 0L,
+                  numpyBatchIdxCol: Option[String] = None): Map[String, DataFrame] = {
     require(splitCounts.nonEmpty ^ splitProportions.nonEmpty,
       "Either split_counts or split_proportions must be supplied, not both")
     val n = df.count()
     val counts: Seq[(String, Long)] =
       if (splitCounts.nonEmpty) splitCounts.map(c => c.toString -> c)
       else splitProportions.map(p => p.toString -> math.max((n * p).toLong, 1L))
-    val indexed = withShuffleIndex(df, seed).cache()
+    val indexed = numpyBatchIdxCol
+      .map(c => withNumpyShuffleIndex(df, c, seed))
+      .getOrElse(withShuffleIndex(df, seed))
+      .cache()
     counts.map { case (key, c) =>
       val prefix = indexed.filter(col(IdxCol) < c)
       val out =
