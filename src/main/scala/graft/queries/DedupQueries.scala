@@ -53,16 +53,18 @@ object DedupQueries {
         .join(comp.withColumnRenamed("id", "dst_id"),
           col("dst") === col("dst_id"))
         .groupBy(col("src")).agg(min("component").as("n_comp"))
+      // carry the did-anything-move flag through the same pass: one
+      // checkpoint + one cheap count per round, no convergence join
       val next = comp
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("n_comp"), col("component")) < col("component"))
+            .as("moved"))
         .localCheckpoint()
-      changed = comp.withColumnRenamed("component", "prev")
-        .join(next, "id")
-        .filter(col("prev") =!= col("component")).count()
-      comp = next
+      changed = next.filter(col("moved")).count()
+      comp = next.drop("moved")
       rounds += 1
     }
     edges.unpersist()

@@ -156,7 +156,39 @@ object TextQueries {
               size(col("tk")).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination — the standard eval-leak check a
+    * training-data pipeline runs before shipping a corpus: flag every
+    * training document sharing any 3-token shingle with the held-out
+    * benchmark set (here: doc_id % 100 == 0 plays the benchmark).
+    * Scale shape: the benchmark shingle set is SMALL by construction
+    * (eval sets are thousands of docs against a 100 TB corpus), so it
+    * broadcasts; the training side is a narrow explode feeding a
+    * broadcast hash join — the corpus never shuffles.
+    */
+  private def qTxtDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .withColumn("tk", toks)
+      .withColumn("shingles",
+        when(size(col("tk")) >= 3,
+          array_distinct(transform(
+            sequence(lit(0), size(col("tk")) - 3),
+            i => concat_ws(" ",
+              element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2),
+              element_at(col("tk"), i + 3)))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val bench = sh.filter(col("doc_id") % 100 === 0)
+      .select("sh").distinct()
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_decontaminate" -> qTxtDecontaminate _,
     "q_txt_tokens" -> qTxtTokens _,
     "q_txt_bpe_tokens" -> qTxtBpeTokens _,
     "q_txt_quality" -> qTxtQuality _,
@@ -168,6 +200,19 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_txt_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+        |    ELSE [] END) AS sh
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0)
+        |SELECT t.doc_id, count(DISTINCT t.sh) AS n_hits
+        |FROM sh t JOIN bench b USING (sh)
+        |WHERE t.doc_id % 100 <> 0
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "q_txt_tokens" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
