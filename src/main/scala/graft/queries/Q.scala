@@ -46,4 +46,39 @@ object Q {
 
   /** Timestamp -> 'yyyy-MM-dd HH:mm:ss' string. */
   def asDateTime(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Distinct 3-token shingle strings of a token-array column.
+    *
+    * Shape matters: the obvious `transform(sequence(...), i ->
+    * element_at(tk, i))` form lets CollapseProject inline the `split`
+    * that produced `tk` into EVERY element_at — the text re-splits
+    * ~3x per shingle element (measured 6.8 s over sf0.1 documents for
+    * the exploded form). Zipping three shifted slices evaluates the
+    * split a constant number of times per ROW instead, and the lambda
+    * touches only the zipped struct: same shingle values and order,
+    * ~10x cheaper.
+    */
+  def shingles3(tk: Column): Column = {
+    val n = size(tk)
+    when(n >= 3,
+      array_distinct(transform(
+        arrays_zip(slice(tk, lit(1), n - 2), slice(tk, lit(2), n - 2),
+          slice(tk, lit(3), n - 2)),
+        s => concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2")))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** [[shingles3]] with each shingle xxhash64'd — the 8-byte shuffle
+    * payload variant.
+    */
+  def shingleHashes3(tk: Column): Column = {
+    val n = size(tk)
+    when(n >= 3,
+      array_distinct(transform(
+        arrays_zip(slice(tk, lit(1), n - 2), slice(tk, lit(2), n - 2),
+          slice(tk, lit(3), n - 2)),
+        s => xxhash64(concat_ws(" ", s.getField("0"), s.getField("1"),
+          s.getField("2"))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
 }

@@ -143,16 +143,7 @@ object TextQueries {
   private def qTxtShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("tk", toks)
-      .withColumn("shingles",
-        when(size(col("tk")) >= 3,
-          array_distinct(transform(
-            sequence(lit(0), size(col("tk")) - 3),
-            i => concat_ws(" ",
-              element_at(col("tk"), i + 1),
-              element_at(col("tk"), i + 2),
-              element_at(col("tk"), i + 3)))))
-          .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+      .select(col("doc_id"), size(shingles3(col("tk"))).as("n_shingles"),
               size(col("tk")).as("n_tokens"))
       .orderBy("doc_id")
 
@@ -163,21 +154,15 @@ object TextQueries {
     * Scale shape: the benchmark shingle set is SMALL by construction
     * (eval sets are thousands of docs against a 100 TB corpus), so it
     * broadcasts; the training side is a narrow explode feeding a
-    * broadcast hash join — the corpus never shuffles.
+    * broadcast hash join — the corpus never shuffles. Shingles travel
+    * as xxhash64 (8 bytes, not strings): same oracle counts unless a
+    * 64-bit collision lands inside one document's benchmark overlap
+    * (~1e-12; the q_dedup_jaccard_pairs precedent).
     */
   private def qTxtDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents")
       .withColumn("tk", toks)
-      .withColumn("shingles",
-        when(size(col("tk")) >= 3,
-          array_distinct(transform(
-            sequence(lit(0), size(col("tk")) - 3),
-            i => concat_ws(" ",
-              element_at(col("tk"), i + 1),
-              element_at(col("tk"), i + 2),
-              element_at(col("tk"), i + 3)))))
-          .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), explode(shingleHashes3(col("tk"))).as("sh"))
     val bench = sh.filter(col("doc_id") % 100 === 0)
       .select("sh").distinct()
     sh.filter(col("doc_id") % 100 =!= 0)
