@@ -30,6 +30,18 @@ class PlanAuditSpec extends SparkSpec {
   // the sweep (their batch twins are covered) to bound suite time
   private val skip = Set("q_stream_hourly", "q_stream_sessionize", "q_stream_dedup")
 
+  test("decontamination joins against a BROADCAST benchmark set, and the self-checking queries hold") {
+    // the benchmark side must broadcast (corpus never shuffles for it)
+    val plan = graft.queries.TextQueries.defs("q_txt_decontaminate")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
+    // the real-codec round trip: every document must decode exactly
+    val mm = graft.queries.ScaleQueries.defs("q_mm_decode")(spark, sfDir).collect()
+    assert(mm.nonEmpty && mm.forall(_.getAs[Boolean]("decode_ok")),
+      "ImageIO round-trip self-check must be all-true")
+    assert(mm.forall(r => r.getAs[Int]("px_w") == 8 && r.getAs[Int]("px_h") == 8))
+  }
+
   test("no undeclared cartesian/nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || declaredBoundedCross(n) }
