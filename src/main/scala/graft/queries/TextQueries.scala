@@ -102,6 +102,33 @@ object TextQueries {
       .orderBy(desc("n"), col("token"))
       .limit(20)
 
+  /** Heavy hitters via Count-Min sketch — the one-pass mergeable
+    * frequency structure for 100 TB token streams (Cormode &
+    * Muthukrishnan '05): partials merge map-side, the driver holds a
+    * fixed-size table (~KBs) regardless of corpus size, and a query
+    * against the sketch never rescans the stream. Self-check columns
+    * prove the sketch's guarantees against the exact counts of the
+    * oracle-checked q_txt_wordfreq shape: a CMS NEVER undercounts, and
+    * overshoot is bounded by eps * total tokens with high probability.
+    * Rows-only (the sketch's hash family is not DuckDB-replayable);
+    * the exact twin carries the oracle.
+    */
+  private def qTxtHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents").select(explode(toks).as("token"))
+    val eps = 0.001
+    val sketch = words.stat.countMinSketch("token", eps, 0.99, 17)
+    val total = sketch.totalCount()
+    val exact = words.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(20)
+    val est = udf((t: String) => sketch.estimateCount(t))
+    exact
+      .withColumn("est", est(col("token")))
+      .withColumn("sketch_ok",
+        col("est") >= col("n") &&
+          col("est") <= col("n") + lit((eps * total).toLong + 1))
+      .orderBy(desc("n"), col("token"))
+  }
+
   /** Document fingerprinting: md5 over whitespace-normalized lowercase
     * text (the exact-dedup key; reference analog: the NPZ filename
     * identity of io_utils.py:73).
@@ -174,6 +201,7 @@ object TextQueries {
 
   val defs: Map[String, QueryFn] = Map(
     "q_txt_decontaminate" -> qTxtDecontaminate _,
+    "q_txt_heavy_hitters" -> qTxtHeavyHitters _,
     "q_txt_tokens" -> qTxtTokens _,
     "q_txt_bpe_tokens" -> qTxtBpeTokens _,
     "q_txt_quality" -> qTxtQuality _,
