@@ -146,6 +146,44 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The flagship corpus-curation composition — the end-to-end shape a
+    * 100 TB training-data build actually runs, each stage the
+    * oracle-verified operator above it:
+    *   1. EXACT dedup: keep the min doc_id per md5(text) (window over
+    *      the 128-bit key only, text never shuffles);
+    *   2. NEAR-DUP drop: connected components over the jaccard pair
+    *      graph, keep only cluster canonicals (component == doc_id);
+    *   3. QUALITY gate: deterministic length floor (>= 10 tokens);
+    *   4. DECONTAMINATE: drop the benchmark slice itself and every
+    *      doc sharing a 3-shingle with it (broadcast anti-join);
+    *   5. per-language census of the surviving corpus.
+    * All set subtractions are left-anti equi-joins on doc_id; the full
+    * chain is DuckDB-replayed (recursive CTE + the same filters) and
+    * hash-checked.
+    */
+  private def qCorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fp")
+    val exactKeep = t(s, dir, "documents")
+      .withColumn("fp", md5(col("text")))
+      .withColumn("keeper", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("fp", "keeper")
+    val dupDrop = qDedupComponents(s, dir)
+      .filter(col("component") < col("doc_id"))
+      .select("doc_id")
+    val contaminated = TextQueries.defs("q_txt_decontaminate")(s, dir)
+      .select("doc_id")
+    exactKeep
+      .join(dupDrop, Seq("doc_id"), "left_anti")
+      .filter(size(split(col("text"), " ")) >= 10)
+      .filter(col("doc_id") % 100 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("total_tokens"))
+      .orderBy("lang")
+  }
+
   /** Coarse-key dedup (keep-first per (lang, source) group): the
     * grouped-min + count shape of a metadata-level dedup pass.
     */
@@ -160,6 +198,7 @@ object DedupQueries {
     "q_dedup_keep_first" -> qDedupKeepFirst _,
     "q_dedup_jaccard_pairs" -> qDedupJaccardPairs _,
     "q_dedup_components" -> qDedupComponents _,
+    "q_corpus_build" -> qCorpusBuild _,
     "q_dedup_group_keeper" -> qDedupGroupKeeper _,
   )
 
@@ -234,5 +273,48 @@ object DedupQueries {
         |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)
         |SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_corpus_build" ->
+      """WITH RECURSIVE base0 AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(floor(n_tokens / 4) AS BIGINT) AS bucket, shingles FROM base0),
+        |bexp AS (
+        |  SELECT doc_id, unnest([bucket - 1, bucket, bucket + 1]) AS bucket, shingles FROM base),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN bexp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM cand UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(id, root) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id),
+        |comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+        |dup_drop AS (SELECT id AS doc_id FROM comp WHERE component < id),
+        |sh AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM base0),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT t.doc_id FROM sh t JOIN bench b USING (sh) WHERE t.doc_id % 100 <> 0),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |cleaned AS (
+        |  SELECT d.* FROM documents d
+        |  JOIN keepers k ON d.doc_id = k.doc_id
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dup_drop)
+        |    AND len(string_split(d.text, ' ')) >= 10
+        |    AND d.doc_id % 100 <> 0
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
