@@ -19,65 +19,101 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_docs"),
            countDistinct(md5(col("text"))).as("n_unique"))
 
+  /** The one-scan base projection shared by the dedup family: every
+    * text-derived column any corpus-curation stage needs — content
+    * fingerprint, token count, hashed 3-shingles — built in a single
+    * pass over documents. Stages that don't use a column lose it to
+    * Catalyst column pruning (e.g. the standalone pair query never
+    * computes `fp`), so composing through this projection costs
+    * nothing standalone and saves repeated scans when materialized
+    * once in [[qCorpusBuild]].
+    */
+  private def docBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        md5(col("text")).as("fp"),
+        size(col("tk")).as("n_tokens"),
+        shingleHashes3(col("tk")).as("shingles"))
+
+  /** Connected components over an undirected pair list via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14): each round is two
+    * groupBy+equi-join passes over the EDGE list only, and the graph
+    * contracts to per-component min-rooted stars in O(log n) rounds
+    * even on adversarial long-chain graphs — vs graph-diameter rounds
+    * for plain min-label propagation (the round-3 implementation this
+    * replaces). Dedup pair graphs are corpus-tiny, so each round is
+    * cheap; `localCheckpoint` truncates lineage per round and the
+    * returned round count lets specs assert the log bound on a planted
+    * 50-node path graph.
+    *
+    * Large-star: every node links its strictly-larger neighbors to the
+    * minimum of its closed neighborhood (keeps edges canonical
+    * larger→smaller). Small-star: every node links its smaller
+    * neighbors, and itself, to that minimum. Convergence = the
+    * canonical edge set reaches a fixpoint (equal count + empty
+    * anti-join — exact, no hash-collision risk); at the fixpoint each
+    * component is a star rooted at its minimum id.
+    */
+  private[queries] def componentsFrom(pairs: DataFrame): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done && rounds < 64) {
+      val prevCount = edges.count()
+      // LARGE-STAR over the symmetric view
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = sym.join(lmins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: input edges are canonical u > v, so min(v) is the
+      // closed-neighborhood minimum already
+      val smins = afterLarge.groupBy("u").agg(min("v").as("m"))
+      val next = afterLarge.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      rounds += 1
+      // exact fixpoint test: same cardinality and no new edge
+      val nextCount = next.count()
+      done = nextCount == prevCount &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+    }
+    val comp = edges
+      .select(col("u").as("doc_id"), col("v").as("component"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("component")))
+      .distinct()
+    (comp, rounds)
+  }
+
   /** Duplicate-cluster assembly: connected components over the
     * near-dup pair graph (the step after pair generation in a real
     * dedup pipeline — transitive closure turns pairwise matches into
-    * clusters with one canonical keeper). Iterative min-label
-    * propagation: each round every node takes the smallest component
-    * id among itself and its neighbors, converging in graph-diameter
-    * rounds; dedup clusters are shallow (near-dups of a common
-    * original), so the round count is small and each round is one
-    * equi-join + groupBy on the (tiny relative to the corpus) edge
-    * list. The edge list persists once — the expensive pair pipeline
-    * never re-runs — and `localCheckpoint` truncates the growing
-    * lineage each round. At 100 TB scale the same loop applies to the
-    * MinHash-LSH pair output; the large-star/small-star variant would
-    * cut rounds to O(log n) if diameters ever grew.
+    * clusters with one canonical keeper). The pair pipeline persists
+    * once — both edge directions read the cache — then
+    * [[componentsFrom]] contracts the graph in O(log n)
+    * large-star/small-star rounds.
     *
     * Oracle: DuckDB replays the exact pair query plus a recursive-CTE
     * reachability closure — full hash-match, not rows-only.
-    *
-    * Cost profile (sf0.1, measured): the pair pipeline dominates
-    * (~3.5 s, shared shape with q_dedup_jaccard_pairs and near its
-    * optimized floor — a native array_intersect variant measured 4x
-    * SLOWER than the fused typed map); the loop itself converges in 2
-    * rounds over a ~250-edge graph, ~1.5 s of fixed per-job overhead
-    * that does not grow with the corpus.
     */
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
-    // persist the PAIRS, not the post-union edges: both union branches
-    // read the cache, so the expensive pair pipeline runs exactly once
     val pairs = qDedupJaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
       .persist()
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-    var comp = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 64) {
-      val neighborMin = edges
-        .join(comp.withColumnRenamed("id", "dst_id"),
-          col("dst") === col("dst_id"))
-        .groupBy(col("src")).agg(min("component").as("n_comp"))
-      // carry the did-anything-move flag through the same pass: one
-      // checkpoint + one cheap count per round, no convergence join
-      val next = comp
-        .join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("n_comp"), col("component")))
-            .as("component"),
-          (coalesce(col("n_comp"), col("component")) < col("component"))
-            .as("moved"))
-        .localCheckpoint()
-      changed = next.filter(col("moved")).count()
-      comp = next.drop("moved")
-      rounds += 1
-    }
+    val (comp, _) = componentsFrom(pairs)
     pairs.unpersist()
-    comp.select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
+    comp.orderBy("doc_id")
   }
 
   /** Exact-dedup survivor selection: keep min doc_id per content hash
@@ -103,17 +139,24 @@ object DedupQueries {
     * band-bucket join in graft.functions.Dedup is the scale path; at
     * sf0.01 both find exactly the 25 planted near-dup pairs.
     */
-  private def qDedupJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private def qDedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(docBase(s, dir))
+
+  /** The pair pipeline body over a [[docBase]]-shaped input (lazy for
+    * the standalone query — column pruning drops `fp`/`lang` — or a
+    * checkpointed shared projection inside [[qCorpusBuild]]).
+    */
+  private def jaccardPairsFrom(base0: DataFrame): DataFrame = {
+    val s = base0.sparkSession
     import s.implicits._
     // ship 64-bit shingle hashes, not strings (4x smaller shuffle
     // payload, cheaper set probes; cross-engine mismatch needs an
     // xxhash64 collision inside one compared pair, ~1e-12), built in
     // the zip shape of Q.shingleHashes3 so the split isn't inlined
     // per element
-    val base = t(s, dir, "documents")
-      .withColumn("tk", split(col("text"), " "))
-      .select(col("doc_id"), floor(size(col("tk")) / 4).as("bucket"),
-        shingleHashes3(col("tk")).as("shingles"))
+    val base = base0
+      .select(col("doc_id"), floor(col("n_tokens") / 4).as("bucket"),
+        col("shingles"))
     // asymmetric bucket join: the a-side keeps its primary bucket, the
     // b-side fans out to bucket-1/bucket/bucket+1 — every pair within
     // one bucket width meets EXACTLY once, so no distinct (and no
@@ -160,27 +203,42 @@ object DedupQueries {
     * All set subtractions are left-anti equi-joins on doc_id; the full
     * chain is DuckDB-replayed (recursive CTE + the same filters) and
     * hash-checked.
+    *
+    * ONE scan: every stage reads the [[docBase]] projection
+    * `(doc_id, lang, fp, n_tokens, shingles)`, materialized once via
+    * `localCheckpoint` (eager; block storage is ContextCleaner-managed
+    * so the blocks free when the plan is GC'd). Round 3 re-scanned and
+    * re-shingled documents in each of the four stages — that repeated
+    * base work was the flagship's entire cost and would dominate at
+    * 100 TB; now the text is read, split, hashed and shingled exactly
+    * once.
     */
   private def qCorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val base = docBase(s, dir).localCheckpoint()
+    // near-dup components over the shared projection
+    val pairs = jaccardPairsFrom(base).select(col("doc_a"), col("doc_b"))
+      .persist()
+    val (comp, _) = componentsFrom(pairs)
+    pairs.unpersist()
+    val dupDrop = comp.filter(col("component") < col("doc_id"))
+      .select("doc_id")
+    // decontamination from the same shingle column (broadcast bench side)
+    val sh = base.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val bench = sh.filter(col("doc_id") % 100 === 0).select("sh").distinct()
+    val contaminated = sh.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(bench), "sh")
+      .select("doc_id").distinct()
     val w = Window.partitionBy("fp")
-    val exactKeep = t(s, dir, "documents")
-      .withColumn("fp", md5(col("text")))
+    base
       .withColumn("keeper", min("doc_id").over(w))
       .filter(col("doc_id") === col("keeper"))
-      .drop("fp", "keeper")
-    val dupDrop = qDedupComponents(s, dir)
-      .filter(col("component") < col("doc_id"))
-      .select("doc_id")
-    val contaminated = TextQueries.defs("q_txt_decontaminate")(s, dir)
-      .select("doc_id")
-    exactKeep
       .join(dupDrop, Seq("doc_id"), "left_anti")
-      .filter(size(split(col("text"), " ")) >= 10)
+      .filter(col("n_tokens") >= 10)
       .filter(col("doc_id") % 100 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).as("total_tokens"))
+        sum(col("n_tokens")).as("total_tokens"))
       .orderBy("lang")
   }
 

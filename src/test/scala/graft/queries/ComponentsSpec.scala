@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Large-star/small-star connected components: correctness on planted
+  * graphs and the O(log n) round bound on the adversarial long-chain
+  * case that defeats plain min-label propagation (which needs
+  * graph-diameter rounds — 49 for the 50-node path below).
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(pairs: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val df = pairs.toDF("doc_a", "doc_b")
+    val (comp, rounds) = DedupQueries.componentsFrom(df)
+    val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (m, rounds)
+  }
+
+  test("50-node path graph converges in O(log n) rounds to one component") {
+    val chain = (0L until 49L).map(i => (i, i + 1))
+    val (comp, rounds) = run(chain)
+    assert(comp.size == 50)
+    assert(comp.values.toSet == Set(0L))
+    // ceil(log2 50) = 6; allow a small constant — far under the
+    // diameter bound (49 rounds) of min-label propagation
+    assert(rounds <= 9, s"expected <= 9 star rounds, got $rounds")
+  }
+
+  test("disjoint clusters keep separate min roots") {
+    // two triangles + an isolated edge, shuffled pair order
+    val pairs = Seq((12L, 10L), (10L, 11L), (11L, 12L),
+      (20L, 22L), (21L, 20L), (22L, 21L), (31L, 30L))
+    val (comp, _) = run(pairs)
+    assert(comp == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("star fixpoint is stable: a pre-contracted star converges fast") {
+    val star = (1L to 8L).map(i => (0L, i))
+    val (comp, rounds) = run(star)
+    assert(comp.values.toSet == Set(0L))
+    assert(rounds <= 2)
+  }
+
+  test("empty pair set yields empty assignment in zero rounds") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
+    val (comp, rounds) = DedupQueries.componentsFrom(empty)
+    assert(comp.isEmpty)
+    assert(rounds == 0)
+  }
+}
