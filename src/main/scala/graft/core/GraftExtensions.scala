@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{CosineSimilarity, DistinctNonzeroCount, LabelAreas, MinhashEstimate, RollingHash}
+import graft.functions.{CosineSimilarity, DistinctNonzeroCount, LabelAreas, MinhashEstimate, RollingHash, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "label_areas takes exactly 1 argument")
         LabelAreas(children.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sorted_intersect_count takes exactly 2 arguments")
+        SortedLongIntersectCount(children.head, children(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("distinct_nonzero_count"),

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: `|a ∩ b|` for two ASCENDING-SORTED,
+  * duplicate-free `array<bigint>` columns, via a single primitive
+  * merge loop in whole-stage codegen — O(|a|+|b|), zero boxing, zero
+  * intermediate collections.
+  *
+  * This is the verification kernel of the exact-Jaccard near-dup
+  * pipeline (graft.queries.DedupQueries): the candidate join emits
+  * millions of (sh_a, sh_b) shingle-set pairs, and the previous typed
+  * `Dataset.map` verify paid an encoder round-trip per pair —
+  * deserializing both arrays to `Seq[Long]` boxed ~600M longs at
+  * sf0.1. Sorting each document's shingle set ONCE at projection time
+  * (`array_sort`, n log n per doc) converts every per-pair probe into
+  * this branch-light merge. Spark's generic `array_intersect` was
+  * measured 4x slower than even the typed map (hash-set build per
+  * pair); the sorted merge beats both.
+  *
+  * Inputs MUST be sorted ascending and distinct — both guaranteed by
+  * `Q.shingleHashes3` + `array_sort` at the only call sites. Sortedness
+  * is not re-checked here (that would cost the pass this expression
+  * exists to avoid).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects array<bigint>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements(), $nb = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : Expression = copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectCount {
+  /** Column-API entry point (resolves through the function registered
+    * by graft.core.GraftExtensions — public API only).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
+}

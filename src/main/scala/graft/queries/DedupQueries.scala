@@ -34,7 +34,9 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"),
         md5(col("text")).as("fp"),
         size(col("tk")).as("n_tokens"),
-        shingleHashes3(col("tk")).as("shingles"))
+        // sorted ONCE per document (n log n) so every per-PAIR probe
+        // downstream is a primitive merge (SortedLongIntersectCount)
+        array_sort(shingleHashes3(col("tk"))).as("shingles"))
 
   /** Connected components over an undirected pair list via alternating
     * large-star / small-star contraction (Kiveris et al., "Connected
@@ -63,9 +65,9 @@ object DedupQueries {
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
     var rounds = 0
-    var done = edges.isEmpty
+    var prevCount = edges.count()
+    var done = prevCount == 0L
     while (!done && rounds < 64) {
-      val prevCount = edges.count()
       // LARGE-STAR over the symmetric view
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -88,6 +90,7 @@ object DedupQueries {
       val nextCount = next.count()
       done = nextCount == prevCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      prevCount = nextCount
       edges = next
     }
     val comp = edges
@@ -147,8 +150,6 @@ object DedupQueries {
     * checkpointed shared projection inside [[qCorpusBuild]]).
     */
   private def jaccardPairsFrom(base0: DataFrame): DataFrame = {
-    val s = base0.sparkSession
-    import s.implicits._
     // ship 64-bit shingle hashes, not strings (4x smaller shuffle
     // payload, cheaper set probes; cross-engine mismatch needs an
     // xxhash64 collision inside one compared pair, ~1e-12), built in
@@ -170,21 +171,22 @@ object DedupQueries {
     // straight off the scan with `shingles` still an unevaluated
     // expression, recomputing the shingle set for every PAIR; the
     // shuffle materializes each side's shingles exactly once per row.
+    // per-pair verify: a single primitive merge over the pre-sorted
+    // hash arrays (native codegen'd expression — the typed Dataset.map
+    // this replaces paid an encoder round-trip boxing every shingle of
+    // every candidate pair; CollapseProject won't inline the non-cheap
+    // expression, so `inter` evaluates once per surviving projection)
+    import graft.functions.SortedLongIntersectCount.sortedIntersectCount
     a.hint("SHUFFLE_MERGE").join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .as[(Long, Long, Seq[Long], Seq[Long])]
-      // one fused pass per pair (sets are already distinct): Catalyst
-      // would otherwise evaluate intersect/union once per referencing
-      // expression (inter, uni, jaccard, and both filters)
-      .map { case (da, db, sa, sb) =>
-        val setA = sa.toSet
-        var inter = 0
-        sb.foreach(x => if (setA.contains(x)) inter += 1)
-        val uni = sa.length + sb.length - inter
-        (da, db, inter, uni, if (uni > 0) inter.toDouble / uni else 0.0)
-      }
-      .toDF("doc_a", "doc_b", "inter", "uni", "jaccard")
+      .select(col("doc_a"), col("doc_b"),
+        sortedIntersectCount(col("sh_a"), col("sh_b")).as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("sum_len"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sum_len") - col("inter")).as("uni"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni"))
+          .otherwise(lit(0.0)))
       .filter(col("uni") > 0 && col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
