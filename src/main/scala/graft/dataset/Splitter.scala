@@ -66,7 +66,16 @@ object Splitter {
     var p = 0
     while (p < perm.length) { inv(perm(p)) = p; p += 1 }
     val bc = df.sparkSession.sparkContext.broadcast(inv)
-    val posOf = udf((i: Int) => bc.value(i).toLong)
+    // the documented contract is a complete 0..n-1 index column; fail
+    // loudly on null/out-of-range instead of an opaque deep-task NPE
+    // (a duplicated index would silently double-assign positions)
+    val posOf = udf((i: java.lang.Integer) => {
+      require(i != null, s"$batchIdxCol must not be null for numpy-parity shuffle")
+      val v = i.intValue()
+      require(v >= 0 && v < bc.value.length,
+        s"$batchIdxCol value $v outside 0..${bc.value.length - 1}")
+      bc.value(v).toLong
+    })
     df.withColumn(IdxCol, posOf(col(batchIdxCol).cast("int")))
   }
 

@@ -104,6 +104,11 @@ object LabelExprs {
     */
   def labelAreas(arr: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
     val n = arr.numElements()
+    // cap doubles the next power of two; past 2^29 elements that
+    // arithmetic overflows Int — fail with a real message instead of a
+    // NegativeArraySizeException (a single plane this size is ~2 GiB)
+    require(n < (1 << 29),
+      s"label_areas supports planes up to ${1 << 29} pixels, got $n")
     val cap = Integer.highestOneBit(math.max(4, n)) * 2
     val keys = new Array[Int](cap) // 0 = empty slot (0 is background anyway)
     val cnts = new Array[Int](cap)

@@ -2,6 +2,8 @@ package graft.sources.v2
 
 import graft.sources.Tiff
 import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -12,6 +14,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import java.util.concurrent.atomic.AtomicInteger
 
@@ -122,7 +125,16 @@ class TiffScanBuilder(path: String, granularity: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new TiffScan(path, granularity, pushed, required)
+  override def build(): Scan = {
+    // capture the SESSION Hadoop conf at scan-build time (driver):
+    // spark.hadoop.* settings — s3a credentials/endpoints, custom FS
+    // impls, kerberos — must reach both the planner's directory walk
+    // and the executor-side file opens; a bare `new Configuration()`
+    // only sees env defaults
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    new TiffScan(path, granularity, pushed, required,
+      new SerializableConfiguration(conf))
+  }
 }
 
 /** One planned unit: a file plus its already-parsed ontology levels. */
@@ -131,7 +143,8 @@ case class TiffInputPartition(file: String, length: Long, levels: Array[String],
     extends InputPartition
 
 class TiffScan(path: String, granularity: String, pushed: Array[Filter],
-               required: StructType) extends Scan with Batch {
+               required: StructType, hadoopConf: SerializableConfiguration)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -158,7 +171,7 @@ class TiffScan(path: String, granularity: String, pushed: Array[Filter],
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val base = new Path(path)
-    val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = base.getFileSystem(hadoopConf.value)
     var listed = 0
     def dirs(p: Path): Seq[FileStatus] = {
       listed += 1
@@ -209,19 +222,26 @@ class TiffScan(path: String, granularity: String, pushed: Array[Filter],
     parts.toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new TiffReaderFactory(granularity, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // broadcast once per scan; each executor-side reader pulls the
+    // session conf from the broadcast instead of env defaults
+    val bc = SparkSession.active.sparkContext
+      .broadcast(hadoopConf)
+    new TiffReaderFactory(granularity, required, bc)
+  }
 }
 
-class TiffReaderFactory(granularity: String, required: StructType)
+class TiffReaderFactory(granularity: String, required: StructType,
+                        hadoopConf: Broadcast[SerializableConfiguration])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TiffPartitionReader(partition.asInstanceOf[TiffInputPartition],
-      granularity, required)
+      granularity, required, hadoopConf)
 }
 
 class TiffPartitionReader(part: TiffInputPartition, granularity: String,
-                          required: StructType)
+                          required: StructType,
+                          hadoopConf: Broadcast[SerializableConfiguration])
     extends PartitionReader[InternalRow] {
 
   // levels = data_kind, dims, imaging, specimen, compartment, marker,
@@ -249,8 +269,11 @@ class TiffPartitionReader(part: TiffInputPartition, granularity: String,
         required.fieldNames.map(fileValue).asInstanceOf[Array[Any]]))
     } else {
       val needPixels = required.fieldNames.contains("pixels")
+      require(part.length <= Int.MaxValue,
+        s"TIFF file ${part.file} is ${part.length} bytes; files over 2 GiB " +
+          "are not supported by the in-memory frame decoder")
       val p = new Path(part.file)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(hadoopConf.value.value)
       val in = fs.open(p)
       val bytes = try {
         val buf = new Array[Byte](part.length.toInt)
