@@ -2,7 +2,8 @@ package graft.dataset
 
 import graft.core.ImagePlane
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
 
 /** A3 upstream: per-image detection metrics from raw (true, predicted)
   * mask pairs — the part the reference delegates to
@@ -90,4 +91,38 @@ object DetectionMetrics {
     */
   def benchmark(ds: Dataset[MaskPair], iouThreshold: Double = 0.5): DataFrame =
     Benchmarker.benchmark(score(ds, iouThreshold).toDF(), "category")
+
+  /** The A1 median-cell-size path declared for the benchmark too:
+    * per-category cell-area median over the TRUE masks' `label_areas`,
+    * exact (window rank — a per-category sort of every cell) next to
+    * its 100 TB form (`percentile_approx`, one map-side-combinable
+    * sketch pass; same mirror as q_a1_sketch_scale). The
+    * `median_within_tol` column self-checks the sketch against the
+    * exact value on the same data.
+    *
+    * Input: any DataFrame with a category column and an `array<int>`
+    * labels column (e.g. `score`'s input masks via `toDF`).
+    */
+  def cellSizeMedianSketch(df: DataFrame, categoryCol: String = "category",
+                           labelsCol: String = "trueLabels",
+                           accuracy: Int = 10000): DataFrame = {
+    val areas = df.select(col(categoryCol).as("category"),
+      explode(map_values(call_function("label_areas", col(labelsCol))))
+        .as("area"))
+    val w = Window.partitionBy("category").orderBy("area")
+    val exact = areas
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("category")))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+              col("rn") === floor((col("cnt") + 2) / 2))
+      .groupBy("category").agg(avg("area").as("exact_median"))
+    areas.groupBy("category")
+      .agg(percentile_approx(col("area"), lit(0.5), lit(accuracy))
+             .cast("double").as("approx_median"),
+           count(lit(1)).as("n_cells"))
+      .join(exact, Seq("category"))
+      .withColumn("median_within_tol",
+        abs(col("approx_median") - col("exact_median")) <=
+          col("exact_median") * 0.05 + lit(1.0))
+  }
 }

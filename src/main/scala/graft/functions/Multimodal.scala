@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
@@ -14,11 +15,13 @@ import javax.imageio.ImageIO
   * GIF/WBMP out of the box (the same toolkit `sources/Tiff.scala` uses
   * for the reference TIFFs), and features — luminance histogram,
   * pixel entropy, bilinear thumbnail via `ops.ImageResize` — come from
-  * decoded pixels. Blobs ImageIO does not recognize (audio, video,
-  * arbitrary bytes) fall back to the deterministic byte-level featurizer
-  * `stubDecode`, which keeps the pipeline shape (fixed-size feature
-  * vectors out of variable-size blobs) faithful until a real
-  * audio/video codec is plugged in.
+  * decoded pixels. The AUDIO path is real too: the JDK's sampled-sound
+  * stack decodes WAV/AIFF/AU PCM ([[decodeAudio]]) and features — RMS,
+  * zero-crossing count, amplitude histogram — come from the samples.
+  * Only blobs with neither reader (video containers, arbitrary bytes)
+  * fall back to the deterministic byte-level featurizer `stubDecode`,
+  * which keeps the pipeline shape (fixed-size feature vectors out of
+  * variable-size blobs) faithful until a video codec is plugged in.
   */
 object Multimodal {
 
@@ -118,8 +121,123 @@ object Multimodal {
     hist
   }
 
+  /** Real audio decode via the JDK's sampled-sound stack (WAV/AIFF/AU
+    * ship with the JVM — the same no-external-deps argument as the
+    * ImageIO image path). Any PCM variant the stream reports (8/16-bit,
+    * signed/unsigned, either endianness, any channel count) is
+    * converted by AudioSystem to 16-bit signed PCM, then folded to a
+    * mono float signal in [-1, 1] by averaging channels. Returns
+    * (sampleRate, channels, samples); None for blobs with no audio
+    * reader (video containers, arbitrary bytes).
+    */
+  def decodeAudio(content: Array[Byte]): Option[(Float, Int, Array[Float])] = {
+    if (content == null || content.isEmpty) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+          fmt.getSampleRate, false)
+        val pcm = if (fmt.matches(target)) in
+                  else AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val ch = target.getChannels
+        val nFrames = bytes.length / (2 * ch)
+        val mono = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0f
+          var c = 0
+          while (c < ch) {
+            val idx = (f * ch + c) * 2
+            val lo = bytes(idx) & 0xff
+            val hi = bytes(idx + 1).toInt // sign-carrying high byte
+            acc += ((hi << 8) | lo) / 32768f
+            c += 1
+          }
+          mono(f) = acc / ch
+          f += 1
+        }
+        Some((fmt.getSampleRate, fmt.getChannels, mono))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode a mono float signal in [-1, 1] as 16-bit PCM WAV —
+    * [[decodeAudio]] recovers the samples up to one quantization step
+    * (1/32768). Test-fixture and demo-query helper.
+    */
+  def encodePcm16Wav(samples: Array[Float], sampleRate: Float): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-1f, math.min(1f, samples(i)))
+      val s = math.round(v * 32767f).toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+      16, 1, 2, sampleRate, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt,
+      samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+    bos.toByteArray
+  }
+
+  /** 16-bin amplitude histogram over [-1, 1]. */
+  def amplitudeHistogram(samples: Array[Float]): Array[Long] = {
+    val hist = new Array[Long](16)
+    samples.foreach { v =>
+      val bin = ((v + 1f) / 2f * 16f).toInt
+      hist(math.min(15, math.max(0, bin))) += 1
+    }
+    hist
+  }
+
+  /** Sample-level audio features. `zeroCrossings` counts strict sign
+    * changes between consecutive samples (exact-zero samples carry the
+    * previous sign, so a synthesized k-cycle sine yields exactly 2k).
+    */
+  case class AudioFeatures(id: Long, modality: String, sampleRate: Float,
+                           nChannels: Int, nSamples: Long, rms: Double,
+                           zeroCrossings: Long, histogram: Seq[Long])
+
+  /** Batch audio feature extraction (mapPartitions — decoder state
+    * amortizes per partition, one fixed-size row per decodable blob).
+    * Blobs without an audio reader are DROPPED, not faked: the byte
+    * fallback now covers only the video path ([[sampleFrames]]).
+    */
+  def extractAudioFeatures(ds: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { row =>
+        decodeAudio(row.content).map { case (rate, ch, mono) =>
+          var sumSq = 0.0
+          var crossings = 0L
+          var prevSign = 0
+          var i = 0
+          while (i < mono.length) {
+            val v = mono(i)
+            sumSq += v.toDouble * v
+            val sign = if (v > 0f) 1 else if (v < 0f) -1 else prevSign
+            if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
+            if (sign != 0) prevSign = sign
+            i += 1
+          }
+          val rms = if (mono.isEmpty) 0.0 else math.sqrt(sumSq / mono.length)
+          AudioFeatures(row.id, row.meta.modality, rate, ch,
+            mono.length.toLong, rms, crossings,
+            amplitudeHistogram(mono).toSeq)
+        }
+      }
+    }
+  }
+
   /** Byte-level fallback featurizer for modalities without an in-JVM
-    * decoder (audio/video containers, unrecognized blobs): 16-bin byte
+    * decoder (video containers, unrecognized blobs): 16-bin byte
     * histogram + 8-float byte "thumbnail", deterministic, so the
     * pipeline shape stays faithful where the codec is not yet real.
     */

@@ -98,8 +98,32 @@ object ImageQueries {
       .orderBy("fov", "stack")
   }
 
+  /** A3 scale twin: per-category cell-size median, exact window rank
+    * vs the percentile_approx sketch over native `label_areas`, on
+    * deterministic mixed-size grid masks (3 planes of area-100 cells +
+    * 1 of area-400 per category, so the exact median is 100 and the
+    * self-check is sharp).
+    */
+  private def qA3CellsizeSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cats = Seq("fluo", "mibi", "phase")
+    val masks = cats.flatMap { cat =>
+      val small = ImagePlane.blankPlanes(3, 1, 60, 60)
+        .map(ImagePlane.gridLabels(_, cellSize = 10))
+      val large = ImagePlane.blankPlanes(1, 1, 60, 60)
+        .map(ImagePlane.gridLabels(_, cellSize = 20))
+      (small ++ large).map(p => (cat, p.labels))
+    }
+    graft.dataset.DetectionMetrics.cellSizeMedianSketch(
+        masks.toDF("category", "trueLabels"))
+      .select(col("category"), col("n_cells"), col("approx_median"),
+        col("exact_median"), col("median_within_tol"))
+      .orderBy("category")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_img_adjust" -> qImgAdjust _,
+    "q_a3_cellsize_sketch" -> qA3CellsizeSketch _,
     "q_img_crop_roundtrip" -> qImgCropRoundtrip _,
     "q_img_slice_roundtrip" -> qImgSliceRoundtrip _,
     "q_img_relabel_chain" -> qImgRelabelChain _,

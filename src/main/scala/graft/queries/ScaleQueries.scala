@@ -25,6 +25,34 @@ object ScaleQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** LSH recall gate: the MinHash-LSH candidate generator measured
+    * against the ORACLE-verified exact-Jaccard pair set (>= 0.5), as a
+    * driver-visible number instead of spec-only assurance. One row:
+    * exact pair count, LSH candidate count, hits, recall, and the
+    * self-check `recall_ok` (>= 0.9; at the planted near-dup
+    * similarities 32 bands x 4 rows puts collision probability near 1,
+    * so missing pairs would flag a broken signature/banding pipeline).
+    * Both sides are the REGISTERED pipelines — any change to either
+    * shows up here as a recall drop in CORRECTNESS output.
+    */
+  private def qDedupLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = DedupQueries.defs("q_dedup_jaccard_pairs")(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val sigs = Dedup.withMinhash(t(s, dir, "documents"), "text",
+      numHashes = 128, shingleWidth = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 32,
+      minEstimate = 0.05)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val nExact = exact.count()
+    val nHits = hits.count()
+    val nCand = cand.count()
+    import s.implicits._
+    val recall = if (nExact == 0) 1.0 else nHits.toDouble / nExact
+    Seq((nExact, nCand, nHits, recall, recall >= 0.9))
+      .toDF("n_exact", "n_candidates", "n_hits", "recall", "recall_ok")
+  }
+
   /** SimHash signatures + near-dup pairs within hamming 8. */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -118,6 +146,38 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL audio decode end-to-end: each document synthesizes a
+    * deterministic k-cycle sine (k = 4 + doc_id % 8, amplitude 0.5,
+    * phase 0.1 so no sample lands exactly on zero), encodes it as
+    * 16-bit PCM WAV, and the extractor decodes it back through the
+    * JDK's sampled-sound stack. In-row self-checks are EXACT up to
+    * quantization: an integer-cycle sine over N samples has
+    * RMS = A/sqrt(2) by discrete orthogonality (rms_ok within 1e-3 of
+    * the 16-bit step) and exactly 2k sign changes (zcr_ok equality).
+    */
+  private def qMmAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 2048
+    val rate = 8000f
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val k = 4 + (id % 8).toInt
+        val samples = Array.tabulate(n)(i =>
+          (0.5 * math.sin(2 * math.Pi * k * i / n + 0.1)).toFloat)
+        (id, k, Multimodal.encodePcm16Wav(samples, rate))
+      }.toDF("doc_id", "k_cycles", "wav")
+    val media = Multimodal.asMedia(src, "doc_id", "wav", "audio/wav")
+      .as[Multimodal.MediaRow]
+    Multimodal.extractAudioFeatures(media).toDF()
+      .join(src.select(col("doc_id").as("id"), col("k_cycles")), Seq("id"))
+      .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
+        col("nSamples").as("n_samples"), round(col("rms"), 6).as("rms"),
+        col("zeroCrossings").as("n_zero_cross"),
+        (abs(col("rms") - lit(0.5 / math.sqrt(2))) < 1e-3).as("rms_ok"),
+        (col("zeroCrossings") === col("k_cycles") * 2).as("zcr_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Frame-sampling plumbing (video modality): chunked stub frames,
     * every 2nd decoded, per-doc census. Narrow fan-out, no shuffle
     * until the final rollup.
@@ -160,11 +220,13 @@ object ScaleQueries {
   val defs: Map[String, QueryFn] = Map(
     "q_stream_sessionize" -> qStreamSessionize _,
     "q_dedup_minhash_pairs" -> qDedupMinhash _,
+    "q_dedup_lsh_recall" -> qDedupLshRecall _,
     "q_dedup_simhash_pairs" -> qDedupSimhash _,
     "q_sim_ann_lsh" -> qSimAnnLsh _,
     "q_sim_ann_ivf" -> qSimAnnIvf _,
     "q_mm_features" -> qMmFeatures _,
     "q_mm_decode" -> qMmDecode _,
+    "q_mm_audio" -> qMmAudio _,
     "q_mm_frames" -> qMmFrames _,
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_dedup" -> qStreamDedup _,

@@ -41,6 +41,32 @@ class DetectionMetricsSpec extends SparkSpec {
     assert(math.abs(out("all").getAs[Double]("recall") - 2.0 / 3) < 1e-12)
   }
 
+  test("cellSizeMedianSketch: sketch matches exact window median") {
+    import spark.implicits._
+    // odd counts so the exact rank-median is an element the sketch
+    // can return exactly: cat A areas 1,2,3,4,100 -> 3; cat B areas
+    // 2,2,8,8,8 -> 8
+    def mask(areas: Seq[Int]): Array[Int] = {
+      val out = Array.fill(areas.sum)(0)
+      var pos = 0
+      areas.zipWithIndex.foreach { case (a, i) =>
+        (0 until a).foreach { k => out(pos + k) = i + 1 }; pos += a
+      }
+      out
+    }
+    val df = Seq(
+      ("A", mask(Seq(1, 2, 3))), ("A", mask(Seq(4, 100))),
+      ("B", mask(Seq(2, 8))), ("B", mask(Seq(8, 2, 8)))).toDF("category", "trueLabels")
+    val out = DetectionMetrics.cellSizeMedianSketch(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("n_cells") == 5)
+    assert(out("A").getAs[Double]("exact_median") == 3.0)
+    assert(out("A").getAs[Double]("approx_median") == 3.0)
+    assert(out("B").getAs[Double]("exact_median") == 8.0)
+    assert(out("B").getAs[Double]("approx_median") == 8.0)
+    assert(out.values.forall(_.getAs[Boolean]("median_within_tol")))
+  }
+
   test("JaccardAggregator: map-side combine over mask pairs") {
     import spark.implicits._
     val agg = new DetectionMetrics.JaccardAggregator().toColumn

@@ -90,6 +90,64 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.byteEntropy >= 0.0))
   }
 
+  test("WAV round-trip: encode 16-bit PCM, decode recovers samples") {
+    val samples = Array.tabulate(1000)(i =>
+      (0.7 * math.sin(2 * math.Pi * 5 * i / 1000 + 0.1)).toFloat)
+    val wav = Multimodal.encodePcm16Wav(samples, 8000f)
+    val Some((rate, ch, decoded)) = Multimodal.decodeAudio(wav)
+    assert(rate == 8000f && ch == 1)
+    assert(decoded.length == samples.length)
+    // 16-bit quantization: one step is 1/32768
+    val maxErr = samples.zip(decoded).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 1.5f / 32768f, s"max quantization error $maxErr")
+  }
+
+  test("extractAudioFeatures: integer-cycle sine has exact RMS and ZCR") {
+    import spark.implicits._
+    val n = 2048
+    val k = 7
+    val samples = Array.tabulate(n)(i =>
+      (0.5 * math.sin(2 * math.Pi * k * i / n + 0.1)).toFloat)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.MediaMeta("audio/wav", 0),
+        Multimodal.encodePcm16Wav(samples, 16000f)),
+      // not audio: must be dropped, not faked
+      Multimodal.MediaRow(2L, Multimodal.MediaMeta("text/fake", 0),
+        "not a wav".getBytes("UTF-8")))
+    val out = Multimodal.extractAudioFeatures(spark.createDataset(rows)).collect()
+    assert(out.map(_.id).toSeq == Seq(1L))
+    val f = out.head
+    assert(f.sampleRate == 16000f && f.nSamples == n)
+    // discrete orthogonality: RMS of an integer-cycle sine = A/sqrt(2)
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 1e-3, s"rms=${f.rms}")
+    assert(f.zeroCrossings == 2L * k, s"zcr=${f.zeroCrossings}")
+    assert(f.histogram.sum == n)
+    // amplitude 0.5 never reaches the outer bins
+    assert(f.histogram.take(3).sum == 0 && f.histogram.takeRight(3).sum == 0)
+  }
+
+  test("decodeAudio: stereo folds to mono by channel average") {
+    // hand-build a 2-channel WAV via AudioSystem with L = -R: mono fold = 0
+    val nFrames = 64
+    val bytes = new Array[Byte](nFrames * 4)
+    (0 until nFrames).foreach { i =>
+      val v = (math.sin(2 * math.Pi * i / nFrames) * 16384).toInt.toShort
+      bytes(4 * i) = (v & 0xff).toByte; bytes(4 * i + 1) = ((v >> 8) & 0xff).toByte
+      val w = (-v).toShort
+      bytes(4 * i + 2) = (w & 0xff).toByte; bytes(4 * i + 3) = ((w >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 2, 4, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, ch, mono)) = Multimodal.decodeAudio(bos.toByteArray)
+    assert(rate == 8000f && ch == 2 && mono.length == nFrames)
+    assert(mono.forall(v => math.abs(v) < 1f / 32768f), "L=-R folds to silence")
+  }
+
   test("resizeThumbnails resamples to the target size, endpoint-exact") {
     import spark.implicits._
     val f = Multimodal.MediaFeatures(1L, "image/fake", 8, 0.0,
