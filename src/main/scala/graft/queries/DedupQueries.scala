@@ -158,27 +158,46 @@ object DedupQueries {
     val base = base0
       .select(col("doc_id"), floor(col("n_tokens") / 4).as("bucket"),
         col("shingles"))
-    // asymmetric bucket join: the a-side keeps its primary bucket, the
-    // b-side fans out to bucket-1/bucket/bucket+1 — every pair within
-    // one bucket width meets EXACTLY once, so no distinct (and no
-    // shuffle of the shingle payload to dedupe) is needed
+    // AllPairs-style PREFIX FILTERING (Bayardo, Ma & Srikant, "Scaling
+    // Up All Pairs Similarity Search", WWW '07) on top of the
+    // length-bucket blocking that defines the operator's semantics: a
+    // pair with Jaccard >= t shares at least one hash in each side's
+    // prefix of length |s| - ceil(t*|s|) + 1 of its SORTED shingle set
+    // (pigeonhole: J >= t forces >= ceil(t*|s|) shared elements, which
+    // cannot all hide in the ceil(t*|s|) - 1 suffix positions). The
+    // join key is (bucket, prefix hash) instead of the bucket alone:
+    // candidates shrink from "every length-peer pair" — quadratic in
+    // bucket occupancy, ~100x when the corpus grows 10x — to pairs
+    // genuinely sharing a shingle, which grows ~linearly. Lossless for
+    // t = 0.5, so the DuckDB oracle (which replays the plain bucket
+    // join) hash-matches unchanged.
+    val prefix = slice(col("shingles"), lit(1),
+      greatest(size(col("shingles"))
+        - ceil(size(col("shingles")) * lit(0.5)).cast("int") + 1, lit(0)))
     val a = base.select(col("doc_id").as("doc_a"), col("bucket"),
-                        col("shingles").as("sh_a"))
+      explode(prefix).as("ph"))
+    // asymmetric bucket fan-out: the a-side keeps its primary bucket,
+    // the b-side fans to bucket-1/bucket/bucket+1, so a pair meets
+    // only within one bucket width (part of the operator's semantics)
     val b = base
       .withColumn("bucket", explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
-      .select(col("doc_id").as("doc_b"), col("bucket"), col("shingles").as("sh_b"))
-    // SHUFFLE_MERGE hint: a broadcast join here would stream the a-side
-    // straight off the scan with `shingles` still an unevaluated
-    // expression, recomputing the shingle set for every PAIR; the
-    // shuffle materializes each side's shingles exactly once per row.
+      .select(col("doc_id").as("doc_b"), col("bucket"), explode(prefix).as("ph"))
+    // a pair sharing several prefix hashes meets several times: the
+    // id-only distinct dedups BEFORE the payload joins, so shingle
+    // arrays shuffle once per doc, never once per candidate
+    val cand = a.join(b, Seq("bucket", "ph"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
     // per-pair verify: a single primitive merge over the pre-sorted
     // hash arrays (native codegen'd expression — the typed Dataset.map
     // this replaces paid an encoder round-trip boxing every shingle of
     // every candidate pair; CollapseProject won't inline the non-cheap
     // expression, so `inter` evaluates once per surviving projection)
     import graft.functions.SortedLongIntersectCount.sortedIntersectCount
-    a.hint("SHUFFLE_MERGE").join(b, Seq("bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         sortedIntersectCount(col("sh_a"), col("sh_b")).as("inter"),
         (size(col("sh_a")) + size(col("sh_b"))).as("sum_len"))
