@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{CosineSimilarity, DistinctNonzeroCount, LabelAreas, MinhashEstimate, RollingHash, SortedLongIntersectCount}
+import graft.functions.{CosineSimilarity, DistinctNonzeroCount, LabelAreas, MinhashEstimate, MinhashSignature, RollingHash, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,6 +45,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "label_areas takes exactly 1 argument")
         LabelAreas(children.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "minhash_sig takes (shingle_hashes, numHashes, seed); numHashes/seed literals")
+        def asLong(e: Expression): Long = e.eval() match {
+          case n: java.lang.Number => n.longValue()
+          case other => sys.error(s"minhash_sig parameter must be a literal, got $other")
+        }
+        MinhashSignature(children.head, asLong(children(1)).toInt, asLong(children(2)))
       }))
     e.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),

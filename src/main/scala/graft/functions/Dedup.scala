@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val Prime = 2038074743L // large prime < 2^31 * ~0.95
+  private val Prime = MinhashSignature.Prime
 
   /** Deterministic per-index universal hash params (seeded). */
   private def hashParams(k: Int, seed: Long): Array[(Long, Long)] = {
@@ -27,7 +27,34 @@ object Dedup {
     Array.fill(k)((1 + rng.nextLong(Prime - 1), rng.nextLong(Prime)))
   }
 
-  /** MinHash signature of one token sequence (w-shingles). */
+  /** Codegen'd distinct w-shingle xxhash64 column over a token-array
+    * column — the generic-width form of graft.queries.Q.shingleHashes3
+    * (same zip-of-shifted-slices shape, so the token split is never
+    * re-inlined per shingle element; see Q's scaladoc for the measured
+    * pathology).
+    */
+  def shingleHashCol(tk: Column, width: Int): Column = {
+    require(width >= 1, s"bad shingle width $width")
+    val n = size(tk)
+    val cnt = n - (width - 1)
+    val shingle =
+      if (width == 1) transform(tk, t => xxhash64(t))
+      else {
+        val zipped = arrays_zip((0 until width).map(i => slice(tk, lit(i + 1), cnt)): _*)
+        transform(zipped, s =>
+          xxhash64(concat_ws(" ", (0 until width).map(i => s.getField(i.toString)): _*)))
+      }
+    when(n >= width, array_distinct(shingle))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** MinHash signature of one token sequence (w-shingles). Driver-side
+    * twin of the in-plan path (`shingleHashCol` -> the native
+    * `minhash_sig` expression): shingle strings are hashed with the
+    * same xxhash64 (seed 42, Spark's built-in) and folded through the
+    * same universal hash family, so signatures agree bit-for-bit with
+    * `withMinhash` (spec-asserted).
+    */
   def minhashSignature(tokens: Seq[String], numHashes: Int, shingleWidth: Int,
                        seed: Long = 7L): Array[Long] = {
     val params = hashParams(numHashes, seed)
@@ -36,10 +63,9 @@ object Dedup {
       var i = 0
       while (i <= tokens.length - shingleWidth) {
         val shingle = tokens.slice(i, i + shingleWidth).mkString(" ")
-        // stable 64->31 bit content hash (not String.hashCode: too many collisions)
-        var h = 1125899906842597L
-        var j = 0
-        while (j < shingle.length) { h = 31 * h + shingle.charAt(j); j += 1 }
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(shingle)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
         val x = java.lang.Math.floorMod(h, Prime)
         var f = 0
         while (f < numHashes) {
@@ -62,13 +88,15 @@ object Dedup {
     eq.toDouble / a.length
   }
 
-  /** Add a `minhash` signature column to (idCol, textCol) rows. */
+  /** Add a `minhash` signature column to (idCol, textCol) rows —
+    * entirely in-plan: codegen'd shingle hashing ([[shingleHashCol]])
+    * into the native `minhash_sig` expression. No UDF, no per-row
+    * encoder round trip; the text is split once per row.
+    */
   def withMinhash(df: DataFrame, textCol: String, numHashes: Int = 128,
-                  shingleWidth: Int = 3, seed: Long = 7L): DataFrame = {
-    val mh = udf((text: String) =>
-      minhashSignature(text.split(" ").toSeq, numHashes, shingleWidth, seed))
-    df.withColumn("minhash", mh(col(textCol)))
-  }
+                  shingleWidth: Int = 3, seed: Long = 7L): DataFrame =
+    df.withColumn("minhash", MinhashSignature.minhashSig(
+      shingleHashCol(split(col(textCol), " "), shingleWidth), numHashes, seed))
 
   /** LSH candidate pairs: explode into bands, equi-join on band bucket,
     * estimate jaccard from full signatures, threshold.
@@ -84,31 +112,29 @@ object Dedup {
                         bands: Int = 16, minEstimate: Double = 0.5): DataFrame = {
     val numHashes = 128
     val r = numHashes / bands
-    val bandHash = udf((sig: Seq[Long], band: Int) =>
-      sig.slice(band * r, (band + 1) * r).hashCode().toLong)
+    // bucket = codegen'd xxhash64 of the band's signature slice (the
+    // band-hash UDF this replaces boxed every signature per banded row)
     val banded = df
       .select(col(idCol), col("minhash"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("bucket", bandHash(col("minhash"), col("band")))
+      .withColumn("bucket",
+        xxhash64(slice(col("minhash"), col("band") * r + 1, lit(r))))
     val a = banded.select(col(idCol).as("id_a"), col("minhash").as("mh_a"),
       col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("minhash").as("mh_b"),
       col("band"), col("bucket"))
-    // same slice hash as the join key, so "first matching band" agrees
-    // with the bands the join actually matched (collisions included)
-    val firstBand = udf((x: Seq[Long], y: Seq[Long]) => {
-      var band = 0
-      var found = -1
-      while (band < bands && found < 0) {
-        if (x.slice(band * r, (band + 1) * r).hashCode() ==
-            y.slice(band * r, (band + 1) * r).hashCode()) found = band
-        band += 1
-      }
-      found
-    })
+    // first matching band by SLICE equality (built-in array ==, all
+    // codegen): a pair whose slices are equal at band i certainly
+    // joined at band i (equal slices => equal buckets), so the filter
+    // emits each real pair exactly once and additionally drops pure
+    // xxhash64-collision join rows
+    val firstBand = (0 until bands).foldRight(lit(-1): Column) { (i, rest) =>
+      when(slice(col("mh_a"), i * r + 1, r) === slice(col("mh_b"), i * r + 1, r),
+        lit(i)).otherwise(rest)
+    }
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("band") === firstBand(col("mh_a"), col("mh_b")))
+      .filter(col("band") === firstBand)
       // native codegen'd expression — no per-pair ArrayData->Seq UDF cost
       .withColumn("est_jaccard", MinhashEstimate.minhashEst(col("mh_a"), col("mh_b")))
       .filter(col("est_jaccard") >= minEstimate)
@@ -141,31 +167,24 @@ object Dedup {
     require(saltBuckets >= 1, s"bad saltBuckets $saltBuckets")
     val numHashes = 128
     val r = numHashes / bands
-    val bandHash = udf((sig: Seq[Long], band: Int) =>
-      sig.slice(band * r, (band + 1) * r).hashCode().toLong)
     val banded = df
       .select(col(idCol), col("minhash"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("bucket", bandHash(col("minhash"), col("band")))
+      .withColumn("bucket",
+        xxhash64(slice(col("minhash"), col("band") * r + 1, lit(r))))
     val a = banded.select(col(idCol).as("id_a"), col("minhash").as("mh_a"),
       col("band"), col("bucket"))
       .withColumn("salt", pmod(xxhash64(col("id_a")), lit(saltBuckets)).cast("int"))
     val b = banded.select(col(idCol).as("id_b"), col("minhash").as("mh_b"),
       col("band"), col("bucket"))
       .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
-    val firstBand = udf((x: Seq[Long], y: Seq[Long]) => {
-      var band = 0
-      var found = -1
-      while (band < bands && found < 0) {
-        if (x.slice(band * r, (band + 1) * r).hashCode() ==
-            y.slice(band * r, (band + 1) * r).hashCode()) found = band
-        band += 1
-      }
-      found
-    })
+    val firstBand = (0 until bands).foldRight(lit(-1): Column) { (i, rest) =>
+      when(slice(col("mh_a"), i * r + 1, r) === slice(col("mh_b"), i * r + 1, r),
+        lit(i)).otherwise(rest)
+    }
     a.join(b, Seq("band", "bucket", "salt"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("band") === firstBand(col("mh_a"), col("mh_b")))
+      .filter(col("band") === firstBand)
       .withColumn("est_jaccard", MinhashEstimate.minhashEst(col("mh_a"), col("mh_b")))
       .filter(col("est_jaccard") >= minEstimate)
       .select("id_a", "id_b", "est_jaccard")

@@ -20,6 +20,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.estimateJaccard(a, c) < 0.1)
   }
 
+  test("scala-helper signature agrees bit-for-bit with the in-plan path") {
+    import spark.implicits._
+    val texts = Seq(base.mkString(" "), "tiny doc", // shorter than width
+      "alpha beta gamma delta epsilon zeta")
+    val fromPlan = Dedup.withMinhash(texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t) }.toDF("id", "text"), "text", numHashes = 64)
+      .orderBy("id").select("minhash").collect()
+      .map(_.getSeq[Long](0).toArray)
+    texts.zip(fromPlan).foreach { case (t, sig) =>
+      val helper = Dedup.minhashSignature(t.split(" ").toSeq, 64, 3)
+      assert(helper.toSeq == sig.toSeq, s"mismatch for '$t'")
+    }
+  }
+
   test("LSH banding finds planted near-duplicates") {
     import spark.implicits._
     val doc = base.mkString(" ")
