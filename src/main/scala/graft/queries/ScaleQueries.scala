@@ -36,17 +36,22 @@ object ScaleQueries {
     * shows up here as a recall drop in CORRECTNESS output.
     */
   private def qDedupLshRecall(s: SparkSession, dir: String): DataFrame = {
+    // both pipelines persist: the three counts below would otherwise
+    // recompute each lineage twice (hits reads both)
     val exact = DedupQueries.defs("q_dedup_jaccard_pairs")(s, dir)
       .select(col("doc_a"), col("doc_b"))
+      .persist()
     val sigs = Dedup.withMinhash(t(s, dir, "documents"), "text",
       numHashes = 128, shingleWidth = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 32,
       minEstimate = 0.05)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .persist()
     val nExact = exact.count()
-    val nHits = hits.count()
+    val nHits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
     val nCand = cand.count()
+    exact.unpersist()
+    cand.unpersist()
     import s.implicits._
     val recall = if (nExact == 0) 1.0 else nHits.toDouble / nExact
     Seq((nExact, nCand, nHits, recall, recall >= 0.9))
