@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{CosineSimilarity, DistinctNonzeroCount, LabelAreas, MinhashEstimate, MinhashSignature, RollingHash, SortedLongIntersectCount}
+import graft.functions.{CosineSimilarity, DistinctNonzeroCount, LabelAreas, MinhashEstimate, MinhashSignature, RollingHash, SimhashExpr, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "label_areas takes exactly 1 argument")
         LabelAreas(children.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64 takes exactly 1 argument")
+        SimhashExpr(children.head)
       }))
     e.injectFunction((
       new FunctionIdentifier("minhash_sig"),

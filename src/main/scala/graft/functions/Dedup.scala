@@ -191,14 +191,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash of a token sequence (Charikar '02, public
-    * algorithm): per-token stable hash, bitwise majority vote.
+    * algorithm): per-token xxhash64, bitwise majority vote.
+    * Driver-side twin of the native `simhash64` expression — same
+    * token hash (Spark's XXH64, seed 42), so values agree bit-for-bit
+    * with [[withSimhash]] (spec-asserted).
     */
   def simhash(tokens: Seq[String]): Long = {
     val votes = new Array[Int](64)
     tokens.foreach { t =>
-      var h = -3750763034362895579L // FNV-1a 64
-      var j = 0
-      while (j < t.length) { h ^= t.charAt(j); h *= 1099511628211L; j += 1 }
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
@@ -211,10 +214,12 @@ object Dedup {
     out
   }
 
-  def withSimhash(df: DataFrame, textCol: String): DataFrame = {
-    val sh = udf((text: String) => simhash(text.split(" ").toSeq))
-    df.withColumn("simhash", sh(col(textCol)))
-  }
+  /** Add a `simhash` column — entirely in-plan via the native
+    * `simhash64` expression over the codegen'd token split; no UDF.
+    */
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash",
+      SimhashExpr.simhash64(split(col(textCol), " ")))
 
   /** SimHash near-dup pairs: block on the 4 x 16-bit chunks (any pair
     * within hamming distance <= 3-per-chunk must share a chunk at

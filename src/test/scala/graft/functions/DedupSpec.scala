@@ -20,6 +20,17 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.estimateJaccard(a, c) < 0.1)
   }
 
+  test("scala-helper simhash agrees bit-for-bit with the in-plan path") {
+    import spark.implicits._
+    val texts = Seq(base.mkString(" "), "one", "alpha beta gamma")
+    val fromPlan = Dedup.withSimhash(texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t) }.toDF("id", "text"), "text")
+      .orderBy("id").select("simhash").collect().map(_.getLong(0))
+    texts.zip(fromPlan).foreach { case (t, sh) =>
+      assert(Dedup.simhash(t.split(" ").toSeq) == sh, s"mismatch for '$t'")
+    }
+  }
+
   test("scala-helper signature agrees bit-for-bit with the in-plan path") {
     import spark.implicits._
     val texts = Seq(base.mkString(" "), "tiny doc", // shorter than width
