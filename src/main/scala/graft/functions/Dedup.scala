@@ -101,44 +101,49 @@ object Dedup {
   /** LSH candidate pairs: explode into bands, equi-join on band bucket,
     * estimate jaccard from full signatures, threshold.
     *
-    * A pair can collide in several bands; instead of `.distinct()`
-    * (which would shuffle both 128-long signatures once per colliding
-    * band) each pair is emitted only from its FIRST matching band — a
-    * narrow filter computable from the two signatures already present
-    * on the joined row. The only shuffle in the whole pipeline is the
-    * banding equi-join itself.
+    * The banding join carries IDS ONLY: banded rows are
+    * (id, band, bucket) — 24 bytes — never the 128-long signature
+    * (1 KB per banded row; at 10x corpus that payload was the
+    * pipeline's dominant shuffle). A pair colliding in several bands
+    * dedups with an id-only `distinct`, then the two signature
+    * payloads join back by id — each signature shuffles once per DOC,
+    * not once per banded row or matching band. The signature
+    * projection persists for its three readers (both banding sides +
+    * the payload joins) and unpersists before returning (the returned
+    * plan reads only checkpoint-free lineage, so downstream execution
+    * recomputes nothing).
+    *
+    * Bucket = codegen'd xxhash64 of the band's signature slice; a pure
+    * 64-bit bucket collision can admit a candidate the old
+    * slice-equality filter rejected, but it must still pass the
+    * signature-estimate threshold, so the output is collision-robust.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String,
                         bands: Int = 16, minEstimate: Double = 0.5): DataFrame = {
     val numHashes = 128
     val r = numHashes / bands
-    // bucket = codegen'd xxhash64 of the band's signature slice (the
-    // band-hash UDF this replaces boxed every signature per banded row)
-    val banded = df
-      .select(col(idCol), col("minhash"))
+    val sigs = df.select(col(idCol), col("minhash")).persist()
+    val banded = sigs
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket",
         xxhash64(slice(col("minhash"), col("band") * r + 1, lit(r))))
-    val a = banded.select(col(idCol).as("id_a"), col("minhash").as("mh_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("minhash").as("mh_b"),
-      col("band"), col("bucket"))
-    // first matching band by SLICE equality (built-in array ==, all
-    // codegen): a pair whose slices are equal at band i certainly
-    // joined at band i (equal slices => equal buckets), so the filter
-    // emits each real pair exactly once and additionally drops pure
-    // xxhash64-collision join rows
-    val firstBand = (0 until bands).foldRight(lit(-1): Column) { (i, rest) =>
-      when(slice(col("mh_a"), i * r + 1, r) === slice(col("mh_b"), i * r + 1, r),
-        lit(i)).otherwise(rest)
-    }
-    a.join(b, Seq("band", "bucket"))
+      .select(col(idCol), col("band"), col("bucket"))
+    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("band") === firstBand)
+      .select("id_a", "id_b")
+      .distinct()
+    val out = cand
+      .join(sigs.select(col(idCol).as("id_a"), col("minhash").as("mh_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("minhash").as("mh_b")), "id_b")
       // native codegen'd expression — no per-pair ArrayData->Seq UDF cost
       .withColumn("est_jaccard", MinhashEstimate.minhashEst(col("mh_a"), col("mh_b")))
       .filter(col("est_jaccard") >= minEstimate)
       .select("id_a", "id_b", "est_jaccard")
+      .localCheckpoint()
+    sigs.unpersist()
+    out
   }
 
   /** Skew-hardened LSH candidate pairs — same results as
@@ -152,8 +157,8 @@ object Dedup {
     * hashes its id into a salt, the RIGHT side replicates one row per
     * salt value, and the join key becomes (band, bucket, salt). Every
     * (a, b) pair still meets EXACTLY once per matching band — in the
-    * partition owned by a's salt — so the first-matching-band emission
-    * and the estimate threshold are unchanged; the N^2 pair work of a
+    * partition owned by a's salt — so the id-only distinct and the
+    * estimate threshold behave as in the unsalted form; the N^2 pair work of a
     * hot bucket now spreads across `saltBuckets` tasks, and the left
     * side's max per-key row count drops by that factor. Cost: the
     * right side's rows replicate saltBuckets times (bounded, chosen at
@@ -167,27 +172,29 @@ object Dedup {
     require(saltBuckets >= 1, s"bad saltBuckets $saltBuckets")
     val numHashes = 128
     val r = numHashes / bands
-    val banded = df
-      .select(col(idCol), col("minhash"))
+    val sigs = df.select(col(idCol), col("minhash")).persist()
+    val banded = sigs
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket",
         xxhash64(slice(col("minhash"), col("band") * r + 1, lit(r))))
-    val a = banded.select(col(idCol).as("id_a"), col("minhash").as("mh_a"),
-      col("band"), col("bucket"))
+      .select(col(idCol), col("band"), col("bucket"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
       .withColumn("salt", pmod(xxhash64(col("id_a")), lit(saltBuckets)).cast("int"))
-    val b = banded.select(col(idCol).as("id_b"), col("minhash").as("mh_b"),
-      col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
       .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
-    val firstBand = (0 until bands).foldRight(lit(-1): Column) { (i, rest) =>
-      when(slice(col("mh_a"), i * r + 1, r) === slice(col("mh_b"), i * r + 1, r),
-        lit(i)).otherwise(rest)
-    }
-    a.join(b, Seq("band", "bucket", "salt"))
+    val cand = a.join(b, Seq("band", "bucket", "salt"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("band") === firstBand)
+      .select("id_a", "id_b")
+      .distinct()
+    val out = cand
+      .join(sigs.select(col(idCol).as("id_a"), col("minhash").as("mh_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("minhash").as("mh_b")), "id_b")
       .withColumn("est_jaccard", MinhashEstimate.minhashEst(col("mh_a"), col("mh_b")))
       .filter(col("est_jaccard") >= minEstimate)
       .select("id_a", "id_b", "est_jaccard")
+      .localCheckpoint()
+    sigs.unpersist()
+    out
   }
 
   /** 64-bit SimHash of a token sequence (Charikar '02, public
