@@ -69,16 +69,10 @@ object Q {
   }
 
   /** [[shingles3]] with each shingle xxhash64'd — the 8-byte shuffle
-    * payload variant.
+    * payload variant. Delegates to the generic-width construction in
+    * graft.functions.Dedup (same zip shape, single source of truth —
+    * the MinHash pipeline hashes shingles identically).
     */
-  def shingleHashes3(tk: Column): Column = {
-    val n = size(tk)
-    when(n >= 3,
-      array_distinct(transform(
-        arrays_zip(slice(tk, lit(1), n - 2), slice(tk, lit(2), n - 2),
-          slice(tk, lit(3), n - 2)),
-        s => xxhash64(concat_ws(" ", s.getField("0"), s.getField("1"),
-          s.getField("2"))))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def shingleHashes3(tk: Column): Column =
+    graft.functions.Dedup.shingleHashCol(tk, 3)
 }
