@@ -44,6 +44,31 @@ class ComponentsSpec extends SparkSpec {
     assert(rounds <= 2)
   }
 
+  test("random graphs match a union-find oracle") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val n = 60
+      val pairs = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // canonical root = min node id of the component
+      val expected = nodes.map { v =>
+        val root = find(v.toInt)
+        v -> nodes.filter(w => find(w.toInt) == root).min
+      }.toMap
+      val (got, rounds) = run(pairs)
+      assert(got == expected, s"trial $trial mismatch")
+      assert(rounds <= 10, s"trial $trial took $rounds rounds")
+    }
+  }
+
   test("empty pair set yields empty assignment in zero rounds") {
     val empty = spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
     val (comp, rounds) = DedupQueries.componentsFrom(empty)
