@@ -187,6 +187,31 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Goertzel single-bin DFT power at DFT bin `k` over n samples —
+    * O(n) per probed frequency, the right tool when only a few target
+    * frequencies matter (tone detection) instead of a full FFT.
+    * Returns |X_k|^2 / n^2 (normalized so a unit-amplitude sine at bin
+    * k yields 0.25).
+    */
+  def goertzelPower(samples: Array[Float], k: Int): Double = {
+    val n = samples.length
+    if (n == 0) return 0.0
+    val w = 2.0 * math.Pi * k / n
+    val coeff = 2.0 * math.cos(w)
+    var s0 = 0.0
+    var s1 = 0.0
+    var s2 = 0.0
+    var i = 0
+    while (i < n) {
+      s0 = samples(i) + coeff * s1 - s2
+      s2 = s1
+      s1 = s0
+      i += 1
+    }
+    val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+    power / (n.toDouble * n)
+  }
+
   /** 16-bin amplitude histogram over [-1, 1]. */
   def amplitudeHistogram(samples: Array[Float]): Array[Long] = {
     val hist = new Array[Long](16)
@@ -200,17 +225,22 @@ object Multimodal {
   /** Sample-level audio features. `zeroCrossings` counts strict sign
     * changes between consecutive samples (exact-zero samples carry the
     * previous sign, so a synthesized k-cycle sine yields exactly 2k).
+    * `dominantBin` is the argmax of [[goertzelPower]] over DFT bins
+    * 1..probeBins — bounded-cost tone detection on the DECODED samples
+    * (a k-cycle sine detects as exactly bin k).
     */
   case class AudioFeatures(id: Long, modality: String, sampleRate: Float,
                            nChannels: Int, nSamples: Long, rms: Double,
-                           zeroCrossings: Long, histogram: Seq[Long])
+                           zeroCrossings: Long, dominantBin: Int,
+                           histogram: Seq[Long])
 
   /** Batch audio feature extraction (mapPartitions — decoder state
     * amortizes per partition, one fixed-size row per decodable blob).
     * Blobs without an audio reader are DROPPED, not faked: the byte
     * fallback now covers only the video path ([[sampleFrames]]).
     */
-  def extractAudioFeatures(ds: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+  def extractAudioFeatures(ds: Dataset[MediaRow],
+                           probeBins: Int = 16): Dataset[AudioFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { row =>
@@ -228,8 +258,17 @@ object Multimodal {
             i += 1
           }
           val rms = if (mono.isEmpty) 0.0 else math.sqrt(sumSq / mono.length)
+          var best = 0
+          var bestPow = -1.0
+          var k = 1
+          val maxBin = math.min(probeBins, mono.length / 2)
+          while (k <= maxBin) {
+            val p = goertzelPower(mono, k)
+            if (p > bestPow) { bestPow = p; best = k }
+            k += 1
+          }
           AudioFeatures(row.id, row.meta.modality, rate, ch,
-            mono.length.toLong, rms, crossings,
+            mono.length.toLong, rms, crossings, best,
             amplitudeHistogram(mono).toSeq)
         }
       }

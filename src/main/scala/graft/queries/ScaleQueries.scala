@@ -158,7 +158,9 @@ object ScaleQueries {
     * JDK's sampled-sound stack. In-row self-checks are EXACT up to
     * quantization: an integer-cycle sine over N samples has
     * RMS = A/sqrt(2) by discrete orthogonality (rms_ok within 1e-3 of
-    * the 16-bit step) and exactly 2k sign changes (zcr_ok equality).
+    * the 16-bit step), exactly 2k sign changes (zcr_ok equality), and
+    * its Goertzel-detected dominant DFT bin is exactly k (dom_ok —
+    * frequency-domain check on the decoded samples).
     */
   private def qMmAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -178,8 +180,10 @@ object ScaleQueries {
       .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
         col("nSamples").as("n_samples"), round(col("rms"), 6).as("rms"),
         col("zeroCrossings").as("n_zero_cross"),
+        col("dominantBin").as("dominant_bin"),
         (abs(col("rms") - lit(0.5 / math.sqrt(2))) < 1e-3).as("rms_ok"),
-        (col("zeroCrossings") === col("k_cycles") * 2).as("zcr_ok"))
+        (col("zeroCrossings") === col("k_cycles") * 2).as("zcr_ok"),
+        (col("dominantBin") === col("k_cycles")).as("dom_ok"))
       .orderBy("doc_id")
   }
 

@@ -121,6 +121,8 @@ class MultimodalSpec extends SparkSpec {
     // discrete orthogonality: RMS of an integer-cycle sine = A/sqrt(2)
     assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 1e-3, s"rms=${f.rms}")
     assert(f.zeroCrossings == 2L * k, s"zcr=${f.zeroCrossings}")
+    // frequency domain: Goertzel argmax lands exactly on the planted bin
+    assert(f.dominantBin == k, s"dominant bin ${f.dominantBin}")
     assert(f.histogram.sum == n)
     // amplitude 0.5 never reaches the outer bins
     assert(f.histogram.take(3).sum == 0 && f.histogram.takeRight(3).sum == 0)
