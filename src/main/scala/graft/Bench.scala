@@ -26,7 +26,9 @@ object Bench {
     println(line)
     // also persist the full line: stdout tail-grabs truncate on long
     // logs, and per-query numbers must survive intact
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // default under target/ so a bench run leaves the checkout clean
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
+    new java.io.File(out).getAbsoluteFile.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
     try w.println(line) finally w.close()
     spark.stop()

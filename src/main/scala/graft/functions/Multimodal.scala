@@ -212,6 +212,45 @@ object Multimodal {
     power / (n.toDouble * n)
   }
 
+  /** One-pass Goertzel bank: powers at DFT bins 1..maxBin from a SINGLE
+    * sweep of the samples — all maxBin recurrences advance per sample,
+    * instead of maxBin full re-scans of the buffer. Each bin's state is
+    * independent, so `bank(k-1)` is bit-identical to
+    * `goertzelPower(samples, k)`.
+    */
+  def goertzelBank(samples: Array[Float], maxBin: Int): Array[Double] = {
+    val n = samples.length
+    val out = new Array[Double](math.max(maxBin, 0))
+    if (n == 0 || maxBin <= 0) return out
+    val coeff = new Array[Double](maxBin)
+    val s1 = new Array[Double](maxBin)
+    val s2 = new Array[Double](maxBin)
+    var k = 0
+    while (k < maxBin) {
+      coeff(k) = 2.0 * math.cos(2.0 * math.Pi * (k + 1) / n)
+      k += 1
+    }
+    var i = 0
+    while (i < n) {
+      val x = samples(i)
+      var j = 0
+      while (j < maxBin) {
+        val s0 = x + coeff(j) * s1(j) - s2(j)
+        s2(j) = s1(j)
+        s1(j) = s0
+        j += 1
+      }
+      i += 1
+    }
+    k = 0
+    while (k < maxBin) {
+      out(k) = (s1(k) * s1(k) + s2(k) * s2(k) - coeff(k) * s1(k) * s2(k)) /
+        (n.toDouble * n)
+      k += 1
+    }
+    out
+  }
+
   /** 16-bin amplitude histogram over [-1, 1]. */
   def amplitudeHistogram(samples: Array[Float]): Array[Long] = {
     val hist = new Array[Long](16)
@@ -260,10 +299,11 @@ object Multimodal {
           val rms = if (mono.isEmpty) 0.0 else math.sqrt(sumSq / mono.length)
           var best = 0
           var bestPow = -1.0
-          var k = 1
           val maxBin = math.min(probeBins, mono.length / 2)
+          val powers = goertzelBank(mono, maxBin)
+          var k = 1
           while (k <= maxBin) {
-            val p = goertzelPower(mono, k)
+            val p = powers(k - 1)
             if (p > bestPow) { bestPow = p; best = k }
             k += 1
           }

@@ -128,6 +128,25 @@ class MultimodalSpec extends SparkSpec {
     assert(f.histogram.take(3).sum == 0 && f.histogram.takeRight(3).sum == 0)
   }
 
+  test("goertzelBank: bit-identical to per-bin goertzelPower") {
+    // mixed tones + noise-ish phase wobble so no bin is trivially zero
+    val n = 1777 // non-power-of-2, odd: exercises the generic recurrence
+    val samples = Array.tabulate(n) { i =>
+      (0.4 * math.sin(2 * math.Pi * 3 * i / n + 0.2) +
+        0.3 * math.sin(2 * math.Pi * 11 * i / n + 1.1) +
+        0.1 * math.cos(2 * math.Pi * 29 * i / n)).toFloat
+    }
+    val bank = Multimodal.goertzelBank(samples, 16)
+    (1 to 16).foreach { k =>
+      // exact ==, not tolerance: the bank runs the same recurrence in
+      // the same order per bin, only interleaved across bins
+      assert(bank(k - 1) == Multimodal.goertzelPower(samples, k),
+        s"bin $k: bank=${bank(k - 1)} scalar=${Multimodal.goertzelPower(samples, k)}")
+    }
+    assert(Multimodal.goertzelBank(Array.empty[Float], 16).forall(_ == 0.0))
+    assert(Multimodal.goertzelBank(samples, 0).isEmpty)
+  }
+
   test("decodeAudio: stereo folds to mono by channel average") {
     // hand-build a 2-channel WAV via AudioSystem with L = -R: mono fold = 0
     val nFrames = 64
