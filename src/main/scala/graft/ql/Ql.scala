@@ -28,19 +28,41 @@ object Ql {
       graft.queries.Q.t(spark, dir, name).createOrReplaceTempView(name)
     }
 
+  /** Registry entries whose DataFrame CONSTRUCTION itself runs Spark
+    * jobs — eager localCheckpoint of a shared base projection
+    * (`q_corpus_build`, the LSH candidate pipelines), iterate-to-
+    * fixpoint counts (`q_dedup_components`), driver point-lookups of a
+    * probe vector / k-means codebook (`q_sim_ann_*`), split-size
+    * counts (`q_ds_*`), a driver-held Count-Min sketch
+    * (`q_txt_heavy_hitters`), an RDD `zipWithIndex` partition-count
+    * job (`q_w3_dense_relabel`), or a run-to-completion streaming
+    * query (`q_stream_*`). Registering one of these is never a lazy
+    * view definition, so the register-everything default skips them;
+    * name them explicitly to opt in. QlSpec asserts the default path
+    * runs ZERO jobs, so a registry entry that grows a construction-
+    * time job without being listed here fails the suite.
+    */
+  val eagerQueries: Set[String] = Set(
+    "q_corpus_build", "q_dedup_components",
+    "q_dedup_minhash_pairs", "q_dedup_lsh_recall",
+    "q_sim_ann_lsh", "q_sim_ann_ivf",
+    "q_ds_split_contract", "q_ds_nested_prefix", "q_ds_build",
+    "q_txt_heavy_hitters", "q_w3_dense_relabel",
+    "q_stream_hourly", "q_stream_dedup", "q_stream_sessionize")
+
   /** Register inventory queries as temp views named after their registry
     * keys, so `spark.sql("SELECT * FROM q_dedup_exact")` composes with
-    * further SQL. `names` empty ⇒ all. Views stay lazy for plain
-    * DataFrame pipelines; note a few registry entries (the shared-scan
-    * dedup compositions) eagerly localCheckpoint their base projection
-    * at registration time by design — pass `names` to register only what
-    * a session needs.
+    * further SQL. `names` empty ⇒ every LAZY registry entry: views are
+    * logical-plan definitions, no Spark job runs at registration. The
+    * [[eagerQueries]] — whose construction runs jobs by design — are
+    * excluded from that default and register only when explicitly
+    * named.
     */
   def registerQueries(spark: SparkSession, dir: String,
                       names: Iterable[String] = Nil): Unit = {
     val all = graft.SparkEntry.queries
     val chosen =
-      if (names.isEmpty) all
+      if (names.isEmpty) all.filter { case (n, _) => !eagerQueries(n) }
       else { val want = names.toSet; all.filter { case (n, _) => want(n) } }
     chosen.foreach { case (name, fn) =>
       fn(spark, dir).createOrReplaceTempView(name)

@@ -29,13 +29,35 @@ object Q {
     * such column to microsecond TimestampType (integer `div` — same
     * truncation DuckDB applies to nanos) so downstream operators see a
     * real timestamp.
+    *
+    * Memoized per (session, dir, name): `spark.read.parquet` runs a
+    * footer-read job for schema inference plus a file listing on every
+    * call, so un-cached, each query CONSTRUCTION re-paid that per
+    * table — wasted at sf0.01, and at 100 TB a repeated object-store
+    * listing is real money. The cached value is an immutable logical
+    * plan (never `.persist`ed data), so reuse across queries is free;
+    * sessions are weakly keyed so test sessions don't leak.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val perSession = tableCache.synchronized {
+      var m = tableCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        tableCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
   }
+
+  private val tableCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   /** Exact-arithmetic cast for the 2-decimal monetary doubles. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -44,6 +44,33 @@ class QlSpec extends SparkSpec {
     assert(top.length == 1)
   }
 
+  test("default registerQueries is lazy: registers no eager entries and runs no jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // table reads pay their one-time schema-inference job here, outside
+    // the counted window (Q.t memoizes them per session)
+    Ql.registerTables(spark, dir)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Ql.registerQueries(spark, dir) // default path: all lazy entries
+      // listener bus is async; give posted events time to drain
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"default view registration must not run Spark jobs (saw ${jobs.get()})")
+      assert(!spark.catalog.tableExists("q_corpus_build"))
+      assert(!spark.catalog.tableExists("q_stream_hourly"))
+      assert(spark.catalog.tableExists("q_dedup_exact"))
+      assert(spark.catalog.tableExists("q_dedup_simhash_pairs"))
+      // eager entries register on explicit request
+      Ql.registerQueries(spark, dir, Seq("q_dedup_components"))
+      assert(spark.catalog.tableExists("q_dedup_components"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("registered table views hit the pruned parquet scan") {
     Ql.registerTables(spark, dir)
     val plan = spark.sql(

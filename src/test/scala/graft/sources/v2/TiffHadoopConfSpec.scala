@@ -94,6 +94,14 @@ class TiffHadoopConfSpec extends SparkSpec {
       spark.read.format("graft.sources.v2.TiffDataSource")
         .load(s"graftnone://$tree").collect()
     }
-    assert(e.getMessage != null)
+    // Pin the failure mode: must be scheme resolution, not path parsing
+    // or any unrelated load error.
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(m =>
+      m.contains("graftnone") &&
+        (m.contains("No FileSystem for scheme") || m.contains("UnsupportedFileSystem")
+          || m.toLowerCase.contains("filesystem"))),
+      s"expected a 'No FileSystem for scheme: graftnone' failure, got: $messages")
   }
 }
