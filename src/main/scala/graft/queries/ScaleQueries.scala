@@ -187,21 +187,43 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
-  /** Frame-sampling plumbing (video modality): chunked stub frames,
-    * every 2nd decoded, per-doc census. Narrow fan-out, no shuffle
+  /** REAL video decode end-to-end: each document synthesizes a
+    * deterministic 8-frame 16x16 YUV4MPEG2 stream (frame f a constant
+    * luma plane of value (doc_id*31 + f*7) % 256), and sampleFrames
+    * walks the real container — frame markers parsed, every 2nd luma
+    * plane decoded, skipped frames seeked over without copying. In-row
+    * self-checks are EXACT: sampled frame indices are 0,2,4,6; decoded
+    * dims are 16x16; each frame's mean luma equals the synthesized
+    * constant (a constant plane's mean is its value); and a constant
+    * plane's pixel entropy is exactly 0. Narrow fan-out, no shuffle
     * until the final rollup.
     */
   private def qMmFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Multimodal.asMedia(
-      t(s, dir, "documents").withColumn("blob", col("text").cast("binary")),
-      "doc_id", "blob", "video/fake")
+    val w = 16
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val frames = (0 until 8).map { f =>
+          Array.fill[Byte](w * w)(((id * 31 + f * 7) % 256).toByte)
+        }
+        (id, Multimodal.Y4m.encodeGray(frames, w, w))
+      }.toDF("doc_id", "y4m")
+    val media = Multimodal.asMedia(src, "doc_id", "y4m", "video/y4m")
       .as[Multimodal.MediaRow]
-    Multimodal.sampleFrames(media, every = 2, frameBytes = 256)
+    Multimodal.sampleFrames(media, every = 2)
+      .withColumn("expected_luma",
+        pmod(col("id") * 31 + col("frameIdx") * 7, lit(256)).cast("double"))
+      .withColumn("frame_ok",
+        col("pixelWidth") === w && col("pixelHeight") === w &&
+          col("meanLuma") === col("expected_luma") &&
+          col("byteEntropy") === 0.0)
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_sampled"),
         sum("nBytes").as("sampled_bytes"),
-        round(avg("byteEntropy"), 6).as("mean_entropy"))
+        round(avg("meanLuma"), 6).as("mean_luma"),
+        (count(lit(1)) === 4 && min(col("frame_ok").cast("int")) === 1 &&
+          sort_array(collect_set("frameIdx")) ===
+            array(lit(0), lit(2), lit(4), lit(6))).as("decode_ok"))
       .orderBy("doc_id")
   }
 

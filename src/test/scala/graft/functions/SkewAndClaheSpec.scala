@@ -53,4 +53,38 @@ class SkewAndClaheSpec extends SparkSpec {
     val flatOut = ImageFunctions.clahe(flat, n, n)
     assert(flatOut.forall(v => math.abs(v - flatOut.head) < 1e-3), "uniform stays uniform")
   }
+
+  /** SURVEY §9 item 5 — the PERMANENT numeric waiver for F1's CLAHE.
+    *
+    * The reference chain calls skimage `equalize_adapthist`
+    * (widget_utils.py:141-151); ours is the standard Zuiderveld '94
+    * construction with documented divergences (no reflect-padding to a
+    * kernel multiple, single-pass excess redistribution instead of
+    * skimage's iterative one, tile-center bilinear instead of skimage's
+    * block-border interpolation regions). skimage is not installable in
+    * this environment, so bit-parity is unverifiable by construction;
+    * the chain feeds human viewing, never labels. This test pins OUR
+    * numerics to a golden fixture instead: any drift in the histogram,
+    * clipping, CDF, or interpolation arithmetic fails loudly with the
+    * exact deltas, so the divergence stays the DOCUMENTED one.
+    */
+  test("CLAHE golden fixture: numerics are pinned (documented skimage waiver)") {
+    val n = 32
+    val img = Array.tabulate(n * n) { i =>
+      val r = i / n; val c = i % n
+      val v = (r + c).toDouble / (2 * (n - 1)) * 200.0 +
+        25.0 * math.sin(r * 0.7) * math.cos(c * 0.5) + 15.0
+      math.min(math.max(v, 0.0), 255.0).toFloat
+    }
+    val out = ImageFunctions.clahe(img, n, n, tilesR = 4, tilesC = 4, clipLimit = 0.01)
+    assert(math.abs(out.map(_.toDouble).sum - 82720.51208496094) < 1e-6,
+      s"pixel-sum drifted: ${out.map(_.toDouble).sum}")
+    val golden = Map(
+      0 -> 11.953125f, 37 -> 29.135742f, 200 -> 112.23175f,
+      511 -> 140.44922f, 512 -> 9.213867f, 777 -> 88.621216f,
+      1000 -> 105.336914f, 1023 -> 127.5f)
+    golden.foreach { case (idx, want) =>
+      assert(out(idx) == want, s"pixel $idx: ${out(idx)} != golden $want")
+    }
+  }
 }

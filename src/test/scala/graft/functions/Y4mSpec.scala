@@ -1,0 +1,102 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.Multimodal.Y4m
+
+/** The real video codec path (VERDICT r4-r7 ask): YUV4MPEG2 encode /
+  * frame-sampled decode, byte-exact round trips, and the reject-don't-
+  * garble contract on malformed streams.
+  */
+class Y4mSpec extends SparkSpec {
+
+  private def gradFrame(w: Int, h: Int, f: Int): Array[Byte] =
+    Array.tabulate(w * h)(i => ((i + f * 3) % 256).toByte)
+
+  test("encode/decode round trip recovers every luma plane byte-exactly") {
+    val (w, h) = (16, 12)
+    val frames = (0 until 5).map(gradFrame(w, h, _))
+    val blob = Y4m.encodeGray(frames, w, h)
+    val Some((dw, dh, out)) = Y4m.decodeSampledLuma(blob, every = 1)
+    assert((dw, dh) == (w, h))
+    assert(out.map(_._1) == Seq(0, 1, 2, 3, 4))
+    out.foreach { case (idx, luma) =>
+      assert(java.util.Arrays.equals(luma, frames(idx)), s"frame $idx differs")
+    }
+  }
+
+  test("every-th sampling decodes exactly the sampled indices") {
+    val frames = (0 until 9).map(gradFrame(8, 8, _))
+    val blob = Y4m.encodeGray(frames, 8, 8)
+    val Some((_, _, out)) = Y4m.decodeSampledLuma(blob, every = 3)
+    assert(out.map(_._1) == Seq(0, 3, 6))
+    out.foreach { case (idx, luma) =>
+      assert(java.util.Arrays.equals(luma, frames(idx)))
+    }
+  }
+
+  test("header variants: C444 and mono plane sizes walk correctly") {
+    // hand-built C444: Y, U, V all w*h
+    val (w, h) = (4, 4)
+    val header = s"YUV4MPEG2 W$w H$h F30:1 C444\n"
+    val y = Array.tabulate(w * h)(i => (i * 5).toByte)
+    val uv = Array.fill[Byte](w * h)(64)
+    val blob = header.getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ y ++ uv ++ uv ++
+      "FRAME\n".getBytes("US-ASCII") ++ y ++ uv ++ uv
+    val Some((dw, dh, out)) = Y4m.decodeSampledLuma(blob, every = 1)
+    assert((dw, dh) == (w, h) && out.map(_._1) == Seq(0, 1))
+    assert(java.util.Arrays.equals(out(1)._2, y))
+
+    val mono = s"YUV4MPEG2 W$w H$h Cmono\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ y
+    val Some((_, _, m)) = Y4m.decodeSampledLuma(mono, every = 1)
+    assert(m.length == 1 && java.util.Arrays.equals(m.head._2, y))
+  }
+
+  test("per-frame FRAME parameters are tolerated") {
+    val frames = Seq(gradFrame(8, 8, 0))
+    val clean = Y4m.encodeGray(frames, 8, 8)
+    val headerEnd = clean.indexOf('\n'.toByte) + 1
+    val blob = clean.take(headerEnd) ++ "FRAME Ip\n".getBytes("US-ASCII") ++
+      clean.drop(headerEnd + "FRAME\n".length)
+    val Some((_, _, out)) = Y4m.decodeSampledLuma(blob, every = 1)
+    assert(out.length == 1 && java.util.Arrays.equals(out.head._2, frames.head))
+  }
+
+  test("malformed streams reject instead of yielding garbage") {
+    val good = Y4m.encodeGray(Seq(gradFrame(8, 8, 0), gradFrame(8, 8, 1)), 8, 8)
+    // truncated mid-frame
+    assert(Y4m.decodeSampledLuma(good.dropRight(10), 1).isEmpty)
+    // wrong magic
+    assert(Y4m.decodeSampledLuma("NOTY4M W8 H8\nFRAME\n".getBytes("US-ASCII"), 1).isEmpty)
+    // missing dims
+    assert(Y4m.decodeSampledLuma("YUV4MPEG2 F25:1\nFRAME\n".getBytes("US-ASCII"), 1).isEmpty)
+    // non-FRAME junk between frames
+    val headerEnd = good.indexOf('\n'.toByte) + 1
+    val corrupted = good.take(headerEnd) ++ "JUNK!\n".getBytes("US-ASCII") ++
+      good.drop(headerEnd + "FRAME\n".length)
+    assert(Y4m.decodeSampledLuma(corrupted, 1).isEmpty)
+    // text blob (the fallback-path input) rejects
+    assert(Y4m.decodeSampledLuma("hello world, not a video".getBytes("US-ASCII"), 1).isEmpty)
+  }
+
+  test("sampleFrames dataset path: real decode with seek-skip, stub fallback intact") {
+    import spark.implicits._
+    val frames = (0 until 6).map(gradFrame(16, 16, _))
+    val y4mBlob = Y4m.encodeGray(frames, 16, 16)
+    val stubBlob = Array.tabulate[Byte](1024)(i => (i % 97).toByte)
+    val media = Seq((1L, y4mBlob), (2L, stubBlob))
+      .toDF("id", "blob")
+    val ds = Multimodal.asMedia(media, "id", "blob", "video/mixed")
+      .as[Multimodal.MediaRow]
+    val rows = Multimodal.sampleFrames(ds, every = 2, frameBytes = 256)
+      .collect().groupBy(_.id)
+    val real = rows(1L).sortBy(_.frameIdx)
+    assert(real.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+    assert(real.forall(f => f.pixelWidth == 16 && f.pixelHeight == 16))
+    val expectedMean = frames(2).map(_ & 0xff).sum.toDouble / 256
+    assert(real(1).meanLuma == expectedMean)
+    val stub = rows(2L)
+    assert(stub.length == 2 && stub.forall(f => f.pixelWidth == -1 && f.meanLuma == -1.0))
+  }
+}
