@@ -272,7 +272,33 @@ object DedupQueries {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_members"))
       .orderBy("lang", "source")
 
+  /** Incremental (batch-vs-store) dedup — the shape a CONTINUOUS
+    * ingestion pipeline runs: a new batch (doc_id % 10 == 9 plays the
+    * fresh crawl) is deduped against the historical fingerprint store
+    * (everything else) by normalized-md5 anti-join, then keep-first
+    * within the batch. Scale shape: only 16-byte fingerprints cross
+    * the join — text never shuffles — and in production the store is
+    * a bucketed fingerprint table, so the anti-join co-locates on the
+    * store's bucketing and reshuffles just the (small) batch side;
+    * the windowed within-batch pass runs on the anti-join survivors
+    * only.
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+    val store = docs.filter(col("doc_id") % 10 =!= 9).select("fp").distinct()
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    val w = Window.partitionBy("fp")
+    batch.join(store, Seq("fp"), "left_anti")
+      .withColumn("keeper", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_keep_first" -> qDedupKeepFirst _,
     "q_dedup_jaccard_pairs" -> qDedupJaccardPairs _,
@@ -282,6 +308,18 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |store AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 9),
+        |novel AS (
+        |  SELECT b.doc_id, b.fp FROM fp b
+        |  WHERE b.doc_id % 10 = 9 AND b.fp NOT IN (SELECT fp FROM store))
+        |SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS keeper
+        |  FROM novel)
+        |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
     "q_dedup_keep_first" ->

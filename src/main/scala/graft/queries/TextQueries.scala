@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -199,8 +200,70 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Sensitive-vocabulary redaction — the PII-scrub operator shape
+    * (emails/phones/ids in a real corpus; here a word-boundary
+    * sensitive-token pattern, since the synthetic text has no digits):
+    * count matches and fingerprint the redacted text. One narrow
+    * codegen'd projection — regex scrubbing at 100 TB is exactly a
+    * map-only scan, no shuffle beyond the final sort.
+    */
+  private def qTxtRedact(s: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(customer|[a-z]*key)\\b"
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(pat)).as("n_redacted"),
+        md5(regexp_replace(col("text"), pat, "<REDACTED>")).as("fp_redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing (concat-and-chunk): concatenate documents in
+    * doc_id order and slice into fixed token-budget blocks — the
+    * GPT-style training-example packing step. Per doc: the first and
+    * last block it lands in, from a running token cumsum. Packing is
+    * per-language here (per-shard in production): the window
+    * partitions by lang, so the cumsum parallelizes across groups
+    * instead of collapsing onto one global sort — the scale-safe form
+    * of an inherently sequential operator.
+    */
+  private def qTxtPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1024
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    t(s, dir, "documents")
+      .withColumn("n_tokens", size(toks))
+      .withColumn("end_tok", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("end_tok") - col("n_tokens")) / budget).as("first_block"),
+        floor((col("end_tok") - 1) / budget).as("last_block"))
+      .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
+      .orderBy("doc_id")
+  }
+
+  /** Stratified corpus sampling: a deterministic per-language quota
+    * sample by Knuth-hash rank (doc_id * 2654435761 mod 2^32) — the
+    * reproducible subsample every training-data pipeline needs for
+    * eval slices and ablations. row_number per stratum over the hash
+    * gives an order-free, engine-portable sample. At 100 TB the exact
+    * per-group rank becomes a threshold filter on the hash (quantile
+    * of a uniform hash), which needs no window at all; the quota form
+    * here is the oracle-checkable contract.
+    */
+  private def qTxtSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val quota = 50
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col("lang"), col("h"), col("rk"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_txt_decontaminate" -> qTxtDecontaminate _,
+    "q_txt_redact" -> qTxtRedact _,
+    "q_txt_pack" -> qTxtPack _,
+    "q_txt_sample_stratified" -> qTxtSampleStratified _,
     "q_txt_heavy_hitters" -> qTxtHeavyHitters _,
     "q_txt_tokens" -> qTxtTokens _,
     "q_txt_bpe_tokens" -> qTxtBpeTokens _,
@@ -213,6 +276,29 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_txt_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(customer|[a-z]*key)\b')) AS n_redacted,
+        |  md5(regexp_replace(text, '\b(customer|[a-z]*key)\b', '<REDACTED>', 'g')) AS fp_redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_txt_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |    sum(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id) AS end_tok
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((end_tok - n_tokens) / 1024.0) AS BIGINT) AS first_block,
+        |  CAST(floor((end_tok - 1) / 1024.0) AS BIGINT) AS last_block,
+        |  CAST(floor((end_tok - 1) / 1024.0) AS BIGINT)
+        |    - CAST(floor((end_tok - n_tokens) / 1024.0) AS BIGINT) + 1 AS n_blocks
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_txt_sample_stratified" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, h, rk FROM h WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
     "q_txt_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(
