@@ -272,6 +272,54 @@ object DedupQueries {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_members"))
       .orderBy("lang", "source")
 
+  /** Containment near-dup pairs — the ASYMMETRIC twin of
+    * [[qDedupJaccardPairs]]: containment = |A∩B| / min(|A|,|B|)
+    * catches a short document embedded in a long one (quotation,
+    * boilerplate wrapping, excerpt duplication), which symmetric
+    * Jaccard structurally misses (the length imbalance caps J at
+    * |A|/|B|). Because containment gives no length bound, the
+    * length-bucket blocking of the Jaccard path is WRONG here;
+    * blocking is instead a rare-shingle inverted index: shingles with
+    * document frequency <= maxDf (df-capping is the standard
+    * boilerplate cut — a ubiquitous shingle is evidence of template,
+    * not duplication, and it is exactly the one whose posting list
+    * explodes). The operator's semantics are defined over the
+    * df-filtered shingle sets, so the blocking is LOSSLESS by
+    * construction: qualifying pairs share a rare shingle by
+    * definition. Per-shingle fan-out is bounded by maxDf — worst-case
+    * candidate count is (#rare shingles) * maxDf^2, linear in corpus
+    * size for fixed maxDf — and the verify stage reuses the native
+    * sorted-merge intersect kernel over df-filtered sorted hash sets.
+    */
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.9
+    val maxDf = 10
+    val ex = docBase(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // shingle sets are distinct per doc, so count(*) is the df
+    val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val rareEx = ex.join(rare, "sh")
+    val fsets = rareEx.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("sh"))).as("shs"))
+    val cand = rareEx.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(rareEx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    import graft.functions.SortedLongIntersectCount.sortedIntersectCount
+    cand
+      .join(fsets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), "doc_a")
+      .join(fsets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        sortedIntersectCount(col("sh_a"), col("sh_b")).as("inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental (batch-vs-store) dedup — the shape a CONTINUOUS
     * ingestion pipeline runs: a new batch (doc_id % 10 == 9 plays the
     * fresh crawl) is deduped against the historical fingerprint store
@@ -298,6 +346,7 @@ object DedupQueries {
   }
 
   val defs: Map[String, QueryFn] = Map(
+    "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_keep_first" -> qDedupKeepFirst _,
@@ -308,6 +357,34 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_containment" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END) AS sh
+        |  FROM tk),
+        |rare AS (
+        |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        |  WHERE df <= 10),
+        |rs AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+        |fsets AS (SELECT doc_id, list_sort(list(sh)) AS shs FROM rs GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM rs a JOIN rs b ON a.sh = b.sh AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  len(list_intersect(fa.shs, fb.shs)) AS inter,
+        |  len(fa.shs) AS n_a, len(fb.shs) AS n_b,
+        |  CAST(len(list_intersect(fa.shs, fb.shs)) AS DOUBLE)
+        |    / least(len(fa.shs), len(fb.shs)) AS containment
+        |FROM cand
+        |JOIN fsets fa ON cand.doc_a = fa.doc_id
+        |JOIN fsets fb ON cand.doc_b = fb.doc_id
+        |WHERE CAST(len(list_intersect(fa.shs, fb.shs)) AS DOUBLE)
+        |    / least(len(fa.shs), len(fb.shs)) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_incremental" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
