@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -109,7 +110,33 @@ object SimilarityQueries {
       .filter(col("pos") < 4)
       .orderBy("label", "pos")
 
+  /** Batched k-NN join — N probes resolved in ONE corpus scan (the
+    * retrieval/auto-labeling shape: nearest exemplars for a whole
+    * query batch at once, not one scan per query). The probe slice
+    * (vec_id % 100 == 0) is bounded by construction and broadcasts;
+    * the corpus scans once, every (row, probe) cosine evaluates in
+    * the scan task, and the per-probe top-3 is a probe-partitioned
+    * window rank — parallel across probes, never a global sort. At
+    * 100 TB this is the exact-rerank stage; candidate pre-pruning for
+    * huge probe batches is the IVF/LSH path (`q_sim_ann_*`).
+    */
+  private def qSimKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").withColumn("vec", dvec(col("embedding")))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("vec").as("qvec"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), col("vec_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        round(graft.functions.CosineSimilarity.cosineSim(col("vec"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("vec_id"), col("label"), col("cos_sim"), col("rk"))
+      .orderBy("probe_id", "rk")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_sim_knn_join" -> qSimKnnJoin _,
     "q_sim_topk" -> qSimTopk _,
     "q_sim_pair_count" -> qSimPairCount _,
     "q_sim_norms" -> qSimNorms _,
@@ -118,6 +145,19 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sim_knn_join" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, vec AS qvec FROM e WHERE vec_id % 100 = 0),
+        |s AS (
+        |  SELECT p.probe_id, e.vec_id, e.label,
+        |    round(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * p.qvec[i]))
+        |      / (sqrt(list_sum(list_transform(e.vec, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(p.qvec, x -> x * x)))), 6) AS cos_sim
+        |  FROM e, p WHERE e.vec_id <> p.probe_id),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
+        |SELECT probe_id, vec_id, label, cos_sim, rk FROM r
+        |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |probe AS (SELECT vec FROM e WHERE vec_id = 0)
