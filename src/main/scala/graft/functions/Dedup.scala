@@ -48,6 +48,52 @@ object Dedup {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Containment near-dup pairs — the ASYMMETRIC dedup primitive:
+    * containment = |A∩B| / min(|A|,|B|) over w-shingle sets catches a
+    * short document embedded in a long one (quotation, excerpt,
+    * boilerplate wrapping), which symmetric Jaccard structurally
+    * misses — length imbalance caps J at |A|/|B| no matter how
+    * perfect the overlap. Containment implies no length bound, so
+    * candidates come from a rare-shingle inverted index (document
+    * frequency <= maxDf) instead of length buckets: semantics are
+    * DEFINED over the df-filtered shingle sets, making the blocking
+    * lossless by construction, bounding per-shingle join fan-out by
+    * the cap, and cutting boilerplate shingles — the ones whose
+    * posting lists explode — before they reach the join. Verification
+    * is the native sorted-merge intersect kernel. Output:
+    * (id_a, id_b, inter, n_a, n_b, containment) with id_a < id_b.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       tau: Double = 0.9, maxDf: Int = 10,
+                       shingleWidth: Int = 3): DataFrame = {
+    require(tau > 0 && tau <= 1, s"bad containment threshold $tau")
+    require(maxDf >= 1, s"bad df cap $maxDf")
+    val ex = df
+      .select(col(idCol).as("__id"),
+        explode(shingleHashCol(split(col(textCol), " "), shingleWidth)).as("sh"))
+    // per-doc shingle sets are distinct, so count(*) is the df
+    val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val rareEx = ex.join(rare, "sh")
+    val fsets = rareEx.groupBy("__id")
+      .agg(array_sort(collect_list(col("sh"))).as("shs"))
+    val cand = rareEx.select(col("__id").as("id_a"), col("sh"))
+      .join(rareEx.select(col("__id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    import SortedLongIntersectCount.sortedIntersectCount
+    cand
+      .join(fsets.select(col("__id").as("id_a"), col("shs").as("sh_a")), "id_a")
+      .join(fsets.select(col("__id").as("id_b"), col("shs").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        sortedIntersectCount(col("sh_a"), col("sh_b")).as("inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= tau)
+  }
+
   /** MinHash signature of one token sequence (w-shingles). Driver-side
     * twin of the in-plan path (`shingleHashCol` -> the native
     * `minhash_sig` expression): shingle strings are hashed with the

@@ -291,34 +291,13 @@ object DedupQueries {
     * size for fixed maxDf — and the verify stage reuses the native
     * sorted-merge intersect kernel over df-filtered sorted hash sets.
     */
-  private def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
-    val tau = 0.9
-    val maxDf = 10
-    val ex = docBase(s, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    // shingle sets are distinct per doc, so count(*) is the df
-    val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("sh")
-    val rareEx = ex.join(rare, "sh")
-    val fsets = rareEx.groupBy("doc_id")
-      .agg(array_sort(collect_list(col("sh"))).as("shs"))
-    val cand = rareEx.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(rareEx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    import graft.functions.SortedLongIntersectCount.sortedIntersectCount
-    cand
-      .join(fsets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), "doc_a")
-      .join(fsets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        sortedIntersectCount(col("sh_a"), col("sh_b")).as("inter"),
-        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
-      .withColumn("containment",
-        col("inter").cast("double") / least(col("n_a"), col("n_b")))
-      .filter(col("containment") >= tau)
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup
+      .containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        tau = 0.9, maxDf = 10, shingleWidth = 3)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter"), col("n_a"), col("n_b"), col("containment"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Incremental (batch-vs-store) dedup — the shape a CONTINUOUS
     * ingestion pipeline runs: a new batch (doc_id % 10 == 9 plays the

@@ -118,4 +118,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.get((0L, 1L)).contains(0), s"exact dup at hamming 0: $pairs")
   }
+
+  test("containmentPairs catches a subset doc that Jaccard misses") {
+    import spark.implicits._
+    // B = 30 distinct tokens; A = its first 12 tokens (a planted
+    // excerpt); C unrelated. A-in-B containment = 1.0 while
+    // Jaccard(A,B) = 10/28 < 0.5 — the asymmetric case the symmetric
+    // metric structurally cannot flag.
+    val wordsB = (1 to 30).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, wordsB.take(12).mkString(" ")),
+      (2L, wordsB.mkString(" ")),
+      (3L, (1 to 20).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", tau = 0.9, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"expected only the excerpt pair: $pairs")
+    val (inter, nA, nB, cont) = pairs((1L, 2L))
+    assert(inter == 10 && nA == 10 && nB == 28 && cont == 1.0)
+    // the symmetric metric on the same sets stays far below any
+    // near-dup threshold
+    assert(inter.toDouble / (nA + nB - inter) < 0.5)
+  }
+
+  test("containmentPairs df cap drops boilerplate-only pairs") {
+    import spark.implicits._
+    // every doc shares the same 5-token boilerplate header; bodies are
+    // disjoint. With maxDf < corpus size the header shingles are cut,
+    // so no pair qualifies — boilerplate is template, not duplication.
+    val header = "common header shared by every document"
+    val docs = (1L to 8L).map(i =>
+      i -> s"$header body$i unique$i content$i here$i now$i")
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", tau = 0.5, maxDf = 3)
+    assert(pairs.isEmpty, "boilerplate-only overlap must not pair")
+  }
 }
