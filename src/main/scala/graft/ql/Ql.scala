@@ -48,7 +48,8 @@ object Ql {
     "q_sim_ann_lsh", "q_sim_ann_ivf",
     "q_ds_split_contract", "q_ds_nested_prefix", "q_ds_build",
     "q_txt_heavy_hitters", "q_w3_dense_relabel",
-    "q_stream_hourly", "q_stream_dedup", "q_stream_sessionize")
+    "q_stream_hourly", "q_stream_dedup", "q_stream_sessionize",
+    "q_stream_incremental")
 
   /** Register inventory queries as temp views named after their registry
     * keys, so `spark.sql("SELECT * FROM q_dedup_exact")` composes with

@@ -240,6 +240,14 @@ object ScaleQueries {
     StreamOps.dedupCounts(s, dir,
       queryName = s"stream_dedup_${math.abs(dir.hashCode)}")
 
+  /** Streaming batch-vs-store dedup (stream-static anti join +
+    * keep-first aggregation) — must equal q_dedup_incremental exactly,
+    * so it shares its oracle.
+    */
+  private def qStreamIncremental(s: SparkSession, dir: String): DataFrame =
+    StreamOps.incrementalDedup(s, dir,
+      queryName = s"stream_inc_${math.abs(dir.hashCode)}")
+
   /** Stateful streaming sessionization (flatMapGroupsWithState) —
     * must equal the batch window-algebra sessionization, so it shares
     * q_evt_sessionize's oracle.
@@ -261,6 +269,7 @@ object ScaleQueries {
     "q_mm_frames" -> qMmFrames _,
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_dedup" -> qStreamDedup _,
+    "q_stream_incremental" -> qStreamIncremental _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,6 +285,18 @@ object ScaleQueries {
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |store AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 9),
+        |novel AS (
+        |  SELECT b.doc_id, b.fp FROM fp b
+        |  WHERE b.doc_id % 10 = 9 AND b.fp NOT IN (SELECT fp FROM store))
+        |SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS keeper
+        |  FROM novel)
+        |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
     "q_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -85,6 +85,43 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Streaming incremental (batch-vs-store) dedup — the continuous-
+    * ingestion twin of q_dedup_incremental: new documents arrive as a
+    * stream, compute normalized fingerprints, anti-join the STATIC
+    * historical store inside the streaming query (stream-static joins
+    * are stateless — the store never enters state), then keep-first
+    * per fingerprint via a streaming min(doc_id) aggregation —
+    * deterministic regardless of arrival order, unlike
+    * `dropDuplicates` whose keeper is arrival-dependent. Drains to the
+    * same (doc_id, fp) table as the batch operator, so it shares its
+    * oracle verbatim.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+                       queryName: String = "stream_inc_dedup"): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val store = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 9)
+      .select(fp.as("fp")).distinct()
+    val novel = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), fp.as("fp"))
+      .join(store, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val q = novel.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).select("doc_id", "fp").orderBy("doc_id")
+  }
+
   case class Evt(user_id: Long, us: Long, event_id: Long)
   case class SessState(lastUs: Long, nSessions: Long, nEvents: Long)
 

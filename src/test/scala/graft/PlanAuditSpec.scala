@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
 
   // streaming queries execute a real stream per call; keep them out of
   // the sweep (their batch twins are covered) to bound suite time
-  private val skip = Set("q_stream_hourly", "q_stream_sessionize", "q_stream_dedup")
+  private val skip = Set("q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
+    "q_stream_incremental")
 
   test("decontamination joins against a BROADCAST benchmark set, and the self-checking queries hold") {
     // the benchmark side must broadcast (corpus never shuffles for it)

@@ -47,6 +47,16 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch, "dropDuplicates stream == batch count-distinct")
   }
 
+  test("streaming incremental dedup equals the batch anti-join operator") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.incrementalDedup(spark, dir, "spec_inc_dedup")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    val batch = graft.queries.DedupQueries.defs("q_dedup_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch,
+      "stream-static anti join + keep-first agg == batch operator")
+  }
+
   test("stateful sessionization equals the batch window algebra") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamOps.sessionCounts(spark, dir, queryName = "spec_sessions")
