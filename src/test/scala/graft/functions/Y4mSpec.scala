@@ -51,6 +51,14 @@ class Y4mSpec extends SparkSpec {
       "FRAME\n".getBytes("US-ASCII") ++ y
     val Some((_, _, m)) = Y4m.decodeSampledLuma(mono, every = 1)
     assert(m.length == 1 && java.util.Arrays.equals(m.head._2, y))
+
+    // C422: U and V are (w/2) x h each
+    val uv422 = Array.fill[Byte]((w / 2) * h)(80)
+    val c422 = s"YUV4MPEG2 W$w H$h C422\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ y ++ uv422 ++ uv422 ++
+      "FRAME\n".getBytes("US-ASCII") ++ y ++ uv422 ++ uv422
+    val Some((_, _, f422)) = Y4m.decodeSampledLuma(c422, every = 1)
+    assert(f422.map(_._1) == Seq(0, 1) && java.util.Arrays.equals(f422(1)._2, y))
   }
 
   test("per-frame FRAME parameters are tolerated") {
