@@ -259,7 +259,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-derived unigram log-probability — the statistical quality
+    * score (CCNet-style perplexity filtering, public recipe): train a
+    * unigram LM on the corpus itself (one groupBy), score every doc by
+    * its mean token log-prob. Low scorers are gibberish/rare-token
+    * soup; high scorers are stopword soup — both ends get cut in a
+    * real pipeline. Scale shape: the vocabulary is corpus-sublinear
+    * (~1M tokens at 100 TB — broadcastable), the 1-row total count is
+    * a declared bounded cross join, and scoring is a broadcast-join
+    * scan of the token stream with a per-doc rollup.
+    */
+  private def qTxtUnigramLp(s: SparkSession, dir: String): DataFrame = {
+    val tokens = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("token"))
+    val freq = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    tokens
+      .join(broadcast(freq), "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(log(col("cnt").cast("double")))
+          - count(lit(1)) * log(max(col("total")).cast("double")))
+          / count(lit(1)), 6).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_unigram_lp" -> qTxtUnigramLp _,
     "q_txt_decontaminate" -> qTxtDecontaminate _,
     "q_txt_redact" -> qTxtRedact _,
     "q_txt_pack" -> qTxtPack _,
@@ -276,6 +303,16 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_txt_unigram_lp" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round((sum(ln(CAST(cnt AS DOUBLE)))
+        |    - count(*) * ln(CAST(max(total) AS DOUBLE))) / count(*), 6) AS mean_logprob
+        |FROM tok JOIN freq USING (token), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_txt_redact" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\b(customer|[a-z]*key)\b')) AS n_redacted,

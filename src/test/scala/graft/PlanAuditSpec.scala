@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_r5_balance",     // Balancer: broadcast of the 1-row max-count agg
     "q_ds_balance",     // same Balancer construction
     "q_ds_build",       // buildDataset balances per split: same 1-row agg
-    "q_sim_knn_join"    // broadcast bounded probe batch (vec_id % 100)
+    "q_sim_knn_join",   // broadcast bounded probe batch (vec_id % 100)
+    "q_txt_unigram_lp"  // broadcast of the 1-row total-token-count agg
   )
 
   // streaming queries execute a real stream per call; keep them out of
