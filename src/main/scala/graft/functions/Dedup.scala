@@ -62,6 +62,17 @@ object Dedup {
     * posting lists explode — before they reach the join. Verification
     * is the native sorted-merge intersect kernel. Output:
     * (id_a, id_b, inter, n_a, n_b, containment) with id_a < id_b.
+    *
+    * BLIND SPOT — mass duplication: the df cap applies to
+    * VERIFICATION too ("lossless" means lossless over the df-filtered
+    * sets, not the raw ones), so a document duplicated more than
+    * maxDf times has EVERY shared shingle exceed the cap and the
+    * whole cluster yields zero pairs — the heaviest duplicates are
+    * exactly the invisible ones here. The df cap bounds the
+    * detectable cluster size by construction. Pair this operator with
+    * the exact-hash path (which catches identical mass duplicates at
+    * any multiplicity) and the MinHash/LSH path (near-dup clusters of
+    * any size) rather than raising maxDf.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        tau: Double = 0.9, maxDf: Int = 10,

@@ -30,34 +30,54 @@ object Q {
     * truncation DuckDB applies to nanos) so downstream operators see a
     * real timestamp.
     *
-    * Memoized per (session, dir, name): `spark.read.parquet` runs a
+    * Memoized per (sessionUUID, dir, name): `spark.read.parquet` runs a
     * footer-read job for schema inference plus a file listing on every
     * call, so un-cached, each query CONSTRUCTION re-paid that per
     * table — wasted at sf0.01, and at 100 TB a repeated object-store
     * listing is real money. The cached value is an immutable logical
-    * plan (never `.persist`ed data), so reuse across queries is free;
-    * sessions are weakly keyed so test sessions don't leak.
+    * plan (never `.persist`ed data), so reuse across queries is free.
+    *
+    * Eviction: the cache is a bounded access-order LRU (a DataFrame
+    * strongly references its SparkSession, so weak-keying by session
+    * can never collect — the bound is what actually caps retention;
+    * entries from stopped test sessions age out under the cap).
+    *
+    * Staleness contract: the memo freezes the file listing + inferred
+    * schema, so inputs under `dir` are assumed IMMUTABLE for the life
+    * of the entry. Tooling that regenerates testdata in place must
+    * call [[invalidate]] on the regenerated dir.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = tableCache.synchronized {
-      var m = tableCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        tableCache.put(spark, m)
+    val key = (spark.sessionUUID, dir, name)
+    tableCache.synchronized {
+      val hit = tableCache.get(key)
+      if (hit != null) hit
+      else {
+        val df0 = spark.read.parquet(s"$dir/$name.parquet")
+        val df =
+          if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else df0
+        tableCache.put(key, df)
+        df
       }
-      m
     }
-    perSession.getOrElseUpdate((dir, name), {
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
-    })
   }
 
+  /** Drop cached plans for a dir whose files were regenerated in place. */
+  def invalidate(dir: String): Unit = tableCache.synchronized {
+    val it = tableCache.keySet.iterator
+    while (it.hasNext) if (it.next()._2 == dir) it.remove()
+  }
+
+  // sessions x tables is small; the cap is a leak bound, not a tuning knob
+  private val maxCacheEntries = 256
   private val tableCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+    new java.util.LinkedHashMap[(String, String, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String), DataFrame]): Boolean =
+        size() > maxCacheEntries
+    }
 
   /** Exact-arithmetic cast for the 2-decimal monetary doubles. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -112,18 +112,26 @@ object SimilarityQueries {
 
   /** Batched k-NN join — N probes resolved in ONE corpus scan (the
     * retrieval/auto-labeling shape: nearest exemplars for a whole
-    * query batch at once, not one scan per query). The probe slice
-    * (vec_id % 100 == 0) is bounded by construction and broadcasts;
-    * the corpus scans once, every (row, probe) cosine evaluates in
-    * the scan task, and the per-probe top-3 is a probe-partitioned
-    * window rank — parallel across probes, never a global sort. At
-    * 100 TB this is the exact-rerank stage; candidate pre-pruning for
-    * huge probe batches is the IVF/LSH path (`q_sim_ann_*`).
+    * query batch at once, not one scan per query). The probe batch is
+    * EXPLICITLY capped: after the selection predicate, a deterministic
+    * `ORDER BY vec_id LIMIT probeBatch` bounds the broadcast at
+    * `probeBatch` rows no matter how large the corpus grows (the bare
+    * `% 100` slice is 1% of the corpus — linear in data size, a
+    * broadcast killer at 100×). The corpus scans once per batch, every
+    * (row, probe) cosine evaluates in the scan task, and the per-probe
+    * top-3 is a probe-partitioned window rank — parallel across
+    * probes, never a global sort. At 100 TB a caller drains a large
+    * probe set as a sequence of these fixed-size batches (one corpus
+    * scan each); candidate pre-pruning for huge probe batches is the
+    * IVF/LSH path (`q_sim_ann_*`).
     */
+  val knnProbeBatch = 32
+
   private def qSimKnnJoin(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").withColumn("vec", dvec(col("embedding")))
     val probes = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("vec").as("qvec"))
+      .orderBy("probe_id").limit(knnProbeBatch)
     val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), col("vec_id"))
     e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -147,7 +155,8 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q_sim_knn_join" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |p AS (SELECT vec_id AS probe_id, vec AS qvec FROM e WHERE vec_id % 100 = 0),
+        |p AS (SELECT vec_id AS probe_id, vec AS qvec FROM e WHERE vec_id % 100 = 0
+        |      ORDER BY vec_id LIMIT 32),
         |s AS (
         |  SELECT p.probe_id, e.vec_id, e.label,
         |    round(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * p.qvec[i]))

@@ -264,18 +264,30 @@ object TextQueries {
     * unigram LM on the corpus itself (one groupBy), score every doc by
     * its mean token log-prob. Low scorers are gibberish/rare-token
     * soup; high scorers are stopword soup — both ends get cut in a
-    * real pipeline. Scale shape: the vocabulary is corpus-sublinear
-    * (~1M tokens at 100 TB — broadcastable), the 1-row total count is
-    * a declared bounded cross join, and scoring is a broadcast-join
-    * scan of the token stream with a per-doc rollup.
+    * real pipeline. Scale shape: the LM vocabulary is CAPPED at the
+    * top-K tokens by count (ties broken by token for a deterministic,
+    * engine-portable cut), exactly as CCNet's released models cap
+    * theirs — so the broadcast is K rows BY CONSTRUCTION no matter how
+    * heavy-tailed the corpus vocabulary gets (web corpora hold
+    * hundreds of millions of distinct typo/URL/ID tokens; an uncapped
+    * broadcast OOMs executors long before 100 TB). Out-of-vocabulary
+    * tokens score with an add-one floor count of 1 over the FULL
+    * corpus total (the total keeps OOV mass, so in-vocab probabilities
+    * stay honest). The 1-row total is a declared bounded cross join;
+    * scoring is a broadcast-left-join scan of the token stream with a
+    * per-doc rollup — map-side only, no corpus shuffle after the freq
+    * groupBy.
     */
   private def qTxtUnigramLp(s: SparkSession, dir: String): DataFrame = {
+    val vocabK = 512 // binds at every test SF so the OOV path is exercised
     val tokens = t(s, dir, "documents")
       .select(col("doc_id"), explode(toks).as("token"))
     val freq = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum("cnt").as("total"))
+    val topk = freq.orderBy(desc("cnt"), col("token")).limit(vocabK)
     tokens
-      .join(broadcast(freq), "token")
+      .join(broadcast(topk), Seq("token"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(1L)))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -307,11 +319,12 @@ object TextQueries {
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
-        |tot AS (SELECT sum(cnt) AS total FROM freq)
+        |tot AS (SELECT sum(cnt) AS total FROM freq),
+        |topk AS (SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT 512)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round((sum(ln(CAST(cnt AS DOUBLE)))
+        |  round((sum(ln(CAST(coalesce(topk.cnt, 1) AS DOUBLE)))
         |    - count(*) * ln(CAST(max(total) AS DOUBLE))) / count(*), 6) AS mean_logprob
-        |FROM tok JOIN freq USING (token), tot
+        |FROM tok LEFT JOIN topk USING (token), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_txt_redact" ->
       """SELECT doc_id,

@@ -122,6 +122,110 @@ object StreamOps {
     spark.table(queryName).select("doc_id", "fp").orderBy("doc_id")
   }
 
+  /** Result of an append-mode run: the emitted table plus the state-
+    * store high-water mark observed across every micro-batch (from
+    * `StreamingQueryProgress.stateOperators`) — the number a 100 TB
+    * deployment actually has to bound.
+    */
+  case class AppendRun(result: DataFrame, maxStateRows: Long, numBatches: Int)
+
+  /** The 100 TB form of [[hourlyCounts]]: APPEND output mode, so each
+    * window row is emitted exactly once — when the watermark passes
+    * its end — and then EVICTED from the state store. Complete mode
+    * (the oracle-parity harness above) re-emits the whole result
+    * table every trigger and never evicts windowed state: correct for
+    * a drained local verification run, unbounded on a continuous
+    * source. Here state holds only the open windows inside the
+    * watermark horizon regardless of how long the stream runs;
+    * windows still inside the horizon when the source drains remain
+    * in state (that is the append contract — they'd emit when later
+    * data advanced the watermark).
+    *
+    * `eventsDir` holds one-or-more event part files; with
+    * `maxFilesPerTrigger = 1` each file is a micro-batch, so a
+    * time-sliced directory replays genuinely incremental arrival.
+    */
+  def hourlyCountsAppend(spark: SparkSession, eventsDir: String,
+                         maxFilesPerTrigger: Int = 1,
+                         queryName: String = "stream_hourly_append"): AppendRun = {
+    val batchSchema = spark.read.parquet(eventsDir).schema
+    var stream = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(eventsDir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    AppendRun(spark.table(queryName).orderBy("hour", "event_type"),
+      maxState, progress.length)
+  }
+
+  /** The 100 TB form of [[incrementalDedup]]: the static-store
+    * anti-join stays stateless (unchanged — the store side never
+    * enters state), and the within-batch keep-first becomes
+    * `dropDuplicatesWithinWatermark` on the fingerprint, whose state
+    * EVICTS keys once the watermark passes their event time + horizon.
+    * Exact global streaming dedup is unbounded state by definition;
+    * the deployed contract is dedup-within-lateness-horizon against a
+    * periodically-compacted store (new fingerprints merge into the
+    * static store between horizons), which this operator expresses.
+    * Ingest time is the event time (`tsOf`, monotone in arrival for a
+    * replay); emitted fingerprints equal the batch operator's set,
+    * while the keeper doc for intra-horizon ties is first-arrival.
+    */
+  def incrementalDedupAppend(spark: SparkSession, docsDir: String, sfDir: String,
+                             horizon: String = "30 minutes",
+                             maxFilesPerTrigger: Int = 1,
+                             queryName: String = "stream_inc_dedup_append"): AppendRun = {
+    val batchSchema = spark.read.parquet(docsDir).schema
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    // one doc a minute: replays ingest order as event time
+    val tsOf = timestamp_micros(col("doc_id") * 60000000L)
+    val store = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 9)
+      .select(fp.as("fp")).distinct()
+    val novel = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), fp.as("fp"), tsOf.as("ts"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(store, Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    val q = novel.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    AppendRun(spark.table(queryName).orderBy("doc_id"), maxState, progress.length)
+  }
+
   case class Evt(user_id: Long, us: Long, event_id: Long)
   case class SessState(lastUs: Long, nSessions: Long, nEvents: Long)
 

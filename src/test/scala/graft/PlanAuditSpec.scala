@@ -24,8 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_r5_balance",     // Balancer: broadcast of the 1-row max-count agg
     "q_ds_balance",     // same Balancer construction
     "q_ds_build",       // buildDataset balances per split: same 1-row agg
-    "q_sim_knn_join",   // broadcast bounded probe batch (vec_id % 100)
-    "q_txt_unigram_lp"  // broadcast of the 1-row total-token-count agg
+    "q_sim_knn_join",   // broadcast probe batch, LIMIT-capped (asserted below)
+    "q_txt_unigram_lp"  // broadcast of top-K capped vocab + 1-row total agg
   )
 
   // streaming queries execute a real stream per call; keep them out of
@@ -72,6 +72,26 @@ class PlanAuditSpec extends SparkSpec {
         if (globals.nonEmpty) Some(name) else None
       }
     assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
+  }
+
+  test("declared-bounded broadcasts are bounded by CONSTRUCTION, not by test scale") {
+    // q_sim_knn_join: the probe batch must carry an explicit LIMIT so
+    // the broadcast stays fixed-size at any corpus size (a bare %-slice
+    // grows linearly with data — the 100x broadcast killer)
+    val knn = SparkEntry.queries("q_sim_knn_join")(spark, sfDir)
+    val knnLimits = knn.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+    }
+    assert(knnLimits.exists(_.maxRows.exists(_ <= graft.queries.SimilarityQueries.knnProbeBatch)),
+      s"knn probe batch has no LIMIT <= ${graft.queries.SimilarityQueries.knnProbeBatch} in plan")
+    // q_txt_unigram_lp: the vocabulary broadcast must be top-K capped
+    // (web-scale vocabularies are heavy-tailed; uncapped = executor OOM)
+    val lp = SparkEntry.queries("q_txt_unigram_lp")(spark, sfDir)
+    val lpLimits = lp.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+    }
+    assert(lpLimits.exists(_.maxRows.exists(_ <= 512)),
+      s"unigram vocabulary broadcast has no top-K LIMIT in plan")
   }
 
   test("parquet scans prune columns: no query reads text/pixels it doesn't use") {

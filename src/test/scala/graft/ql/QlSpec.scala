@@ -57,8 +57,9 @@ class QlSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       Ql.registerQueries(spark, dir) // default path: all lazy entries
-      // listener bus is async; give posted events time to drain
-      Thread.sleep(1000)
+      // listener bus is async; block until posted events have drained
+      // (sleep-based draining is both flaky under load and slow)
+      org.apache.spark.GraftTestAccess.drainListenerBus(spark.sparkContext)
       assert(jobs.get() == 0,
         s"default view registration must not run Spark jobs (saw ${jobs.get()})")
       assert(!spark.catalog.tableExists("q_corpus_build"))

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.EventQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The 100 TB streaming contract: append output mode + watermark
+  * EVICTION. The complete-mode harnesses (StreamOpsSpec) prove oracle
+  * parity on a drained stream; these specs prove the state store stays
+  * BOUNDED while data streams through in many micro-batches — the
+  * property that separates "runs forever on a live source" from
+  * "accumulates the whole result table on the driver".
+  *
+  * Input is replayed as genuinely incremental arrival: the batch
+  * table is sliced into time-ordered part files with ascending
+  * modification times, and `maxFilesPerTrigger = 1` makes each file
+  * its own micro-batch, so the watermark advances batch by batch and
+  * eviction actually has to happen for the bounds below to hold.
+  */
+class StreamAppendSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Write `df` as `nSlices` single-file slices (ordered by `orderCol`)
+    * into one directory with strictly ascending file mtimes, so the
+    * streaming file source replays them oldest-first.
+    */
+  private def sliceToDir(df: DataFrame, orderCol: String, nSlices: Int,
+                         tag: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val streamDir = Files.createTempDirectory(s"append_$tag").toFile.getAbsolutePath
+    val ranked = df.withColumn("__slice",
+      ntile(nSlices).over(org.apache.spark.sql.expressions.Window.orderBy(orderCol)))
+    (1 to nSlices).foreach { i =>
+      val tmp = Files.createTempDirectory(s"slice_$tag$i").toFile.getAbsolutePath
+      ranked.filter(col("__slice") === i).drop("__slice")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = Paths.get(streamDir, f"slice_$i%03d.parquet")
+      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(1700000000000L + i * 10000L)
+    }
+    streamDir
+  }
+
+  test("append-mode hourly agg: emitted rows match batch, state stays bounded (watermark evicts)") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = sliceToDir(events, "ts", 10, "hourly")
+    val run = StreamOps.hourlyCountsAppend(spark, dir, queryName = "spec_hourly_append")
+    val emitted = run.result.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = EventQueries.defs("q_evt_hourly")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // every emitted window is final: exact value match against batch
+    emitted.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"window $k: emitted $v != batch ${batch.get(k)}")
+    }
+    // only windows inside the final watermark horizon may be unemitted
+    // (they are still open state — the append contract)
+    assert(batch.size - emitted.size <= 25,
+      s"unemitted tail too large: ${batch.size - emitted.size} of ${batch.size}")
+    assert(emitted.size > batch.size / 2, "append run emitted the finalized majority")
+    // THE scale assertion: state never approaches the full result set.
+    // Without eviction the high-water mark would reach batch.size
+    // (every window ever opened); with the 2 h watermark it holds one
+    // slice's open windows plus the horizon.
+    assert(run.numBatches >= 10, s"expected >=10 micro-batches, got ${run.numBatches}")
+    assert(run.maxStateRows > 0, "windowed agg must hold some open state")
+    assert(run.maxStateRows < batch.size / 2,
+      s"state high-water ${run.maxStateRows} not bounded vs ${batch.size} total windows — watermark not evicting")
+  }
+
+  test("append-mode incremental dedup: fingerprint set matches batch, dedup state evicts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = sliceToDir(docs, "doc_id", 5, "incdedup")
+    val run = StreamOps.incrementalDedupAppend(spark, dir, sfDir,
+      queryName = "spec_inc_dedup_append")
+    val emittedFps = run.result.collect().map(_.getString(1)).toSet
+    val batchRows = graft.queries.DedupQueries.defs("q_dedup_incremental")(spark, sfDir).collect()
+    val batchFps = batchRows.map(_.getString(1)).toSet
+    // same novel-fingerprint set as the batch operator (keeper doc for
+    // intra-batch ties is first-arrival; the fp set is the contract)
+    assert(emittedFps == batchFps,
+      s"fp sets differ: +${(emittedFps -- batchFps).size} -${(batchFps -- emittedFps).size}")
+    assert(run.result.count() == batchRows.length.toLong, "one emission per novel fingerprint")
+    // state bound: dropDuplicatesWithinWatermark must evict keys whose
+    // event time fell behind the horizon (30 min horizon, one doc per
+    // minute, novel docs 10 minutes apart => a handful of live keys)
+    assert(run.numBatches >= 5, s"expected >=5 micro-batches, got ${run.numBatches}")
+    assert(run.maxStateRows < batchFps.size.toLong,
+      s"dedup state ${run.maxStateRows} reached full key count ${batchFps.size} — horizon not evicting")
+  }
+}
