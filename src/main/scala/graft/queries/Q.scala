@@ -30,7 +30,7 @@ object Q {
     * truncation DuckDB applies to nanos) so downstream operators see a
     * real timestamp.
     *
-    * Memoized per (sessionUUID, dir, name): `spark.read.parquet` runs a
+    * Memoized per (session, dir, name): `spark.read.parquet` runs a
     * footer-read job for schema inference plus a file listing on every
     * call, so un-cached, each query CONSTRUCTION re-paid that per
     * table — wasted at sf0.01, and at 100 TB a repeated object-store
@@ -48,19 +48,24 @@ object Q {
     * call [[invalidate]] on the regenerated dir.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val key = (spark.sessionUUID, dir, name)
-    tableCache.synchronized {
-      val hit = tableCache.get(key)
-      if (hit != null) hit
-      else {
-        val df0 = spark.read.parquet(s"$dir/$name.parquet")
-        val df =
-          if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else df0
-        tableCache.put(key, df)
-        df
-      }
+    // The session OBJECT is the key: the LRU bound (not weak keying) is
+    // what caps retention per the eviction note above, so holding a
+    // strong session ref adds nothing the cached DataFrame didn't
+    // already hold. No sessionUUID needed (it is private[sql] in 4.1.2).
+    val key = (spark, dir, name)
+    val hit = tableCache.synchronized(tableCache.get(key))
+    if (hit != null) hit
+    else {
+      // Read outside the lock: the footer-inference job must not run
+      // under a JVM monitor. A racing double-read is harmless — both
+      // produce equivalent immutable plans; last put wins.
+      val df0 = spark.read.parquet(s"$dir/$name.parquet")
+      val df =
+        if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else df0
+      tableCache.synchronized(tableCache.put(key, df))
+      df
     }
   }
 
@@ -73,9 +78,9 @@ object Q {
   // sessions x tables is small; the cap is a leak bound, not a tuning knob
   private val maxCacheEntries = 256
   private val tableCache =
-    new java.util.LinkedHashMap[(String, String, String), DataFrame](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String, String), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
         size() > maxCacheEntries
     }
 
