@@ -256,6 +256,35 @@ object ScaleQueries {
     StreamOps.sessionCounts(s, dir,
       queryName = s"stream_sessions_${math.abs(dir.hashCode)}")
 
+  /** The BOUNDED-STATE hourly rollup, driver-visible: append output
+    * mode + watermark eviction (StreamOps.hourlyCountsAppend), the
+    * plan a 100 TB live deployment runs — complete mode above stays
+    * only as the oracle-parity harness for the full result table.
+    * Emission is deterministic: a window emits iff the final watermark
+    * (max event time minus the 2 h delay, millisecond precision)
+    * passed its end, so the oracle is the batch rollup restricted by
+    * exactly that law — the oracle FAILS if append mode ever withholds
+    * a finalized window or emits an open one.
+    */
+  private def qStreamHourlyAppend(s: SparkSession, dir: String): DataFrame =
+    StreamOps.hourlyCountsAppend(s, dir, glob = Some("events.parquet"),
+      queryName = s"stream_hourly_append_${math.abs(dir.hashCode)}").result
+
+  /** The bounded-state incremental dedup, driver-visible:
+    * `dropDuplicatesWithinWatermark` evicts fingerprint keys once the
+    * watermark passes their event time + horizon (StreamOps
+    * .incrementalDedupAppend). The emitted FINGERPRINT SET equals the
+    * batch operator's exactly; the kept doc_id for intra-horizon ties
+    * is first-arrival (partition-order-dependent), and a duplicate
+    * spaced beyond the horizon re-emits by design — so the
+    * driver-visible contract is the distinct fp set, which is
+    * arrival-invariant. StreamAppendSpec holds the per-row bounds.
+    */
+  private def qStreamIncrementalAppend(s: SparkSession, dir: String): DataFrame =
+    StreamOps.incrementalDedupAppend(s, dir, dir, glob = Some("documents.parquet"),
+      queryName = s"stream_inc_append_${math.abs(dir.hashCode)}")
+      .result.select("fp").distinct().orderBy("fp")
+
   val defs: Map[String, QueryFn] = Map(
     "q_stream_sessionize" -> qStreamSessionize _,
     "q_dedup_minhash_pairs" -> qDedupMinhash _,
@@ -270,6 +299,8 @@ object ScaleQueries {
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_incremental" -> qStreamIncremental _,
+    "q_stream_hourly_append" -> qStreamHourlyAppend _,
+    "q_stream_incremental_append" -> qStreamIncrementalAppend _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -301,5 +332,25 @@ object ScaleQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // Append-mode emission law: a window is final iff the watermark
+    // (max event time in MILLISECONDS minus the 2 h delay — Spark
+    // tracks watermarks at ms precision) has passed its END.
+    "q_stream_hourly_append" ->
+      """WITH wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 7200000 AS wm_ms
+        |           FROM events),
+        |h AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, sum_value
+        |FROM h, wm WHERE CAST(floor(epoch_us(hr + INTERVAL 1 HOUR) / 1000) AS BIGINT) <= wm_ms
+        |ORDER BY hour, event_type""".stripMargin,
+    "q_stream_incremental_append" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |store AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 9)
+        |SELECT DISTINCT fp FROM fp
+        |WHERE doc_id % 10 = 9 AND fp NOT IN (SELECT fp FROM store)
+        |ORDER BY fp""".stripMargin,
   )
 }

@@ -147,12 +147,17 @@ object StreamOps {
     */
   def hourlyCountsAppend(spark: SparkSession, eventsDir: String,
                          maxFilesPerTrigger: Int = 1,
-                         queryName: String = "stream_hourly_append"): AppendRun = {
-    val batchSchema = spark.read.parquet(eventsDir).schema
-    var stream = spark.readStream
+                         queryName: String = "stream_hourly_append",
+                         glob: Option[String] = None): AppendRun = {
+    // the streaming file source requires a DIRECTORY; `glob` selects
+    // one table's file(s) when eventsDir is a shared testdata dir
+    val batchSchema = spark.read
+      .parquet(glob.map(g => s"$eventsDir/$g").getOrElse(eventsDir)).schema
+    var reader = spark.readStream
       .schema(batchSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(eventsDir)
+    glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+    var stream = reader.parquet(eventsDir)
     if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
       stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
@@ -194,18 +199,21 @@ object StreamOps {
   def incrementalDedupAppend(spark: SparkSession, docsDir: String, sfDir: String,
                              horizon: String = "30 minutes",
                              maxFilesPerTrigger: Int = 1,
-                             queryName: String = "stream_inc_dedup_append"): AppendRun = {
-    val batchSchema = spark.read.parquet(docsDir).schema
+                             queryName: String = "stream_inc_dedup_append",
+                             glob: Option[String] = None): AppendRun = {
+    val batchSchema = spark.read
+      .parquet(glob.map(g => s"$docsDir/$g").getOrElse(docsDir)).schema
     val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
     // one doc a minute: replays ingest order as event time
     val tsOf = timestamp_micros(col("doc_id") * 60000000L)
     val store = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") % 10 =!= 9)
       .select(fp.as("fp")).distinct()
-    val novel = spark.readStream
+    var reader = spark.readStream
       .schema(batchSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(docsDir)
+    glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+    val novel = reader.parquet(docsDir)
       .filter(col("doc_id") % 10 === 9)
       .select(col("doc_id"), fp.as("fp"), tsOf.as("ts"))
       .withWatermark("ts", horizon)
