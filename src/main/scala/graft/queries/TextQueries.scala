@@ -278,8 +278,14 @@ object TextQueries {
     * per-doc rollup — map-side only, no corpus shuffle after the freq
     * groupBy.
     */
+  /** LM vocabulary cap: broadcast is `unigramVocabK` rows BY
+    * CONSTRUCTION (PlanAuditSpec asserts the plan carries the limit).
+    * 512 binds at every test SF so the OOV path is exercised.
+    */
+  val unigramVocabK = 512
+
   private def qTxtUnigramLp(s: SparkSession, dir: String): DataFrame = {
-    val vocabK = 512 // binds at every test SF so the OOV path is exercised
+    val vocabK = unigramVocabK
     val tokens = t(s, dir, "documents")
       .select(col("doc_id"), explode(toks).as("token"))
     val freq = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))

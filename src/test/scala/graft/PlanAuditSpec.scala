@@ -31,7 +31,7 @@ class PlanAuditSpec extends SparkSpec {
   // streaming queries execute a real stream per call; keep them out of
   // the sweep (their batch twins are covered) to bound suite time
   private val skip = Set("q_stream_hourly", "q_stream_sessionize", "q_stream_dedup",
-    "q_stream_incremental")
+    "q_stream_incremental", "q_stream_hourly_append", "q_stream_incremental_append")
 
   test("decontamination joins against a BROADCAST benchmark set, and the self-checking queries hold") {
     // the benchmark side must broadcast (corpus never shuffles for it)
@@ -85,13 +85,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(knnLimits.exists(_.maxRows.exists(_ <= graft.queries.SimilarityQueries.knnProbeBatch)),
       s"knn probe batch has no LIMIT <= ${graft.queries.SimilarityQueries.knnProbeBatch} in plan")
     // q_txt_unigram_lp: the vocabulary broadcast must be top-K capped
-    // (web-scale vocabularies are heavy-tailed; uncapped = executor OOM)
+    // (web-scale vocabularies are heavy-tailed; uncapped = executor
+    // OOM). The cap constant is the PUBLIC one the query itself uses,
+    // and the limit must sit on the VOCAB side — its subtree holds the
+    // token-frequency Aggregate — not just anywhere in the plan.
+    val vocabK = graft.queries.TextQueries.unigramVocabK
     val lp = SparkEntry.queries("q_txt_unigram_lp")(spark, sfDir)
     val lpLimits = lp.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
     }
-    assert(lpLimits.exists(_.maxRows.exists(_ <= 512)),
-      s"unigram vocabulary broadcast has no top-K LIMIT in plan")
+    val vocabLimits = lpLimits.filter { l =>
+      l.maxRows.exists(_ <= vocabK) && l.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.exists(_.references.exists(_.name == "token")) => a
+      }.nonEmpty
+    }
+    assert(vocabLimits.nonEmpty,
+      s"unigram vocabulary side has no top-$vocabK LIMIT over the token-frequency aggregate")
   }
 
   test("parquet scans prune columns: no query reads text/pixels it doesn't use") {

@@ -84,6 +84,20 @@ class StreamAppendSpec extends SparkSpec {
     // intra-batch ties is first-arrival; the fp set is the contract)
     assert(emittedFps == batchFps,
       s"fp sets differ: +${(emittedFps -- batchFps).size} -${(batchFps -- emittedFps).size}")
+    // PRECONDITION for the exact count equality below: a fingerprint
+    // whose duplicates are spaced beyond the 30-min horizon re-emits
+    // by design (dropDuplicatesWithinWatermark evicts the key), while
+    // the batch operator dedups globally. Event time is one doc a
+    // minute, so the fixture must hold every same-fp novel pair within
+    // 30 doc_ids — asserted here so a future testdata regeneration
+    // fails loudly instead of silently relying on duplicate spacing.
+    val maxSameFpGap = docs.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .groupBy("fp").agg((max("doc_id") - min("doc_id")).as("gap"))
+      .agg(max("gap")).head().getLong(0)
+    assert(maxSameFpGap <= 30,
+      s"fixture violates the horizon precondition: same-fp novel docs $maxSameFpGap minutes apart")
     assert(run.result.count() == batchRows.length.toLong, "one emission per novel fingerprint")
     // state bound: dropDuplicatesWithinWatermark must evict keys whose
     // event time fell behind the horizon (30 min horizon, one doc per
