@@ -190,6 +190,44 @@ object Ivf {
       .limit(k)
   }
 
+  /** Batched IVF ANN: resolve a WHOLE probe batch in one corpus pass.
+    * Each probe's `nprobe` nearest cells are assigned by a UDF over the
+    * broadcast codebook (no driver loop, no per-probe job), exploded to
+    * (probe, cell) rows — at most |probes| x nprobe of them, bounded
+    * when the caller caps the probe batch — and equi-joined to the
+    * cell-assigned corpus as a broadcast hash join: every corpus row is
+    * scored only against probes that probed its cell, and the per-probe
+    * top-k is a probe-partitioned window rank. This is the batch twin
+    * of [[annTopKIvf]] exactly as the batched k-NN join is of the
+    * brute-force scan, with IVF pruning applied per probe inside one
+    * scan instead of `|probes|` pruned scans.
+    *
+    * `probes` must carry (`probeIdCol`, `probeVecCol`); the corpus gains
+    * a `cell` column if absent. Self-exclusion is by id inequality.
+    */
+  def annTopKIvfBatch(df: DataFrame, idCol: String, vecCol: String,
+                      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                      k: Int, centroids: Array[Array[Double]],
+                      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val cellsOf = udf((v: Seq[Float]) =>
+      probeCells(v, bc.value, nprobe).toArray)
+    val probeCellRows = probes
+      .select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("qvec"))
+      .withColumn("cell", explode(cellsOf(col("qvec"))))
+    val corpus =
+      if (df.columns.contains("cell")) df else withCell(df, vecCol, centroids)
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), col(idCol))
+    corpus
+      .join(broadcast(probeCellRows), Seq("cell"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("cos_sim", CosineSimilarity.cosineSim(col(vecCol), col("qvec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("qvec")
+  }
+
   /** IVF ANN over a cell-partitioned store written by [[saveIvfStore]];
     * the scan's partition filters prune to the probed cells.
     */

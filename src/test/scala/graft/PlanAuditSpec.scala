@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ds_balance",     // same Balancer construction
     "q_ds_build",       // buildDataset balances per split: same 1-row agg
     "q_sim_knn_join",   // broadcast probe batch, LIMIT-capped (asserted below)
+    "q_sim_ivf_recall", // exact-recall stage: same LIMIT-capped probe batch
     "q_txt_unigram_lp"  // broadcast of top-K capped vocab + 1-row total agg
   )
 

@@ -45,6 +45,32 @@ class IvfSpec extends SparkSpec {
     assert(full == exact, s"ivf-full $full vs exact $exact")
   }
 
+  test("batched IVF probe equals the per-probe scan for every probe in the batch") {
+    import spark.implicits._
+    val probes = embeddings.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qvec"))
+      .orderBy("probe_id").limit(4)
+    val batch = Ivf.annTopKIvfBatch(embeddings, "vec_id", "embedding",
+        probes, "probe_id", "qvec", k = 5, centroids, nprobe = 3)
+      .select("probe_id", "vec_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val perProbe = probes.collect().flatMap { r =>
+      val pid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toSeq
+      Ivf.annTopKIvf(embeddings, "vec_id", "embedding", qv, 5, centroids,
+          nprobe = 3, excludeId = Some(pid))
+        .collect().zipWithIndex
+        .map { case (row, i) => (pid, row.getAs[Long]("vec_id"), i + 1) }
+    }.toSet
+    assert(batch == perProbe, s"batch twin diverges: ${batch.diff(perProbe)} / ${perProbe.diff(batch)}")
+    // the join is an equi hash join on cell, never a nested loop
+    val plan = Ivf.annTopKIvfBatch(embeddings, "vec_id", "embedding",
+      probes, "probe_id", "qvec", k = 5, centroids, nprobe = 3)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("NestedLoop"),
+      s"batched probe should equi-join on cell:\n$plan")
+  }
+
   test("store probe prunes cell partitions at planning time") {
     val path = java.nio.file.Files.createTempDirectory("ivfstore")
       .toFile.getAbsolutePath + "/emb"
