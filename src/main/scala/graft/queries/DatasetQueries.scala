@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
 import Q._
 
 /** Dataset-assembly operator queries (R2/R3/R5/R6/R7 + A2). Seeded
-  * random splits cannot be replayed by DuckDB (different RNG), so
-  * these are rows-only; the determinism contracts are asserted in
-  * SplitterSpec/DatasetBuilderSpec, and each result row carries its
-  * own invariant verdict.
+  * random MEMBERSHIP cannot be replayed by DuckDB (different RNG), but
+  * the queries report membership-invariant contracts — split COUNTS,
+  * the prefix property, per-category balance targets — which replay
+  * exactly: counts are closed-form in n (build.py:213-256's ceil
+  * chain, IEEE-identical in both engines), the balance target is the
+  * max category count, and the prefix/subset verdicts are pinned
+  * constants the engine must reproduce from real data. Membership
+  * determinism itself is asserted in SplitterSpec/DatasetBuilderSpec.
+  * q_ds_build stays rows-only (its fixture is synthesized in-session).
   */
 object DatasetQueries {
 
@@ -84,5 +89,38 @@ object DatasetQueries {
     "q_ds_build" -> qDsBuild _,
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // splitCounts((0.8,0.1,0.1)) main path: remainder = ceil(0.2 * n),
+    // test = ceil(0.5 * remainder), val = remainder - test, train =
+    // n - remainder. 0.2 * n is the same IEEE double product Scala
+    // computes (valRemainderRatio rounds to exactly 0.2), so the ceil
+    // chain replays bit-for-bit. Small-N degradation branches
+    // (n <= 2, sub-1 expected val/test) cannot trigger at any test SF.
+    "q_ds_split_contract" ->
+      """WITH n AS (SELECT count(*) AS n FROM orders),
+        |c AS (SELECT n, CAST(ceil(0.2 * n) AS BIGINT) AS remainder FROM n),
+        |d AS (SELECT n, remainder, CAST(ceil(0.5 * remainder) AS BIGINT) AS test FROM c)
+        |SELECT 'test' AS split, test AS n FROM d
+        |UNION ALL SELECT 'train', n - remainder FROM d
+        |UNION ALL SELECT 'val', remainder - test FROM d
+        |ORDER BY split""".stripMargin,
+    // the R3 contract: each nested split holds exactly its requested
+    // count and is a prefix (subset) of the next larger one. The
+    // verdicts are pinned — the engine derives them from real
+    // anti-join counts over the seeded permutation.
+    "q_ds_nested_prefix" ->
+      """SELECT '10' AS split, CAST(10 AS BIGINT) AS n, true AS is_prefix_of_next
+        |UNION ALL
+        |SELECT '100', CAST(100 AS BIGINT), true
+        |ORDER BY split""".stripMargin,
+    // R5: every category oversamples to exactly the max category
+    // count; distinct keys per category are untouched by duplication.
+    "q_ds_balance" ->
+      """WITH c AS (SELECT c_mktsegment, count(*) AS cnt,
+        |             count(DISTINCT c_custkey) AS n_distinct
+        |           FROM customer GROUP BY 1),
+        |m AS (SELECT max(cnt) AS mx FROM c)
+        |SELECT c_mktsegment, mx AS n, n_distinct FROM c, m
+        |ORDER BY c_mktsegment""".stripMargin,
+  )
 }
