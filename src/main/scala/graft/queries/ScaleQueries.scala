@@ -357,6 +357,50 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Signature-fixture oracles: DuckDB cannot compute Spark's
+    // xxhash64, so the per-doc minhash/simhash signatures are pinned
+    // in fixtures/signatures (graft.tools.FixtureGen, keyed by corpus
+    // count + total chars so one file serves every gated SF); the SQL
+    // then replays everything DOWNSTREAM independently — banding,
+    // bucket joins, pair dedup, estimate/hamming thresholds. Banding
+    // equality is on the raw signature slice where the engine hashes
+    // the slice (equal slices => equal buckets; an xxhash64 collision
+    // admitting an extra engine candidate would fail this gate, which
+    // is the point).
+    "q_dedup_minhash_pairs" ->
+      """WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
+        |sig AS (SELECT doc_id, minhash
+        |        FROM read_parquet('/root/repo/fixtures/signatures/*.parquet') s, nd
+        |        WHERE s.n_docs = nd.n AND s.n_chars_total = nd.nc),
+        |banded AS (
+        |  SELECT doc_id, t.band AS band,
+        |    array_to_string(list_slice(minhash, t.band*4 + 1, t.band*4 + 4), ',') AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0,32)) AS band) t),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b USING (band, bucket)
+        |  WHERE a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT id_a, id_b,
+        |    len(list_filter(range(1,129), i -> sa.minhash[i] = sb.minhash[i])) / 128.0 AS est_jaccard
+        |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a JOIN sig sb ON sb.doc_id = cand.id_b)
+        |SELECT id_a, id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.05 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash_pairs" ->
+      """WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
+        |sig AS (SELECT doc_id, simhash
+        |        FROM read_parquet('/root/repo/fixtures/signatures/*.parquet') s, nd
+        |        WHERE s.n_docs = nd.n AND s.n_chars_total = nd.nc),
+        |chunked AS (
+        |  SELECT doc_id, simhash, t.ci AS ci, (simhash >> (t.ci*16)) & 65535 AS chunk
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS ci) t),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |  FROM chunked a JOIN chunked b USING (ci, chunk)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs
+        |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
     "q_stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us,
