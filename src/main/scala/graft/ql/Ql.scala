@@ -45,11 +45,12 @@ object Ql {
   val eagerQueries: Set[String] = Set(
     "q_corpus_build", "q_dedup_components",
     "q_dedup_minhash_pairs", "q_dedup_lsh_recall",
-    "q_sim_ann_lsh", "q_sim_ann_ivf",
+    "q_sim_ann_lsh", "q_sim_ann_ivf", "q_sim_ivf_recall",
     "q_ds_split_contract", "q_ds_nested_prefix", "q_ds_build",
     "q_txt_heavy_hitters", "q_w3_dense_relabel",
     "q_stream_hourly", "q_stream_dedup", "q_stream_sessionize",
-    "q_stream_incremental")
+    "q_stream_incremental", "q_stream_hourly_append",
+    "q_stream_incremental_append")
 
   /** Register inventory queries as temp views named after their registry
     * keys, so `spark.sql("SELECT * FROM q_dedup_exact")` composes with
