@@ -39,6 +39,7 @@ object SparkEntry {
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       EventQueries.oracles ++
+      ImageQueries.oracles ++
       DatasetQueries.oracles ++
       ScaleQueries.oracles ++
       AdvancedQueries.oracles

@@ -121,17 +121,58 @@ object ImageQueries {
       .orderBy("category")
   }
 
+  /** T2 track table (Tracking.ipynb cells 25/32) over a deterministic
+    * 3-track movie per fov: cell A (orig id 5) moves 1 px/frame across
+    * all 6 frames, cell C (orig id 9) dies after frame 2 (capped),
+    * cell B (orig id 7) is born at frame 2. IOU linking renumbers them
+    * 1/2/3; the oracle pins the exact lineage rows that must follow.
+    */
+  private def qTrkTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 32
+    val frames = for {
+      f <- 0 until 2
+      t <- 0 until 6
+    } yield {
+      val labels = new Array[Int](n * n)
+      for (r <- 2 until 11; c <- (2 + t) until (11 + t)) labels(r * n + c) = 5
+      if (t <= 2) for (r <- 14 until 19; c <- 20 until 29) labels(r * n + c) = 9
+      if (t >= 2) for (r <- 20 until 29; c <- 4 until 13) labels(r * n + c) = 7
+      ImagePlane(s"fov${f + 1}", t, 0, 0, n, n, Seq("c"),
+        new Array[Float](n * n), labels)
+    }
+    val linked = Relabel.predictRelationships(ImagePlane.toDataset(s, frames))
+    graft.ops.Tracking.trackTable(linked)
+      .select(col("fov"), col("label"), col("frame_start"), col("frame_end"),
+        size(col("frames")).as("n_frames"), col("capped"))
+      .orderBy("fov", "label")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_img_adjust" -> qImgAdjust _,
     "q_a3_cellsize_sketch" -> qA3CellsizeSketch _,
     "q_img_crop_roundtrip" -> qImgCropRoundtrip _,
     "q_img_slice_roundtrip" -> qImgSliceRoundtrip _,
     "q_img_relabel_chain" -> qImgRelabelChain _,
+    "q_trk_table" -> qTrkTable _,
   )
 
-  /** No oracles: image ops are not SQL-expressible on the driver
-    * tables; invariants are carried in the result columns and in the
-    * ScalaTest suites.
+  /** Image-op round trips are not SQL-expressible on the driver
+    * tables (invariants live in the result columns + ScalaTest), but
+    * the track table over the deterministic fixture IS a fixed
+    * relation — its oracle pins the lineage rows the IOU chain must
+    * produce, independent of any engine code path.
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q_trk_table" ->
+      """SELECT * FROM (VALUES
+        |  ('fov1', 1, 0, 5, 6, FALSE),
+        |  ('fov1', 2, 0, 2, 3, TRUE),
+        |  ('fov1', 3, 2, 5, 4, FALSE),
+        |  ('fov2', 1, 0, 5, 6, FALSE),
+        |  ('fov2', 2, 0, 2, 3, TRUE),
+        |  ('fov2', 3, 2, 5, 4, FALSE)
+        |) AS t(fov, label, frame_start, frame_end, n_frames, capped)
+        |ORDER BY fov, label""".stripMargin,
+  )
 }
