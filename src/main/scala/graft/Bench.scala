@@ -12,8 +12,17 @@ object Bench {
     // first measured query doesn't absorb JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // Optional comma-separated allowlist for targeted timing while
+    // iterating on one query (mirrors Verify's SPARK_GRAFT_VERIFY_ONLY);
+    // unset ⇒ full inventory, the driver's contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     // deterministic (sorted) timing order, run-to-run comparable
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

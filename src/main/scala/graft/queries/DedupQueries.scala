@@ -29,7 +29,14 @@ object DedupQueries {
     * once in [[qCorpusBuild]].
     */
   private def docBase(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    docBaseOf(t(s, dir, "documents"))
+
+  /** [[docBase]] over an arbitrary documents-shaped input (the sampled
+    * recall gate feeds a doc_id-filtered subcorpus through the same
+    * pipeline).
+    */
+  private[queries] def docBaseOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), col("lang"),
         md5(col("text")).as("fp"),
@@ -144,6 +151,13 @@ object DedupQueries {
     */
   private def qDedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsFrom(docBase(s, dir))
+
+  /** The exact pair pipeline over an arbitrary documents-shaped input
+    * — the denominator of the LSH recall gate, which above its doc cap
+    * measures over a deterministic subcorpus sample.
+    */
+  private[queries] def jaccardPairsOver(docs: DataFrame): DataFrame =
+    jaccardPairsFrom(docBaseOf(docs))
 
   /** The pair pipeline body over a [[docBase]]-shaped input (lazy for
     * the standalone query — column pruning drops `fp`/`lang` — or a

@@ -35,13 +35,29 @@ object ScaleQueries {
     * Both sides are the REGISTERED pipelines — any change to either
     * shows up here as a recall drop in CORRECTNESS output.
     */
+  /** The recall denominator is the brute-force exact pair set, whose
+    * cost grows superlinearly with corpus size — fine as a gate at
+    * sf0.1, a scale-killer at 100 TB. Above [[recallExactDocCap]]
+    * docs, BOTH sides restrict to the deterministic doc sample
+    * `doc_id % m == 0` (m = ceil(n / cap)): recall measured over the
+    * sampled subcorpus is an unbiased estimate of subcorpus recall
+    * (numerator and denominator over the SAME pair population), and
+    * the sample parameters are reported in the row so the bound is
+    * driver-visible. At the driver's scale factors (≤ 5000 docs at
+    * sf0.1) m = 1 and the gate is exact — semantics unchanged.
+    */
+  val recallExactDocCap = 5000L
+
   private def qDedupLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = t(s, dir, "documents").count()
+    val mod = math.max(1L, (nDocs + recallExactDocCap - 1) / recallExactDocCap)
+    val docs = t(s, dir, "documents").filter(col("doc_id") % mod === 0)
     // both pipelines persist: the three counts below would otherwise
     // recompute each lineage twice (hits reads both)
-    val exact = DedupQueries.defs("q_dedup_jaccard_pairs")(s, dir)
+    val exact = DedupQueries.jaccardPairsOver(docs)
       .select(col("doc_a"), col("doc_b"))
       .persist()
-    val sigs = Dedup.withMinhash(t(s, dir, "documents"), "text",
+    val sigs = Dedup.withMinhash(docs, "text",
       numHashes = 128, shingleWidth = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 32,
       minEstimate = 0.05)
@@ -54,8 +70,9 @@ object ScaleQueries {
     cand.unpersist()
     import s.implicits._
     val recall = if (nExact == 0) 1.0 else nHits.toDouble / nExact
-    Seq((nExact, nCand, nHits, recall, recall >= 0.9))
-      .toDF("n_exact", "n_candidates", "n_hits", "recall", "recall_ok")
+    Seq((nExact, nCand, nHits, recall, recall >= 0.9, mod, nDocs))
+      .toDF("n_exact", "n_candidates", "n_hits", "recall", "recall_ok",
+        "sample_mod", "n_docs_total")
   }
 
   /** SimHash signatures + near-dup pairs within hamming 8. */
