@@ -90,6 +90,22 @@ object DatasetQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full-pipeline contract over the FIXED 30-plane fixture: 30 fovs
+    // (breast 20, lung 10), each 20x20 with 16 area-16 cells, tiled
+    // 2x2 into 10x10 outputs (4 cells each => n_cells = 4*n_images).
+    // Split sizes follow the ceil chain (remainder ceil(0.2*30)=6,
+    // test ceil(0.5*6)=3, val 3, train 24); the seeded (42, MT19937-
+    // parity) shuffle fixes per-tissue membership (test 2/1, val 2/2,
+    // train 16/7 breast/lung), and train balancing oversamples lung
+    // 7->16 fovs. In tiles: breast 8/8/64, lung 4/8/64. Pinned — the
+    // engine must reproduce these from the real seeded pipeline.
+    "q_ds_build" ->
+      """SELECT * FROM (VALUES
+        |  ('breast', 'test',  8,  32), ('breast', 'train', 64, 256),
+        |  ('breast', 'val',   8,  32), ('lung',   'test',  4,  16),
+        |  ('lung',   'train', 64, 256), ('lung',  'val',   8,  32)
+        |) AS t(tissue, split, n_images, n_cells)
+        |ORDER BY tissue, split""".stripMargin,
     // splitCounts((0.8,0.1,0.1)) main path: remainder = ceil(0.2 * n),
     // test = ceil(0.5 * remainder), val = remainder - test, train =
     // n - remainder. 0.2 * n is the same IEEE double product Scala

@@ -7,14 +7,12 @@ import org.apache.spark.sql.functions._
 import Q._
 
 /** Image-domain operator queries (crop/slice/stitch/relabel — the
-  * reference's core semantics, SURVEY.md §2.8). Not SQL-expressible
-  * over the driver tables, so these are registered WITHOUT oracles
-  * (rows-only check); each row carries its own invariant verdict so a
-  * failed round trip is visible in the output, and the ScalaTest
-  * suite asserts the same invariants.
-  *
-  * Input planes are derived deterministically from the `region` table
-  * (ids/names) so the queries run against every sf dir.
+  * reference's core semantics, SURVEY.md §2.8). The computations are
+  * not SQL-expressible over the driver tables, but each runs on a
+  * DETERMINISTIC fixture, so the full expected relation is pinned as
+  * a DuckDB oracle (see [[oracles]]); each row additionally carries
+  * its own invariant verdict, and the ScalaTest suite asserts the
+  * same invariants with diagnostics.
   */
 object ImageQueries {
 
@@ -100,9 +98,10 @@ object ImageQueries {
 
   /** A3 scale twin: per-category cell-size median, exact window rank
     * vs the percentile_approx sketch over native `label_areas`, on
-    * deterministic mixed-size grid masks (3 planes of area-100 cells +
-    * 1 of area-400 per category, so the exact median is 100 and the
-    * self-check is sharp).
+    * deterministic mixed-size grid masks (per category, 3 planes of
+    * 36 area-81 cells + 1 plane of 9 area-361 cells — grid cells keep
+    * a 1 px boundary — so the exact median is 81 and the self-check
+    * is sharp).
     */
   private def qA3CellsizeSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -157,11 +156,30 @@ object ImageQueries {
     "q_trk_table" -> qTrkTable _,
   )
 
-  /** Image-op round trips are not SQL-expressible on the driver
-    * tables (invariants live in the result columns + ScalaTest), but
-    * the track table over the deterministic fixture IS a fixed
-    * relation — its oracle pins the lineage rows the IOU chain must
-    * produce, independent of any engine code path.
+  /** The image-domain computations are not SQL-expressible, but every
+    * query here runs over a DETERMINISTIC fixture, so its full result
+    * relation is derivable a priori from the operator contracts — the
+    * oracles pin those expected relations (same pattern as the
+    * dataset-contract queries). A broken round trip, relabel chain,
+    * contrast range or sketch flips a verdict column (or a
+    * shape/count) and fails the hash match; the ScalaTest suites
+    * assert the same invariants with full diagnostics.
+    *
+    * Derivations:
+    *  - crop round trip: 4 fovs x stacks 0-3 of 60x60 planes; stitch
+    *    restores shape and the nonzero/cell-count invariants
+    *    (reshape_data_test.py:163-169 semantics) -> all-true verdicts;
+    *  - slice round trip: 4 fovs x stacks 0-8, corner tag = stack+1
+    *    by construction (reshape_data_test.py:209-210);
+    *  - relabel chain: one 10x10 cell per frame moving 1 px/frame,
+    *    consecutive IOU = 72/90 = 0.8 >= 0.1 -> every frame links to
+    *    id 1 in all 4 fovs x frames 0-5;
+    *  - adjust: blur+gamma+CLAHE maps into [0,255] and random input
+    *    is non-degenerate -> all-true verdicts, 4 fovs x stacks 0-3;
+    *  - cell-size sketch: per category 3 planes of 36 9x9-interior
+    *    cells (area 81) + 1 plane of 9 19x19 cells (area 361) ->
+    *    n_cells 117, exact median 81; the percentile_approx sketch at
+    *    its default accuracy is exact at this cardinality -> 81.0.
     */
   val oracles: Map[String, String] = Map(
     "q_trk_table" ->
@@ -174,5 +192,31 @@ object ImageQueries {
         |  ('fov2', 3, 2, 5, 4, FALSE)
         |) AS t(fov, label, frame_start, frame_end, n_frames, capped)
         |ORDER BY fov, label""".stripMargin,
+    "q_img_crop_roundtrip" ->
+      """SELECT 'fov' || CAST(f AS VARCHAR) AS fov, s AS stack,
+        |       60 AS n_rows, 60 AS n_cols, TRUE AS mask_ok, TRUE AS count_ok
+        |FROM generate_series(1, 4) t(f), generate_series(0, 3) u(s)
+        |ORDER BY fov, stack""".stripMargin,
+    "q_img_slice_roundtrip" ->
+      """SELECT 'fov' || CAST(f AS VARCHAR) AS fov, s AS stack,
+        |       s + 1 AS corner_tag, TRUE AS tag_ok
+        |FROM generate_series(1, 4) t(f), generate_series(0, 8) u(s)
+        |ORDER BY fov, stack""".stripMargin,
+    "q_img_relabel_chain" ->
+      """SELECT 'fov' || CAST(f AS VARCHAR) AS fov, s AS stack, '1' AS ids
+        |FROM generate_series(1, 4) t(f), generate_series(0, 5) u(s)
+        |ORDER BY fov, stack""".stripMargin,
+    "q_img_adjust" ->
+      """SELECT 'fov' || CAST(f AS VARCHAR) AS fov, s AS stack,
+        |       TRUE AS range_ok, TRUE AS non_degenerate
+        |FROM generate_series(1, 4) t(f), generate_series(0, 3) u(s)
+        |ORDER BY fov, stack""".stripMargin,
+    "q_a3_cellsize_sketch" ->
+      """SELECT * FROM (VALUES
+        |  ('fluo',  117, CAST(81.0 AS DOUBLE), CAST(81.0 AS DOUBLE), TRUE),
+        |  ('mibi',  117, CAST(81.0 AS DOUBLE), CAST(81.0 AS DOUBLE), TRUE),
+        |  ('phase', 117, CAST(81.0 AS DOUBLE), CAST(81.0 AS DOUBLE), TRUE)
+        |) AS t(category, n_cells, approx_median, exact_median, median_within_tol)
+        |ORDER BY category""".stripMargin,
   )
 }

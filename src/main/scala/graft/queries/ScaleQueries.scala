@@ -374,6 +374,19 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The video fixture is synthesized by an arithmetic law (frame f of
+    // doc d is a constant luma plane (d*31 + f*7) % 256, 16x16, 8
+    // frames), so the every-2nd-frame sample's aggregate is exactly
+    // replayable: frames 0/2/4/6, 4*16*16 = 1024 sampled bytes, mean
+    // luma = avg of the four constants (exact integer-valued doubles
+    // in both engines). A broken container walk, seek arithmetic, or
+    // plane decode diverges from the law and fails the hash.
+    "q_mm_frames" ->
+      """SELECT doc_id, 4 AS n_sampled, 1024 AS sampled_bytes,
+        |       round(avg((doc_id * 31 + f * 7) % 256), 6) AS mean_luma,
+        |       TRUE AS decode_ok
+        |FROM documents, (VALUES (0), (2), (4), (6)) v(f)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Signature-fixture oracles: DuckDB cannot compute Spark's
     // xxhash64, so the per-doc minhash/simhash signatures are pinned
     // in fixtures/signatures (graft.tools.FixtureGen, keyed by corpus

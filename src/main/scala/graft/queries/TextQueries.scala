@@ -122,11 +122,16 @@ object TextQueries {
     val exact = words.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("token")).limit(20)
     val est = udf((t: String) => sketch.estimateCount(t))
+    // the raw estimate stays internal (DuckDB cannot replay a CMS);
+    // what the oracle hash-checks is the exact top-20 plus the CMS
+    // error-bound verdict computed FROM the sketch — a broken sketch
+    // flips sketch_ok and fails the hash match
     exact
       .withColumn("est", est(col("token")))
       .withColumn("sketch_ok",
         col("est") >= col("n") &&
           col("est") <= col("n") + lit((eps * total).toLong + 1))
+      .select("token", "n", "sketch_ok")
       .orderBy(desc("n"), col("token"))
   }
 
@@ -416,6 +421,15 @@ object TextQueries {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // exact top-20 replayed; sketch_ok pinned TRUE — the engine computes
+    // it from the live CMS, so an estimate outside [n, n + eps*total+1]
+    // diverges from the pin and fails the hash
+    "q_txt_heavy_hitters" ->
+      """SELECT token, n, TRUE AS sketch_ok FROM (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 20)
+        |ORDER BY n DESC, token""".stripMargin,
     "q_txt_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
