@@ -126,8 +126,8 @@ object RelationalQueries {
     * (approx_count_distinct / HLL++). At 100 TB the exact forms pay a
     * per-group sort and a full key shuffle; the sketches are map-side
     * combinable with bounded error. Self-check columns verify each
-    * sketch against the exact value on the same data — rows-only by
-    * design (sketch internals differ across engines).
+    * sketch against the exact value on the same data; the oracle
+    * replays the exact columns and pins the tolerance verdicts.
     */
   private def qA1SketchScale(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -135,6 +135,11 @@ object RelationalQueries {
       .select(col("c_mktsegment"), col("median_acctbal"))
     val exactDistinct = c.groupBy("c_mktsegment")
       .agg(countDistinct("c_nationkey").as("exact_nations"))
+    // raw sketch outputs stay internal (their internals differ across
+    // engines); the oracle replays the exact columns and pins the
+    // error-bound verdicts, which the engine computes from the LIVE
+    // sketches — an out-of-tolerance sketch flips a verdict and fails
+    // the hash match. Sketch numerics are additionally spec-asserted.
     c.groupBy("c_mktsegment")
       .agg(
         percentile_approx(col("c_acctbal"), lit(0.5), lit(10000)).as("approx_median"),
@@ -143,11 +148,10 @@ object RelationalQueries {
       .join(exactMedian, Seq("c_mktsegment"))
       .join(exactDistinct, Seq("c_mktsegment"))
       .select(col("c_mktsegment"), col("n"),
-        round(col("approx_median"), 2).as("approx_median"),
-        round(col("median_acctbal"), 2).as("exact_median"),
+        col("median_acctbal").as("exact_median"),
         (abs(col("approx_median") - col("median_acctbal")) <=
           col("median_acctbal") * 0.05 + lit(50.0)).as("median_within_tol"),
-        col("approx_nations"), col("exact_nations"),
+        col("exact_nations"),
         (abs(col("approx_nations") - col("exact_nations")) <=
           greatest(col("exact_nations") * 0.1, lit(2.0))).as("distinct_within_tol"))
       .orderBy("c_mktsegment")
@@ -391,6 +395,26 @@ object RelationalQueries {
         |  WHEN lower(event_type) = 'purchase' THEN 'conversion'
         |  ELSE 'other' END AS kind, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY kind""".stripMargin,
+    // exact columns replayed; the *_within_tol verdicts are pinned TRUE
+    // — the engine derives them from its live percentile_approx / HLL
+    // sketches, so a sketch outside tolerance fails the hash
+    "q_a1_sketch_scale" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer),
+        |med AS (
+        |  SELECT c_mktsegment, avg(c_acctbal) AS exact_median
+        |  FROM ranked WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT) OR rn = CAST(floor((cnt + 2) / 2) AS BIGINT)
+        |  GROUP BY c_mktsegment)
+        |SELECT c.c_mktsegment, count(*) AS n, m.exact_median,
+        |       TRUE AS median_within_tol,
+        |       count(DISTINCT c.c_nationkey) AS exact_nations,
+        |       TRUE AS distinct_within_tol
+        |FROM customer c JOIN med m ON c.c_mktsegment = m.c_mktsegment
+        |GROUP BY c.c_mktsegment, m.exact_median
+        |ORDER BY c.c_mktsegment""".stripMargin,
     "q_a1_median" ->
       """WITH ranked AS (
         |  SELECT c_mktsegment, c_acctbal,
