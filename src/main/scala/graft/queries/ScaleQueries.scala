@@ -335,6 +335,17 @@ object ScaleQueries {
     * exactly that law — the oracle FAILS if append mode ever withholds
     * a finalized window or emits an open one.
     */
+  /** Bounded-state sessionization, driver-visible: per-user state is
+    * one open session, evicted by event-time timeout once the
+    * watermark passes last+gap (StreamOps.sessionCountsAppend). The
+    * emission law is deterministic, so the oracle replays it exactly:
+    * every non-final session per user, plus final sessions whose
+    * end+gap the final watermark strictly passed.
+    */
+  private def qStreamSessionizeAppend(s: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionCountsAppend(s, dir,
+      queryName = s"stream_sessions_append_${math.abs(dir.hashCode)}").result
+
   private def qStreamHourlyAppend(s: SparkSession, dir: String): DataFrame =
     StreamOps.hourlyCountsAppend(s, dir, glob = Some("events.parquet"),
       queryName = s"stream_hourly_append_${math.abs(dir.hashCode)}").result
@@ -370,6 +381,7 @@ object ScaleQueries {
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_hourly_append" -> qStreamHourlyAppend _,
+    "q_stream_sessionize_append" -> qStreamSessionizeAppend _,
     "q_stream_incremental_append" -> qStreamIncrementalAppend _,
   )
 
@@ -471,6 +483,36 @@ object ScaleQueries {
         |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, sum_value
         |FROM h, wm WHERE CAST(floor(epoch_us(hr + INTERVAL 1 HOUR) / 1000) AS BIGINT) <= wm_ms
         |ORDER BY hour, event_type""".stripMargin,
+    // Append-session emission law: a session is final (and emitted)
+    // iff a later session exists for its user, or the final watermark
+    // (max event ms - 10 min delay) strictly passed its end + 30 min
+    // gap (Spark fires event-time timeouts when wm > the set
+    // timestamp, set at floor(end_us/1000) + gap_ms).
+    "q_stream_sessionize_append" ->
+      """WITH wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 600000 AS wm_ms
+        |           FROM events),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sids AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess_id
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sess_id, min(us) AS start_us, max(us) AS end_us,
+        |         count(*) AS n_events
+        |  FROM sids GROUP BY user_id, sess_id),
+        |last AS (SELECT user_id, max(sess_id) AS last_id FROM sess GROUP BY user_id)
+        |SELECT sess.user_id AS user_id, start_us, end_us, n_events
+        |FROM sess JOIN last ON sess.user_id = last.user_id, wm
+        |WHERE sess.sess_id < last.last_id
+        |   OR CAST(floor(end_us / 1000) AS BIGINT) + 1800000 < wm_ms
+        |ORDER BY sess.user_id, start_us""".stripMargin,
     "q_stream_incremental_append" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -236,6 +236,98 @@ object StreamOps {
 
   case class Evt(user_id: Long, us: Long, event_id: Long)
   case class SessState(lastUs: Long, nSessions: Long, nEvents: Long)
+  case class OpenSess(startUs: Long, lastUs: Long, nEvents: Long)
+  case class EvtW(user_id: Long, us: Long, event_id: Long, ts: java.sql.Timestamp)
+
+  /** The 100 TB form of [[sessionCounts]]: per-user state carries ONE
+    * open session and is EVICTED by event-time timeout the moment the
+    * watermark passes `last event + gap` — from that point no
+    * non-late event can extend the session, so it is final and emits
+    * exactly once. Update-mode [[sessionCounts]] (the oracle-parity
+    * harness) keeps every user's totals in state forever — correct on
+    * a drained local run, unbounded on a continuous stream; here
+    * state is bounded by the number of users ACTIVE inside one
+    * gap+watermark horizon regardless of stream length. Sessions
+    * closed mid-batch (a later event opens the next session) emit
+    * without waiting for the timeout.
+    *
+    * Emits one row per CLOSED session: (user_id, start_us, end_us,
+    * n_events). Sessions still open when the source drains remain in
+    * state — the append contract; they'd emit when later data
+    * advanced the watermark. The emission law is deterministic, so
+    * the DuckDB oracle replays it: a session emits iff another
+    * session follows it for the same user, or the final watermark
+    * (max event ms − delay) strictly passed its end + gap.
+    */
+  def sessionCountsAppend(spark: SparkSession, sfDir: String,
+                          gapMinutes: Int = 30,
+                          watermarkDelay: String = "10 minutes",
+                          queryName: String = "stream_sessions_append"): AppendRun = {
+    import spark.implicits._
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    var stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    // the watermarked event-time column must survive into the grouped
+    // dataset for event-time timeout to be legal
+    val events = stream
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("ts"))
+      .as[EvtW]
+    val closed = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, it: Iterator[EvtW], state: GroupState[OpenSess]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val out = state.getOption
+              .map(s => (uid, s.startUs, s.lastUs, s.nEvents)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
+            val emitted =
+              scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open = open match {
+                case Some(s) if e.us - s.lastUs <= gapUs =>
+                  Some(OpenSess(s.startUs, e.us, s.nEvents + 1))
+                case Some(s) =>
+                  emitted += ((uid, s.startUs, s.lastUs, s.nEvents))
+                  Some(OpenSess(e.us, e.us, 1L))
+                case None =>
+                  Some(OpenSess(e.us, e.us, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMs)
+            }
+            emitted.iterator
+          }
+        })
+      .toDF("user_id", "start_us", "end_us", "n_events")
+    val q = closed.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    AppendRun(spark.table(queryName).orderBy("user_id", "start_us"),
+      maxState, progress.length)
+  }
 
   /** Streaming EP2: incremental crop-stitching. Annotated work units
     * arrive as a file stream (the post-annotation download of

@@ -106,4 +106,38 @@ class StreamAppendSpec extends SparkSpec {
     assert(run.maxStateRows < batchFps.size.toLong,
       s"dedup state ${run.maxStateRows} reached full key count ${batchFps.size} — horizon not evicting")
   }
+
+  test("append-mode sessionize: emitted+open partitions the batch sessions, user state evicts") {
+    // single-directory run (the registry shape): all events in one
+    // batch, then the timeout batch closes every session the final
+    // watermark passed
+    val run = StreamOps.sessionCountsAppend(spark, sfDir,
+      queryName = "spec_sessions_append")
+    val emitted = run.result.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // each emitted session is final: exactly one per (user, start),
+    // count positive, end within the session
+    assert(emitted.nonEmpty)
+    assert(emitted.map(e => (e._1, e._2)).distinct.length == emitted.length)
+    assert(emitted.forall(e => e._4 > 0 && e._3 >= e._2))
+    // emitted + still-open = the batch operator's session count per user
+    val batch = graft.queries.EventQueries.defs("q_evt_sessionize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emittedPerUser = emitted.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nUsers = batch.size
+    batch.foreach { case (uid, nSess) =>
+      val e = emittedPerUser.getOrElse(uid, 0L)
+      assert(e == nSess || e == nSess - 1,
+        s"user $uid: emitted $e of $nSess sessions (only the final open one may be held)")
+    }
+    // THE scale assertion: state is one open session per ACTIVE user at
+    // most, and timeouts evicted the users the watermark passed — the
+    // high-water mark stays at/below the user count rather than the
+    // session count
+    assert(run.maxStateRows <= nUsers.toLong,
+      s"session state ${run.maxStateRows} exceeds user count $nUsers")
+    val totalSessions = batch.values.sum
+    assert(totalSessions > nUsers.toLong,
+      "fixture degenerate: need multiple sessions per user for the bound to mean anything")
+  }
 }
