@@ -337,6 +337,14 @@ object StreamOps {
     * canvases never leave state. `maxFilesPerTrigger` in the caller
     * makes the arrival genuinely incremental across micro-batches.
     *
+    * State bound (why NoTimeout is sound here, unlike the session
+    * case): a group's state is removed the moment its LAST crop
+    * arrives, so steady-state retention is only the canvases whose
+    * crops are in flight. A canvas leaks only if an upstream anomaly
+    * never delivers a crop — at deployment scale pair this with a
+    * timeout eviction routing incomplete groups to a quarantine sink
+    * rather than silently dropping annotated work.
+    *
     * Emits (fov, stack, slice, n_cells, n_nonzero) — the stitched
     * plane's invariants (the full plane can equally be written to a
     * sink; the summary keeps the memory-sink spec light).
@@ -392,6 +400,11 @@ object StreamOps {
     * exceeds `gapMinutes`. State survives across micro-batches; each
     * batch emits the updated per-user totals. Matches the batch
     * window-algebra sessionization exactly (same oracle).
+    *
+    * This is the ORACLE-PARITY harness: per-user totals never evict,
+    * so state grows with the user universe — correct on a drained
+    * local run, unbounded on a continuous stream. The deployed form
+    * is [[sessionCountsAppend]] (event-time timeout, bounded state).
     */
   def sessionCounts(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
                     queryName: String = "stream_sessions"): DataFrame = {
