@@ -82,6 +82,24 @@ class TrackingSpec extends SparkSpec {
     assert(broken.exists(!_.getAs[Boolean]("consistent")))
   }
 
+  test(".trk round trip survives multi-channel pixels") {
+    val n = 8
+    val planes = (0 until 3).map { t =>
+      val labels = new Array[Int](n * n)
+      labels(t) = 1
+      val pixels = Array.tabulate(2 * n * n)(i => i.toFloat + t * 1000f)
+      ImagePlane("mc", t, 0, 0, n, n, Seq("dapi", "membrane"), pixels, labels)
+    }
+    val bytes = Tracking.encodeTrk(planes)
+    val back = Tracking.decodeTrkPlanes("mc", bytes)
+    assert(back.length == 3)
+    back.zip(planes).foreach { case (b, o) =>
+      assert(b.channels.length == 2)
+      assert(b.pixels.sameElements(o.pixels), s"stack ${o.stack} pixels")
+      assert(b.labels.sameElements(o.labels), s"stack ${o.stack} labels")
+    }
+  }
+
   test(".trk round trip: planes and lineage survive write/read") {
     val dir = Files.createTempDirectory("trk").toFile.getAbsolutePath
     val linked = Relabel.predictRelationships(
