@@ -44,12 +44,22 @@ object SimilarityQueries {
       .limit(10)
   }
 
-  /** Pairwise similarity join on a bounded id range (vec_id < 100 on
-    * both sides): counts pairs above threshold per label pair — the
-    * exact-verification stage of an ANN pipeline.
+  /** The declared bound of [[qSimPairCount]]'s exact all-pairs stage:
+    * both sides restrict to `vec_id < pairCountIdBound`, so the
+    * cross-join cost is fixed at bound²/2 pairs at ANY corpus size.
+    * Named (not a literal in the query text) so PlanAuditSpec can
+    * assert the predicate is actually pushed into both parquet scans —
+    * the same structural treatment as [[knnProbeBatch]]. The oracle
+    * SQL mirrors the value as a literal; change them together.
+    */
+  val pairCountIdBound = 100
+
+  /** Pairwise similarity join on a bounded id range (vec_id <
+    * [[pairCountIdBound]] on both sides): counts pairs above threshold
+    * per label pair — the exact-verification stage of an ANN pipeline.
     */
   private def qSimPairCount(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < pairCountIdBound)
       .select(col("vec_id"), col("label"), dvec(col("embedding")).as("vec"))
     val a = e.select(col("vec_id").as("id_a"), col("label").as("label_a"), col("vec").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("vec").as("vb"))

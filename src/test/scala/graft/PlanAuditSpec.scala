@@ -104,6 +104,21 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(vocabLimits.nonEmpty,
       s"unigram vocabulary side has no top-$vocabK LIMIT over the token-frequency aggregate")
+    // q_sim_pair_count: the declared O(n²) exact-verify stage is only
+    // safe because both sides are id-bounded — the bound must be the
+    // NAMED constant and must reach the parquet scans as a pushed
+    // filter (a bound living only in query text could silently drift
+    // or stop pushing down)
+    val bound = graft.queries.SimilarityQueries.pairCountIdBound
+    val pc = SparkEntry.queries("q_sim_pair_count")(spark, sfDir)
+    val pcScans = pc.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(pcScans.nonEmpty, "pair_count plan has no parquet scans")
+    pcScans.foreach { sc =>
+      val pushed = sc.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains(s"LessThan(vec_id,$bound)"),
+        s"pair_count scan lacks pushed vec_id<$bound: $pushed")
+    }
   }
 
   test("parquet scans prune columns: no query reads text/pixels it doesn't use") {
