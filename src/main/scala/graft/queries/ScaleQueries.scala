@@ -179,6 +179,14 @@ object ScaleQueries {
     * exercise the byte-level fallback featurizer (ImageIO has no reader
     * for them) -> partition-batched extraction (histogram/entropy/
     * thumb). The real-codec path is q_mm_decode.
+    *
+    * Every output column is DuckDB-replayable: n_bytes is the UTF-8
+    * byte length of the text (octet_length of the encoded blob), and
+    * the live float features enter as verdicts — the 16-bin byte
+    * histogram must account for every byte (hist_sum_ok) and its
+    * entropy must sit in [0, log2(16)] (entropy_ok). A featurizer that
+    * drops bytes, mis-bins, or mis-normalizes flips a verdict and
+    * fails the hash.
     */
   private def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -188,8 +196,9 @@ object ScaleQueries {
       .as[Multimodal.MediaRow]
     Multimodal.extractFeatures(media)
       .select(col("id"), col("modality"), col("nBytes").as("n_bytes"),
-        round(col("byteEntropy"), 6).as("byte_entropy"),
-        element_at(col("histogram"), 7).as("hist_bin6"))
+        (col("byteEntropy") >= 0.0 && col("byteEntropy") <= 4.0).as("entropy_ok"),
+        (aggregate(col("histogram"), lit(0L), _ + _) === col("nBytes"))
+          .as("hist_sum_ok"))
       .orderBy("id")
   }
 
@@ -215,7 +224,7 @@ object ScaleQueries {
       .join(src.select(col("doc_id").as("id"), col("expected_hist")), Seq("id"))
       .select(col("id").as("doc_id"),
         col("pixelWidth").as("px_w"), col("pixelHeight").as("px_h"),
-        round(col("byteEntropy"), 6).as("pixel_entropy"),
+        (col("byteEntropy") >= 0.0 && col("byteEntropy") <= 4.0).as("entropy_ok"),
         (col("histogram") === col("expected_hist")).as("decode_ok"))
       .orderBy("doc_id")
   }
@@ -230,6 +239,12 @@ object ScaleQueries {
     * the 16-bit step), exactly 2k sign changes (zcr_ok equality), and
     * its Goertzel-detected dominant DFT bin is exactly k (dom_ok —
     * frequency-domain check on the decoded samples).
+    *
+    * Every output column is DuckDB-replayable: the integer columns are
+    * arithmetic in doc_id (n_zero_cross = 2k, dominant_bin = k), the
+    * constants are the synthesis parameters, and the quantized-float
+    * RMS enters as its verdict. The raw rms float is deliberately NOT
+    * emitted — 16-bit quantization noise makes it engine-specific.
     */
   private def qMmAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -247,7 +262,7 @@ object ScaleQueries {
     Multimodal.extractAudioFeatures(media).toDF()
       .join(src.select(col("doc_id").as("id"), col("k_cycles")), Seq("id"))
       .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
-        col("nSamples").as("n_samples"), round(col("rms"), 6).as("rms"),
+        col("nSamples").as("n_samples"),
         col("zeroCrossings").as("n_zero_cross"),
         col("dominantBin").as("dominant_bin"),
         (abs(col("rms") - lit(0.5 / math.sqrt(2))) < 1e-3).as("rms_ok"),
@@ -386,6 +401,29 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Pinned-verdict multimodal oracles (the round-9 pattern): the
+    // fixture inputs are deterministic functions of doc_id, so every
+    // integer/constant column replays exactly in DuckDB; the live
+    // float features (entropy, quantized RMS, decoded histogram) enter
+    // as their boolean verdicts, pinned TRUE — the ENGINE computes
+    // them from the real decode, so a broken codec/featurizer flips a
+    // verdict and fails the hash.
+    "q_mm_features" ->
+      """SELECT doc_id AS id, 'text/fake' AS modality,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       TRUE AS entropy_ok, TRUE AS hist_sum_ok
+        |FROM documents ORDER BY id""".stripMargin,
+    "q_mm_decode" ->
+      """SELECT doc_id, 8 AS px_w, 8 AS px_h,
+        |       TRUE AS entropy_ok, TRUE AS decode_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_audio" ->
+      """SELECT doc_id, CAST(8000 AS DOUBLE) AS sample_rate,
+        |       CAST(2048 AS BIGINT) AS n_samples,
+        |       (4 + doc_id % 8) * 2 AS n_zero_cross,
+        |       CAST(4 + doc_id % 8 AS INT) AS dominant_bin,
+        |       TRUE AS rms_ok, TRUE AS zcr_ok, TRUE AS dom_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The video fixture is synthesized by an arithmetic law (frame f of
     // doc d is a constant luma plane (d*31 + f*7) % 256, 16x16, 8
     // frames), so the every-2nd-frame sample's aggregate is exactly

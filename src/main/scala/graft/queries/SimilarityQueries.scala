@@ -50,7 +50,8 @@ object SimilarityQueries {
     * Named (not a literal in the query text) so PlanAuditSpec can
     * assert the predicate is actually pushed into both parquet scans —
     * the same structural treatment as [[knnProbeBatch]]. The oracle
-    * SQL mirrors the value as a literal; change them together.
+    * SQL interpolates this same constant, so the engine bound and the
+    * DuckDB replay cannot drift apart.
     */
   val pairCountIdBound = 100
 
@@ -187,8 +188,8 @@ object SimilarityQueries {
         |FROM e, probe WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_sim_pair_count" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
-        |  FROM embeddings WHERE vec_id < 100),
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings WHERE vec_id < $pairCountIdBound),
         |pairs AS (
         |  SELECT a.label AS label_a, b.label AS label_b,
         |    round(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))

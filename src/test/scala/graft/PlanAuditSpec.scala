@@ -111,9 +111,14 @@ class PlanAuditSpec extends SparkSpec {
     // or stop pushing down)
     val bound = graft.queries.SimilarityQueries.pairCountIdBound
     val pc = SparkEntry.queries("q_sim_pair_count")(spark, sfDir)
+    // guard exactly the two embeddings scans (the self cross join's
+    // sides); an unrelated dimension scan joining in later must not
+    // trip the pushed-filter assertion
     val pcScans = pc.queryExecution.sparkPlan.collect {
-      case f: FileSourceScanExec => f }
-    assert(pcScans.nonEmpty, "pair_count plan has no parquet scans")
+      case f: FileSourceScanExec
+          if f.requiredSchema.fieldNames.contains("vec_id") => f }
+    assert(pcScans.length == 2,
+      s"expected the 2 embeddings-side scans, found ${pcScans.length}")
     pcScans.foreach { sc =>
       val pushed = sc.metadata.getOrElse("PushedFilters", "")
       assert(pushed.contains(s"LessThan(vec_id,$bound)"),
