@@ -30,8 +30,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // state-store high-water marks recorded by the append-mode
+    // streaming operators that ran above — the per-round artifact
+    // proving watermark/timeout eviction actually bounds state
+    val sw = graft.streaming.StreamOps.stateHighWater.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"state_rows":$sw,"sf":"$sfDir"}"""
     println(line)
     // also persist the full line: stdout tail-grabs truncate on long
     // logs, and per-query numbers must survive intact

@@ -50,7 +50,8 @@ object Ql {
     "q_txt_heavy_hitters", "q_w3_dense_relabel",
     "q_stream_hourly", "q_stream_dedup", "q_stream_sessionize",
     "q_stream_incremental", "q_stream_hourly_append",
-    "q_stream_incremental_append", "q_stream_sessionize_append")
+    "q_stream_incremental_append", "q_stream_sessionize_append",
+    "q_stream_stitch")
 
   /** Register inventory queries as temp views named after their registry
     * keys, so `spark.sql("SELECT * FROM q_dedup_exact")` composes with

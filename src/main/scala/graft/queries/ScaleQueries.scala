@@ -375,6 +375,53 @@ object ScaleQueries {
     * driver-visible contract is the distinct fp set, which is
     * arrival-invariant. StreamAppendSpec holds the per-row bounds.
     */
+  /** The bounded-state streaming EP2 reconstruct, driver-visible
+    * (StreamOps.incrementalStitchAppend): annotated crops arrive one
+    * work-unit batch per micro-batch; complete canvases stitch and
+    * emit with the SAME census invariants as the batch
+    * q_img_crop_roundtrip (36 cells / 2916 nonzero px per 60x60
+    * grid-labeled plane); the one group whose final crop is withheld
+    * (the upstream-anomaly drill) is evicted by event-time timeout to
+    * a quarantine row instead of leaking state. The fixture is fully
+    * deterministic — 4 fovs x 2 stacks, group k's crops all stamped
+    * minute k, files replayed oldest-first — so the emission law
+    * (quarantine iff final watermark passed last arrival + 3 min)
+    * replays exactly in the oracle.
+    */
+  private def qStreamStitch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.ImagePlane
+    import graft.ops.CropOps
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val orig = ImagePlane.blankPlanes(4, 2, 60, 60)
+      .map(ImagePlane.gridLabels(_, cellSize = 10))
+    val plan = CropOps.planCrops(60, 60, 24, 24, 0.5)
+    val streamDir = Files.createTempDirectory("q_stream_stitch")
+      .toFile.getAbsolutePath
+    // one file per (fov, stack) work unit, ascending mtimes => the
+    // file source replays arrival order; group 0 (fov1, stack 0) is
+    // missing its last crop and must quarantine, never stitch
+    orig.zipWithIndex.foreach { case (p, k) =>
+      val crops = CropOps.cropOne(p, plan)
+        .filter(c => !(k == 0 && c.crop == plan.numCrops - 1))
+      val withTs = crops.map { c =>
+        (c.fov, c.stack, c.crop, c.slice, c.nRows, c.nCols, c.channels,
+          c.pixels, c.labels, new java.sql.Timestamp(1700000000000L + k * 60000L))
+      }.toDF("fov", "stack", "crop", "slice", "nRows", "nCols",
+        "channels", "pixels", "labels", "ts")
+      val tmp = Files.createTempDirectory(s"stitch_unit$k").toFile.getAbsolutePath
+      withTs.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = Paths.get(streamDir, f"unit_$k%03d.parquet")
+      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(1700000000000L + k * 10000L)
+    }
+    StreamOps.incrementalStitchAppend(s, streamDir, plan,
+      quarantineMinutes = 3, watermarkDelay = "2 minutes",
+      queryName = s"stream_stitch_${math.abs(dir.hashCode)}").result
+  }
+
   private def qStreamIncrementalAppend(s: SparkSession, dir: String): DataFrame =
     StreamOps.incrementalDedupAppend(s, dir, dir, glob = Some("documents.parquet"),
       queryName = s"stream_inc_append_${math.abs(dir.hashCode)}")
@@ -398,6 +445,7 @@ object ScaleQueries {
     "q_stream_hourly_append" -> qStreamHourlyAppend _,
     "q_stream_sessionize_append" -> qStreamSessionizeAppend _,
     "q_stream_incremental_append" -> qStreamIncrementalAppend _,
+    "q_stream_stitch" -> qStreamStitch _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -424,6 +472,26 @@ object ScaleQueries {
         |       CAST(4 + doc_id % 8 AS INT) AS dominant_bin,
         |       TRUE AS rms_ok, TRUE AS zcr_ok, TRUE AS dom_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Streaming EP2 stitch: the fixture is 4 fovs x 2 stacks of 60x60
+    // grid-labeled planes (the q_img_crop_roundtrip census: 36 cells,
+    // 36*81 = 2916 nonzero px), 25 crops per canvas, group k's crops
+    // stamped minute k and replayed in order. Group (fov1, 0) is
+    // missing crop 24, and the final watermark (7 min - 2 min delay)
+    // strictly passes its last arrival + 3 min quarantine horizon, so
+    // the emission law says: that group quarantines with the 24 crops
+    // it received (-1 censuses — no canvas fabricated), every other
+    // group stitches with the exact batch invariants. A stitch that
+    // mis-places crops, a timeout that never fires (state leak), or a
+    // quarantine that fabricates a canvas all diverge from this
+    // relation and fail the hash.
+    "q_stream_stitch" ->
+      """SELECT 'fov' || CAST(f AS VARCHAR) AS fov, s AS stack, 0 AS slice,
+        |  CASE WHEN f = 1 AND s = 0 THEN 24 ELSE 25 END AS n_crops,
+        |  CASE WHEN f = 1 AND s = 0 THEN -1 ELSE 36 END AS n_cells,
+        |  CASE WHEN f = 1 AND s = 0 THEN -1 ELSE 2916 END AS n_nonzero,
+        |  CASE WHEN f = 1 AND s = 0 THEN 'quarantined' ELSE 'stitched' END AS status
+        |FROM generate_series(1, 4) t(f), generate_series(0, 1) u(s)
+        |ORDER BY fov, stack, slice""".stripMargin,
     // The video fixture is synthesized by an arithmetic law (frame f of
     // doc d is a constant luma plane (d*31 + f*7) % 256, 16x16, 8
     // frames), so the every-2nd-frame sample's aggregate is exactly

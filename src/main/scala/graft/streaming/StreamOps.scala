@@ -129,6 +129,15 @@ object StreamOps {
     */
   case class AppendRun(result: DataFrame, maxStateRows: Long, numBatches: Int)
 
+  /** State-store high-water marks observed by the most recent run of
+    * each append-mode operator, keyed by the operator's registry name.
+    * Bench emits this map as `state_rows` in its JSON line, making the
+    * bound a per-round driver-visible artifact instead of spec-only
+    * assurance.
+    */
+  val stateHighWater: scala.collection.concurrent.TrieMap[String, Long] =
+    scala.collection.concurrent.TrieMap.empty
+
   /** The 100 TB form of [[hourlyCounts]]: APPEND output mode, so each
     * window row is emitted exactly once — when the watermark passes
     * its end — and then EVICTED from the state store. Complete mode
@@ -179,6 +188,7 @@ object StreamOps {
     q.stop()
     val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_hourly_append") = maxState
     AppendRun(spark.table(queryName).orderBy("hour", "event_type"),
       maxState, progress.length)
   }
@@ -231,6 +241,7 @@ object StreamOps {
     q.stop()
     val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_incremental_append") = maxState
     AppendRun(spark.table(queryName).orderBy("doc_id"), maxState, progress.length)
   }
 
@@ -325,6 +336,7 @@ object StreamOps {
     q.stop()
     val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_sessionize_append") = maxState
     AppendRun(spark.table(queryName).orderBy("user_id", "start_us"),
       maxState, progress.length)
   }
@@ -337,13 +349,13 @@ object StreamOps {
     * canvases never leave state. `maxFilesPerTrigger` in the caller
     * makes the arrival genuinely incremental across micro-batches.
     *
-    * State bound (why NoTimeout is sound here, unlike the session
-    * case): a group's state is removed the moment its LAST crop
+    * State bound: a group's state is removed the moment its LAST crop
     * arrives, so steady-state retention is only the canvases whose
     * crops are in flight. A canvas leaks only if an upstream anomaly
-    * never delivers a crop — at deployment scale pair this with a
-    * timeout eviction routing incomplete groups to a quarantine sink
-    * rather than silently dropping annotated work.
+    * never delivers a crop — this harness is the complete-path
+    * oracle-parity form; the DEPLOYED form is
+    * [[incrementalStitchAppend]], whose event-time timeout evicts such
+    * canvases to a quarantine output instead of leaking them.
     *
     * Emits (fov, stack, slice, n_cells, n_nonzero) — the stitched
     * plane's invariants (the full plane can equally be written to a
@@ -392,6 +404,113 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName).orderBy("fov", "stack", "slice")
+  }
+
+  /** One streamed work unit for [[incrementalStitchAppend]]: an
+    * ImagePlane crop plus its upload timestamp (the reference's
+    * annotated-zip download carries upload-log times,
+    * aws_functions.py + upload_log CSV semantics).
+    */
+  case class CropArrival(fov: String, stack: Int, crop: Int, slice: Int,
+                         nRows: Int, nCols: Int, channels: Seq[String],
+                         pixels: Array[Float], labels: Array[Int],
+                         ts: java.sql.Timestamp) {
+    def plane: graft.core.ImagePlane = graft.core.ImagePlane(
+      fov, stack, crop, slice, nRows, nCols, channels, pixels, labels)
+  }
+
+  /** Accumulated crops for one open canvas + the latest arrival ms
+    * (the base of the quarantine timeout). */
+  case class StitchState(crops: Seq[graft.core.ImagePlane], lastMs: Long)
+
+  /** The BOUNDED form of [[incrementalStitch]] — the deployed EP2
+    * reconstruct (reshape_data.py:194-234 semantics, incremental). Two
+    * eviction paths keep state at "canvases whose crops are in
+    * flight":
+    *   - a canvas stitches and EMITS the moment its last crop arrives
+    *     (state removed — the happy path, same as incrementalStitch);
+    *   - a canvas whose crops STOP arriving (upstream anomaly: an
+    *     annotator never returned a work unit) is evicted by
+    *     EVENT-TIME TIMEOUT once the watermark passes its last arrival
+    *     + `quarantineMinutes`, emitting a QUARANTINE row instead of
+    *     leaking state forever — annotated work is surfaced for
+    *     re-dispatch, never silently dropped.
+    *
+    * Emits (fov, stack, slice, n_crops, n_cells, n_nonzero, status):
+    * status 'stitched' rows carry the stitched plane's census (the
+    * same invariants as the batch q_img_crop_roundtrip oracle);
+    * status 'quarantined' rows carry the crop count received and -1
+    * censuses (no canvas was fabricated from partial data).
+    *
+    * The emission law is deterministic for a drained replay: a group
+    * quarantines iff the final watermark (max arrival ms −
+    * `watermarkDelay`) strictly passed its last arrival +
+    * `quarantineMinutes`, so a DuckDB oracle can replay the full
+    * output relation.
+    */
+  def incrementalStitchAppend(spark: SparkSession, planesDir: String,
+                              plan: graft.ops.CropOps.CropPlan,
+                              quarantineMinutes: Int = 5,
+                              watermarkDelay: String = "2 minutes",
+                              maxFilesPerTrigger: Int = 1,
+                              queryName: String = "stream_stitch_append"): AppendRun = {
+    import spark.implicits._
+    val schema = spark.read.parquet(planesDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(planesDir)
+      .withWatermark("ts", watermarkDelay)
+      .select("fov", "stack", "crop", "slice", "nRows", "nCols",
+        "channels", "pixels", "labels", "ts")
+      .as[CropArrival]
+    val gapMs = quarantineMinutes * 60L * 1000L
+    val stitched = stream
+      .groupByKey(p => (p.fov, p.stack, p.slice))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Int, Int), it: Iterator[CropArrival],
+         state: GroupState[StitchState]) => {
+          if (state.hasTimedOut) {
+            // crops stopped arriving: evict to quarantine, never leak
+            val s = state.get
+            state.remove()
+            Iterator((key._1, key._2, key._3, s.crops.length.toLong,
+              -1L, -1L, "quarantined"))
+          } else {
+            val arrivals = it.toSeq
+            val prev = state.getOption
+            val acc = prev.map(_.crops).getOrElse(Seq.empty) ++ arrivals.map(_.plane)
+            if (acc.length >= plan.numCrops) {
+              state.remove()
+              val full = graft.ops.CropOps.stitchGroup(key._1, key._2, key._3,
+                acc.sortBy(_.crop), plan)
+              Iterator((full.fov, full.stack, full.slice, acc.length.toLong,
+                full.labels.filter(_ != 0).distinct.length.toLong,
+                full.labels.count(_ != 0).toLong, "stitched"))
+            } else {
+              val lastMs = (prev.map(_.lastMs).toSeq ++
+                arrivals.map(_.ts.getTime)).max
+              state.update(StitchState(acc, lastMs))
+              state.setTimeoutTimestamp(lastMs + gapMs)
+              Iterator.empty
+            }
+          }
+        })
+      .toDF("fov", "stack", "slice", "n_crops", "n_cells", "n_nonzero", "status")
+    val q = stitched.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_stitch") = maxState
+    AppendRun(spark.table(queryName).orderBy("fov", "stack", "slice"),
+      maxState, progress.length)
   }
 
   /** Stateful streaming sessionization via flatMapGroupsWithState

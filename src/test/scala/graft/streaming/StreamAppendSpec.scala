@@ -107,6 +107,67 @@ class StreamAppendSpec extends SparkSpec {
       s"dedup state ${run.maxStateRows} reached full key count ${batchFps.size} — horizon not evicting")
   }
 
+  test("append-mode stitch: canvases stitch across micro-batches, stalled canvas quarantines, state evicts") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.core.ImagePlane
+    import graft.ops.CropOps
+    // 4 canvases, 16 crops each, arriving as TWO files per canvas so
+    // accumulation genuinely crosses micro-batch boundaries; canvas 0
+    // never receives its last crop (the upstream-anomaly drill)
+    val orig = ImagePlane.blankPlanes(2, 2, 40, 40)
+      .map(ImagePlane.gridLabels(_, cellSize = 8))
+    val plan = CropOps.planCrops(40, 40, 20, 20, 0.5)
+    assert(plan.numCrops == 16)
+    val streamDir = Files.createTempDirectory("append_stitch").toFile.getAbsolutePath
+    import spark.implicits._
+    orig.zipWithIndex.foreach { case (p, k) =>
+      val crops = CropOps.cropOne(p, plan)
+      Seq(crops.filter(_.crop < 8) -> (2 * k),
+          crops.filter(c => c.crop >= 8 && !(k == 0 && c.crop == 15)) -> (2 * k + 1))
+        .foreach { case (half, fileIdx) =>
+          val withTs = half.map { c =>
+            (c.fov, c.stack, c.crop, c.slice, c.nRows, c.nCols, c.channels,
+              c.pixels, c.labels,
+              new java.sql.Timestamp(1700000000000L + fileIdx * 60000L))
+          }.toDF("fov", "stack", "crop", "slice", "nRows", "nCols",
+            "channels", "pixels", "labels", "ts")
+          val tmp = Files.createTempDirectory(s"stitch_half$fileIdx").toFile.getAbsolutePath
+          withTs.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          val dest = Paths.get(streamDir, f"half_$fileIdx%03d.parquet")
+          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+          dest.toFile.setLastModified(1700000000000L + fileIdx * 10000L)
+        }
+    }
+    val run = StreamOps.incrementalStitchAppend(spark, streamDir, plan,
+      quarantineMinutes = 3, watermarkDelay = "2 minutes",
+      queryName = "spec_stitch_append")
+    val rows = run.result.collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))).toMap
+    // every canvas accounted for: 3 stitched with the exact batch
+    // census, the stalled one quarantined with the 15 crops received
+    assert(rows.size == orig.size, s"every canvas emitted exactly once: ${rows.keys}")
+    orig.foreach { o =>
+      val (nCrops, cells, nonzero, status) = rows((o.fov, o.stack))
+      if (o.fov == "fov1" && o.stack == 0) {
+        assert(status == "quarantined" && nCrops == 15L && cells == -1L && nonzero == -1L,
+          s"stalled canvas must quarantine, got ($nCrops, $cells, $nonzero, $status)")
+      } else {
+        assert(status == "stitched" && nCrops == 16L)
+        assert(cells == o.labels.filter(_ != 0).distinct.length.toLong)
+        assert(nonzero == o.labels.count(_ != 0).toLong)
+      }
+    }
+    // THE scale assertion: state holds only in-flight canvases — the
+    // one mid-accumulation plus the stalled one awaiting its timeout —
+    // never all canvases ever opened
+    assert(run.numBatches >= 8, s"expected >=8 micro-batches, got ${run.numBatches}")
+    assert(run.maxStateRows > 0 && run.maxStateRows <= 2,
+      s"stitch state high-water ${run.maxStateRows} exceeds the in-flight bound 2")
+  }
+
   test("append-mode sessionize: emitted+open partitions the batch sessions, user state evicts") {
     // single-directory run (the registry shape): all events in one
     // batch, then the timeout batch closes every session the final
