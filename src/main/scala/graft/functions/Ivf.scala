@@ -48,6 +48,16 @@ object Ivf {
     best
   }
 
+  /** The standard codebook-size rule: k ~ sqrt(n) cells (balancing
+    * cells scanned per probe against cells skipped), clamped to
+    * `maxK`. The clamp is the SCALE contract: the codebook broadcast
+    * is at most maxK x dim doubles (4096 x 64 x 8 B = 2 MiB) no
+    * matter how large the corpus grows — at 100 TB the index gets
+    * coarser, never bigger than executor-broadcast scale.
+    */
+  def codebookSize(n: Long, maxK: Int = 4096): Int =
+    math.min(maxK.toLong, math.max(1L, math.round(math.sqrt(n.toDouble)))).toInt
+
   /** Train a spherical k-means codebook with `iters` Lloyd rounds.
     * Deterministic: initial centroids are the k corpus vectors with the
     * smallest `xxhash64(id, seed)` (a seeded uniform draw both engines
@@ -57,13 +67,30 @@ object Ivf {
     * Each Lloyd round is ONE narrow pass: every partition folds its
     * vectors into k local (count, sum) accumulators, and only those
     * nPartitions x k x dim partials reach the driver — no shuffle, no
-    * row explosion. This is the treeAggregate shape that holds at any
-    * corpus size (driver cost is k x dim, independent of rows).
+    * row explosion.
+    *
+    * `sampleCap` > 0 bounds TRAINING cost independently of corpus
+    * size (the FAISS practice of training the coarse quantizer on
+    * ~256 x k vectors): one count + one scan materializes a
+    * deterministic hash-mod sample of about that many vectors, cached
+    * so the Lloyd rounds iterate over the sample instead of re-reading
+    * the corpus. At 100 TB that converts k full scans into one full
+    * scan plus k passes over a few-MB cached sample; cell ASSIGNMENT
+    * of the full corpus remains a narrow broadcast map either way.
     */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                     iters: Int = 5, seed: Long = 29L): Array[Array[Double]] = {
-    val init = df
-      .select(col(idCol), col(vecCol))
+                     iters: Int = 5, seed: Long = 29L,
+                     sampleCap: Long = 0L): Array[Array[Double]] = {
+    val base = df.select(col(idCol), col(vecCol))
+    val nTotal = if (sampleCap > 0) base.count() else 0L
+    val sampled = sampleCap > 0 && nTotal > sampleCap
+    val train =
+      if (sampled) {
+        val mod = math.max(1L, nTotal / sampleCap)
+        base.filter(pmod(xxhash64(col(idCol), lit(seed + 1)), lit(mod)) === 0)
+          .cache()
+      } else base
+    val init = train
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
       .limit(k)
       .collect()
@@ -74,7 +101,7 @@ object Ivf {
     val kEff = init.length
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(vecCol)).as[Seq[Float]]
+    val vecs = train.select(col(vecCol)).as[Seq[Float]]
     var centroids = init
     var it = 0
     while (it < iters) {
@@ -110,6 +137,7 @@ object Ivf {
       }.toArray
       it += 1
     }
+    if (sampled) train.unpersist()
     centroids
   }
 

@@ -101,19 +101,25 @@ object ScaleQueries {
       .orderBy(desc("cos_sim"), col("vec_id"))
   }
 
-  /** IVF ANN (the second scale path next to LSH): train an 8-cell
-    * spherical k-means codebook, probe half the cells, self-check
-    * recall against the exact top-k. nprobe = k would equal the exact
-    * result (IvfSpec proves it); 4 of 8 demonstrates the pruned read.
+  /** IVF ANN (the second scale path next to LSH): train a spherical
+    * k-means codebook of k = codebookSize(n) ~ sqrt(n) cells (22 at
+    * sf0.01, 45 at sf0.1, capped at 4096 — the broadcast-bound scale
+    * rule), training bounded to a ~256k-vector sample, probe half the
+    * cells, self-check recall against the exact top-k. nprobe = k
+    * would equal the exact result (IvfSpec proves it); k/2 of k
+    * demonstrates the pruned read.
     */
   private def qSimAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val centroids = Ivf.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
+    val k = Ivf.codebookSize(e.count())
+    val nprobe = math.max(1, k / 2)
+    val centroids = Ivf.trainCentroids(e, "vec_id", "embedding", k = k,
+      iters = 3, sampleCap = 256L * k)
     val qv = e.filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0).toSeq
     val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", 0L, 10)
       .select(col("vec_id").as("exact_id"))
-    Ivf.annTopKIvf(e, "vec_id", "embedding", qv, 10, centroids, nprobe = 4,
+    Ivf.annTopKIvf(e, "vec_id", "embedding", qv, 10, centroids, nprobe = nprobe,
         excludeId = Some(0L))
       .select(col("vec_id"), col("label"), round(col("cos_sim"), 6).as("cos_sim"))
       .join(exact.withColumn("in_exact_topk", lit(true)),
@@ -124,24 +130,26 @@ object ScaleQueries {
   }
 
   /** IVF recall gate — the driver-visible twin of q_dedup_lsh_recall
-    * for the second ANN path: the PRUNED batched IVF probe (nprobe=4 of
-    * k=8 cells, half the corpus unread by construction) measured
-    * against the exact brute-force top-10 for the same LIMIT-capped
-    * probe batch. One row: probe/hit counts, recall, and `recall_ok`
-    * (>= 0.7 — spherical k-means puts a probe's true neighbors in its
-    * own or adjacent cells, so sub-threshold recall flags a broken
-    * codebook/assignment/probe pipeline, while nprobe < k keeps the
-    * gate honest about reading only half the cells; IvfSpec separately
-    * proves nprobe = k equals brute force exactly). Both sides run the
-    * REGISTERED constructions: the exact side is the batched k-NN
-    * cross-join shape, the IVF side the batched cell-equi-join probe.
+    * for the second ANN path: the PRUNED batched IVF probe (nprobe =
+    * k/2 of k = codebookSize(n) ~ sqrt(n) cells, half the corpus
+    * unread by construction) measured against the exact brute-force
+    * top-10 for the same LIMIT-capped probe batch. One row: probe/hit
+    * counts, recall, and `recall_ok` (spherical k-means puts a
+    * probe's true neighbors in its own or adjacent cells, so
+    * sub-threshold recall flags a broken codebook/assignment/probe
+    * pipeline, while nprobe < k keeps the gate honest about reading
+    * only half the cells; IvfSpec separately proves nprobe = k equals
+    * brute force exactly). Both sides run the REGISTERED
+    * constructions: the exact side is the batched k-NN cross-join
+    * shape, the IVF side the batched cell-equi-join probe.
     *
-    * Threshold calibration: measured recall is 0.74 / 0.72 / 0.69 at
-    * sf0.001 / sf0.01 / sf0.1 — the near-uniform testdata vectors are
-    * the hard case (true neighbors barely concentrate into cells; a
-    * clustered real corpus probes better), while a BROKEN pipeline
-    * lands at ~nprobe/k = 0.5 (random cell overlap) or 0. 0.6 is the
-    * separating line with margin on both sides.
+    * Threshold calibration at the sqrt(n) codebook: measured recall is
+    * 0.72 at sf0.001/sf0.01 (n=500, k=22, nprobe=11) and 0.85 at
+    * sf0.1 (n=2000, k=45, nprobe=22) — the near-uniform testdata
+    * vectors are the hard case (true neighbors barely concentrate
+    * into cells; a clustered real corpus probes better), while a
+    * BROKEN pipeline lands at ~nprobe/k = 0.5 (random cell overlap)
+    * or 0. 0.6 is the separating line with margin on both sides.
     */
   private def qSimIvfRecall(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -159,9 +167,12 @@ object ScaleQueries {
       .filter(col("rk") <= k)
       .select("probe_id", "vec_id")
       .persist()
-    val centroids = Ivf.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
+    val kCells = Ivf.codebookSize(e.count())
+    val nprobe = math.max(1, kCells / 2)
+    val centroids = Ivf.trainCentroids(e, "vec_id", "embedding", k = kCells,
+      iters = 3, sampleCap = 256L * kCells)
     val ivf = Ivf.annTopKIvfBatch(e, "vec_id", "embedding",
-        probes, "probe_id", "qvec", k, centroids, nprobe = 4)
+        probes, "probe_id", "qvec", k, centroids, nprobe = nprobe)
       .select("probe_id", "vec_id")
       .persist()
     val nExact = exact.count()

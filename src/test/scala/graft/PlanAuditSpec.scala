@@ -58,6 +58,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unbounded join shapes:\n${offenders.mkString("\n")}")
   }
 
+  test("IVF codebook obeys the broadcast-bound scale rule in the registered shape") {
+    import graft.functions.Ivf
+    import org.apache.spark.sql.functions.col
+    // the rule itself: sqrt(n) cells, hard-capped — even a 100 TB
+    // corpus broadcasts at most 4096 x dim centroids (~2 MiB)
+    assert(Ivf.codebookSize(Long.MaxValue) == 4096)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val k = Ivf.codebookSize(e.count())
+    assert(k <= 4096)
+    val nprobe = math.max(1, k / 2)
+    val cents = Ivf.trainCentroids(e, "vec_id", "embedding", k = k,
+      iters = 1, sampleCap = 256L * k)
+    // centroid collect is exactly the codebook — never corpus-scale
+    assert(cents.length == k, s"codebook holds $k rows, got ${cents.length}")
+    val qv = e.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    // the registered probe shape: the cell restriction must appear in
+    // the optimized plan as an IN/INSET of exactly nprobe cells — the
+    // partition-pruning bound a 100 TB store relies on
+    val plan = Ivf.annTopKIvf(e, "vec_id", "embedding", qv, 10, cents,
+      nprobe, excludeId = Some(0L)).queryExecution.optimizedPlan
+    val inSizes = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case i: org.apache.spark.sql.catalyst.expressions.In => i.list.length
+          case s: org.apache.spark.sql.catalyst.expressions.InSet => s.hset.size
+        }
+    }.flatten
+    assert(inSizes.contains(nprobe),
+      s"probe plan IN-list sizes $inSizes lack the nprobe=$nprobe cell bound")
+  }
+
   test("no undeclared global windows: every Window has a partition spec") {
     // a window with no partitionBy funnels ALL rows into one task —
     // the quiet 100 TB killer WindowExec only warns about. Allowlist:

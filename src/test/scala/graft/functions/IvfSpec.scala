@@ -112,6 +112,76 @@ class IvfSpec extends SparkSpec {
     assert(fresh.read.parquet(path).count() == embeddings.count())
   }
 
+  test("codebookSize follows sqrt(n) and caps the broadcast at 4096 cells") {
+    assert(Ivf.codebookSize(0L) == 1)
+    assert(Ivf.codebookSize(500L) == 22)
+    assert(Ivf.codebookSize(2000L) == 45)
+    assert(Ivf.codebookSize(1000000L) == 1000)
+    // THE scale contract: a 100 TB corpus (~1e11 vectors) still
+    // broadcasts at most 4096 x dim centroids (~2 MiB at dim 64) —
+    // the index gets coarser with scale, never bigger
+    assert(Ivf.codebookSize(100000000000L) == 4096)
+    // monotone: more data never shrinks the codebook
+    val sizes = Seq(10L, 1000L, 100000L, 10000000L, 1000000000L)
+      .map(Ivf.codebookSize(_))
+    assert(sizes == sizes.sorted)
+  }
+
+  test("k=256 path: sample-bounded training, pruned store probe, recall gate") {
+    import spark.implicits._
+    // 4096 vectors in 64 planted clusters (unit direction + small
+    // deterministic noise): the realistic shape where a probe's true
+    // neighbors share its cluster, so IVF recall is sharp
+    val dim = 16
+    val nClusters = 64
+    def prand(a: Long, b: Long): Float =
+      ((a * 2654435761L + b * 40503L) % 1000L).toFloat / 1000f - 0.5f
+    val corpus = spark.range(4096).map { id =>
+      val c = id % nClusters
+      val base = Array.tabulate(dim)(j => prand(c * 7919L + 13L, j))
+      val norm = math.sqrt(base.map(x => x.toDouble * x).sum).toFloat
+      val vec = Array.tabulate(dim)(j => base(j) / norm + 0.1f * prand(id, j))
+      (id, vec.toSeq)
+    }.toDF("vec_id", "embedding")
+    val k = 256
+    // sampleCap BELOW the corpus size so the sampling path engages:
+    // training sees ~2048 of 4096 vectors, the codebook still holds k
+    val cents = Ivf.trainCentroids(corpus, "vec_id", "embedding", k = k,
+      iters = 3, sampleCap = 2048L)
+    // centroid collect is <= k rows regardless of corpus size
+    assert(cents.length == k, s"expected $k centroids, got ${cents.length}")
+    cents.foreach { c =>
+      assert(c.length == dim)
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    // sampled training is deterministic (seed-stable)
+    val again = Ivf.trainCentroids(corpus, "vec_id", "embedding", k = k,
+      iters = 3, sampleCap = 2048L)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the store probe still prunes partitions at planning time: a
+    // 256-cell store reads nprobe directories, not 256
+    val path = java.nio.file.Files.createTempDirectory("ivf256")
+      .toFile.getAbsolutePath + "/emb"
+    Ivf.saveIvfStore(corpus, "embedding", path, cents)
+    val qv = corpus.filter(col("vec_id") === 0L)
+      .select("embedding").first().getSeq[Float](0).toSeq
+    val q = Ivf.annTopKFromStore(spark, path, "vec_id", "embedding", qv,
+      10, cents, nprobe = 8, excludeId = Some(0L))
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val planned =
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(planned <= 8, s"scan planned $planned partitions for nprobe=8 of $k")
+    // recall gate: the pruned probe (8 of 256 cells — 97% of the
+    // store unread) must still find the probe's clustered neighbors
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = q.collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"k=256 nprobe=8 recall $recall below gate")
+  }
+
   test("a planted near-duplicate is found in the probe's own cell (nprobe=1)") {
     import spark.implicits._
     val planted = Seq((200000L, queryVec.map(v => v * 1.001f), 42))
