@@ -83,6 +83,62 @@ object ScaleSmoke {
         .groupBy("value").count().collect()
     }
     println(s"[scale] reconstructed cell census: ${reconCells.mkString(", ")}")
+
+    // ---- stitch-group skew drill -------------------------------------
+    // One HOT fov whose canvas is 10x taller (5120x512 -> 324 crops vs
+    // the regular 36): the stitch shuffle keys by (fov, stack, slice),
+    // so the hot canvas is one task with ~9x the rows of its peers.
+    // Salting CANNOT split this group — stitchGroup is order-dependent
+    // (running label offset + majority vote over previously placed
+    // pixels), so every crop of a canvas must meet in one task — and
+    // AQE skew handling targets joins/shuffle-read splitting, not a
+    // mapGroups that semantically needs the whole group. The drill
+    // MEASURES the straggler factor; the structural answer is that the
+    // crop PLAN bounds group size by construction (numCrops is a plan
+    // constant — within one dataset no canvas can be 10x another), so
+    // pathological canvases are bounded upstream by plan geometry
+    // (smaller fov tiling / the C5 slice axis), not by shuffle tricks.
+    import org.apache.spark.sql.functions.{col, countDistinct, explode}
+    val hotPlan = CropOps.planCrops(5120, 512, 128, 128, 0.25)
+    val hotPlanes = spark.range(1).as[Long].flatMap { _ =>
+      (0 until stacks).map { st =>
+        ImagePlane.gridLabels(
+          ImagePlane(f"fovhot00", st, 0, 0, 5120, 512, Seq("channel1"),
+            new Array[Float](5120 * 512), new Array[Int](5120 * 512)),
+          cellSize = 24)
+      }
+    }
+    val hotDir = s"$outDir-hot"
+    timed(s"hot-fov crop+store (${hotPlan.numCrops} crops/canvas)") {
+      PlaneStore.save(CropOps.cropPlanes(hotPlanes, hotPlan), hotDir,
+        maxRecordsPerFile = 500)
+    }
+    val hotWall = timed("stitch hot cohort (4 groups of 324)") {
+      CropOps.stitchCrops(PlaneStore.load(spark, hotDir), hotPlan)
+        .map(p => (p.fov, p.labels.filter(_ != 0).distinct.length))
+        .toDF("fov", "n_cells").collect()
+    }
+    println(s"[scale] hot-canvas census: ${hotWall.mkString(", ")}")
+
+    // Where salting DOES apply in this pipeline: unordered aggregations
+    // over the crop store (QC label census per fov) — a hot fov's 9x
+    // rows spread over (fov, salt) sub-groups with a two-stage merge.
+    // Exact same result, no single task holds the hot fov's whole set.
+    val censusIn = PlaneStore.load(spark, hotDir).toDF()
+      .unionByName(PlaneStore.loadFov(spark, outDir, "fov00000").toDF())
+      .select(col("fov"), explode(col("labels")).as("label"))
+      .filter(col("label") =!= 0)
+    val plainCensus = timed("QC census plain countDistinct") {
+      censusIn.groupBy("fov").agg(countDistinct("label").as("n_distinct"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val saltedCensus = timed("QC census salted (Skew, 16 salts)") {
+      graft.functions.Skew.saltedCountDistinct(censusIn, "fov", "label", salts = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    require(plainCensus == saltedCensus,
+      s"salted census diverged: $plainCensus vs $saltedCensus")
+    println(s"[scale] salted == plain census for ${plainCensus.size} fovs: ok")
     spark.stop()
   }
 }
