@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic bucketed range (interval) join: every left row carries an
+  * interval `[lo, hi]` and matches the right rows with the same key
+  * whose time falls inside it — the windowed-attribution / "events
+  * within Δ of each other" lookup that complements the as-of join
+  * ([[Asof]] picks the single latest-before row; this keeps ALL rows
+  * in a window).
+  *
+  * Spark plans the naive encoding — an equi-join on the key plus an
+  * inequality `r.t BETWEEN l.lo AND l.hi` — as a per-key cartesian
+  * (every left row of a key against every right row of that key;
+  * keyless degenerates to BroadcastNestedLoopJoin). This is the
+  * public bucketed-range-join rewrite instead: quantize time into
+  * fixed-width buckets, explode each left interval to the buckets it
+  * overlaps (a BOUNDED fan-out — `maxBucketsPerRow` is enforced with
+  * `raise_error`, so a malformed interval fails loudly instead of
+  * exploding a partition), stamp each right point with its single
+  * bucket, equi-join on (key, bucket), and apply the exact interval
+  * predicate as a post-filter. ONE shuffle on (key, bucket); each
+  * candidate pair meets in exactly the right point's bucket, so no
+  * duplicate elimination is needed. Cost is |matches| plus the
+  * bounded bucket fan-out — linear at any corpus size, and the
+  * (key, bucket) shuffle key spreads a hot key's timeline across
+  * partitions instead of funnelling it to one.
+  *
+  * Times are integer microseconds (the engine-wide convention — see
+  * [[Asof]] on parquet ns truncation) and both interval ends are
+  * INCLUSIVE. `bucketWidth` trades fan-out (wide buckets = fewer
+  * explode rows) against join selectivity (narrow buckets = fewer
+  * false candidates reaching the exact filter); the span cap
+  * `maxBucketsPerRow` is the scale contract, sized so
+  * span/bucketWidth + 1 buckets stay a small constant.
+  */
+object RangeJoin {
+
+  /** Inner-join the right points into the left intervals.
+    *
+    * @param left        rows bearing `[leftLo, leftHi]` interval
+    *                    columns (integer microseconds, inclusive);
+    *                    all left columns are kept
+    * @param right       point timeline; `payloadCols` are appended
+    *                    for every match (one output row per matched
+    *                    pair — aggregate downstream for counts)
+    * @param keys        equi-join key columns present on both sides
+    * @param rightTime   right event-time column (integer micros)
+    * @param bucketWidth bucket width in microseconds
+    * @param maxBucketsPerRow declared fan-out bound; a left interval
+    *                    spanning more buckets (or inverted, hi < lo)
+    *                    raises an error rather than exploding
+    */
+  def joinPointsInInterval(left: DataFrame, right: DataFrame,
+                           keys: Seq[String], leftLo: String, leftHi: String,
+                           rightTime: String, bucketWidth: Long,
+                           payloadCols: Seq[String],
+                           maxBucketsPerRow: Int = 64): DataFrame = {
+    require(keys.nonEmpty, "range join needs at least one key column")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val collide = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"payload columns collide with left: $collide")
+    // floor division correct for negative epochs too
+    def bkt(c: org.apache.spark.sql.Column) =
+      (c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)
+    val loB = bkt(col(leftLo))
+    val hiB = bkt(col(leftHi))
+    val l = left.withColumn("__bkt", explode(
+      when(col(leftHi) >= col(leftLo) &&
+           hiB - loB < lit(maxBucketsPerRow.toLong),
+        sequence(loB.cast("long"), hiB.cast("long")))
+        .otherwise(raise_error(format_string(
+          s"range join interval exceeds $maxBucketsPerRow buckets " +
+            s"of $bucketWidth us (or hi < lo): lo=%s hi=%s",
+          col(leftLo), col(leftHi))))))
+    val r = right.select(
+      keys.map(col) ++ Seq(bkt(col(rightTime)).cast("long").as("__bkt"),
+        col(rightTime).as("__rt"),
+        struct(payloadCols.map(col): _*).as("__p")): _*)
+    l.join(r, keys :+ "__bkt")
+      .filter(col("__rt") >= col(leftLo) && col("__rt") <= col(leftHi))
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(s"__p.$c").as(c)): _*)
+  }
+}

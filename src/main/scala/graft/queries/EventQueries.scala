@@ -108,6 +108,37 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Windowed-count attribution (bucketed range join): for each
+    * purchase, the count and latest time of the same user's clicks in
+    * the preceding hour — [[graft.ops.RangeJoin.joinPointsInInterval]]
+    * (30-min buckets, so each 1-h interval explodes to at most 3
+    * bucket rows; equi-shuffle on (user, bucket), exact BETWEEN as a
+    * post-filter — no nested-loop join anywhere in the plan, which
+    * PlanAuditSpec asserts). Purchases with no click in the window
+    * are kept via a join-back (n_clicks = 0), the composition the
+    * operator's inner-pair contract expects. The oracle replays the
+    * quadratic inequality-join encoding the rewrite avoids.
+    */
+  private def qEvtRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("lo_us", col("p_us") - lit(3600000000L))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val pairs = graft.ops.RangeJoin.joinPointsInInterval(
+      purchases, clicks, Seq("user_id"),
+      leftLo = "lo_us", leftHi = "p_us", rightTime = "c_us",
+      bucketWidth = 1800000000L, payloadCols = Seq("c_us"))
+    val perPurchase = pairs.groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"), max("c_us").as("last_click_us"))
+    purchases.select("event_id", "user_id", "p_us")
+      .join(perPurchase, Seq("event_id"), "left")
+      .withColumn("n_clicks", coalesce(col("n_clicks"), lit(0L)))
+      .orderBy("event_id")
+  }
+
   /** Event-type transition counts: lag over the per-user ordered
     * stream, then census of (prev -> curr) transitions — the Markov
     * summary of the event stream.
@@ -129,6 +160,7 @@ object EventQueries {
     "q_evt_hopping" -> qEvtHopping _,
     "q_evt_json" -> qEvtJson _,
     "q_evt_asof" -> qEvtAsof _,
+    "q_evt_range_join" -> qEvtRangeJoin _,
     "q_evt_transitions" -> qEvtTransitions _,
   )
 
@@ -190,6 +222,20 @@ object EventQueries {
         |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.c_us <= p.p_us
         |GROUP BY p.event_id, p.user_id, p.p_us, p.value
         |ORDER BY p.event_id""".stripMargin,
+    "q_evt_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.p_us,
+        |  CAST(count(c.c_us) AS BIGINT) AS n_clicks,
+        |  max(c.c_us) AS last_click_us
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.c_us BETWEEN p.p_us - 3600000000 AND p.p_us
+        |GROUP BY p.event_id, p.user_id, p.p_us
+        |ORDER BY event_id""".stripMargin,
     "q_evt_transitions" ->
       """WITH e AS (
         |  SELECT event_type,

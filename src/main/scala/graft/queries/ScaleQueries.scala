@@ -438,6 +438,19 @@ object ScaleQueries {
       queryName = s"stream_inc_append_${math.abs(dir.hashCode)}")
       .result.select("fp").distinct().orderBy("fp")
 
+  /** Stream-stream interval join, driver-visible (StreamOps
+    * .intervalJoinAppend): purchase->click pairs within the preceding
+    * hour, the streaming twin of q_evt_range_join's bucketed rewrite.
+    * Inner-join matches emit as both sides arrive, so the drained
+    * result is exactly the batch inner pair set — the oracle replays
+    * the inequality join directly. The time-range join condition is
+    * what bounds the state store (see the method scaladoc);
+    * StreamAppendSpec holds the eviction bound on a sliced replay.
+    */
+  private def qStreamRangeAppend(s: SparkSession, dir: String): DataFrame =
+    StreamOps.intervalJoinAppend(s, dir, glob = Some("events.parquet"),
+      queryName = s"stream_range_append_${math.abs(dir.hashCode)}").result
+
   val defs: Map[String, QueryFn] = Map(
     "q_stream_sessionize" -> qStreamSessionize _,
     "q_dedup_minhash_pairs" -> qDedupMinhash _,
@@ -457,6 +470,7 @@ object ScaleQueries {
     "q_stream_sessionize_append" -> qStreamSessionizeAppend _,
     "q_stream_incremental_append" -> qStreamIncrementalAppend _,
     "q_stream_stitch" -> qStreamStitch _,
+    "q_stream_range_append" -> qStreamRangeAppend _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -510,6 +524,21 @@ object ScaleQueries {
     // luma = avg of the four constants (exact integer-valued doubles
     // in both engines). A broken container walk, seek arithmetic, or
     // plane decode diverges from the law and fails the hash.
+    // Stream-stream interval join: a drained inner join with a time-
+    // range condition emits exactly the batch pair set, so the oracle
+    // IS the batch inequality join over the same micro-second law as
+    // q_evt_range_join (pairs, not counts).
+    "q_stream_range_append" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.p_us, c.c_us
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.c_us BETWEEN p.p_us - 3600000000 AND p.p_us
+        |ORDER BY event_id, c_us""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id, 4 AS n_sampled, 1024 AS sampled_bytes,
         |       round(avg((doc_id * 31 + f * 7) % 256), 6) AS mean_luma,

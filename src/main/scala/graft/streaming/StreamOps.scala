@@ -569,4 +569,67 @@ object StreamOps {
       .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
       .orderBy("user_id")
   }
+
+  /** Stream-stream interval join, append mode: purchases join the same
+    * user's clicks from the preceding `rangeMinutes` — the streaming
+    * twin of the batch bucketed range join ([[graft.ops.RangeJoin]] /
+    * q_evt_range_join), emitting the matched PAIRS. Both sides are
+    * watermarked and the join condition carries the event-time range,
+    * which is what lets Spark EVICT join state: a buffered click can
+    * only match purchases up to `rangeMinutes` newer, so once the
+    * purchase-side watermark passes `click time + range` the row can
+    * never match again and is dropped from the state store. Without
+    * the time bound the same join buffers both streams forever.
+    *
+    * Inner-join matches emit the moment both sides have arrived (no
+    * watermark wait — only outer joins delay for completeness), so a
+    * drained run emits exactly the batch inner-join pair set, which is
+    * why the registry row can share the batch operator's oracle law.
+    */
+  def intervalJoinAppend(spark: SparkSession, eventsDir: String,
+                         rangeMinutes: Int = 60,
+                         watermarkDelay: String = "30 minutes",
+                         maxFilesPerTrigger: Int = 1,
+                         queryName: String = "stream_range_append",
+                         glob: Option[String] = None): AppendRun = {
+    val batchSchema = spark.read
+      .parquet(glob.map(g => s"$eventsDir/$g").getOrElse(eventsDir)).schema
+    def src(): DataFrame = {
+      var reader = spark.readStream
+        .schema(batchSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+      var stream = reader.parquet(eventsDir)
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      stream
+    }
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    val pairs = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $rangeMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_event_id").as("event_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_range_append") = maxState
+    AppendRun(spark.table(queryName).orderBy("event_id", "c_us"),
+      maxState, progress.length)
+  }
 }

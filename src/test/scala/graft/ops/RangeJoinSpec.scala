@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RangeJoin.joinPointsInInterval semantics on planted timelines:
+  * inclusive interval ends, key isolation, bucket-boundary crossing,
+  * the no-nested-loop plan shape, the fan-out guard, and a randomized
+  * differential gate against the naive inequality join.
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // bucketWidth 100: interval [95, 205] spans buckets 0,1,2
+  private val left = Seq(
+    // (id, key, lo, hi)
+    (1L, "a", 95L, 205L),  // crosses two bucket boundaries
+    (2L, "a", 100L, 100L), // degenerate point interval
+    (3L, "b", 0L, 50L),    // no right rows in range
+    (4L, "c", 0L, 300L)    // key with no right rows at all
+  ).toDF("id", "k", "lo", "hi")
+
+  private val right = Seq(
+    // (key, t, tag)
+    ("a", 95L, "a@95"),   // == lo of id=1: inclusive
+    ("a", 100L, "a@100"), // inside id=1; == point interval of id=2
+    ("a", 205L, "a@205"), // == hi of id=1: inclusive
+    ("a", 206L, "a@206"), // just past hi: excluded
+    ("b", 51L, "b@51")    // just past id=3's hi: excluded
+  ).toDF("k", "rt", "tag")
+
+  private def pairs() =
+    RangeJoin.joinPointsInInterval(left, right, Seq("k"), "lo", "hi", "rt",
+        bucketWidth = 100L, payloadCols = Seq("tag"))
+      .select("id", "tag").as[(Long, String)].collect().toSet
+
+  test("inclusive ends, bucket crossing, key isolation") {
+    assert(pairs() == Set(
+      (1L, "a@95"), (1L, "a@100"), (1L, "a@205"), // both ends inclusive
+      (2L, "a@100")                               // point interval matches
+    ))
+  }
+
+  test("plan has no nested-loop/cartesian join") {
+    val out = RangeJoin.joinPointsInInterval(left, right, Seq("k"),
+      "lo", "hi", "rt", bucketWidth = 100L, payloadCols = Seq("tag"))
+    val bad = out.queryExecution.sparkPlan.collect {
+      case p: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => p
+      case p: org.apache.spark.sql.execution.joins.CartesianProductExec => p
+    }
+    assert(bad.isEmpty, s"range join planned a nested loop: $bad")
+  }
+
+  test("fan-out guard: an interval past maxBucketsPerRow raises, not explodes") {
+    val wide = Seq((1L, "a", 0L, 10000L)).toDF("id", "k", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.joinPointsInInterval(wide, right, Seq("k"), "lo", "hi", "rt",
+        bucketWidth = 100L, payloadCols = Seq("tag"), maxBucketsPerRow = 8)
+        .collect()
+    }
+    assert(ex.getMessage.contains("buckets"), ex.getMessage)
+  }
+
+  test("inverted interval (hi < lo) raises") {
+    val inv = Seq((1L, "a", 200L, 100L)).toDF("id", "k", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.joinPointsInInterval(inv, right, Seq("k"), "lo", "hi", "rt",
+        bucketWidth = 100L, payloadCols = Seq("tag")).collect()
+    }
+    assert(ex.getMessage.contains("hi < lo") || ex.getMessage.contains("buckets"),
+      ex.getMessage)
+  }
+
+  test("differential vs naive inequality join on a randomized timeline") {
+    val rnd = new scala.util.Random(29)
+    val ls = (1 to 200).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, s"k${rnd.nextInt(7)}", lo, lo + rnd.nextInt(400).toLong)
+    }
+    val rs = (1 to 600).map { j =>
+      (s"k${rnd.nextInt(7)}", rnd.nextInt(6000).toLong, s"r$j")
+    }
+    val lDf = ls.toDF("id", "k", "lo", "hi")
+    val rDf = rs.toDF("k", "rt", "tag")
+    val bucketed = RangeJoin.joinPointsInInterval(lDf, rDf, Seq("k"),
+        "lo", "hi", "rt", bucketWidth = 128L, payloadCols = Seq("tag"))
+      .select("id", "tag").as[(Long, String)].collect().toSet
+    val naive = lDf.join(rDf, lDf("k") === rDf("k") &&
+        rDf("rt") >= lDf("lo") && rDf("rt") <= lDf("hi"))
+      .select("id", "tag").as[(Long, String)].collect().toSet
+    assert(bucketed == naive)
+  }
+}

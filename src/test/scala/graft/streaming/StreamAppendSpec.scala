@@ -168,6 +168,44 @@ class StreamAppendSpec extends SparkSpec {
       s"stitch state high-water ${run.maxStateRows} exceeds the in-flight bound 2")
   }
 
+  test("stream-stream interval join: pairs match batch, range condition evicts join state") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = sliceToDir(events, "ts", 10, "rangejoin")
+    val run = StreamOps.intervalJoinAppend(spark, dir,
+      queryName = "spec_range_append")
+    val emitted = run.result.collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    // drained inner join == the batch operator's pair set (matches
+    // emit on arrival; nothing is withheld by the watermark)
+    val batch = graft.queries.EventQueries.defs("q_evt_range_join")(spark, sfDir)
+    val batchPairs = spark.read.parquet(s"$sfDir/events.parquet") // recompute pairs, not counts
+    // raw parquet ts is ns-as-long at this SF; rebase like queries.Q.t
+    val e = events.withColumn("us",
+      if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000") else unix_micros(col("ts")))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("us").as("p_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("us").as("c_us"))
+    val expected = p.join(c, col("pu") === col("cu") &&
+        col("c_us") >= col("p_us") - 3600000000L && col("c_us") <= col("p_us"))
+      .select("event_id", "c_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted == expected,
+      s"pair sets differ: +${(emitted -- expected).size} -${(expected -- emitted).size}")
+    // and the count-level batch operator agrees with the pair counts
+    val nFromBatchOp = batch.agg(sum("n_clicks")).head().getLong(0)
+    assert(nFromBatchOp == expected.size.toLong)
+    // THE scale assertion: the time-range condition lets the join
+    // evict buffered rows behind the watermark-range horizon — the
+    // high-water mark must stay well below both sides' total rows
+    val totalRows = p.count() + c.count()
+    assert(run.numBatches >= 10, s"expected >=10 micro-batches, got ${run.numBatches}")
+    assert(run.maxStateRows > 0, "stream-stream join must buffer some state")
+    assert(run.maxStateRows < totalRows / 2,
+      s"join state ${run.maxStateRows} not bounded vs $totalRows buffered rows — range condition not evicting")
+  }
+
   test("append-mode sessionize: emitted+open partitions the batch sessions, user state evicts") {
     // single-directory run (the registry shape): all events in one
     // batch, then the timeout batch closes every session the final
