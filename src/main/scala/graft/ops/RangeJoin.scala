@@ -83,4 +83,56 @@ object RangeJoin {
       .select(left.columns.map(col) ++
         payloadCols.map(c => col(s"__p.$c").as(c)): _*)
   }
+
+  /** Interval-OVERLAP join: every (left, right) pair with the same key
+    * whose intervals intersect — `max(lo) <= min(hi)`, both ends
+    * inclusive, so touching intervals match. The third member of the
+    * temporal-join family ([[Asof]] = latest-before,
+    * [[joinPointsInInterval]] = point-in-window, this = window-vs-
+    * window; the "sessions affected by incident windows" shape).
+    *
+    * Same bucketed rewrite, with the one extra subtlety of the
+    * interval-interval case: an overlapping pair shares EVERY bucket
+    * of its intersection, so the equi-join would emit it once per
+    * shared bucket. The canonical-bucket predicate dedups without a
+    * distinct pass: a pair is kept only in the bucket containing
+    * `greatest(leftLo, rightLo)` — the FIRST shared bucket, covered by
+    * both sides exactly when the intervals overlap — so each pair
+    * survives exactly once and no shuffle-wide dedup is needed.
+    *
+    * Both sides' bucket fan-outs are capped by `maxBucketsPerRow`
+    * (`raise_error`, same contract as the point form).
+    */
+  def joinIntervalsOverlap(left: DataFrame, right: DataFrame,
+                           keys: Seq[String], leftLo: String, leftHi: String,
+                           rightLo: String, rightHi: String,
+                           bucketWidth: Long, payloadCols: Seq[String],
+                           maxBucketsPerRow: Int = 64): DataFrame = {
+    require(keys.nonEmpty, "overlap join needs at least one key column")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val collide = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"payload columns collide with left: $collide")
+    def bkt(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    def explodeBuckets(lo: String, hi: String) = explode(
+      when(col(hi) >= col(lo) &&
+           bkt(col(hi)) - bkt(col(lo)) < lit(maxBucketsPerRow.toLong),
+        sequence(bkt(col(lo)), bkt(col(hi))))
+        .otherwise(raise_error(format_string(
+          s"overlap join interval exceeds $maxBucketsPerRow buckets " +
+            s"of $bucketWidth us (or hi < lo): lo=%s hi=%s",
+          col(lo), col(hi)))))
+    val l = left.withColumn("__bkt", explodeBuckets(leftLo, leftHi))
+    val r = right
+      .select(keys.map(col) ++ Seq(col(rightLo).as("__rlo"),
+        col(rightHi).as("__rhi"),
+        struct(payloadCols.map(col): _*).as("__p")): _*)
+      .withColumn("__bkt", explodeBuckets("__rlo", "__rhi"))
+    l.join(r, keys :+ "__bkt")
+      .filter(greatest(col(leftLo), col("__rlo")) <=
+                least(col(leftHi), col("__rhi")) &&
+              col("__bkt") === bkt(greatest(col(leftLo), col("__rlo"))))
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(s"__p.$c").as(c)): _*)
+  }
 }

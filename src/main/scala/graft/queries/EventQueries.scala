@@ -139,6 +139,46 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Interval-overlap join (window-vs-window attribution): click
+    * sessions that fall within an hour of the same user's error
+    * bursts — both interval sets derived by gap-based sessionization
+    * (30-min click gap, 10-min error gap), error windows padded
+    * ±1 h, then [[graft.ops.RangeJoin.joinIntervalsOverlap]] (1-h
+    * buckets; each pair survives only in its canonical first shared
+    * bucket, so the equi-join needs no dedup pass). Completes the
+    * temporal-join family: as-of (latest-before), range join
+    * (point-in-window), overlap (window-vs-window). The oracle
+    * replays sessionization + the quadratic inequality join.
+    */
+  private def qEvtOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def sessions(typ: String, gapUs: Long): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.filter(col("event_type") === typ)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("ns",
+          when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("ns").over(wRun))
+        .groupBy("user_id", "sid")
+        .agg(min("us").as("lo"), max("us").as("hi"), count(lit(1)).as("n"))
+    }
+    val clicks = sessions("click", 1800000000L)
+      .select(col("user_id"), col("lo").as("s_lo"), col("hi").as("s_hi"),
+        col("n").as("n_clicks"))
+    val errors = sessions("error", 600000000L)
+      .select(col("user_id"), (col("lo") - 3600000000L).as("w_lo"),
+        (col("hi") + 3600000000L).as("w_hi"), col("n").as("n_errors"))
+    graft.ops.RangeJoin.joinIntervalsOverlap(clicks, errors, Seq("user_id"),
+        leftLo = "s_lo", leftHi = "s_hi", rightLo = "w_lo", rightHi = "w_hi",
+        bucketWidth = 3600000000L, payloadCols = Seq("w_lo", "w_hi", "n_errors"))
+      .withColumn("overlap_us",
+        least(col("s_hi"), col("w_hi")) - greatest(col("s_lo"), col("w_lo")))
+      .orderBy("user_id", "s_lo", "w_lo")
+  }
+
   /** Event-type transition counts: lag over the per-user ordered
     * stream, then census of (prev -> curr) transitions — the Markov
     * summary of the event stream.
@@ -161,6 +201,7 @@ object EventQueries {
     "q_evt_json" -> qEvtJson _,
     "q_evt_asof" -> qEvtAsof _,
     "q_evt_range_join" -> qEvtRangeJoin _,
+    "q_evt_overlap_join" -> qEvtOverlapJoin _,
     "q_evt_transitions" -> qEvtTransitions _,
   )
 
@@ -236,6 +277,35 @@ object EventQueries {
         |  AND c.c_us BETWEEN p.p_us - 3600000000 AND p.p_us
         |GROUP BY p.event_id, p.user_id, p.p_us
         |ORDER BY event_id""".stripMargin,
+    "q_evt_overlap_join" ->
+      """WITH mk AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |f AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    CASE WHEN prev IS NULL OR us - prev >
+        |      CASE event_type WHEN 'click' THEN 1800000000 ELSE 600000000 END
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM mk),
+        |g AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(ns) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, event_type, sid, min(us) AS lo, max(us) AS hi,
+        |    count(*) AS n
+        |  FROM g GROUP BY 1, 2, 3)
+        |SELECT c.user_id, c.lo AS s_lo, c.hi AS s_hi, c.n AS n_clicks,
+        |  e.lo - 3600000000 AS w_lo, e.hi + 3600000000 AS w_hi,
+        |  e.n AS n_errors,
+        |  least(c.hi, e.hi + 3600000000) - greatest(c.lo, e.lo - 3600000000) AS overlap_us
+        |FROM sess c JOIN sess e ON c.user_id = e.user_id
+        |  AND c.event_type = 'click' AND e.event_type = 'error'
+        |  AND greatest(c.lo, e.lo - 3600000000) <= least(c.hi, e.hi + 3600000000)
+        |ORDER BY c.user_id, s_lo, w_lo""".stripMargin,
     "q_evt_transitions" ->
       """WITH e AS (
         |  SELECT event_type,

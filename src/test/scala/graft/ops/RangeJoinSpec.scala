@@ -71,6 +71,49 @@ class RangeJoinSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("overlap join: touching inclusive, containment, multi-bucket pair emits ONCE") {
+    val a = Seq(
+      (1L, "a", 100L, 350L), // spans buckets 1..3
+      (2L, "a", 400L, 500L),
+      (3L, "b", 0L, 1000L)
+    ).toDF("id", "k", "lo", "hi")
+    val b = Seq(
+      ("a", 150L, 340L, "wideOverlap"), // shares buckets 1..3 with id=1: ONE row
+      ("a", 350L, 360L, "touchAtHi"),   // touches id=1 exactly at hi=350
+      ("a", 501L, 600L, "justPast"),    // 1 past id=2's hi: no match
+      ("b", 200L, 300L, "contained")    // strictly inside id=3
+    ).toDF("k", "rlo", "rhi", "tag")
+    val got = RangeJoin.joinIntervalsOverlap(a, b, Seq("k"),
+        "lo", "hi", "rlo", "rhi", bucketWidth = 100L, payloadCols = Seq("tag"))
+      .select("id", "tag").as[(Long, String)].collect()
+    // a multiset check: the multi-bucket pair must appear exactly once
+    assert(got.groupBy(identity).view.mapValues(_.length).toMap ==
+      Map((1L, "wideOverlap") -> 1, (1L, "touchAtHi") -> 1,
+          (3L, "contained") -> 1))
+  }
+
+  test("overlap join differential vs naive on randomized intervals") {
+    val rnd = new scala.util.Random(31)
+    val ls = (1 to 150).map { i =>
+      val lo = rnd.nextInt(4000).toLong
+      (i.toLong, s"k${rnd.nextInt(5)}", lo, lo + rnd.nextInt(600).toLong)
+    }
+    val rs = (1 to 150).map { j =>
+      val lo = rnd.nextInt(4000).toLong
+      (s"k${rnd.nextInt(5)}", lo, lo + rnd.nextInt(600).toLong, s"r$j")
+    }
+    val lDf = ls.toDF("id", "k", "lo", "hi")
+    val rDf = rs.toDF("k", "rlo", "rhi", "tag")
+    val bucketed = RangeJoin.joinIntervalsOverlap(lDf, rDf, Seq("k"),
+        "lo", "hi", "rlo", "rhi", bucketWidth = 128L, payloadCols = Seq("tag"))
+      .select("id", "tag").as[(Long, String)].collect().sorted.toSeq
+    val naive = lDf.join(rDf, lDf("k") === rDf("k") &&
+        greatest(lDf("lo"), rDf("rlo")) <= least(lDf("hi"), rDf("rhi")))
+      .select("id", "tag").as[(Long, String)].collect().sorted.toSeq
+    // seq compare (not set): catches duplicate emissions too
+    assert(bucketed == naive)
+  }
+
   test("differential vs naive inequality join on a randomized timeline") {
     val rnd = new scala.util.Random(29)
     val ls = (1 to 200).map { i =>
