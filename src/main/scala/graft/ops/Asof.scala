@@ -40,31 +40,45 @@ object Asof {
     * @param rightTime right event-time column name
     * @param payloadCols right columns to carry (must not collide with
     *                  left column names)
+    * @param tolerance optional max staleness (same units as the time
+    *                  columns, inclusive): the latest-at-or-before row
+    *                  only matches if `leftTime - rightTime <=
+    *                  tolerance` — the merge_asof tolerance rule. The
+    *                  latest-before row IS the nearest, so a match
+    *                  beyond tolerance means no in-tolerance row
+    *                  exists; payload nulls, no second lookup needed.
     */
   def joinLastBefore(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTime: String, rightTime: String,
-                     payloadCols: Seq[String]): DataFrame = {
+                     payloadCols: Seq[String],
+                     tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
     val collide = payloadCols.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"payload columns collide with left: $collide")
+    require(!payloadCols.contains("__rt"), "__rt is reserved")
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
     // payload rides as ONE struct so a match is row-atomic: even if
     // some payload fields are null on the matched right row, all
     // fields still come from the SAME row (per-column carry could mix
-    // rows when fields are independently null)
+    // rows when fields are independently null). The matched row's own
+    // time rides along as __rt for the tolerance check.
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-        struct(payloadCols.map(col): _*).as("__p")): _*)
+        struct(col(rightTime).as("__rt") +: payloadCols.map(col): _*).as("__p")): _*)
     val merged = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inTol = tolerance
+      .map(tol => col("__t") - col("__last.__rt") <= tol)
+      .getOrElse(lit(true))
     merged
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(left.columns.map(col) ++
-        payloadCols.map(c => col(s"__last.$c").as(c)): _*)
+        payloadCols.map(c =>
+          when(inTol, col(s"__last.$c")).otherwise(lit(null)).as(c)): _*)
   }
 }

@@ -108,6 +108,27 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** As-of with tolerance (merge_asof staleness rule): the latest
+    * prior click only attributes if it is at most 15 minutes stale —
+    * the latest-before row is the nearest, so one carry + one
+    * staleness check decides; no second lookup. The oracle encodes
+    * the equivalent bounded window (max click in [p-15min, p]):
+    * identical by the nearest-row argument in the operator scaladoc.
+    */
+  private def qEvtAsofTol(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"))
+    graft.ops.Asof.joinLastBefore(purchases, clicks, Seq("user_id"),
+        leftTime = "p_us", rightTime = "click_us",
+        payloadCols = Seq("click_us"), tolerance = Some(900000000L))
+      .withColumn("gap_us", col("p_us") - col("click_us"))
+      .orderBy("event_id")
+  }
+
   /** Windowed-count attribution (bucketed range join): for each
     * purchase, the count and latest time of the same user's clicks in
     * the preceding hour — [[graft.ops.RangeJoin.joinPointsInInterval]]
@@ -200,6 +221,7 @@ object EventQueries {
     "q_evt_hopping" -> qEvtHopping _,
     "q_evt_json" -> qEvtJson _,
     "q_evt_asof" -> qEvtAsof _,
+    "q_evt_asof_tol" -> qEvtAsofTol _,
     "q_evt_range_join" -> qEvtRangeJoin _,
     "q_evt_overlap_join" -> qEvtOverlapJoin _,
     "q_evt_transitions" -> qEvtTransitions _,
@@ -263,6 +285,20 @@ object EventQueries {
         |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.c_us <= p.p_us
         |GROUP BY p.event_id, p.user_id, p.p_us, p.value
         |ORDER BY p.event_id""".stripMargin,
+    "q_evt_asof_tol" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.p_us,
+        |  max(c.c_us) AS click_us,
+        |  p.p_us - max(c.c_us) AS gap_us
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.c_us BETWEEN p.p_us - 900000000 AND p.p_us
+        |GROUP BY p.event_id, p.user_id, p.p_us
+        |ORDER BY event_id""".stripMargin,
     "q_evt_range_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS p_us

@@ -58,6 +58,20 @@ class AsofSpec extends SparkSpec {
       "asof window must be key-partitioned")
   }
 
+  test("tolerance: a latest-before match beyond the staleness bound nulls out") {
+    // left id=2 (t=200) matches a@150: gap 50
+    def run(tol: Long) =
+      Asof.joinLastBefore(left, right, Seq("k"), "t", "rt", Seq("tag"),
+          tolerance = Some(tol))
+        .orderBy("id").collect().map(r => (r.getLong(0), Option(r.getString(3))))
+    val strict = run(49)
+    assert(strict.find(_._1 == 2L).get._2.isEmpty, "gap 50 > tol 49 must null")
+    assert(strict.find(_._1 == 1L).get._2.contains("a@100"), "tie gap 0 survives")
+    val loose = run(50)
+    assert(loose.find(_._1 == 2L).get._2.contains("a@150"),
+      "gap 50 <= tol 50 (inclusive) must match")
+  }
+
   test("payload name collision with left is rejected") {
     intercept[IllegalArgumentException] {
       Asof.joinLastBefore(left, right.withColumnRenamed("tag", "id"),
