@@ -51,14 +51,29 @@ object RangeJoin {
     * @param maxBucketsPerRow declared fan-out bound; a left interval
     *                    spanning more buckets (or inverted, hi < lo)
     *                    raises an error rather than exploding
+    * @param joinType    "inner" (default) emits matched pairs only.
+    *                    "left_outer" guarantees every left row at
+    *                    least one output row — the range predicate
+    *                    moves INTO the join condition so a left bucket
+    *                    row whose candidates all miss still survives
+    *                    with null payload. Unmatched bucket COPIES of
+    *                    a left row also carry null payload, so
+    *                    left-outer output is for null-ignoring
+    *                    aggregation downstream (count/max over the
+    *                    payload — the one-pass "count matches, keep
+    *                    zero-rows" shape that would otherwise need a
+    *                    second left scan and a join-back).
     */
   def joinPointsInInterval(left: DataFrame, right: DataFrame,
                            keys: Seq[String], leftLo: String, leftHi: String,
                            rightTime: String, bucketWidth: Long,
                            payloadCols: Seq[String],
-                           maxBucketsPerRow: Int = 64): DataFrame = {
+                           maxBucketsPerRow: Int = 64,
+                           joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "range join needs at least one key column")
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val collide = payloadCols.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"payload columns collide with left: $collide")
     // floor division correct for negative epochs too
@@ -74,14 +89,31 @@ object RangeJoin {
           s"range join interval exceeds $maxBucketsPerRow buckets " +
             s"of $bucketWidth us (or hi < lo): lo=%s hi=%s",
           col(leftLo), col(leftHi))))))
-    val r = right.select(
-      keys.map(col) ++ Seq(bkt(col(rightTime)).cast("long").as("__bkt"),
-        col(rightTime).as("__rt"),
-        struct(payloadCols.map(col): _*).as("__p")): _*)
-    l.join(r, keys :+ "__bkt")
-      .filter(col("__rt") >= col(leftLo) && col("__rt") <= col(leftHi))
-      .select(left.columns.map(col) ++
-        payloadCols.map(c => col(s"__p.$c").as(c)): _*)
+    if (joinType == "inner") {
+      val r = right.select(
+        keys.map(col) ++ Seq(bkt(col(rightTime)).cast("long").as("__bkt"),
+          col(rightTime).as("__rt"),
+          struct(payloadCols.map(col): _*).as("__p")): _*)
+      l.join(r, keys :+ "__bkt")
+        .filter(col("__rt") >= col(leftLo) && col("__rt") <= col(leftHi))
+        .select(left.columns.map(col) ++
+          payloadCols.map(c => col(s"__p.$c").as(c)): _*)
+    } else {
+      // the exact range check must sit in the join CONDITION: as a
+      // post-filter it would also drop the null rows that make the
+      // join left-outer
+      val r = right.select(
+        keys.map(k => col(k).as(s"__r_$k")) ++
+          Seq(bkt(col(rightTime)).cast("long").as("__rbkt"),
+            col(rightTime).as("__rt"),
+            struct(payloadCols.map(col): _*).as("__p")): _*)
+      val cond = keys.map(k => col(k) === col(s"__r_$k"))
+        .reduce(_ && _) && col("__bkt") === col("__rbkt") &&
+        col("__rt") >= col(leftLo) && col("__rt") <= col(leftHi)
+      l.join(r, cond, "left_outer")
+        .select(left.columns.map(col) ++
+          payloadCols.map(c => col(s"__p.$c").as(c)): _*)
+    }
   }
 
   /** Interval-OVERLAP join: every (left, right) pair with the same key

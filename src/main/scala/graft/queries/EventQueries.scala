@@ -135,10 +135,11 @@ object EventQueries {
     * (30-min buckets, so each 1-h interval explodes to at most 3
     * bucket rows; equi-shuffle on (user, bucket), exact BETWEEN as a
     * post-filter — no nested-loop join anywhere in the plan, which
-    * PlanAuditSpec asserts). Purchases with no click in the window
-    * are kept via a join-back (n_clicks = 0), the composition the
-    * operator's inner-pair contract expects. The oracle replays the
-    * quadratic inequality-join encoding the rewrite avoids.
+    * PlanAuditSpec asserts). The left_outer mode keeps zero-click
+    * purchases in the SAME pass (null-payload rows that the
+    * null-ignoring count/max absorb) — one purchases scan, no
+    * join-back. The oracle replays the quadratic inequality-join
+    * encoding the rewrite avoids.
     */
   private def qEvtRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
@@ -148,15 +149,13 @@ object EventQueries {
       .withColumn("lo_us", col("p_us") - lit(3600000000L))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
-    val pairs = graft.ops.RangeJoin.joinPointsInInterval(
-      purchases, clicks, Seq("user_id"),
-      leftLo = "lo_us", leftHi = "p_us", rightTime = "c_us",
-      bucketWidth = 1800000000L, payloadCols = Seq("c_us"))
-    val perPurchase = pairs.groupBy("event_id")
-      .agg(count(lit(1)).as("n_clicks"), max("c_us").as("last_click_us"))
-    purchases.select("event_id", "user_id", "p_us")
-      .join(perPurchase, Seq("event_id"), "left")
-      .withColumn("n_clicks", coalesce(col("n_clicks"), lit(0L)))
+    graft.ops.RangeJoin.joinPointsInInterval(
+        purchases, clicks, Seq("user_id"),
+        leftLo = "lo_us", leftHi = "p_us", rightTime = "c_us",
+        bucketWidth = 1800000000L, payloadCols = Seq("c_us"),
+        joinType = "left_outer")
+      .groupBy("event_id", "user_id", "p_us")
+      .agg(count(col("c_us")).as("n_clicks"), max("c_us").as("last_click_us"))
       .orderBy("event_id")
   }
 

@@ -71,6 +71,39 @@ class RangeJoinSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("left_outer: every left row survives; aggregate equals naive left join") {
+    val got = RangeJoin.joinPointsInInterval(left, right, Seq("k"),
+        "lo", "hi", "rt", bucketWidth = 100L, payloadCols = Seq("tag"),
+        joinType = "left_outer")
+      .groupBy("id").agg(count(col("tag")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // ids 3 and 4 have no in-range rows but must appear with n=0; a
+    // left bucket row whose only candidate misses the exact range
+    // (id=3 vs b@51) must not vanish
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+    // randomized differential: bucketed left_outer aggregate == naive
+    val rnd = new scala.util.Random(37)
+    val ls = (1 to 150).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, s"k${rnd.nextInt(7)}", lo, lo + rnd.nextInt(400).toLong)
+    }
+    val rs = (1 to 400).map { j =>
+      (s"k${rnd.nextInt(7)}", rnd.nextInt(6000).toLong, s"r$j")
+    }
+    val lDf = ls.toDF("id", "k", "lo", "hi")
+    val rDf = rs.toDF("k", "rt", "tag")
+    val bucketed = RangeJoin.joinPointsInInterval(lDf, rDf, Seq("k"),
+        "lo", "hi", "rt", bucketWidth = 128L, payloadCols = Seq("tag"),
+        joinType = "left_outer")
+      .groupBy("id").agg(count(col("tag")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val naive = lDf.join(rDf, lDf("k") === rDf("k") &&
+        rDf("rt") >= lDf("lo") && rDf("rt") <= lDf("hi"), "left_outer")
+      .groupBy(lDf("id")).agg(count(rDf("tag")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(bucketed == naive)
+  }
+
   test("overlap join: touching inclusive, containment, multi-bucket pair emits ONCE") {
     val a = Seq(
       (1L, "a", 100L, 350L), // spans buckets 1..3
