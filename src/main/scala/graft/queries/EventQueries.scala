@@ -213,7 +213,44 @@ object EventQueries {
       .orderBy("prev_type", "event_type")
   }
 
+  /** Rolling per-key anomaly detection: each event z-scored against
+    * its user's trailing-10-event window (the online data-quality
+    * monitor every ingestion pipeline runs). The window is
+    * user-partitioned — the computation distributes per key with no
+    * global ordering — and the frame is ROWS-bounded, so per-row state
+    * is O(10) regardless of history length.
+    *
+    * Numeric parity: the windowed mean/σ are derived from EXACT
+    * decimal window sums (`sum(v)`, `sum(v²)` over DECIMAL — order-
+    * independent, identical in any engine), then combined in double
+    * with one fixed expression (`ss/n - mu²`, clamped at 0). A
+    * floating avg/stddev window aggregate would instead inherit each
+    * engine's frame-summation order (Spark sliding re-eval vs DuckDB
+    * segment tree) and flake the hash at the 6th decimal.
+    */
+  private def qEvtAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-10, -1)
+    val v = dec("value")
+    val mu = col("s1") / col("n_prev")
+    val sd = sqrt(greatest(col("s2") / col("n_prev") - mu * mu, lit(0.0)))
+    t(s, dir, "events")
+      // all three window aggregates in ONE select so they land in a
+      // single Window node (an interleaved Project blocks
+      // CollapseWindow and doubles the per-partition passes)
+      .select(col("user_id"), col("event_id"), col("value"),
+        sum(v).over(w).cast("double").as("s1"),
+        sum(v * v).over(w).cast("double").as("s2"),
+        count(lit(1)).over(w).as("n_prev"))
+      .filter(col("n_prev") >= 5)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(mu, 6).as("mu"), round(sd, 6).as("sd"),
+        (sd > 0 && abs(col("value") - mu) > lit(3.0) * sd).as("is_anomaly"))
+      .orderBy("user_id", "event_id")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_anomaly" -> qEvtAnomaly _,
     "q_evt_hourly" -> qEvtHourly _,
     "q_evt_sessionize" -> qEvtSessionize _,
     "q_evt_session_stats" -> qEvtSessionStats _,
@@ -227,6 +264,24 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_anomaly" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |         OVER w AS DOUBLE) AS s2,
+        |    count(*) OVER w AS n_prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |y AS (
+        |  SELECT user_id, event_id, value,
+        |    s1 / n_prev AS mu,
+        |    sqrt(greatest(s2 / n_prev - (s1 / n_prev) * (s1 / n_prev), 0.0)) AS sd
+        |  FROM x WHERE n_prev >= 5)
+        |SELECT user_id, event_id, value, round(mu, 6) AS mu, round(sd, 6) AS sd,
+        |  (sd > 0 AND abs(value - mu) > 3.0 * sd) AS is_anomaly
+        |FROM y ORDER BY user_id, event_id""".stripMargin,
     "q_evt_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

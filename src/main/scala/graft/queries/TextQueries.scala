@@ -308,7 +308,85 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition filter (Rae et al. 2021 quality rules,
+    * public recipe): per-document word n-gram repetition rates
+    * (`1 - distinct/total` for 2- and 3-grams) and the token share of
+    * the single most frequent bigram, combined into a keep/drop
+    * verdict. Pure scalar array algebra per row — no shuffle, no UDF,
+    * whole-stage codegen end to end — so at 100 TB the filter runs
+    * inside the scan stage and costs one pass over the text. The
+    * n-gram arrays use the zip-of-shifted-slices shape of
+    * [[graft.queries.Q.shingles3]] (see its scaladoc for the measured
+    * re-split pathology of the `element_at` form).
+    */
+  private def qTxtRepetition(s: SparkSession, dir: String): DataFrame = {
+    def grams(tk: Column, width: Int): Column = {
+      val cnt = size(tk) - (width - 1)
+      val zipped = arrays_zip((0 until width).map(i => slice(tk, lit(i + 1), cnt)): _*)
+      when(size(tk) >= width,
+        transform(zipped, st =>
+          concat_ws(" ", (0 until width).map(i => st.getField(i.toString)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    def repRate(g: Column): Column =
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+        .otherwise(lit(0.0))
+    val top2Frac = round(col("top2_n") * 2.0 / size(col("tk")), 6)
+    t(s, dir, "documents")
+      .withColumn("tk", toks)
+      .withColumn("bg", grams(col("tk"), 2))
+      .withColumn("tg", grams(col("tk"), 3))
+      .withColumn("top2_n",
+        when(size(col("bg")) > 0,
+          array_max(transform(array_distinct(col("bg")),
+            d => size(filter(col("bg"), x => x === d)))))
+          .otherwise(lit(0)))
+      .select(
+        col("doc_id"), size(col("tk")).as("n_tokens"),
+        repRate(col("bg")).as("rep2"),
+        repRate(col("tg")).as("rep3"),
+        col("top2_n"),
+        top2Frac.as("top2_frac"),
+        (repRate(col("bg")) <= 0.05 && top2Frac <= 0.15).as("gopher_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document duplicated-span census — the scoring step of
+    * exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", public recipe): a
+    * span is a 5-token shingle; a span seen in >=2 distinct documents
+    * marks copied text, and a document whose spans are >=50% shared is
+    * a duplication candidate. Spans travel as 8-byte xxhash64 (the
+    * oracle counts string shingles — identical counts absent a 64-bit
+    * collision, the same declared equivalence as q_txt_decontaminate).
+    * Scale shape: narrow (doc_id, hash) explode, one hash-partitioned
+    * aggregation for the span census, one hash equi-join back, one
+    * doc-partitioned aggregation — NO pairwise join anywhere, so cost
+    * is linear in corpus size and the shuffle payload is 16 bytes/row.
+    */
+  private def qTxtDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val spanW = 5
+    val fps = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.Dedup.shingleHashCol(toks, spanW)).as("h"))
+    val census = fps.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    fps.join(census, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("n_docs") >= 2, lit(1))).as("n_shared"),
+        max(col("n_docs")).as("max_span_docs"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_spans"), 6))
+      .withColumn("dup_doc",
+        round(col("n_shared").cast("double") / col("n_spans"), 6) >= 0.5)
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_repetition" -> qTxtRepetition _,
+    "q_txt_dup_spans" -> qTxtDupSpans _,
     "q_txt_unigram_lp" -> qTxtUnigramLp _,
     "q_txt_decontaminate" -> qTxtDecontaminate _,
     "q_txt_redact" -> qTxtRedact _,
@@ -326,6 +404,49 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_txt_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, len(tk) AS n_tokens,
+        |   CASE WHEN len(tk) >= 2 THEN
+        |     list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |   ELSE [] END AS bg,
+        |   CASE WHEN len(tk) >= 3 THEN
+        |     list_transform(range(1, len(tk) - 1),
+        |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |   ELSE [] END AS tg
+        |   FROM tk),
+        |r AS (SELECT doc_id, n_tokens,
+        |   CASE WHEN len(bg) > 0
+        |     THEN round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
+        |     ELSE 0.0 END AS rep2,
+        |   CASE WHEN len(tg) > 0
+        |     THEN round(1.0 - len(list_distinct(tg))::DOUBLE / len(tg), 6)
+        |     ELSE 0.0 END AS rep3,
+        |   CASE WHEN len(bg) > 0
+        |     THEN list_max(list_transform(list_distinct(bg),
+        |            d -> len(list_filter(bg, x -> x = d))))
+        |     ELSE 0 END AS top2_n
+        |   FROM g)
+        |SELECT doc_id, n_tokens, rep2, rep3, top2_n,
+        |  round(top2_n * 2.0 / n_tokens, 6) AS top2_frac,
+        |  (rep2 <= 0.05 AND round(top2_n * 2.0 / n_tokens, 6) <= 0.15) AS gopher_ok
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_txt_dup_spans" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 5 THEN
+        |    list_transform(range(1, len(tk) - 3),
+        |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+        |    ELSE [] END) AS sh FROM tk),
+        |fps AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+        |census AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM fps GROUP BY h),
+        |d AS (SELECT f.doc_id, count(*) AS n_spans,
+        |    count(*) FILTER (WHERE c.n_docs >= 2) AS n_shared,
+        |    max(c.n_docs) AS max_span_docs
+        |  FROM fps f JOIN census c USING (h) GROUP BY f.doc_id)
+        |SELECT doc_id, n_spans, n_shared, max_span_docs,
+        |  round(n_shared::DOUBLE / n_spans, 6) AS shared_frac,
+        |  (round(n_shared::DOUBLE / n_spans, 6) >= 0.5) AS dup_doc
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_txt_unigram_lp" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
