@@ -249,8 +249,72 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Ordered conversion funnel (view -> click -> purchase, strictly
+    * increasing times): per user, the first view, the earliest click
+    * after that view, and the earliest purchase after that click.
+    * The naive encoding is two self-joins with inequality predicates
+    * (quadratic per user); this is the one-pass form — a cascade of
+    * running `min(when(...))` windows over a single per-user sort, so
+    * the whole funnel costs ONE shuffle + ONE sort and O(1) state per
+    * row regardless of history length. Stage cascade:
+    * fv = running first view; a click qualifies only after fv;
+    * fc = running first qualifying click; a purchase qualifies only
+    * after fc. Times compare as integer microseconds (see qEvtAsof's
+    * ns-truncation note).
+    */
+  private def qEvtFunnel(s: SparkSession, dir: String): DataFrame = {
+    val wRun = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("us"))).over(wRun))
+      .withColumn("cc",
+        when(col("event_type") === "click" && col("fv") < col("us"), col("us")))
+      .withColumn("fc", min(col("cc")).over(wRun))
+      .withColumn("pc",
+        when(col("event_type") === "purchase" && col("fc") < col("us"), col("us")))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("first_view_us"),
+        min("cc").as("first_click_us"),
+        min("pc").as("first_purchase_us"))
+      .withColumn("stage",
+        when(col("first_purchase_us").isNotNull, 3)
+          .when(col("first_click_us").isNotNull, 2)
+          .when(col("first_view_us").isNotNull, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+  }
+
+  /** Cohort retention matrix: users bucketed by first-active day, the
+    * count of distinct active users per (cohort, day-offset) cell —
+    * the standard product-analytics retention table. Shape: the
+    * per-user-day `distinct` does map-side partial aggregation before
+    * its shuffle (raw events never cross the wire), the cohort is a
+    * per-user window `min` over that already-tiny distinct relation
+    * (no join-back), and the final cell count is one hash aggregation
+    * — so the whole matrix is two shuffles of (user, day) rows, which
+    * at 100 TB is bounded by users x days, not by event count. Days
+    * are session-UTC calendar days (the qEvtHourly date convention).
+    */
+  private def qEvtRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("cohort", min("day").over(w))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_evt_anomaly" -> qEvtAnomaly _,
+    "q_evt_funnel" -> qEvtFunnel _,
+    "q_evt_retention" -> qEvtRetention _,
     "q_evt_hourly" -> qEvtHourly _,
     "q_evt_sessionize" -> qEvtSessionize _,
     "q_evt_session_stats" -> qEvtSessionStats _,
@@ -396,6 +460,47 @@ object EventQueries {
         |  AND c.event_type = 'click' AND e.event_type = 'error'
         |  AND greatest(c.lo, e.lo - 3600000000) <= least(c.hi, e.hi + 3600000000)
         |ORDER BY c.user_id, s_lo, w_lo""".stripMargin,
+    // The running-min funnel cascade is order-equivalent to global mins:
+    // a click qualifies iff SOME view is strictly earlier, i.e. iff
+    // min(view_us) < click_us; likewise purchases against min(qual click).
+    "q_evt_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |fv AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS first_view_us
+        |  FROM e GROUP BY user_id),
+        |fc AS (
+        |  SELECT e.user_id, min(e.us) AS first_click_us
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'click' AND e.us > fv.first_view_us
+        |  GROUP BY e.user_id),
+        |fp AS (
+        |  SELECT e.user_id, min(e.us) AS first_purchase_us
+        |  FROM e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > fc.first_click_us
+        |  GROUP BY e.user_id)
+        |SELECT fv.user_id, fv.first_view_us, fc.first_click_us,
+        |  fp.first_purchase_us,
+        |  CASE WHEN fp.first_purchase_us IS NOT NULL THEN 3
+        |       WHEN fc.first_click_us IS NOT NULL THEN 2
+        |       WHEN fv.first_view_us IS NOT NULL THEN 1
+        |       ELSE 0 END AS stage
+        |FROM fv
+        |LEFT JOIN fc ON fv.user_id = fc.user_id
+        |LEFT JOIN fp ON fv.user_id = fp.user_id
+        |ORDER BY fv.user_id""".stripMargin,
+    "q_evt_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort
+        |  FROM d)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', cohort, day) AS INTEGER) AS day_offset,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q_evt_transitions" ->
       """WITH e AS (
         |  SELECT event_type,
