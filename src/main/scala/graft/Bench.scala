@@ -21,22 +21,39 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    // deterministic (sorted) timing order, run-to-run comparable
+    // deterministic (sorted) timing order, run-to-run comparable.
+    // A query that THROWS is recorded in `err`, not as a ~0 s timing:
+    // BENCH_r11 timed 8 construction-crashed queries at 0.00 s, which
+    // reads as "fast" when it meant "dead".
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.filterNot { case (k, _) => errors.contains(k) }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     // state-store high-water marks recorded by the append-mode
     // streaming operators that ran above — the per-round artifact
     // proving watermark/timeout eviction actually bounds state
     val sw = graft.streaming.StreamOps.stateHighWater.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"state_rows":$sw,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errJson,"state_rows":$sw,"sf":"$sfDir"}"""
     println(line)
     // also persist the full line: stdout tail-grabs truncate on long
     // logs, and per-query numbers must survive intact

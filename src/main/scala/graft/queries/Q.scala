@@ -24,11 +24,12 @@ object Q {
 
   /** Read one driver testdata table (see /root/repo/TESTDATA.md).
     *
-    * The `events` table stores TIMESTAMP(NANOS) which Spark reads as
-    * LongType under `spark.sql.legacy.parquet.nanosAsLong`; rebase any
-    * such column to microsecond TimestampType (integer `div` — same
-    * truncation DuckDB applies to nanos) so downstream operators see a
-    * real timestamp.
+    * The `events` table's `ts` encoding has varied across driver
+    * regenerations (TIMESTAMP(NANOS) → LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong`; TIMESTAMP(MICROS, NTZ) →
+    * TimestampNTZType); [[graft.core.EventTime.normalize]] canonicalizes
+    * every variant to microsecond TimestampType at the load boundary so
+    * downstream operators see a real timestamp.
     *
     * Memoized per (session, dir, name): `spark.read.parquet` runs a
     * footer-read job for schema inference plus a file listing on every
@@ -61,8 +62,7 @@ object Q {
       // produce equivalent immutable plans; last put wins.
       val df0 = spark.read.parquet(s"$dir/$name.parquet")
       val df =
-        if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        if (name == "events") graft.core.EventTime.normalize(df0, "ts")
         else df0
       tableCache.synchronized(tableCache.put(key, df))
       df

@@ -471,11 +471,9 @@ object ScaleQueries {
     */
   private def qStreamRangeAppend(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val tsUs =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000")
-      else unix_micros(col("ts"))
+    val raw = graft.core.EventTime.normalize(
+      s.read.parquet(s"$dir/events.parquet"))
+    val tsUs = unix_micros(col("ts"))
     val b = raw.agg(min(tsUs).as("lo"), max(tsUs).as("hi")).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val nSlices = 6

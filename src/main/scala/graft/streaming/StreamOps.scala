@@ -18,19 +18,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamOps {
 
   /** Watermarked hourly counts per event type; returns the final
-    * result table after draining the (file-backed) stream. The ns->us
-    * rebase mirrors graft.queries.Q.t.
+    * result table after draining the (file-backed) stream. Source
+    * time encodings are canonicalized by [[graft.core.EventTime]]
+    * (same boundary rule as graft.queries.Q.t).
     */
   def hourlyCounts(spark: SparkSession, sfDir: String,
                    queryName: String = "stream_hourly"): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // streaming file source needs a directory; glob-filter to events
-    var stream = spark.readStream
+    val stream = graft.core.EventTime.normalize(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -61,12 +60,10 @@ object StreamOps {
   def dedupCounts(spark: SparkSession, sfDir: String,
                   queryName: String = "stream_dedup"): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    var stream = spark.readStream
+    val stream = graft.core.EventTime.normalize(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     val deduped = stream
       .withWatermark("ts", "24 hours")
       .dropDuplicates("user_id", "event_type")
@@ -166,9 +163,7 @@ object StreamOps {
       .schema(batchSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
     glob.foreach(g => reader = reader.option("pathGlobFilter", g))
-    var stream = reader.parquet(eventsDir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.core.EventTime.normalize(reader.parquet(eventsDir))
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -276,12 +271,10 @@ object StreamOps {
                           queryName: String = "stream_sessions_append"): AppendRun = {
     import spark.implicits._
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    var stream = spark.readStream
+    val stream = graft.core.EventTime.normalize(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     val gapUs = gapMinutes * 60L * 1000000L
     val gapMs = gapMinutes * 60L * 1000L
     // the watermarked event-time column must survive into the grouped
@@ -529,12 +522,10 @@ object StreamOps {
                     queryName: String = "stream_sessions"): DataFrame = {
     import spark.implicits._
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    var stream = spark.readStream
+    val stream = graft.core.EventTime.normalize(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     val gapUs = gapMinutes * 60L * 1000000L
     val events = stream
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
@@ -599,10 +590,7 @@ object StreamOps {
         .schema(batchSchema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
       glob.foreach(g => reader = reader.option("pathGlobFilter", g))
-      var stream = reader.parquet(eventsDir)
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      stream
+      graft.core.EventTime.normalize(reader.parquet(eventsDir))
     }
     val purchases = src().filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),

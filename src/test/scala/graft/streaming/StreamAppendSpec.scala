@@ -178,11 +178,10 @@ class StreamAppendSpec extends SparkSpec {
     // drained inner join == the batch operator's pair set (matches
     // emit on arrival; nothing is withheld by the watermark)
     val batch = graft.queries.EventQueries.defs("q_evt_range_join")(spark, sfDir)
-    val batchPairs = spark.read.parquet(s"$sfDir/events.parquet") // recompute pairs, not counts
-    // raw parquet ts is ns-as-long at this SF; rebase like queries.Q.t
-    val e = events.withColumn("us",
-      if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000") else unix_micros(col("ts")))
+    // recompute the expected PAIRS (not counts) from the raw table,
+    // canonicalizing ts through the same boundary helper as the engine
+    val e = graft.core.EventTime.normalize(events)
+      .withColumn("us", unix_micros(col("ts")))
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id").as("pu"), col("us").as("p_us"))
     val c = e.filter(col("event_type") === "click")
