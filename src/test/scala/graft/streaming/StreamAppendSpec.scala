@@ -203,6 +203,24 @@ class StreamAppendSpec extends SparkSpec {
     assert(run.maxStateRows > 0, "stream-stream join must buffer some state")
     assert(run.maxStateRows < totalRows / 2,
       s"join state ${run.maxStateRows} not bounded vs $totalRows buffered rows — range condition not evicting")
+    // The HORIZON formula (promoted from BASELINE.md prose): buffered
+    // state holds only rows within (range + watermark delay) of the
+    // advancing watermark, plus the in-flight micro-batch on each side
+    // — never the corpus. Upper-bound "rows in any horizon-length
+    // window" by twice the max count over fixed-width buckets of that
+    // length (any window straddles at most two buckets).
+    val horizonUs = (60L + 30L) * 60L * 1000000L // range + watermark delay
+    val joinSide = e.filter(col("event_type").isin("purchase", "click"))
+    val spanRow = joinSide.agg(min("us"), max("us")).head()
+    val sliceUs = (spanRow.getLong(1) - spanRow.getLong(0)) / 10 + 1
+    val winUs = horizonUs + 2 * sliceUs
+    val maxBucket = joinSide
+      .groupBy(floor(col("us") / winUs)).count()
+      .agg(max("count")).head().getLong(0)
+    val horizonBound = 2 * maxBucket
+    assert(run.maxStateRows <= horizonBound,
+      s"state high-water ${run.maxStateRows} exceeds the horizon bound $horizonBound " +
+        s"(2 x max rows in any ${winUs / 1000000}s window) — eviction lags the formula")
   }
 
   test("append-mode sessionize: emitted+open partitions the batch sessions, user state evicts") {
