@@ -46,6 +46,14 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_pass = n_fail = n_skip = 0
+    # Queries that crashed during the dump are recorded by Verify in
+    # _errors.json (and Verify exits non-zero). Count each as a FAIL so
+    # a shrunken dump can never read as a clean gate (the round-11 trap).
+    err_path = Path(out_dir, "_errors.json")
+    if err_path.exists():
+        for name, msg in sorted(json.loads(err_path.read_text()).items()):
+            print(f"FAIL  {name:28s} crashed during dump: {msg[:120]}")
+            n_fail += 1
     for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
         spark_df = pd.read_parquet(Path(out_dir, name))
         if name not in oracle:
