@@ -43,7 +43,7 @@ object Ql {
     * time job without being listed here fails the suite.
     */
   val eagerQueries: Set[String] = Set(
-    "q_corpus_build", "q_dedup_components",
+    "q_corpus_build", "q_dedup_components", "q_dedup_cluster_split",
     "q_dedup_minhash_pairs", "q_dedup_lsh_recall",
     "q_sim_ann_lsh", "q_sim_ann_ivf", "q_sim_ivf_recall",
     "q_ds_split_contract", "q_ds_nested_prefix", "q_ds_build",

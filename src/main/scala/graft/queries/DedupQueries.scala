@@ -126,6 +126,43 @@ object DedupQueries {
     comp.orderBy("doc_id")
   }
 
+  /** Leakage-safe train/val/test assignment: split by near-dup CLUSTER,
+    * not by document, so two near-duplicates can never land on opposite
+    * sides of a train/eval boundary (the contamination mode document-
+    * level splitting invites — Lee et al. 2022 measure benchmark
+    * inflation from exactly these pairs). Singleton documents are their
+    * own cluster (component = doc_id); the deterministic modular law is
+    * the same one as q_r2_split_assign (R2 split contract,
+    * build.py:179-263), applied to the cluster id so membership is
+    * reproducible and DuckDB-replayable. Emits the per-split census
+    * (clusters + docs); the assignment relation itself is the
+    * pre-aggregation `clustered` projection.
+    *
+    * Scale shape: pair graph + O(log n) CC (same as
+    * [[qDedupComponents]]), then one broadcast-size left join of the
+    * component map onto documents — docs not in any pair never enter
+    * the CC contraction.
+    */
+  private def qDedupClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupJaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .persist()
+    val (comp, _) = componentsFrom(pairs)
+    pairs.unpersist()
+    val clustered = t(s, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    clustered
+      .withColumn("split",
+        when(col("cluster") % 10 < 8, "train")
+          .when(col("cluster") % 10 === 8, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(countDistinct("cluster").as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
   /** Exact-dedup survivor selection: keep min doc_id per content hash
     * (the classic keep-first policy), via window min — no shuffle of
     * the text payload itself, only the 128-bit key.
@@ -345,6 +382,7 @@ object DedupQueries {
     "q_dedup_keep_first" -> qDedupKeepFirst _,
     "q_dedup_jaccard_pairs" -> qDedupJaccardPairs _,
     "q_dedup_components" -> qDedupComponents _,
+    "q_dedup_cluster_split" -> qDedupClusterSplit _,
     "q_corpus_build" -> qCorpusBuild _,
     "q_dedup_group_keeper" -> qDedupGroupKeeper _,
   )
@@ -460,6 +498,42 @@ object DedupQueries {
         |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)
         |SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster_split" ->
+      """WITH RECURSIVE base0 AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(floor(n_tokens / 4) AS BIGINT) AS bucket, shingles
+        |  FROM base0),
+        |bexp AS (
+        |  SELECT doc_id, unnest([bucket - 1, bucket, bucket + 1]) AS bucket, shingles
+        |  FROM base),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN bexp b
+        |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(id, root) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id),
+        |comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+        |clustered AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT CASE WHEN cluster % 10 < 8 THEN 'train'
+        |    WHEN cluster % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  count(DISTINCT cluster) AS n_clusters, count(*) AS n_docs
+        |FROM clustered GROUP BY 1 ORDER BY split""".stripMargin,
     "q_corpus_build" ->
       """WITH RECURSIVE base0 AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

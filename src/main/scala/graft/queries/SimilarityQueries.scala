@@ -154,7 +154,37 @@ object SimilarityQueries {
       .orderBy("probe_id", "rk")
   }
 
+  /** Per-dimension corpus statistics over the embedding column — the
+    * normalization pass an ANN index build runs first (mean-center /
+    * scale per dimension, detect dead or saturated dimensions).
+    *
+    * Scale shape: posexplode fans each vector into d rows, but the
+    * groupBy(dim) aggregate is PARTIAL — map-side combine reduces every
+    * partition to at most d rows before the shuffle, so the exchange
+    * carries d x partitions rows regardless of corpus size (the classic
+    * map-side-combine census; .explain shows partial_count/partial_sum
+    * under the scan).
+    *
+    * Determinism: cross-row float summation is order-dependent in
+    * double, so sums are taken over the fixed-point quantization
+    * floor(x * 1e6) — exact in both engines (float→double promotion is
+    * value-preserving, the product is one IEEE op, floor has no
+    * rounding ties) — making the oracle hash-stable under any partial-
+    * aggregation order. min/max are order-free and kept on the same
+    * quantized scale.
+    */
+  private def qEmbDimStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        floor(col("col").cast("double") * 1000000d).as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+        min("q").as("min_q"), max("q").as("max_q"))
+      .orderBy("dim")
+
   val defs: Map[String, QueryFn] = Map(
+    "q_emb_dim_stats" -> qEmbDimStats _,
     "q_sim_knn_join" -> qSimKnnJoin _,
     "q_sim_topk" -> qSimTopk _,
     "q_sim_pair_count" -> qSimPairCount _,
@@ -164,6 +194,15 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_emb_dim_stats" ->
+      """SELECT dim, count(*) AS n,
+        |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  CAST(min(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS min_q,
+        |  CAST(max(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS max_q
+        |FROM (SELECT unnest(embedding) AS x,
+        |        CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+        |      FROM embeddings)
+        |GROUP BY dim ORDER BY dim""".stripMargin,
     "q_sim_knn_join" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, vec AS qvec FROM e WHERE vec_id % 100 = 0

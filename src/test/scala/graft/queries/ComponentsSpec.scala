@@ -75,4 +75,35 @@ class ComponentsSpec extends SparkSpec {
     assert(comp.isEmpty)
     assert(rounds == 0)
   }
+
+  test("cluster split is leakage-free: no near-dup pair straddles a split boundary") {
+    val dir = "/root/testdata/sf0.001"
+    // recompute the pair graph + per-doc split assignment the query
+    // aggregates away, and assert both endpoints of EVERY near-dup
+    // pair land in the same split — the property the operator exists for
+    val pairs = DedupQueries.defs("q_dedup_jaccard_pairs")(spark, dir)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val (comp, _) = DedupQueries.componentsFrom(pairs)
+    val splitOf = graft.queries.Q.t(spark, dir, "documents").select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("component"), col("doc_id")) % 10).as("m"))
+      .withColumn("split", when(col("m") < 8, "train")
+        .when(col("m") === 8, "val").otherwise("test"))
+      .select("doc_id", "split")
+    val straddling = pairs
+      .join(splitOf.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(splitOf.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .count()
+    pairs.unpersist()
+    assert(straddling == 0L, s"$straddling near-dup pairs cross a split boundary")
+    // and the census totals partition the corpus
+    val census = DedupQueries.defs("q_dedup_cluster_split")(spark, dir).collect()
+    val nDocs = census.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == graft.queries.Q.t(spark, dir, "documents").count())
+    assert(census.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+  }
 }
