@@ -183,7 +183,182 @@ object SimilarityQueries {
         min("q").as("min_q"), max("q").as("max_q"))
       .orderBy("dim")
 
+  // --- Product quantization (Jégou/Douze/Schmid, TPAMI 2011: "Product
+  // quantization for nearest neighbor search", public method) ---
+
+  /** PQ geometry: 64-dim vectors cut into [[pqM]] contiguous
+    * [[pqSubDim]]-dim subspaces, each quantized against a [[pqK]]-entry
+    * codebook — 4 bytes/vector vs 256, a 64× embedding-store
+    * compression at 100 TB. The codebook is the DETERMINISTIC seeded
+    * variant (subvectors of `vec_id < pqK`), not Lloyd-trained: the
+    * whole encode pipeline then replays exactly in the DuckDB oracle
+    * (k-means would make the gate rows-only, as q_sim_ann_ivf is); the
+    * Lloyd-trained scale path for full vectors is [[graft.functions.Ivf]].
+    */
+  val pqM = 4
+  val pqSubDim = 16
+  val pqK = 16
+  val pqProbeCount = 4
+  val pqShortlist = 100
+
+  /** Vectors cut into their first `m` subspaces: (vec_id, label, sub,
+    * svec). Map-only narrow fan-out (m rows per vector).
+    */
+  private def pqSubvectors(s: SparkSession, dir: String, m: Int): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), dvec(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          sb => slice(col("vec"), sb * pqSubDim + 1, lit(pqSubDim)))).as(Seq("sub", "svec")))
+      .withColumn("sub", col("sub").cast("long"))
+
+  private def pqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** PQ encode: nearest codebook entry per (vector, subspace).
+    *
+    * Scale shape: the codebook is m×k rows (a constant — broadcast),
+    * so the candidate-distance stage is a broadcast join evaluated
+    * inside the scan tasks; the argmin is `min(struct(dist, code))` —
+    * a PARTIAL-aggregatable agg, so the one shuffle carries at most
+    * one ~24-byte row per (vector, subspace) after map-side combine.
+    * Nothing in the plan grows super-linearly with corpus size.
+    *
+    * Determinism: distances round to 6 decimals before the argmin
+    * (ties break on code id), and the per-assignment quantization
+    * error travels as the fixed-point `floor(dist·1e6)` long so any
+    * downstream SUM is order-independent — the same two conventions
+    * as [[qEmbDimStats]] and the cosine family.
+    */
+  private def pqAssign(s: SparkSession, dir: String, m: Int = pqM): DataFrame = {
+    val sub = pqSubvectors(s, dir, m)
+    val cb = sub.filter(col("vec_id") < pqK)
+      .select(col("sub"), col("vec_id").as("code"), col("svec").as("cvec"))
+    sub.join(broadcast(cb), Seq("sub"))
+      .withColumn("rdist", round(pqL2(col("svec"), col("cvec")), 6))
+      .withColumn("qd", floor(pqL2(col("svec"), col("cvec")) * 1000000d).cast("long"))
+      .groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(min(struct(col("rdist"), col("code"), col("qd"))).as("m"))
+      .select(col("vec_id"), col("label"), col("sub"),
+        col("m.code").as("code"), col("m.qd").as("qd"))
+  }
+
+  /** PQ code census: rows assigned + total quantization error per
+    * (subspace, code) — the codebook-health scan a PQ index build ends
+    * with (dead codes, error concentration).
+    */
+  private def qEmbPq(s: SparkSession, dir: String): DataFrame =
+    pqAssign(s, dir)
+      .groupBy("sub", "code")
+      .agg(count(lit(1)).as("n"), sum("qd").as("sum_qd"))
+      .orderBy("sub", "code")
+
+  /** PQ retrieval quality, both stages of the standard IVFADC-style
+    * pipeline measured against the exact answer: (1) pure ADC — per
+    * probe, a 4-lookup table distance per candidate (the 100 TB scan
+    * shape: the corpus side touches only 4-byte codes, never the
+    * vectors) ranked to a top-10; (2) ADC shortlist of [[pqShortlist]]
+    * then EXACT rerank — the reranked top-10's hit count equals
+    * |shortlist ∩ exact-top-10| since rerank orders exactly. Both
+    * recalls are emitted per probe; rerank dominating ADC-only is the
+    * expected signature (spec-asserted).
+    *
+    * Scale: distance tables are (probes × m × k) rows — broadcast; ADC
+    * accumulates via one partial-agg shuffle of (probe, vec) longs; the
+    * only per-vector full-vector work is the bounded probe cross join
+    * (pqProbeCount rows broadcast), and the shortlist bound caps the
+    * rerank at 100 exact distances per probe regardless of corpus size.
+    */
+  private def qEmbPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val subv = pqSubvectors(s, dir, pqM)
+    val cb = subv.filter(col("vec_id") < pqK)
+      .select(col("sub"), col("vec_id").as("code"), col("svec").as("cvec"))
+    val enc = pqAssign(s, dir).select("vec_id", "sub", "code")
+    val dt = subv.filter(col("vec_id") < pqProbeCount)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("svec"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("code"),
+        floor(pqL2(col("svec"), col("cvec")) * 1000000d).cast("long").as("dq"))
+    val adc = enc.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("dq").as("adc_q"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adc_q"), col("vec_id"))
+    val short = adc.withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= pqShortlist)
+      .select(col("probe_id"), col("vec_id"), col("rk"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"), dvec(col("embedding")).as("vec"))
+    val probes = e.filter(col("vec_id") < pqProbeCount)
+      .select(col("vec_id").as("probe_id"), col("vec").as("pvec"))
+    val ex = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        floor(pqL2(col("vec"), col("pvec")) * 1000000d).cast("long").as("ed_q"))
+    val wEx = Window.partitionBy("probe_id").orderBy(col("ed_q"), col("vec_id"))
+    val ex10 = ex.withColumn("rk", row_number().over(wEx))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = ex10.join(short, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id")
+      .agg(count(when(col("rk") <= 10, lit(1))).as("h_adc"),
+        count(lit(1)).as("h_short"))
+    probes.select("probe_id")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("h_adc"), lit(0L)).as("n_hit_adc10"),
+        round(coalesce(col("h_adc"), lit(0L)) / lit(10.0), 6).as("recall_adc10"),
+        coalesce(col("h_short"), lit(0L)).as("n_hit_short"),
+        round(coalesce(col("h_short"), lit(0L)) / lit(10.0), 6).as("recall_rerank10"))
+      .orderBy("probe_id")
+  }
+
+  /** SemDeDup-style semantic dedup census (Abbas et al. 2023,
+    * arXiv:2303.09540, public method): vectors are blocked by a COARSE
+    * quantizer cell — here the first two PQ codes (16²=256 cells), the
+    * seeded stand-in for the paper's k-means clustering — and only
+    * within-cell pairs pay an exact cosine, so the candidate set is
+    * Σ|cell|²/2, not n²/2. Pairs above threshold aggregate to a
+    * (label_a, label_b) census — the cross-source leak map a curation
+    * run reads before dropping.
+    *
+    * Scale: the pair join shuffles on the cell id; cell occupancy is
+    * the skew knob (spec-bounded here; the salted-bucket treatment of
+    * [[graft.functions.Dedup.lshCandidatePairsSalted]] applies to hot
+    * cells, and a df-cap drop of mega-cells is the declared fallback —
+    * both already proven on the LSH family).
+    */
+  /** The coarse quantizer cell per vector — [[qDedupSemdedup]]'s
+    * blocking key, exposed so the spec can bound cell occupancy.
+    */
+  private[queries] def semdedupCells(s: SparkSession, dir: String): DataFrame =
+    pqAssign(s, dir, m = 2)
+      .groupBy("vec_id")
+      .agg((max(when(col("sub") === 0, col("code"))) * pqK +
+        max(when(col("sub") === 1, col("code")))).as("cl"))
+
+  private def qDedupSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val coded = semdedupCells(s, dir)
+    val v = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), dvec(col("embedding")).as("vec"))
+      .join(coded, Seq("vec_id"))
+    val a = v.select(col("cl"), col("vec_id").as("id_a"),
+      col("label").as("label_a"), col("vec").as("va"))
+    val b = v.select(col("cl"), col("vec_id").as("id_b"),
+      col("label").as("label_b"), col("vec").as("vb"))
+    a.join(b, Seq("cl"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")), 6))
+      .filter(col("sim") >= 0.2)
+      .groupBy("label_a", "label_b")
+      .agg(count(lit(1)).as("n_pairs"), round(max("sim"), 6).as("max_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_emb_pq" -> qEmbPq _,
+    "q_emb_pq_recall" -> qEmbPqRecall _,
+    "q_dedup_semdedup" -> qDedupSemdedup _,
     "q_emb_dim_stats" -> qEmbDimStats _,
     "q_sim_knn_join" -> qSimKnnJoin _,
     "q_sim_topk" -> qSimTopk _,
@@ -193,7 +368,81 @@ object SimilarityQueries {
     "q_dedup_embedding" -> qDedupEmbedding _,
   )
 
+  /** Shared oracle CTE prefix: PQ subvectors, seeded codebook and
+    * rounded candidate distances over the first `m` subspaces —
+    * the exact DuckDB replay of [[pqSubvectors]] + [[pqAssign]].
+    */
+  private def pqOracleCtes(m: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |sub AS (SELECT vec_id, CAST(s.s AS BIGINT) AS sub,
+       |          vec[CAST(s.s*$pqSubDim+1 AS INT):CAST(s.s*$pqSubDim+$pqSubDim AS INT)] AS svec
+       |        FROM e, (SELECT unnest(range($m)) AS s) s),
+       |cb AS (SELECT sub, vec_id AS code, svec AS cvec FROM sub WHERE vec_id < $pqK),
+       |d AS (SELECT sub.vec_id, sub.sub, cb.code,
+       |        round(list_sum(list_transform(range(1, ${pqSubDim + 1}),
+       |          i -> (sub.svec[i]-cb.cvec[i])*(sub.svec[i]-cb.cvec[i]))), 6) AS rdist,
+       |        CAST(floor(list_sum(list_transform(range(1, ${pqSubDim + 1}),
+       |          i -> (sub.svec[i]-cb.cvec[i])*(sub.svec[i]-cb.cvec[i]))) * 1000000) AS BIGINT) AS qd
+       |      FROM sub JOIN cb ON sub.sub = cb.sub),
+       |enc AS (SELECT vec_id, sub, code, qd FROM (
+       |        SELECT vec_id, sub, code, qd,
+       |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY rdist, code) AS rk FROM d)
+       |        WHERE rk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_emb_pq" ->
+      s"""${pqOracleCtes(pqM)}
+        |SELECT sub, code, count(*) AS n, CAST(sum(qd) AS BIGINT) AS sum_qd
+        |FROM enc GROUP BY sub, code ORDER BY sub, code""".stripMargin,
+    "q_emb_pq_recall" ->
+      s"""${pqOracleCtes(pqM)},
+        |dt AS (SELECT p.vec_id AS probe_id, cb.sub, cb.code,
+        |        CAST(floor(list_sum(list_transform(range(1, ${pqSubDim + 1}),
+        |          i -> (p.svec[i]-cb.cvec[i])*(p.svec[i]-cb.cvec[i]))) * 1000000) AS BIGINT) AS dq
+        |      FROM sub p JOIN cb ON p.sub = cb.sub WHERE p.vec_id < $pqProbeCount),
+        |adc AS (SELECT dt.probe_id, enc.vec_id, sum(dt.dq) AS adc_q
+        |        FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+        |        WHERE enc.vec_id <> dt.probe_id
+        |        GROUP BY dt.probe_id, enc.vec_id),
+        |short AS (SELECT probe_id, vec_id, rk FROM (
+        |          SELECT probe_id, vec_id,
+        |            row_number() OVER (PARTITION BY probe_id ORDER BY adc_q, vec_id) AS rk FROM adc)
+        |          WHERE rk <= $pqShortlist),
+        |ex AS (SELECT p.vec_id AS probe_id, e.vec_id,
+        |        CAST(floor(list_sum(list_transform(range(1, ${pqM * pqSubDim + 1}),
+        |          i -> (e.vec[i]-p.vec[i])*(e.vec[i]-p.vec[i]))) * 1000000) AS BIGINT) AS ed_q
+        |      FROM e, e p WHERE p.vec_id < $pqProbeCount AND e.vec_id <> p.vec_id),
+        |ex10 AS (SELECT probe_id, vec_id FROM (
+        |          SELECT probe_id, vec_id,
+        |            row_number() OVER (PARTITION BY probe_id ORDER BY ed_q, vec_id) AS rk FROM ex)
+        |          WHERE rk <= 10),
+        |hits AS (SELECT x.probe_id,
+        |          count(CASE WHEN s.rk <= 10 THEN 1 END) AS h_adc, count(*) AS h_short
+        |         FROM ex10 x JOIN short s ON x.probe_id = s.probe_id AND x.vec_id = s.vec_id
+        |         GROUP BY x.probe_id)
+        |SELECT p.vec_id AS probe_id,
+        |  coalesce(h.h_adc, 0) AS n_hit_adc10,
+        |  round(coalesce(h.h_adc, 0) / 10.0, 6) AS recall_adc10,
+        |  coalesce(h.h_short, 0) AS n_hit_short,
+        |  round(coalesce(h.h_short, 0) / 10.0, 6) AS recall_rerank10
+        |FROM (SELECT vec_id FROM e WHERE vec_id < $pqProbeCount) p
+        |LEFT JOIN hits h ON p.vec_id = h.probe_id
+        |ORDER BY probe_id""".stripMargin,
+    "q_dedup_semdedup" ->
+      s"""${pqOracleCtes(2)},
+        |coded AS (SELECT vec_id,
+        |        max(CASE WHEN sub = 0 THEN code END) * $pqK +
+        |        max(CASE WHEN sub = 1 THEN code END) AS cl
+        |      FROM enc GROUP BY vec_id),
+        |v AS (SELECT c.vec_id, c.cl, e.label, e.vec FROM coded c JOIN e ON c.vec_id = e.vec_id),
+        |pairs AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    round(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+        |      / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) AS sim
+        |  FROM v a JOIN v b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+        |SELECT label_a, label_b, count(*) AS n_pairs, round(max(sim), 6) AS max_sim
+        |FROM pairs WHERE sim >= 0.2 GROUP BY label_a, label_b ORDER BY label_a, label_b""".stripMargin,
     "q_emb_dim_stats" ->
       """SELECT dim, count(*) AS n,
         |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,

@@ -384,7 +384,77 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-language characteristic terms by tf·idf — the corpus-profile
+    * scan (what distinguishes each language/source slice) run before
+    * sampling decisions. idf is the LINEAR rational N/df rather than
+    * log(N/df): tf·N/df is exact integer arithmetic in double followed
+    * by one IEEE division, so the score replays bit-identically in the
+    * oracle — a libm `log` can differ in the last ulp across engines
+    * and flip a rounding or a rank tie. Ranking is unchanged (x ↦
+    * log x is monotone), which is all tf·idf's ordering semantics need.
+    *
+    * Scale shape: one token explode, two hash aggregations (term df is
+    * corpus-global, tf is per (lang, term)), one equi-join on term and
+    * a per-lang top-5 window — every stage partial-aggregated or
+    * key-partitioned; the N scalar rides a 1-row broadcast, never a
+    * collect.
+    */
+  private def qTxtTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), col("lang"), explode(toks).as("term"))
+      .filter(length(col("term")) > 0)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("lang").orderBy(desc("score"), col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score", round(col("tf").cast("double") * col("n_docs") / col("df"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("lang", "rk")
+  }
+
+  /** PII patterns shared verbatim between the Spark plan and the DuckDB
+    * oracle (both interpolate these constants, so engine and replay
+    * cannot drift). Restricted to the regex subset with identical
+    * semantics in Java regex and RE2: character classes, bounded
+    * repetition, `\b`, no backreferences or lookaround.
+    */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhone = "\\+?\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+  val piiSsn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** PII census per language slice: documents containing / total
+    * occurrences of email addresses, IPv4 literals, NANP-style phone
+    * numbers and SSN-shaped ids — the redaction-planning scan a
+    * curation pipeline runs before the scrub pass (the scrub itself is
+    * the [[qTxtRedact]] shape with these patterns). Map-only
+    * `regexp_count` per row + one partial-agged groupBy(lang): at
+    * 100 TB the regexes run inside the scan stage, and the shuffle is
+    * five rows per partition. The driver corpus is synthetic and
+    * PII-free, so the registered query asserts the zero-count census;
+    * detection itself is proven on a planted-PII fixture in
+    * PiiTfidfSpec.
+    */
+  private def qTxtPii(s: SparkSession, dir: String): DataFrame = {
+    def cnt(pat: String): Column = regexp_count(col("text"), lit(pat))
+    def agg2(pat: String, name: String): Seq[Column] = Seq(
+      count(when(cnt(pat) > 0, lit(1))).as(s"docs_$name"),
+      sum(cnt(pat)).cast("long").as(s"n_$name"))
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (agg2(piiEmail, "email") ++ agg2(piiIpv4, "ipv4") ++
+          agg2(piiPhone, "phone") ++ agg2(piiSsn, "ssn")): _*)
+      .orderBy("lang")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_tfidf" -> qTxtTfidf _,
+    "q_txt_pii" -> qTxtPii _,
     "q_txt_repetition" -> qTxtRepetition _,
     "q_txt_dup_spans" -> qTxtDupSpans _,
     "q_txt_unigram_lp" -> qTxtUnigramLp _,
@@ -403,7 +473,29 @@ object TextQueries {
     "q_txt_shingles" -> qTxtShingles _,
   )
 
+  private def piiOracleCols(pat: String, name: String): String =
+    s"""count(CASE WHEN len(regexp_extract_all(text, '$pat')) > 0 THEN 1 END) AS docs_$name,
+       |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_txt_tfidf" ->
+      """WITH tm AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t2 AS (SELECT * FROM tm WHERE len(term) > 0),
+        |total AS (SELECT count(*) AS n_docs FROM documents),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY term),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM t2 GROUP BY lang, term),
+        |sc AS (SELECT tf.lang, tf.term, tf.tf, dfreq.df,
+        |        round(CAST(tf.tf AS DOUBLE) * total.n_docs / dfreq.df, 6) AS score
+        |       FROM tf JOIN dfreq ON tf.term = dfreq.term, total),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rk FROM sc)
+        |SELECT lang, rk, term, tf, df, score FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "q_txt_pii" ->
+      s"""SELECT lang, count(*) AS n_docs,
+        |  ${piiOracleCols(piiEmail, "email")},
+        |  ${piiOracleCols(piiIpv4, "ipv4")},
+        |  ${piiOracleCols(piiPhone, "phone")},
+        |  ${piiOracleCols(piiSsn, "ssn")}
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_txt_repetition" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, len(tk) AS n_tokens,

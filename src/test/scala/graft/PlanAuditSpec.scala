@@ -26,7 +26,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_ds_build",       // buildDataset balances per split: same 1-row agg
     "q_sim_knn_join",   // broadcast probe batch, LIMIT-capped (asserted below)
     "q_sim_ivf_recall", // exact-recall stage: same LIMIT-capped probe batch
-    "q_txt_unigram_lp"  // broadcast of top-K capped vocab + 1-row total agg
+    "q_txt_unigram_lp", // broadcast of top-K capped vocab + 1-row total agg
+    "q_emb_pq_recall",  // broadcast pqProbeCount-row probe set (id-bounded, asserted below)
+    "q_txt_tfidf"       // crossJoin of the 1-row corpus-count aggregate
   )
 
   // streaming queries execute a real stream per call; keep them out of
@@ -156,6 +158,21 @@ class PlanAuditSpec extends SparkSpec {
       assert(pushed.contains(s"LessThan(vec_id,$bound)"),
         s"pair_count scan lacks pushed vec_id<$bound: $pushed")
     }
+    // q_emb_pq_recall: every broadcast side (codebook, probe
+    // subvectors, probe vectors) is an id-bounded slice — the bound
+    // must reach parquet as a pushed filter so the broadcast stays
+    // constant-size at any corpus scale
+    val pqr = SparkEntry.queries("q_emb_pq_recall")(spark, sfDir)
+    val pqrPushed = pqr.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.requiredSchema.fieldNames.contains("vec_id") =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }
+    val probeBound = graft.queries.SimilarityQueries.pqProbeCount
+    val cbBound = graft.queries.SimilarityQueries.pqK
+    assert(pqrPushed.exists(_.contains(s"LessThan(vec_id,$probeBound)")),
+      s"pq_recall probe side lacks pushed vec_id<$probeBound: $pqrPushed")
+    assert(pqrPushed.exists(_.contains(s"LessThan(vec_id,$cbBound)")),
+      s"pq_recall codebook side lacks pushed vec_id<$cbBound: $pqrPushed")
   }
 
   test("parquet scans prune columns: no query reads text/pixels it doesn't use") {
