@@ -224,23 +224,31 @@ object SimilarityQueries {
     * one ~24-byte row per (vector, subspace) after map-side combine.
     * Nothing in the plan grows super-linearly with corpus size.
     *
-    * Determinism: distances round to 6 decimals before the argmin
-    * (ties break on code id), and the per-assignment quantization
-    * error travels as the fixed-point `floor(dist·1e6)` long so any
-    * downstream SUM is order-independent — the same two conventions
-    * as [[qEmbDimStats]] and the cosine family.
+    * Determinism: distances are quantized to the fixed-point
+    * `floor(dist·1e6)` long BEFORE the argmin (ties break on code id),
+    * and the same quantized error is what downstream SUMs see, so every
+    * comparison and aggregate is order-independent integer arithmetic —
+    * the [[qEmbDimStats]] convention.
+    *
+    * The argmin rides a single packed long `qd·k + code` (code < k, so
+    * the low bits are the tiebreak): `min(long)` keeps the aggregate in
+    * HashAggregate + whole-stage codegen with map-side partials — a
+    * `min(struct(...))` here forces the SortAggregate fallback with
+    * interpreted struct comparisons, measured 30× slower at sf1 — and
+    * evaluates the distance fold once per candidate instead of twice.
     */
   private def pqAssign(s: SparkSession, dir: String, m: Int = pqM): DataFrame = {
     val sub = pqSubvectors(s, dir, m)
     val cb = sub.filter(col("vec_id") < pqK)
       .select(col("sub"), col("vec_id").as("code"), col("svec").as("cvec"))
+    val kL = lit(pqK.toLong)
     sub.join(broadcast(cb), Seq("sub"))
-      .withColumn("rdist", round(pqL2(col("svec"), col("cvec")), 6))
       .withColumn("qd", floor(pqL2(col("svec"), col("cvec")) * 1000000d).cast("long"))
       .groupBy(col("vec_id"), col("label"), col("sub"))
-      .agg(min(struct(col("rdist"), col("code"), col("qd"))).as("m"))
+      .agg(min(col("qd") * kL + col("code")).as("packed"))
       .select(col("vec_id"), col("label"), col("sub"),
-        col("m.code").as("code"), col("m.qd").as("qd"))
+        pmod(col("packed"), kL).as("code"),
+        ((col("packed") - pmod(col("packed"), kL)) / kL).cast("long").as("qd"))
   }
 
   /** PQ code census: rows assigned + total quantization error per
@@ -326,9 +334,9 @@ object SimilarityQueries {
     * [[graft.functions.Dedup.lshCandidatePairsSalted]] applies to hot
     * cells, and a df-cap drop of mega-cells is the declared fallback —
     * both already proven on the LSH family).
-    */
-  /** The coarse quantizer cell per vector — [[qDedupSemdedup]]'s
-    * blocking key, exposed so the spec can bound cell occupancy.
+    *
+    * [[semdedupCells]] is the blocking key computation, factored out so
+    * the spec can bound cell occupancy.
     */
   private[queries] def semdedupCells(s: SparkSession, dir: String): DataFrame =
     pqAssign(s, dir, m = 2)
@@ -379,14 +387,12 @@ object SimilarityQueries {
        |        FROM e, (SELECT unnest(range($m)) AS s) s),
        |cb AS (SELECT sub, vec_id AS code, svec AS cvec FROM sub WHERE vec_id < $pqK),
        |d AS (SELECT sub.vec_id, sub.sub, cb.code,
-       |        round(list_sum(list_transform(range(1, ${pqSubDim + 1}),
-       |          i -> (sub.svec[i]-cb.cvec[i])*(sub.svec[i]-cb.cvec[i]))), 6) AS rdist,
        |        CAST(floor(list_sum(list_transform(range(1, ${pqSubDim + 1}),
        |          i -> (sub.svec[i]-cb.cvec[i])*(sub.svec[i]-cb.cvec[i]))) * 1000000) AS BIGINT) AS qd
        |      FROM sub JOIN cb ON sub.sub = cb.sub),
        |enc AS (SELECT vec_id, sub, code, qd FROM (
        |        SELECT vec_id, sub, code, qd,
-       |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY rdist, code) AS rk FROM d)
+       |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY qd, code) AS rk FROM d)
        |        WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(

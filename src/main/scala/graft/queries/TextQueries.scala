@@ -437,7 +437,7 @@ object TextQueries {
     * five rows per partition. The driver corpus is synthetic and
     * PII-free, so the registered query asserts the zero-count census;
     * detection itself is proven on a planted-PII fixture in
-    * PiiTfidfSpec.
+    * PqPiiSpec.
     */
   private def qTxtPii(s: SparkSession, dir: String): DataFrame = {
     def cnt(pat: String): Column = regexp_count(col("text"), lit(pat))
