@@ -452,7 +452,78 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Bigram collocation mining per language — PMI-ranked adjacent word
+    * pairs (Church & Hanks 1990, public method), the phrase-discovery
+    * scan a tokenizer/vocabulary build runs over a corpus. The score is
+    * the RATIONAL form of PMI's argument, n_xy·U²/(c(x)·c(y)·B) — a
+    * monotone transform of PMI (log is increasing), so ranks are
+    * identical but the arithmetic is integer products and two IEEE
+    * divisions that replay bit-identically in the oracle (no libm log,
+    * the [[qTxtTfidf]] convention).
+    *
+    * Scale shape: bigrams come from a zip of shifted slices (the
+    * [[graft.queries.Q.shingles3]] form — no per-element re-split),
+    * then three hash aggregations (bigram counts, unigram counts,
+    * per-lang totals) and three equi-joins on (lang, word) — all
+    * partial-agged and key-partitioned; the n_xy >= 5 support floor
+    * prunes the scored set before the join fan-in.
+    */
+  private def qTxtColloc(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents").select(col("lang"), toks.as("tk"))
+    val bg = tk.filter(size(col("tk")) >= 2)
+      .select(col("lang"),
+        explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
+      .select(col("lang"), col("p.0").as("w1"), col("p.1").as("w2"))
+    val ug = tk.select(col("lang"), explode(col("tk")).as("w"))
+    val bgc = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n_xy"))
+    val ugc = ug.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val tot = ug.groupBy("lang").agg(count(lit(1)).as("u"))
+    val btot = bg.groupBy("lang").agg(count(lit(1)).as("b"))
+    val w = Window.partitionBy("lang").orderBy(desc("score"), col("w1"), col("w2"))
+    bgc
+      .join(ugc.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), Seq("lang", "w1"))
+      .join(ugc.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), Seq("lang", "w2"))
+      .join(tot, Seq("lang"))
+      .join(btot, Seq("lang"))
+      .filter(col("n_xy") >= 5)
+      .withColumn("score",
+        round(col("n_xy").cast("double") * col("u") * col("u")
+          / (col("c1") * col("c2")) / col("b"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("w1"), col("w2"), col("n_xy"), col("score"))
+      .orderBy("lang", "rk")
+  }
+
+  /** The first round of BPE merge learning (Sennrich et al. 2016,
+    * public recipe): the corpus-wide weighted count of adjacent
+    * character pairs, whose argmax is the first merge a byte-pair
+    * tokenizer would learn. The heavy-lifting order matters at scale:
+    * the TOKEN VOCABULARY is aggregated first (one shuffle keyed on
+    * token, map-side combined), and the character-pair explosion runs
+    * over distinct tokens weighted by frequency — pair fan-out is
+    * O(vocab · token_len), independent of corpus token count, exactly
+    * how production BPE trainers avoid re-scanning raw text per merge.
+    * Top-20 via TakeOrderedAndProject (no global sort materializes).
+    */
+  private def qTxtBpeMerge(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(explode(toks).as("token"))
+      .filter(length(col("token")) > 1)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    tf.select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("token")) - 1),
+          i => substr(col("token"), i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(20)
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_colloc" -> qTxtColloc _,
+    "q_txt_bpe_merge" -> qTxtBpeMerge _,
     "q_txt_tfidf" -> qTxtTfidf _,
     "q_txt_pii" -> qTxtPii _,
     "q_txt_repetition" -> qTxtRepetition _,
@@ -478,6 +549,32 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_colloc" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (SELECT lang, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT)+1] AS w2
+        |       FROM tk, unnest(range(1, len(tk))) AS t(i)),
+        |bgc AS (SELECT lang, w1, w2, count(*) AS n_xy FROM bg GROUP BY lang, w1, w2),
+        |ug AS (SELECT lang, unnest(tk) AS w FROM tk),
+        |ugc AS (SELECT lang, w, count(*) AS c FROM ug GROUP BY lang, w),
+        |tot AS (SELECT lang, count(*) AS u FROM ug GROUP BY lang),
+        |btot AS (SELECT lang, count(*) AS b FROM bg GROUP BY lang),
+        |sc AS (SELECT bgc.lang, bgc.w1, bgc.w2, bgc.n_xy,
+        |         round(CAST(bgc.n_xy AS DOUBLE) * tot.u * tot.u / (u1.c * u2.c) / btot.b, 6) AS score
+        |       FROM bgc
+        |       JOIN ugc u1 ON bgc.lang = u1.lang AND bgc.w1 = u1.w
+        |       JOIN ugc u2 ON bgc.lang = u2.lang AND bgc.w2 = u2.w
+        |       JOIN tot ON bgc.lang = tot.lang
+        |       JOIN btot ON bgc.lang = btot.lang
+        |       WHERE bgc.n_xy >= 5),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, w1, w2) AS rk FROM sc)
+        |SELECT lang, rk, w1, w2, n_xy, score FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    "q_txt_bpe_merge" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS freq FROM tok WHERE len(token) > 1 GROUP BY token),
+        |pairs AS (SELECT substr(token, CAST(i AS INT), 2) AS pair, freq
+        |          FROM tf, unnest(range(1, len(token))) AS t(i))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "q_txt_tfidf" ->
       """WITH tm AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
         |t2 AS (SELECT * FROM tm WHERE len(term) > 0),

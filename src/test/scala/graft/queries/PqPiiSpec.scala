@@ -82,6 +82,32 @@ class PqPiiSpec extends SparkSpec {
     }
   }
 
+  test("bpe merge: pair counts are vocabulary-weighted, argmax is the first merge") {
+    val dir = Files.createTempDirectory("bpe").toFile.getAbsolutePath
+    // "xxxy" freq 2 -> pairs xx(x2 per token), xy(x1); "zq" freq 1
+    Seq((1L, "xxxy zq", "en", "w", 0L), (2L, "xxxy", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_txt_bpe_merge")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("xx" -> 4L, "xy" -> 2L, "zq" -> 1L))
+  }
+
+  test("collocation: a repeated adjacent pair scores above independent co-occurrence") {
+    val dir = Files.createTempDirectory("colloc").toFile.getAbsolutePath
+    val phrase = Seq.fill(6)("big data").mkString(" ")
+    // the repeated phrase yields (big,data) x6 and (data,big) x5 at its
+    // internal boundaries; doc 2 adds unigram mass without adjacency
+    Seq((1L, s"$phrase filler words here", "en", "w", 0L),
+      (2L, "data filler big other big words data filler", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_txt_colloc")(spark, dir).collect()
+    val top = out.filter(r => r.getString(0) == "en" && r.getInt(1) == 1).head
+    assert((top.getString(2), top.getString(3)) == ("big", "data"))
+    assert(top.getLong(4) == 6L)
+  }
+
   test("tf-idf: a lang-exclusive rare term outranks corpus-wide fillers") {
     val dir = Files.createTempDirectory("tfidf").toFile.getAbsolutePath
     val fill = "alpha beta gamma"
