@@ -521,7 +521,36 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Training-mixture weights per (lang, source) slice with temperature
+    * α = 0.5 — the GPT-3/Pile-style data-mixture recipe (public:
+    * Brown et al. 2020 §2.2): sampling weight ∝ n_tokens^α flattens the
+    * source distribution so small high-quality slices aren't drowned
+    * out; the natural (α=1) weight is emitted beside it for the
+    * flattening comparison, plus an integer docs-per-100k quota.
+    *
+    * Determinism: `sqrt` is IEEE-754 correctly rounded (identical in
+    * both engines), but a SUM of sqrt doubles would be order-dependent —
+    * so each weight is quantized to `floor(sqrt(n)·1e6)` first and the
+    * normalizer is an exact integer sum; every emitted ratio is one
+    * IEEE division of integer-valued doubles. One groupBy + a 1-row
+    * broadcast total (declared bounded cross join).
+    */
+  private def qTxtMixture(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(size(toks)).cast("long").as("n_tokens"))
+      .withColumn("qw", floor(sqrt(col("n_tokens").cast("double")) * 1000000d).cast("long"))
+    val tot = g.agg(sum("qw").cast("long").as("qtot"), sum("n_tokens").cast("long").as("tok_tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("qw").cast("double") / col("qtot"), 6).as("w_temp"),
+        round(col("n_tokens").cast("double") / col("tok_tot"), 6).as("w_nat"),
+        floor(col("qw").cast("double") / col("qtot") * 100000d).cast("long").as("docs_per_100k"))
+      .orderBy("lang", "source")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_mixture" -> qTxtMixture _,
     "q_txt_colloc" -> qTxtColloc _,
     "q_txt_bpe_merge" -> qTxtBpeMerge _,
     "q_txt_tfidf" -> qTxtTfidf _,
@@ -549,6 +578,17 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_mixture" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY lang, source),
+        |qg AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qw FROM g),
+        |tot AS (SELECT CAST(sum(qw) AS BIGINT) AS qtot, CAST(sum(n_tokens) AS BIGINT) AS tok_tot FROM qg)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  round(CAST(qw AS DOUBLE) / qtot, 6) AS w_temp,
+        |  round(CAST(n_tokens AS DOUBLE) / tok_tot, 6) AS w_nat,
+        |  CAST(floor(CAST(qw AS DOUBLE) / qtot * 100000) AS BIGINT) AS docs_per_100k
+        |FROM qg, tot ORDER BY lang, source""".stripMargin,
     "q_txt_colloc" ->
       """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |bg AS (SELECT lang, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT)+1] AS w2

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_ivf_recall", // exact-recall stage: same LIMIT-capped probe batch
     "q_txt_unigram_lp", // broadcast of top-K capped vocab + 1-row total agg
     "q_emb_pq_recall",  // broadcast pqProbeCount-row probe set (id-bounded, asserted below)
-    "q_txt_tfidf"       // crossJoin of the 1-row corpus-count aggregate
+    "q_txt_tfidf",      // crossJoin of the 1-row corpus-count aggregate
+    "q_txt_mixture"     // crossJoin of the 1-row normalizer aggregate
   )
 
   // streaming queries execute a real stream per call; keep them out of

@@ -108,6 +108,17 @@ class PqPiiSpec extends SparkSpec {
     assert(top.getLong(4) == 6L)
   }
 
+  test("mixture: temperature 0.5 flattens source weights toward the small slices") {
+    val rows = SparkEntry.queries("q_txt_mixture")(spark, sfDir).collect()
+    assert(rows.length > 1)
+    val big = rows.maxBy(_.getLong(3))
+    val small = rows.minBy(_.getLong(3))
+    assert(big.getDouble(4) < big.getDouble(5), "largest slice must shrink under temperature")
+    assert(small.getDouble(4) > small.getDouble(5), "smallest slice must grow under temperature")
+    val wsum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights must normalize, got $wsum")
+  }
+
   test("tf-idf: a lang-exclusive rare term outranks corpus-wide fillers") {
     val dir = Files.createTempDirectory("tfidf").toFile.getAbsolutePath
     val fill = "alpha beta gamma"
