@@ -212,8 +212,15 @@ object SimilarityQueries {
           sb => slice(col("vec"), sb * pqSubDim + 1, lit(pqSubDim)))).as(Seq("sub", "svec")))
       .withColumn("sub", col("sub").cast("long"))
 
+  /** Squared L2 via the native codegen'd [[graft.functions.L2Squared]]
+    * kernel — one fused primitive loop per candidate instead of the
+    * zipped-array allocation + per-element closures of
+    * `aggregate(zip_with(...))`; identical left-to-right double
+    * accumulation, so oracle hashes are unchanged (bit-parity
+    * spec-asserted against the composition).
+    */
   private def pqL2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    graft.functions.L2Squared.l2Sq(a, b)
 
   /** PQ encode: nearest codebook entry per (vector, subspace).
     *
