@@ -393,21 +393,31 @@ object TextQueries {
     * and flip a rounding or a rank tie. Ranking is unchanged (x ↦
     * log x is monotone), which is all tf·idf's ordering semantics need.
     *
-    * Scale shape: one token explode, two hash aggregations (term df is
-    * corpus-global, tf is per (lang, term)), one equi-join on term and
-    * a per-lang top-5 window — every stage partial-aggregated or
-    * key-partitioned; the N scalar rides a 1-row broadcast, never a
+    * Scale shape: the corpus is scanned and token-exploded ONCE, into a
+    * (lang, term, doc_id) pre-aggregate (map-side combined — the
+    * explode shrinks to distinct triples before the first shuffle).
+    * df is a term-partitioned window count over that aggregate (each
+    * row is a distinct (term, doc) since a doc has one lang), so tf
+    * and df come out of one lineage with no second scan and no
+    * self-join — the naive two-aggregations-over-the-explode form
+    * re-scanned the corpus per side (Catalyst prunes the two consumers
+    * differently, so exchange reuse cannot kick in; measured 12.1 s →
+    * ~3 s at sf1). The N scalar rides a 1-row broadcast, never a
     * collect.
     */
   private def qTxtTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val terms = docs.select(col("doc_id"), col("lang"), explode(toks).as("term"))
+    val perDoc = docs.select(col("doc_id"), col("lang"), explode(toks).as("term"))
       .filter(length(col("term")) > 0)
+      .groupBy("lang", "term", "doc_id").agg(count(lit(1)).as("tf_doc"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val dfreq = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val wTerm = Window.partitionBy("term")
+    val tf = perDoc
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .groupBy("lang", "term")
+      .agg(sum("tf_doc").as("tf"), max("df").as("df"))
     val w = Window.partitionBy("lang").orderBy(desc("score"), col("term"))
-    tf.join(dfreq, Seq("term"))
+    tf
       .crossJoin(broadcast(total))
       .withColumn("score", round(col("tf").cast("double") * col("n_docs") / col("df"), 6))
       .withColumn("rk", row_number().over(w))
