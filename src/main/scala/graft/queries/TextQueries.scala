@@ -489,8 +489,13 @@ object TextQueries {
     val ug = tk.select(col("lang"), explode(col("tk")).as("w"))
     val bgc = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n_xy"))
     val ugc = ug.groupBy("lang", "w").agg(count(lit(1)).as("c"))
-    val tot = ug.groupBy("lang").agg(count(lit(1)).as("u"))
-    val btot = bg.groupBy("lang").agg(count(lit(1)).as("b"))
+    // per-lang totals roll up from the counts tables, NOT from the raw
+    // explodes: a fourth consumer over the same explode lineage would
+    // re-scan and re-split the corpus text once per consumer (the
+    // qTxtTfidf lesson — Catalyst prunes consumers differently, so
+    // exchange reuse cannot merge them)
+    val tot = ugc.groupBy("lang").agg(sum("c").as("u"))
+    val btot = bgc.groupBy("lang").agg(sum("n_xy").as("b"))
     val w = Window.partitionBy("lang").orderBy(desc("score"), col("w1"), col("w2"))
     bgc
       .join(ugc.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), Seq("lang", "w1"))
