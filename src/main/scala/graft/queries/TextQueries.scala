@@ -370,9 +370,20 @@ object TextQueries {
     val fps = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(graft.functions.Dedup.shingleHashCol(toks, spanW)).as("h"))
-    val census = fps.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    fps.join(census, Seq("h"))
+    // The span census (distinct docs per hash) is computed INLINE with
+    // two stacked windows over ONE hash-partitioned exchange, instead
+    // of a separate groupBy + join-back: the aggregate-then-join form
+    // runs the scan + tokenize + shingle-hash lineage twice (the
+    // census's partial aggregate sits below its exchange, so exchange
+    // reuse can't unify it with the join side's raw exchange — measured
+    // 16.2 s warm at sf1, 7.6 s with this shape). HashPartitioning(h)
+    // satisfies both windows' clustering, so the (h, doc_id) marker
+    // window and the per-h sum share the single exchange.
+    val firstInDoc = row_number().over(
+      Window.partitionBy("h", "doc_id").orderBy("doc_id")) === 1
+    fps
+      .withColumn("is_first", when(firstInDoc, 1L).otherwise(0L))
+      .withColumn("n_docs", sum("is_first").over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         count(when(col("n_docs") >= 2, lit(1))).as("n_shared"),
