@@ -33,7 +33,17 @@ object Dedup {
     * re-inlined per shingle element; see Q's scaladoc for the measured
     * pathology).
     */
-  def shingleHashCol(tk: Column, width: Int): Column = {
+  def shingleHashCol(tk: Column, width: Int): Column =
+    array_distinct(shingleHashSeqCol(tk, width))
+
+  /** POSITIONAL (non-distinct) w-shingle xxhash64 column: element i is
+    * the hash of tokens [i, i+w). Kept separate from [[shingleHashCol]]
+    * because set-style consumers (Jaccard, LSH) want distinct shingles
+    * while positional consumers (chunk-level dedup, span alignment)
+    * need index i to keep meaning token offset i — `array_distinct`
+    * would silently shift positions.
+    */
+  def shingleHashSeqCol(tk: Column, width: Int): Column = {
     require(width >= 1, s"bad shingle width $width")
     val n = size(tk)
     val cnt = n - (width - 1)
@@ -44,7 +54,7 @@ object Dedup {
         transform(zipped, s =>
           xxhash64(concat_ws(" ", (0 until width).map(i => s.getField(i.toString)): _*)))
       }
-    when(n >= width, array_distinct(shingle))
+    when(n >= width, shingle)
       .otherwise(array().cast("array<bigint>"))
   }
 

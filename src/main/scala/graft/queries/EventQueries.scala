@@ -311,7 +311,57 @@ object EventQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Rolling 7-day distinct users per day, twice: EXACTLY (the
+    * hash-gated claim) and via mergeable Datasketches HLL sketches
+    * (the 100 TB path), with the sketch's accuracy emitted as an
+    * oracle-visible contract column.
+    *
+    * Scale shape: the sketch path aggregates each day's users into ONE
+    * ~2 KB HLL partial (map-side combinable), then re-aggregates
+    * day-sketches into rolling windows with `hll_union_agg` — per-day
+    * state instead of per-user state crosses the second shuffle, the
+    * standard sketch-reaggregation pattern that replaces a
+    * count-distinct shuffle of raw user ids at every window endpoint.
+    * The exact twin (distinct (day,user) exploded to its <=7 target
+    * windows) is the verification baseline — linear, but its shuffle
+    * carries user ids 7x; at 100 TB you ship the sketches.
+    *
+    * Determinism: Datasketches HLL register state is input-set-
+    * determined (order-independent), so `hll_within_5pct` is a stable
+    * boolean; the DuckDB oracle asserts it TRUE — a sketch drifting
+    * out of tolerance flips the hash gate, making accuracy part of
+    * correctness rather than a rows-only self-check.
+    */
+  private def qEvtHllRolling(s: SparkSession, dir: String): DataFrame = {
+    val du = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+    // exact: each (day,user) contributes to target days [day, day+6]
+    val exact = du
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("tday"),
+        col("user_id"))
+      .join(days.withColumnRenamed("day", "tday"), Seq("tday"), "left_semi")
+      .groupBy("tday")
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+    // sketch path: one HLL per day, rolling union of day-sketches
+    val approx = du
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("tday"), col("sk"))
+      .join(days.withColumnRenamed("day", "tday"), Seq("tday"), "left_semi")
+      .groupBy("tday")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+    exact.join(approx, Seq("tday"))
+      .select(date_format(col("tday"), "yyyy-MM-dd").as("day"),
+        col("n_users_7d"),
+        (abs(col("n_est") - col("n_users_7d")).cast("double") /
+          col("n_users_7d") <= 0.05).as("hll_within_5pct"))
+      .orderBy("day")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_hll_rolling" -> qEvtHllRolling _,
     "q_evt_anomaly" -> qEvtAnomaly _,
     "q_evt_funnel" -> qEvtFunnel _,
     "q_evt_retention" -> qEvtRetention _,
@@ -328,6 +378,17 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The TRUE literal is the accuracy CONTRACT: the engine's sketch
+    // estimate must sit within 5% of exact or the hash gate fails.
+    "q_evt_hll_rolling" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |ex AS (SELECT d.day AS tday, count(DISTINCT du.user_id) AS n_users_7d
+        |       FROM du JOIN days d ON du.day BETWEEN d.day - 6 AND d.day
+        |       GROUP BY d.day)
+        |SELECT strftime(tday, '%Y-%m-%d') AS day, n_users_7d,
+        |  TRUE AS hll_within_5pct
+        |FROM ex ORDER BY day""".stripMargin,
     "q_evt_anomaly" ->
       """WITH x AS (
         |  SELECT user_id, event_id, value,

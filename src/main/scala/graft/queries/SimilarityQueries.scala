@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /** Similarity search over the `embeddings` table (64-dim float
@@ -370,7 +371,99 @@ object SimilarityQueries {
       .orderBy("label_a", "label_b")
   }
 
+  /** Power-iteration rounds for [[qEmbPca]] (shared with the unrolled
+    * oracle CTE chain so engine and replay can never disagree on depth).
+    */
+  val pcaIters = 4
+  private val pcaDim = 64
+
+  /** Mean-centered embedding rows (one `cv: array<double>` column). */
+  private def pcaCentered(s: SparkSession, dir: String, mu: Array[Double]): DataFrame = {
+    val muLit = array(mu.map(lit): _*)
+    t(s, dir, "embeddings")
+      .select(dvec(col("embedding")).as("vec"))
+      .select(zip_with(col("vec"), muLit, _ - _).as("cv"))
+  }
+
+  /** One power-iteration matrix-vector product as a distributed plan:
+    * s_j = Σ_rows floor(floor(⟨cv,v⟩·1e6) · cv_j) — the per-row dot is
+    * the deterministic sequential fold, quantized to an exact long
+    * BEFORE the cross-row sum, so the aggregate is order-independent
+    * integer arithmetic and replays bit-exactly in DuckDB (the
+    * [[qEmbDimStats]] convention). `dq` is projected BEFORE the
+    * generator so the O(d) dot fold runs once per row, not once per
+    * exploded element.
+    */
+  private def pcaSumsPlan(centered: DataFrame, v: Array[Double]): DataFrame = {
+    val vLit = array(v.map(lit): _*)
+    val dot = aggregate(zip_with(col("cv"), vLit, _ * _), lit(0.0), _ + _)
+    centered
+      .select(floor(dot * 1000000d).cast("double").as("dq"),
+        posexplode(col("cv")).as(Seq("pos", "cx")))
+      .select(col("pos"), floor(col("dq") * col("cx")).as("q"))
+      .groupBy("pos")
+      .agg(sum("q").as("s"))
+  }
+
+  /** Top principal component of the embedding matrix by distributed
+    * power iteration — the low-rank structure probe (PCA) every
+    * embedding-quality pipeline runs before whitening / dim-reduction.
+    *
+    * Each of the [[pcaIters]] rounds is ONE map-side-combinable
+    * aggregate over the corpus computing t(X)·(X·v) in 64 partial
+    * sums; the driver holds only the d-vector between rounds (the
+    * Lloyd-round shape of [[graft.functions.Ivf]] — bounded d-sized
+    * collects, never corpus rows). At 100 TB you'd `.persist` the
+    * centered projection across rounds; here the plan is kept pure so
+    * the oracle replay sees the same lineage.
+    *
+    * Determinism contract (what makes this hash-gated rather than
+    * rows-only): every cross-row sum is over exact longs (per-row
+    * doubles are quantized `floor(x·1e6)` first); iterate-vector
+    * components are floor-quantized to 1e-6 before re-entering the
+    * next round; norms are sqrt of EXACT integer sums of squares
+    * (BigInt here, HUGEINT in DuckDB, decimal(38,0) in the final
+    * in-plan round) — both engines correctly round the same integer
+    * to double, so no accumulation-order noise survives.
+    *
+    * Output: (pos, n, mu_q, s, v_q) — all integer columns: quantized
+    * mean, final un-normalized loading, and the 1e6-quantized
+    * principal-component coordinate.
+    */
+  private def qEmbPca(s: SparkSession, dir: String): DataFrame = {
+    val muPlan = t(s, dir, "embeddings")
+      .select(dvec(col("embedding")).as("vec"))
+      .select(posexplode(transform(col("vec"), x => floor(x * 1000000d)))
+        .as(Seq("pos", "xq")))
+      .groupBy("pos")
+      .agg(sum("xq").as("mu_q"), count(lit(1)).as("n"))
+    val muRows = muPlan.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val n = muRows.head._3
+    val mu = muRows.map(_._2.toDouble / (n.toDouble * 1000000d))
+    val centered = pcaCentered(s, dir, mu)
+
+    var v = Array.tabulate(pcaDim)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 until pcaIters) {
+      val sv = pcaSumsPlan(centered, v).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+      val norm = math.sqrt(sv.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      v = sv.map(x => math.floor(x.toDouble / norm * 1000000d) / 1000000d)
+    }
+
+    // final round stays in-plan; norm via exact decimal sum-of-squares
+    val sums = pcaSumsPlan(centered, v)
+    val sq = col("s").cast(DecimalType(18, 0))
+    val normRow = sums.agg(sqrt(sum(sq * sq).cast("double")).as("nrm"))
+    sums.join(muPlan, Seq("pos"))
+      .crossJoin(broadcast(normRow))
+      .select(col("pos"), col("n"), col("mu_q"), col("s"),
+        floor(col("s").cast("double") / col("nrm") * 1000000d).as("v_q"))
+      .orderBy("pos")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_emb_pca" -> qEmbPca _,
     "q_emb_pq" -> qEmbPq _,
     "q_emb_pq_recall" -> qEmbPqRecall _,
     "q_dedup_semdedup" -> qDedupSemdedup _,
@@ -402,7 +495,43 @@ object SimilarityQueries {
        |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY qd, code) AS rk FROM d)
        |        WHERE rk = 1)""".stripMargin
 
+  /** Unrolled DuckDB replay of [[qEmbPca]]: one (i_k, vl_k) CTE pair
+    * per power-iteration round, mirroring the engine's exact
+    * quantize-then-sum arithmetic (HUGEINT where the engine uses
+    * BigInt/decimal). Generated from [[pcaIters]] so depth cannot
+    * drift.
+    */
+  private def pcaOracle: String = {
+    // floor() returns an exact integer-valued DOUBLE (|dq| <= ~1e8), the
+    // same value as the engine's long->double cast of its quantized dot
+    def iterCte(k: Int): String =
+      s"""i$k AS (SELECT CAST(i - 1 AS INT) AS pos,
+         |  CAST(sum(CAST(floor(floor(list_sum(list_transform(range(1, 65),
+         |        j -> cv[j] * v[j])) * 1000000) * cv[i]) AS BIGINT)) AS BIGINT) AS s
+         |  FROM c, vl${k - 1}, unnest(range(1, 65)) AS t(i) GROUP BY i)""".stripMargin
+    def normCte(k: Int): String =
+      s"""vl$k AS (SELECT list(floor(CAST(s AS DOUBLE) / nrm * 1000000) / 1000000 ORDER BY pos) AS v
+         |  FROM i$k, (SELECT sqrt(CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM i$k) nn)""".stripMargin
+    val rounds = (1 until pcaIters).map(k => s"${iterCte(k)},\n${normCte(k)}").mkString(",\n")
+    s"""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+       |mu0 AS (SELECT CAST(i - 1 AS INT) AS pos,
+       |  CAST(sum(CAST(floor(vec[i] * 1000000) AS BIGINT)) AS BIGINT) AS mu_q, count(*) AS n
+       |  FROM e, unnest(range(1, 65)) AS t(i) GROUP BY i),
+       |mul AS (SELECT list(CAST(mu_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000) ORDER BY pos) AS mu FROM mu0),
+       |c AS (SELECT list_transform(range(1, 65), i -> vec[i] - mu[i]) AS cv FROM e, mul),
+       |vl0 AS (SELECT list_transform(range(1, 65),
+       |  i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v),
+       |$rounds,
+       |${iterCte(pcaIters)}
+       |SELECT m.pos, m.n, m.mu_q, f.s,
+       |  CAST(floor(CAST(f.s AS DOUBLE) / nn.nrm * 1000000) AS BIGINT) AS v_q
+       |FROM i$pcaIters f JOIN mu0 m USING (pos),
+       |  (SELECT sqrt(CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM i$pcaIters) nn
+       |ORDER BY pos""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_emb_pca" -> pcaOracle,
     "q_emb_pq" ->
       s"""${pqOracleCtes(pqM)}
         |SELECT sub, code, count(*) AS n, CAST(sum(qd) AS BIGINT) AS sum_qd

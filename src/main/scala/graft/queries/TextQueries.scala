@@ -575,7 +575,55 @@ object TextQueries {
       .orderBy("lang", "source")
   }
 
+  /** C4-style global chunk-level dedup census: split every document
+    * into non-overlapping 8-token chunks, keep the corpus-wide FIRST
+    * occurrence of each distinct chunk (ordered by (doc_id,
+    * chunk_idx)), and report per-document retention — the
+    * remove-duplicate-spans transformation of C4 (Raffel et al. 2020,
+    * §2.2 "we discard all but one of any three-sentence span occurring
+    * more than once") re-expressed as chunk units because this corpus
+    * has no sentence boundaries. Differs from [[qTxtDupSpans]] (a
+    * census of OVERLAPPING spans shared across >=2 docs): this one
+    * computes the actual keep/drop decision, including within-document
+    * repeats.
+    *
+    * Scale shape: the only wide exchange is hash-partitioned on the
+    * 8-byte chunk hash carrying (h, doc_id, chunk_idx) — text never
+    * shuffles. The positional shingle array is evaluated once per row
+    * (zip-of-shifted-slices, see Dedup.shingleHashSeqCol) and strided
+    * to chunk starts with a post-explode filter, so the token split is
+    * never re-inlined per chunk. Keep-first is one window over the
+    * hash exchange; the per-doc rollup re-shuffles only 4 small
+    * columns. At 100 TB the hash exchange is the classic exact-dedup
+    * shuffle — bounded payload, AQE-splittable, no skew beyond true
+    * duplicate mass.
+    *
+    * Reference analog: blank/duplicate routing decisions made at load
+    * time (caliban/utils/io_utils.py:214-233 routes blank-label items
+    * out of the training set the same keep/drop way).
+    */
+  private def qTxtChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val ch = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.Dedup.shingleHashSeqCol(toks, w))
+          .as(Seq("pos", "h")))
+      .filter(col("pos") % w === 0)
+      .select(col("doc_id"), (col("pos") / w).cast("int").as("chunk_idx"), col("h"))
+    val keepFirst =
+      row_number().over(Window.partitionBy("h").orderBy("doc_id", "chunk_idx")) === 1
+    ch.withColumn("kept", keepFirst)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("kept"), lit(1))).as("n_kept"))
+      .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
+      .withColumn("retention",
+        round(col("n_kept").cast("double") / col("n_chunks"), 6))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_chunk_dedup" -> qTxtChunkDedup _,
     "q_txt_mixture" -> qTxtMixture _,
     "q_txt_colloc" -> qTxtColloc _,
     "q_txt_bpe_merge" -> qTxtBpeMerge _,
@@ -604,6 +652,22 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Chunk identity: the oracle partitions on the chunk STRING where the
+    // engine partitions on its xxhash64 — identical equivalence classes
+    // modulo a 64-bit collision (same convention as q_txt_dup_spans).
+    "q_txt_chunk_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |         array_to_string(tk[CAST(i*8+1 AS INT) : CAST(i*8+8 AS INT)], ' ') AS chunk
+        |       FROM tk, unnest(range(0, len(tk) // 8)) AS t(i)),
+        |win AS (SELECT doc_id, chunk_idx,
+        |          row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |        FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+        |  count(*) - count(*) FILTER (WHERE rn = 1) AS n_dropped,
+        |  round((count(*) FILTER (WHERE rn = 1))::DOUBLE / count(*), 6) AS retention
+        |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_txt_mixture" ->
       """WITH g AS (SELECT lang, source, count(*) AS n_docs,
         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

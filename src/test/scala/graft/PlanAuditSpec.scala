@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_txt_unigram_lp", // broadcast of top-K capped vocab + 1-row total agg
     "q_emb_pq_recall",  // broadcast pqProbeCount-row probe set (id-bounded, asserted below)
     "q_txt_tfidf",      // crossJoin of the 1-row corpus-count aggregate
-    "q_txt_mixture"     // crossJoin of the 1-row normalizer aggregate
+    "q_txt_mixture",    // crossJoin of the 1-row normalizer aggregate
+    "q_emb_pca"         // crossJoin of the 1-row norm aggregate
   )
 
   // streaming queries execute a real stream per call; keep them out of
