@@ -28,7 +28,8 @@ object SparkEntry {
       ImageQueries.defs ++
       DatasetQueries.defs ++
       ScaleQueries.defs ++
-      AdvancedQueries.defs
+      AdvancedQueries.defs ++
+      GraphQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       ImageQueries.oracles ++
       DatasetQueries.oracles ++
       ScaleQueries.oracles ++
-      AdvancedQueries.oracles
+      AdvancedQueries.oracles ++
+      GraphQueries.oracles
 }
