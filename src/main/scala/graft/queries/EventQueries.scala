@@ -360,7 +360,34 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Per-user exponentially-weighted moving average of `value` over a
+    * trailing 8-event frame — the classic online feature (anomaly
+    * baselines, engagement decay). α = 1/2 ON PURPOSE: every weight
+    * 2^-j is a pure exponent shift, so v·2^-j is EXACT in double and
+    * the ≤8-term fold replays bit-identically in DuckDB — a dyadic α
+    * turns an otherwise noise-prone floating recursion into a
+    * hash-gated feature. One window over the (user_id) exchange,
+    * bounded frame → bounded per-row state at any corpus size.
+    */
+  private def qEvtEwma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-7, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("frame", collect_list(col("value")).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(
+          aggregate(zip_with(reverse(col("frame")),
+              sequence(lit(0), size(col("frame")) - 1),
+              (v, j) => v / pow(lit(2.0), j)),
+            lit(0.0), _ + _) /
+          aggregate(transform(sequence(lit(0), size(col("frame")) - 1),
+              j => lit(1.0) / pow(lit(2.0), j)),
+            lit(0.0), _ + _), 6).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
     "q_evt_anomaly" -> qEvtAnomaly _,
     "q_evt_funnel" -> qEvtFunnel _,
@@ -378,6 +405,17 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_ewma" ->
+      """WITH f AS (SELECT user_id, event_id, value,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS frame
+        |  FROM events)
+        |SELECT user_id, event_id, value,
+        |  round(list_sum(list_transform(range(1, len(frame) + 1),
+        |          j -> list_reverse(frame)[j] / pow(2.0, j - 1)))
+        |    / list_sum(list_transform(range(1, len(frame) + 1),
+        |          j -> 1.0 / pow(2.0, j - 1))), 6) AS ewma
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
     // The TRUE literal is the accuracy CONTRACT: the engine's sketch
     // estimate must sit within 5% of exact or the hash gate fails.
     "q_evt_hll_rolling" ->

@@ -12,12 +12,7 @@ import org.apache.spark.sql.SparkSession
 object RunQ {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir, outDir) = args.take(3)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName(s"graft-runq-$name")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark: SparkSession = graft.core.GraftSession.get()
     try {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
