@@ -657,7 +657,52 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval scoring (Robertson-Spärck Jones, Lucene ln(1+x)
+    * idf form; k1 = 1.2, b = 0.75) of the corpus against a fixed
+    * 3-term query — the relevance-ranking primitive of every
+    * retrieval-augmented pipeline, and the saturation-weighted upgrade
+    * of [[qTxtTfidf]].
+    *
+    * Scale shape: term postings (tf) come from one explode→filter→
+    * partial-agg pass — only query-term hits survive the explode, so
+    * the exchange carries (doc_id, term, tf) for matching docs, not
+    * the corpus. df (3 rows) and the (N, avgdl) corpus stats (1 row)
+    * are broadcast; the final top-10 is a TakeOrdered, no global sort
+    * materialization.
+    *
+    * Determinism: ranking and the top-10 cutoff use the ROUNDED score
+    * with doc_id tiebreak, so a last-ulp divergence in the ≤3-term sum
+    * or the ln can never reorder the result (the ln-in-hash-path
+    * precedent is q_txt_unigram_lp; avgdl is exact — integer-valued
+    * doubles sum exactly in any order).
+    */
+  private def qTxtBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "scan", "fast")
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val sat = (col("tf") * (lit(1.2) + 1.0)) /
+      (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(idf * sat), 6).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(10)
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_bm25" -> qTxtBm25 _,
     "q_txt_bloom_decon" -> qTxtBloomDecon _,
     "q_txt_chunk_dedup" -> qTxtChunkDedup _,
     "q_txt_mixture" -> qTxtMixture _,
@@ -688,6 +733,22 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_bm25" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |             string_split(text, ' ') AS tk FROM documents),
+        |st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, t AS term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(tk) AS t FROM d)
+        |       WHERE t IN ('table', 'scan', 'fast') GROUP BY doc_id, dl, t),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+        |SELECT doc_id,
+        |  round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |    (tf.tf + CAST(1.2 AS DOUBLE) *
+        |      (1.0 - 0.75 + CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl))), 6) AS bm25,
+        |  count(*) AS n_terms_hit
+        |FROM tf JOIN df USING (term), st
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     // The UNPRUNED exact SQL: Bloom admits no false negatives, so the
     // engine's prune-then-join lineage must reproduce it bit-for-bit —
     // a sketch that dropped a true hit would flip this hash gate.

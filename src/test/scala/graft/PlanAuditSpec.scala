@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_emb_pq_recall",  // broadcast pqProbeCount-row probe set (id-bounded, asserted below)
     "q_txt_tfidf",      // crossJoin of the 1-row corpus-count aggregate
     "q_txt_mixture",    // crossJoin of the 1-row normalizer aggregate
-    "q_emb_pca"         // crossJoin of the 1-row norm aggregate
+    "q_emb_pca",        // crossJoin of the 1-row norm aggregate
+    "q_txt_bm25"        // crossJoin of the 1-row (N, avgdl) corpus stats
   )
 
   // streaming queries execute a real stream per call; keep them out of
