@@ -358,6 +358,13 @@ object ScaleQueries {
     StreamOps.incrementalDedup(s, dir,
       queryName = s"stream_inc_${math.abs(dir.hashCode)}")
 
+  /** Streaming EWMA via mapGroupsWithState — O(1) state per user; the
+    * dyadic α=1/2 recursion replays as a batch list_reduce, so stream
+    * and oracle agree on the hash (see StreamOps.ewmaState).
+    */
+  private def qStreamEwma(s: SparkSession, dir: String): DataFrame =
+    StreamOps.ewmaState(s, dir)._1
+
   /** Stateful streaming sessionization (flatMapGroupsWithState) —
     * must equal the batch window-algebra sessionization, so it shares
     * q_evt_sessionize's oracle.
@@ -520,6 +527,7 @@ object ScaleQueries {
     "q_mm_frames" -> qMmFrames _,
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_dedup" -> qStreamDedup _,
+    "q_stream_ewma" -> qStreamEwma _,
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_hourly_append" -> qStreamHourlyAppend _,
     "q_stream_sessionize_append" -> qStreamSessionizeAppend _,
@@ -656,6 +664,13 @@ object ScaleQueries {
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the full-history fold the O(1) streaming state replaces: the
+    // list_reduce IS the e' = v/2 + e/2 recursion, element 1 seeding
+    "q_stream_ewma" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(list_reduce(list(value ORDER BY ts, event_id),
+        |    (acc, x) -> acc / 2.0 + x / 2.0), 6) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_incremental" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -244,6 +244,83 @@ object StreamOps {
   case class SessState(lastUs: Long, nSessions: Long, nEvents: Long)
   case class OpenSess(startUs: Long, lastUs: Long, nEvents: Long)
   case class EvtW(user_id: Long, us: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class EvtV(user_id: Long, us: Long, event_id: Long, value: Double)
+  case class EwmaState(n: Long, ewma: Double)
+
+  /** Streaming EWMA (α = 1/2): the MINIMAL stateful online feature —
+    * state per user is exactly one (count, ewma) pair, updated by the
+    * dyadic recursion e' = v/2 + e/2 (e₁ = v₁), events folded in
+    * (us, event_id) order within each batch. This is the canonical
+    * "replace an unbounded history window with O(1) state" streaming
+    * twin: the batch form would collect a user's whole history to fold
+    * it; the stream carries 16 bytes per user forever.
+    *
+    * Every division halves the exponent only, so the recursion is
+    * bit-exact and the DuckDB oracle replays it as a `list_reduce`
+    * over the ordered per-user history — batch and stream agree on the
+    * HASH, not just approximately.
+    *
+    * Update-mode updates are gathered by a foreachBatch harness (the
+    * memory sink does not take update mode); the per-user LAST update
+    * wins via the monotone event count, so a TIME-ORDERED multi-batch
+    * replay produces the same final table as one batch. Like any
+    * arrival-order-defined online feature, cross-batch agreement with
+    * the batch fold assumes batches arrive in event-time order (the
+    * within-batch sort handles intra-batch disorder); spec-asserted
+    * with a two-file time-sliced replay.
+    */
+  def ewmaState(spark: SparkSession, sfDir: String,
+                glob: String = "events.parquet",
+                maxFilesPerTrigger: Int = 0): (DataFrame, Long) = {
+    import spark.implicits._
+    val batchSchema = spark.read.parquet(s"$sfDir/$glob").schema
+    var reader = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val stream = graft.core.EventTime.normalize(reader.parquet(sfDir))
+    val events = stream
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[EvtV]
+    val updates = events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[EvtV], state: GroupState[EwmaState]) => {
+          var st = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            st = if (st.n == 0L) EwmaState(1L, e.value)
+                 else EwmaState(st.n + 1, st.ewma / 2.0 + e.value / 2.0)
+          }
+          state.update(st)
+          (uid, st.n, st.ewma)
+        })
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var maxState = 0L
+    val q = updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+        val rows = batch.collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_ewma") = maxState
+    val out = buf.synchronized(buf.toSeq).toDF("user_id", "n_events", "ewma")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("ewma"))).as("last"))
+      .select(col("user_id"), col("last.n_events").as("n_events"),
+        round(col("last.ewma"), 6).as("ewma"))
+      .orderBy("user_id")
+    (out, maxState)
+  }
 
   /** The 100 TB form of [[sessionCounts]]: per-user state carries ONE
     * open session and is EVICTED by event-time timeout the moment the

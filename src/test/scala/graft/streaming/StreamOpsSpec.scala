@@ -65,4 +65,39 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(streamed == batch, "flatMapGroupsWithState == lag/sum window result")
   }
+
+  test("streaming EWMA: O(1)-per-user state, and a time-sliced replay equals one batch") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val (oneShot, maxState) = StreamOps.ewmaState(spark, dir)
+    val one = oneShot.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(one.size == nUsers)
+    assert(maxState == nUsers, s"state high-water $maxState != $nUsers users (O(1)/user)")
+
+    // two time-ordered slices, one micro-batch each: same final table
+    val ev = graft.queries.Q.t(spark, dir, "events")
+    val n = ev.count()
+    val tmp = java.nio.file.Files.createTempDirectory("ewma_slices")
+    // slice by median ts so each file is a contiguous time range
+    val cut = ev.select(unix_micros(col("ts")).as("us")).orderBy("us")
+      .collect()(n.toInt / 2).getLong(0)
+    def writeSlice(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      slice.coalesce(1).write.parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, tmp.resolve(name))
+    }
+    writeSlice(ev.filter(unix_micros(col("ts")) < cut), "evt_000.parquet")
+    writeSlice(ev.filter(unix_micros(col("ts")) >= cut), "evt_001.parquet")
+    // the file source replays in modification order; make it unambiguous
+    tmp.resolve("evt_001.parquet").toFile
+      .setLastModified(tmp.resolve("evt_000.parquet").toFile.lastModified() + 10000)
+    val (sliced, _) = StreamOps.ewmaState(spark, tmp.toString,
+      glob = "evt_*.parquet", maxFilesPerTrigger = 1)
+    val two = sliced.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(two == one, "time-ordered two-batch replay must reproduce the single-batch EWMA")
+  }
 }
