@@ -462,7 +462,70 @@ object SimilarityQueries {
       .orderBy("pos")
   }
 
+  /** Drive [[pcaIters]] quantized power rounds from seed e_`seedPos`
+    * over a centered projection, collecting only the 64 per-dim sums
+    * per round; returns the floor-quantized unit iterate.
+    */
+  private def pcaIterate(centered: DataFrame, seedPos: Int): Array[Double] = {
+    var v = Array.tabulate(pcaDim)(i => if (i == seedPos) 1.0 else 0.0)
+    for (_ <- 1 to pcaIters) {
+      val sv = pcaSumsPlan(centered, v).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+      val norm = math.sqrt(sv.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      v = sv.map(x => math.floor(x.toDouble / norm * 1000000d) / 1000000d)
+    }
+    v
+  }
+
+  /** Second principal component by DEFLATION: converge v1 exactly as
+    * [[qEmbPca]] does, project it out of every centered row
+    * (cv₂ = cv − ⟨cv,v1⟩·v1 — per-row arithmetic, no cross-row sums,
+    * so it replays verbatim), and run the same quantized power rounds
+    * on the deflated matrix from seed e₁. Same determinism contract as
+    * qEmbPca; the oracle doubles the unrolled CTE chain through the
+    * deflation. Output: (pos, v1_q, s, v2_q) — v1 re-emitted so one
+    * result carries the rank-2 basis; orthogonality is spec-asserted
+    * (the oracle can't express "⊥", only the exact coordinates).
+    */
+  private def qEmbPca2(s: SparkSession, dir: String): DataFrame = {
+    val muRows = t(s, dir, "embeddings")
+      .select(dvec(col("embedding")).as("vec"))
+      .select(posexplode(transform(col("vec"), x => floor(x * 1000000d)))
+        .as(Seq("pos", "xq")))
+      .groupBy("pos").agg(sum("xq").as("mu_q"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val n = muRows.head._3
+    val mu = muRows.map(_._2.toDouble / (n.toDouble * 1000000d))
+    val centered = pcaCentered(s, dir, mu)
+    val v1 = pcaIterate(centered, 0)
+
+    val v1Lit = array(v1.map(lit): _*)
+    val d1 = aggregate(zip_with(col("cv"), v1Lit, _ * _), lit(0.0), _ + _)
+    val deflated = centered
+      .select(col("cv"), d1.as("d1"))
+      .select(zip_with(col("cv"), v1Lit, (c, v) => c - col("d1") * v).as("cv"))
+    var v = Array.tabulate(pcaDim)(i => if (i == 1) 1.0 else 0.0)
+    for (_ <- 1 until pcaIters) {
+      val sv = pcaSumsPlan(deflated, v).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+      val norm = math.sqrt(sv.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      v = sv.map(x => math.floor(x.toDouble / norm * 1000000d) / 1000000d)
+    }
+    val sums = pcaSumsPlan(deflated, v)
+    val sq = col("s").cast(DecimalType(18, 0))
+    val normRow = sums.agg(sqrt(sum(sq * sq).cast("double")).as("nrm"))
+    val v1Df = s.createDataFrame(v1.zipWithIndex.map { case (x, i) =>
+      (i, math.round(x * 1000000d))
+    }.toSeq).toDF("pos", "v1_q")
+    sums.join(broadcast(v1Df), Seq("pos"))
+      .crossJoin(broadcast(normRow))
+      .select(col("pos"), col("v1_q"), col("s"),
+        floor(col("s").cast("double") / col("nrm") * 1000000d).as("v2_q"))
+      .orderBy("pos")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_emb_pca2" -> qEmbPca2 _,
     "q_emb_pca" -> qEmbPca _,
     "q_emb_pq" -> qEmbPq _,
     "q_emb_pq_recall" -> qEmbPqRecall _,
@@ -501,37 +564,75 @@ object SimilarityQueries {
     * BigInt/decimal). Generated from [[pcaIters]] so depth cannot
     * drift.
     */
-  private def pcaOracle: String = {
-    // floor() returns an exact integer-valued DOUBLE (|dq| <= ~1e8), the
-    // same value as the engine's long->double cast of its quantized dot
-    def iterCte(k: Int): String =
-      s"""i$k AS (SELECT CAST(i - 1 AS INT) AS pos,
-         |  CAST(sum(CAST(floor(floor(list_sum(list_transform(range(1, 65),
-         |        j -> cv[j] * v[j])) * 1000000) * cv[i]) AS BIGINT)) AS BIGINT) AS s
-         |  FROM c, vl${k - 1}, unnest(range(1, 65)) AS t(i) GROUP BY i)""".stripMargin
-    def normCte(k: Int): String =
-      s"""vl$k AS (SELECT list(floor(CAST(s AS DOUBLE) / nrm * 1000000) / 1000000 ORDER BY pos) AS v
-         |  FROM i$k, (SELECT sqrt(CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM i$k) nn)""".stripMargin
-    val rounds = (1 until pcaIters).map(k => s"${iterCte(k)},\n${normCte(k)}").mkString(",\n")
+  // floor() returns an exact integer-valued DOUBLE (|dq| <= ~1e8), the
+  // same value as the engine's long->double cast of its quantized dot
+  private def pcaIterCte(iName: String, prevV: String, cName: String): String =
+    s"""$iName AS (SELECT CAST(i - 1 AS INT) AS pos,
+       |  CAST(sum(CAST(floor(floor(list_sum(list_transform(range(1, 65),
+       |        j -> cv[j] * v[j])) * 1000000) * cv[i]) AS BIGINT)) AS BIGINT) AS s
+       |  FROM $cName, $prevV, unnest(range(1, 65)) AS t(i) GROUP BY i)""".stripMargin
+
+  private def pcaNormCte(vName: String, iName: String): String =
+    s"""$vName AS (SELECT list(floor(CAST(s AS DOUBLE) / nrm * 1000000) / 1000000 ORDER BY pos) AS v
+       |  FROM $iName, (SELECT sqrt(CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM $iName) nn)""".stripMargin
+
+  private def pcaSeedCte(vName: String, seedOneBased: Int): String =
+    s"""$vName AS (SELECT list_transform(range(1, 65),
+       |  i -> CASE WHEN i = $seedOneBased THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v)""".stripMargin
+
+  private def pcaNormSub(iName: String): String =
+    s"(SELECT sqrt(CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM $iName)"
+
+  /** Shared oracle prefix: centered projection + quantized mean. */
+  private def pcaBaseCtes: String =
     s"""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
        |mu0 AS (SELECT CAST(i - 1 AS INT) AS pos,
        |  CAST(sum(CAST(floor(vec[i] * 1000000) AS BIGINT)) AS BIGINT) AS mu_q, count(*) AS n
        |  FROM e, unnest(range(1, 65)) AS t(i) GROUP BY i),
        |mul AS (SELECT list(CAST(mu_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000) ORDER BY pos) AS mu FROM mu0),
-       |c AS (SELECT list_transform(range(1, 65), i -> vec[i] - mu[i]) AS cv FROM e, mul),
-       |vl0 AS (SELECT list_transform(range(1, 65),
-       |  i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v),
-       |$rounds,
-       |${iterCte(pcaIters)}
+       |c AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> vec[i] - mu[i]) AS cv FROM e, mul)""".stripMargin
+
+  private def pcaRounds(cName: String, seedName: String, iPrefix: String): String =
+    (1 until pcaIters).map { k =>
+      val prev = if (k == 1) seedName else s"${iPrefix}v${k - 1}"
+      s"${pcaIterCte(s"$iPrefix$k", prev, cName)},\n${pcaNormCte(s"${iPrefix}v$k", s"$iPrefix$k")}"
+    }.mkString(",\n") + ",\n" +
+      pcaIterCte(s"$iPrefix$pcaIters", s"${iPrefix}v${pcaIters - 1}", cName)
+
+  private def pcaOracle: String =
+    s"""$pcaBaseCtes,
+       |${pcaSeedCte("vl0", 1)},
+       |${pcaRounds("c", "vl0", "i")}
        |SELECT m.pos, m.n, m.mu_q, f.s,
        |  CAST(floor(CAST(f.s AS DOUBLE) / nn.nrm * 1000000) AS BIGINT) AS v_q
-       |FROM i$pcaIters f JOIN mu0 m USING (pos),
-       |  (SELECT sqrt(CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM i$pcaIters) nn
+       |FROM i$pcaIters f JOIN mu0 m USING (pos), ${pcaNormSub(s"i$pcaIters")} nn
        |ORDER BY pos""".stripMargin
-  }
+
+  /** Deflation replay: converge v1 (full [[pcaIters]] rounds, final
+    * normalization included), project it out of every centered row,
+    * run the same rounds from seed e₂ on the deflated matrix.
+    */
+  private def pca2Oracle: String =
+    s"""$pcaBaseCtes,
+       |${pcaSeedCte("vl0", 1)},
+       |${pcaRounds("c", "vl0", "i")},
+       |${pcaNormCte(s"iv$pcaIters", s"i$pcaIters")},
+       |c2 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> cv[i] -
+       |         list_sum(list_transform(range(1, 65), j -> cv[j] * v[j])) * v[i]) AS cv
+       |       FROM c, iv$pcaIters),
+       |${pcaSeedCte("wl0", 2)},
+       |${pcaRounds("c2", "wl0", "h")}
+       |SELECT f.pos,
+       |  CAST(floor(CAST(g.s AS DOUBLE) / n1.nrm * 1000000) AS BIGINT) AS v1_q,
+       |  f.s,
+       |  CAST(floor(CAST(f.s AS DOUBLE) / n2.nrm * 1000000) AS BIGINT) AS v2_q
+       |FROM h$pcaIters f JOIN i$pcaIters g USING (pos),
+       |  ${pcaNormSub(s"i$pcaIters")} n1, ${pcaNormSub(s"h$pcaIters")} n2
+       |ORDER BY pos""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_emb_pca" -> pcaOracle,
+    "q_emb_pca2" -> pca2Oracle,
     "q_emb_pq" ->
       s"""${pqOracleCtes(pqM)}
         |SELECT sub, code, count(*) AS n, CAST(sum(qd) AS BIGINT) AS sum_qd

@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_txt_tfidf",      // crossJoin of the 1-row corpus-count aggregate
     "q_txt_mixture",    // crossJoin of the 1-row normalizer aggregate
     "q_emb_pca",        // crossJoin of the 1-row norm aggregate
+    "q_emb_pca2",       // same 1-row norm aggregate on the deflated matrix
     "q_txt_bm25"        // crossJoin of the 1-row (N, avgdl) corpus stats
   )
 

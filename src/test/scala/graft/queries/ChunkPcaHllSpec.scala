@@ -67,6 +67,22 @@ class ChunkPcaHllSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("pca2: rank-2 basis is orthonormal and component 1 matches q_emb_pca") {
+    val r2 = SparkEntry.queries("q_emb_pca2")(spark, sfDir).collect()
+    assert(r2.length == 64)
+    val v1 = r2.map(_.getLong(1).toDouble / 1e6)
+    val v2 = r2.map(_.getLong(3).toDouble / 1e6)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(v1, v1) - 1.0) < 1e-3)
+    assert(math.abs(dot(v2, v2) - 1.0) < 1e-3)
+    assert(math.abs(dot(v1, v2)) < 1e-2,
+      s"components not orthogonal: <v1,v2> = ${dot(v1, v2)}")
+    val v1FromPca = SparkEntry.queries("q_emb_pca")(spark, sfDir).collect()
+      .map(_.getLong(4))
+    assert(r2.map(_.getLong(1)).toSeq == v1FromPca.toSeq,
+      "pca2's re-emitted component 1 must equal q_emb_pca's")
+  }
+
   test("hll rolling 7-day distinct stays inside the 5% contract on every sf dir") {
     for (d <- Seq("/root/testdata/sf0.001", sfDir)) {
       val rows = SparkEntry.queries("q_evt_hll_rolling")(spark, d).collect()
