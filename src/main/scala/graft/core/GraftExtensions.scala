@@ -86,6 +86,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "distinct_nonzero_count takes exactly 1 argument")
         DistinctNonzeroCount(children.head)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("pca_round"),
+      new ExpressionInfo(classOf[graft.functions.PcaRound].getName, "pca_round"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 || children.length == 4,
+          "pca_round takes (vec, mu, w[, v1]); mu/w/v1 array literals")
+        def arr(e: Expression): Array[Double] = e.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+          case other => sys.error(s"pca_round parameter must be a literal array, got $other")
+        }
+        graft.functions.PcaRound(children.head, arr(children(1)), arr(children(2)),
+          if (children.length == 4) Some(arr(children(3))) else None)
+      }))
     // Spark 4 keeps its runtime-filter Bloom expressions off the SQL
     // search path; expose both so two-phase bloom-pruned joins are
     // writable in the Column API (the probe side must be a CONSTANT per

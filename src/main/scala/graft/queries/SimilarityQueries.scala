@@ -377,33 +377,29 @@ object SimilarityQueries {
   val pcaIters = 4
   private val pcaDim = 64
 
-  /** Mean-centered embedding rows (one `cv: array<double>` column). */
-  private def pcaCentered(s: SparkSession, dir: String, mu: Array[Double]): DataFrame = {
-    val muLit = array(mu.map(lit): _*)
-    t(s, dir, "embeddings")
-      .select(dvec(col("embedding")).as("vec"))
-      .select(zip_with(col("vec"), muLit, _ - _).as("cv"))
-  }
+  /** Raw double-vector rows (one `vec: array<double>` column). */
+  private def pcaVecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(dvec(col("embedding")).as("vec"))
 
   /** One power-iteration matrix-vector product as a distributed plan:
     * s_j = Σ_rows floor(floor(⟨cv,v⟩·1e6) · cv_j) — the per-row dot is
     * the deterministic sequential fold, quantized to an exact long
     * BEFORE the cross-row sum, so the aggregate is order-independent
     * integer arithmetic and replays bit-exactly in DuckDB (the
-    * [[qEmbDimStats]] convention). `dq` is projected BEFORE the
-    * generator so the O(d) dot fold runs once per row, not once per
-    * exploded element.
+    * [[qEmbDimStats]] convention). The whole per-row computation
+    * (center [+ deflate], project, quantize, contribute) is the ONE
+    * native fused loop [[graft.functions.PcaRound]] — the
+    * higher-order-function composition it replaces ran interpreted at
+    * ~0.3 ms/row (47 s at sf1), and unrolling d=64 scalar terms
+    * instead just moved the cost into per-plan codegen compilation.
     */
-  private def pcaSumsPlan(centered: DataFrame, v: Array[Double]): DataFrame = {
-    val vLit = array(v.map(lit): _*)
-    val dot = aggregate(zip_with(col("cv"), vLit, _ * _), lit(0.0), _ + _)
-    centered
-      .select(floor(dot * 1000000d).cast("double").as("dq"),
-        posexplode(col("cv")).as(Seq("pos", "cx")))
-      .select(col("pos"), floor(col("dq") * col("cx")).as("q"))
+  private def pcaSumsPlan(src: DataFrame, mu: Array[Double], v: Array[Double],
+                          v1: Option[Array[Double]] = None): DataFrame =
+    src
+      .select(posexplode(graft.functions.PcaRound.pcaRound(col("vec"), mu, v, v1))
+        .as(Seq("pos", "q")))
       .groupBy("pos")
       .agg(sum("q").as("s"))
-  }
 
   /** Top principal component of the embedding matrix by distributed
     * power iteration — the low-rank structure probe (PCA) every
@@ -430,29 +426,42 @@ object SimilarityQueries {
     * mean, final un-normalized loading, and the 1e6-quantized
     * principal-component coordinate.
     */
-  private def qEmbPca(s: SparkSession, dir: String): DataFrame = {
-    val muPlan = t(s, dir, "embeddings")
-      .select(dvec(col("embedding")).as("vec"))
-      .select(posexplode(transform(col("vec"), x => floor(x * 1000000d)))
-        .as(Seq("pos", "xq")))
-      .groupBy("pos")
-      .agg(sum("xq").as("mu_q"), count(lit(1)).as("n"))
+  /** Per-dim quantized mean sums as ONE wide codegen'd aggregate,
+    * pivoted to (pos, mu_q, n) rows by a 1-row posexplode.
+    */
+  private def pcaMuPlan(vecs: DataFrame): DataFrame = {
+    val aggCols = (0 until pcaDim).map(j =>
+      sum(floor(element_at(col("vec"), j + 1) * 1000000d)).as(s"m$j")) :+
+      count(lit(1)).as("n")
+    vecs.agg(aggCols.head, aggCols.tail: _*)
+      .select(col("n"),
+        posexplode(array((0 until pcaDim).map(j => col(s"m$j")): _*))
+          .as(Seq("pos", "mu_q")))
+      .select(col("pos"), col("mu_q"), col("n"))
+  }
+
+  private def pcaCollectMu(vecs: DataFrame): (Long, Array[Double], DataFrame) = {
+    val muPlan = pcaMuPlan(vecs)
     val muRows = muPlan.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val n = muRows.head._3
-    val mu = muRows.map(_._2.toDouble / (n.toDouble * 1000000d))
-    val centered = pcaCentered(s, dir, mu)
+    (n, muRows.map(_._2.toDouble / (n.toDouble * 1000000d)), muPlan)
+  }
+
+  private def qEmbPca(s: SparkSession, dir: String): DataFrame = {
+    val vecs = pcaVecs(s, dir)
+    val (_, mu, muPlan) = pcaCollectMu(vecs)
 
     var v = Array.tabulate(pcaDim)(i => if (i == 0) 1.0 else 0.0)
     for (_ <- 1 until pcaIters) {
-      val sv = pcaSumsPlan(centered, v).collect()
+      val sv = pcaSumsPlan(vecs, mu, v).collect()
         .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
       val norm = math.sqrt(sv.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
       v = sv.map(x => math.floor(x.toDouble / norm * 1000000d) / 1000000d)
     }
 
     // final round stays in-plan; norm via exact decimal sum-of-squares
-    val sums = pcaSumsPlan(centered, v)
+    val sums = pcaSumsPlan(vecs, mu, v)
     val sq = col("s").cast(DecimalType(18, 0))
     val normRow = sums.agg(sqrt(sum(sq * sq).cast("double")).as("nrm"))
     sums.join(muPlan, Seq("pos"))
@@ -466,10 +475,11 @@ object SimilarityQueries {
     * over a centered projection, collecting only the 64 per-dim sums
     * per round; returns the floor-quantized unit iterate.
     */
-  private def pcaIterate(centered: DataFrame, seedPos: Int): Array[Double] = {
+  private def pcaIterate(src: DataFrame, mu: Array[Double],
+                         seedPos: Int): Array[Double] = {
     var v = Array.tabulate(pcaDim)(i => if (i == seedPos) 1.0 else 0.0)
     for (_ <- 1 to pcaIters) {
-      val sv = pcaSumsPlan(centered, v).collect()
+      val sv = pcaSumsPlan(src, mu, v).collect()
         .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
       val norm = math.sqrt(sv.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
       v = sv.map(x => math.floor(x.toDouble / norm * 1000000d) / 1000000d)
@@ -488,30 +498,18 @@ object SimilarityQueries {
     * (the oracle can't express "⊥", only the exact coordinates).
     */
   private def qEmbPca2(s: SparkSession, dir: String): DataFrame = {
-    val muRows = t(s, dir, "embeddings")
-      .select(dvec(col("embedding")).as("vec"))
-      .select(posexplode(transform(col("vec"), x => floor(x * 1000000d)))
-        .as(Seq("pos", "xq")))
-      .groupBy("pos").agg(sum("xq").as("mu_q"), count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    val n = muRows.head._3
-    val mu = muRows.map(_._2.toDouble / (n.toDouble * 1000000d))
-    val centered = pcaCentered(s, dir, mu)
-    val v1 = pcaIterate(centered, 0)
+    val vecs = pcaVecs(s, dir)
+    val (_, mu, _) = pcaCollectMu(vecs)
+    val v1 = pcaIterate(vecs, mu, 0)
 
-    val v1Lit = array(v1.map(lit): _*)
-    val d1 = aggregate(zip_with(col("cv"), v1Lit, _ * _), lit(0.0), _ + _)
-    val deflated = centered
-      .select(col("cv"), d1.as("d1"))
-      .select(zip_with(col("cv"), v1Lit, (c, v) => c - col("d1") * v).as("cv"))
     var v = Array.tabulate(pcaDim)(i => if (i == 1) 1.0 else 0.0)
     for (_ <- 1 until pcaIters) {
-      val sv = pcaSumsPlan(deflated, v).collect()
+      val sv = pcaSumsPlan(vecs, mu, v, Some(v1)).collect()
         .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
       val norm = math.sqrt(sv.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
       v = sv.map(x => math.floor(x.toDouble / norm * 1000000d) / 1000000d)
     }
-    val sums = pcaSumsPlan(deflated, v)
+    val sums = pcaSumsPlan(vecs, mu, v, Some(v1))
     val sq = col("s").cast(DecimalType(18, 0))
     val normRow = sums.agg(sqrt(sum(sq * sq).cast("double")).as("nrm"))
     val v1Df = s.createDataFrame(v1.zipWithIndex.map { case (x, i) =>
