@@ -386,7 +386,42 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Distribution-drift monitor: per-day KL divergence of the
+    * event-type mix against the whole-corpus mix — the ingest-health
+    * check a training-data pipeline runs on every partition before
+    * admitting it (a day whose event mix diverges is a collection bug
+    * or a behavior shift). KL(p_day ‖ q_global) = Σ_t p_t·ln(p_t/q_t)
+    * over the types present that day.
+    *
+    * Scale shape: one (day, type) partial-aggregatable count, a
+    * per-day window for the daily total, the 5-row global mix and the
+    * 1-row corpus total broadcast — nothing scales with event volume
+    * except the first aggregate. The drift verdict compares the
+    * ROUNDED divergence so the boolean is stable under last-ulp ln
+    * noise (the q_txt_unigram_lp ln-in-hash-path precedent).
+    */
+  private def qEvtDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val daily = e.groupBy("day", "event_type").agg(count(lit(1)).as("n_dt"))
+      .withColumn("n_d", sum("n_dt").over(Window.partitionBy("day")))
+    val global = e.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val tot = global.agg(sum("n_t").as("n_total"))
+    daily.join(broadcast(global), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        (col("n_dt").cast("double") / col("n_d")) *
+          log((col("n_dt").cast("double") / col("n_d")) /
+            (col("n_t").cast("double") / col("n_total"))))
+      .groupBy("day")
+      .agg(sum(col("n_dt")).as("n_events"), round(sum("term"), 6).as("kl"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("kl"), (col("kl") > 0.01).as("drifted"))
+      .orderBy("day")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
     "q_evt_anomaly" -> qEvtAnomaly _,
@@ -405,6 +440,19 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_drift" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+        |daily AS (SELECT day, event_type, count(*) AS n_dt FROM e GROUP BY day, event_type),
+        |dtot AS (SELECT day, CAST(sum(n_dt) AS BIGINT) AS n_d FROM daily GROUP BY day),
+        |g AS (SELECT event_type, count(*) AS n_t FROM e GROUP BY event_type),
+        |tot AS (SELECT count(*) AS n_total FROM e),
+        |terms AS (SELECT d.day, d.n_dt,
+        |    (CAST(d.n_dt AS DOUBLE) / t.n_d) *
+        |      ln((CAST(d.n_dt AS DOUBLE) / t.n_d) / (CAST(g.n_t AS DOUBLE) / tot.n_total)) AS term
+        |  FROM daily d JOIN dtot t USING (day) JOIN g USING (event_type), tot)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(sum(n_dt) AS BIGINT) AS n_events,
+        |  round(sum(term), 6) AS kl, (round(sum(term), 6) > 0.01) AS drifted
+        |FROM terms GROUP BY day ORDER BY day""".stripMargin,
     "q_evt_ewma" ->
       """WITH f AS (SELECT user_id, event_id, value,
         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -701,7 +701,39 @@ object TextQueries {
       .limit(10)
   }
 
+  /** Zipf-law fit per language: OLS slope/intercept of ln(freq) over
+    * ln(rank) for the top-100 vocabulary — the corpus-statistics
+    * fingerprint that flags machine-generated or template-heavy text
+    * (natural language sits near slope −1; a flat or cliffy rank curve
+    * is a generation artifact). Regression via the five classic sums,
+    * all partial-aggregatable; ranks come from one per-lang window
+    * with a deterministic (freq desc, token) order, and the slope is
+    * rounded before it enters the hash (ln precedent:
+    * q_txt_unigram_lp).
+    */
+  private def qTxtZipf(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val ranked = t(s, dir, "documents")
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("lang").orderBy(desc("n"), col("token"))))
+      .filter(col("rk") <= k)
+      .withColumn("x", log(col("rk").cast("double")))
+      .withColumn("y", log(col("n").cast("double")))
+    val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n_terms"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n_terms"),
+        round(slope, 6).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("n_terms"), 6).as("zipf_intercept"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_zipf" -> qTxtZipf _,
     "q_txt_bm25" -> qTxtBm25 _,
     "q_txt_bloom_decon" -> qTxtBloomDecon _,
     "q_txt_chunk_dedup" -> qTxtChunkDedup _,
@@ -733,6 +765,21 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_zipf" ->
+      """WITH c AS (SELECT lang, t AS token, count(*) AS n
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY lang, t),
+        |r AS (SELECT lang, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk FROM c),
+        |xy AS (SELECT lang, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+        |       FROM r WHERE rk <= 100),
+        |sm AS (SELECT lang, count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy GROUP BY lang)
+        |SELECT lang, n_terms,
+        |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS zipf_slope,
+        |  round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
+        |    / n_terms, 6) AS zipf_intercept
+        |FROM sm ORDER BY lang""".stripMargin,
     "q_txt_bm25" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
         |             string_split(text, ' ') AS tk FROM documents),
