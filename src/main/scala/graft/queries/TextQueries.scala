@@ -587,16 +587,28 @@ object TextQueries {
     * computes the actual keep/drop decision, including within-document
     * repeats.
     *
-    * Scale shape: the only wide exchange is hash-partitioned on the
+    * Scale shape: the wide exchanges are hash-partitioned on the
     * 8-byte chunk hash carrying (h, doc_id, chunk_idx) — text never
     * shuffles. The positional shingle array is evaluated once per row
     * (zip-of-shifted-slices, see Dedup.shingleHashSeqCol) and strided
     * to chunk starts with a post-explode filter, so the token split is
-    * never re-inlined per chunk. Keep-first is one window over the
-    * hash exchange; the per-doc rollup re-shuffles only 4 small
-    * columns. At 100 TB the hash exchange is the classic exact-dedup
-    * shuffle — bounded payload, AQE-splittable, no skew beyond true
-    * duplicate mass.
+    * never re-inlined per chunk.
+    *
+    * Keep-first is an UNSORTED min window over a packed
+    * (doc_id, chunk_idx) long on ONE hash exchange — cheaper than
+    * row_number (no per-partition sort beyond the grouping order) and
+    * it keeps the tokenize+hash lineage single-evaluation: the
+    * min-aggregate + join-back alternative puts a partial aggregate
+    * below its exchange, so exchange reuse cannot unify it with the
+    * join side's raw exchange and the whole explode runs twice
+    * (measured 12 s vs 6 s at sf1 — the same pathology q_txt_dup_spans
+    * documents). Boundary, stated honestly: under MASS duplication
+    * (one boilerplate chunk in millions of docs) a window partition is
+    * one unsplittable task; that regime wants the agg+join form, whose
+    * map-side combine collapses the hot key before the shuffle and
+    * whose residual join skew AQE splits. chunk_idx < 2^20 bounds
+    * documents at 8M tokens; the packed-long argmin stays in codegen
+    * (the min(struct) SortAggregate fallback is the PQ lesson).
     *
     * Reference analog: blank/duplicate routing decisions made at load
     * time (caliban/utils/io_utils.py:214-233 routes blank-label items
@@ -610,9 +622,8 @@ object TextQueries {
           .as(Seq("pos", "h")))
       .filter(col("pos") % w === 0)
       .select(col("doc_id"), (col("pos") / w).cast("int").as("chunk_idx"), col("h"))
-    val keepFirst =
-      row_number().over(Window.partitionBy("h").orderBy("doc_id", "chunk_idx")) === 1
-    ch.withColumn("kept", keepFirst)
+    val packed = col("doc_id") * (1L << 20) + col("chunk_idx")
+    ch.withColumn("kept", packed === min(packed).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         count(when(col("kept"), lit(1))).as("n_kept"))
