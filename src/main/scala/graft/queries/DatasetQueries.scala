@@ -82,7 +82,39 @@ object DatasetQueries {
       .orderBy("tissue", "split")
   }
 
+  /** Grouped k-fold assignment (sklearn GroupKFold semantics, hash
+    * flavor): every document lands in the fold of its SOURCE, so no
+    * source ever straddles a train/eval boundary — the leakage rule
+    * the reference's experiment-level split enforces
+    * (dataset_splitter.py keeps fovs of one experiment together) and
+    * the one CV over web corpora needs (near-dup pages cluster within
+    * a domain; splitting a domain across folds leaks).
+    *
+    * The fold is a pure function of the group key — `md5(source)`'s
+    * first 8 hex digits mod k — so assignment is stable under corpus
+    * growth (adding documents never moves an existing source between
+    * folds, unlike count-balanced assignment) and needs NO shuffle of
+    * the group list: the fold column is map-side arithmetic on every
+    * row, and the only exchange is the reporting groupBy. At 100 TB
+    * that property is the difference between a metadata-only fold
+    * column and a global group registry.
+    */
+  val kFolds = 5
+
+  private def qDsKfold(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fold",
+        pmod(conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long"),
+          lit(kFolds)))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min("source").as("first_source"),
+        sum("n_chars").as("n_chars_total"))
+      .orderBy("fold", "lang")
+
   val defs: Map[String, QueryFn] = Map(
+    "q_ds_kfold" -> qDsKfold _,
     "q_ds_split_contract" -> qDsSplitContract _,
     "q_ds_nested_prefix" -> qDsNestedPrefix _,
     "q_ds_balance" -> qDsBalance _,
@@ -90,6 +122,11 @@ object DatasetQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ds_kfold" ->
+      """SELECT ('0x' || substring(md5(source), 1, 8))::BIGINT % 5 AS fold,
+        |  lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        |  min(source) AS first_source, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
     // full-pipeline contract over the FIXED 30-plane fixture: 30 fovs
     // (breast 20, lung 10), each 20x20 with 16 area-16 cells, tiled
     // 2x2 into 10x10 outputs (4 cells each => n_cells = 4*n_images).

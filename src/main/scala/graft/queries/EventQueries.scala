@@ -420,7 +420,45 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** MATCH_RECOGNIZE-lite: per-user sequence pattern matching over the
+    * time-ordered event journey (the Flink-CEP / Trino
+    * MATCH_RECOGNIZE operator family, re-expressed relationally).
+    * Each user's events collapse to a journey string of event-type
+    * initials in (ts, event_id) order; patterns are then regexes over
+    * that string — `vc*p` "view, any clicks, purchase" (the funnel
+    * with noise tolerance), `ee+` "a run of repeated errors" (the
+    * frustration signal), `s[^p]*p` "signup that eventually converts".
+    * Greedy leftmost non-overlapping match semantics are identical in
+    * java.util.regex and RE2-style engines for these star-free-ish
+    * patterns, so counts are engine-portable.
+    *
+    * Scale shape: ONE shuffle (groupBy user_id); the journey is
+    * bounded by per-user activity (it never aggregates across users),
+    * and the regex NFA scan is linear in journey length — exactly the
+    * per-key state machine a CEP engine compiles, with no cross-key
+    * state. At 100 TB the hot keys are bot-like users with long
+    * journeys; those order within a key and stay single-pass.
+    */
+  private def qEvtPattern(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "events")
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("letter")).as("ev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(collect_list(col("ev"))),
+          e => e.getField("letter")), "").as("journey"))
+    j.select(col("user_id"), col("n_events"),
+        size(regexp_extract_all(col("journey"), lit("vc*p"), lit(0))).as("n_conv"),
+        size(regexp_extract_all(col("journey"), lit("ee+"), lit(0))).as("n_err_runs"),
+        (size(regexp_extract_all(col("journey"), lit("s[^p]*p"), lit(0))) > 0)
+          .as("signup_converted"),
+        md5(col("journey")).as("journey_fp"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_pattern" -> qEvtPattern _,
     "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
@@ -440,6 +478,17 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_pattern" ->
+      """WITH j AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(journey, 'vc*p')) AS INTEGER) AS n_conv,
+        |  CAST(len(regexp_extract_all(journey, 'ee+')) AS INTEGER) AS n_err_runs,
+        |  len(regexp_extract_all(journey, 's[^p]*p')) > 0 AS signup_converted,
+        |  md5(journey) AS journey_fp
+        |FROM j ORDER BY user_id""".stripMargin,
     "q_evt_drift" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
         |daily AS (SELECT day, event_type, count(*) AS n_dt FROM e GROUP BY day, event_type),

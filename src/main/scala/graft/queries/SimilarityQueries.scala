@@ -122,6 +122,46 @@ object SimilarityQueries {
       .filter(col("pos") < 4)
       .orderBy("label", "pos")
 
+  /** Prototypicality pruning (Sorscher et al., NeurIPS 2022 "Beyond
+    * neural scaling laws", public recipe): score every vector by
+    * cosine to its OWN label centroid, surface the 5 most prototypical
+    * (near-duplicate cluster cores a pruner drops first) and the 5
+    * least prototypical (outliers/mislabels a curator reviews) per
+    * label. Complements `q_dedup_semdedup` (which prunes WITHIN
+    * k-means cells) with the label-conditioned variant.
+    *
+    * Scale shape: the centroid table is |labels| rows — broadcast —
+    * so scoring is a map-side join over one corpus scan; the per-label
+    * extremes are label-partitioned window ranks (parallel per label,
+    * never a global sort). Centroids come from posexplode +
+    * groupBy(label, pos) — the partial-aggregatable distributed mean,
+    * no vector ever collects to the driver. Parity: centroid
+    * components are ROUNDED to 1e-6 before the cosine, so both
+    * engines score against identical centroids.
+    */
+  private def qEmbOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").withColumn("vec", dvec(col("embedding")))
+    val cent = e
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(round(avg("x"), 6).as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        p => p.getField("cx")).as("cvec"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .withColumn("cos_c",
+        round(graft.functions.CosineSimilarity.cosineSim(col("vec"), col("cvec")), 6))
+    val wAsc = Window.partitionBy("label").orderBy(col("cos_c"), col("vec_id"))
+    val wDesc = Window.partitionBy("label").orderBy(desc("cos_c"), col("vec_id"))
+    scored
+      .withColumn("rk_out", row_number().over(wAsc))
+      .withColumn("rk_proto", row_number().over(wDesc))
+      .filter(col("rk_out") <= 5 || col("rk_proto") <= 5)
+      .select(col("label"), col("vec_id"), col("cos_c"),
+        when(col("rk_out") <= 5, lit("outlier")).otherwise(lit("prototype")).as("role"),
+        when(col("rk_out") <= 5, col("rk_out")).otherwise(col("rk_proto")).as("rk"))
+      .orderBy("label", "role", "rk")
+  }
+
   /** Batched k-NN join — N probes resolved in ONE corpus scan (the
     * retrieval/auto-labeling shape: nearest exemplars for a whole
     * query batch at once, not one scan per query). The probe batch is
@@ -529,6 +569,7 @@ object SimilarityQueries {
     "q_emb_pq_recall" -> qEmbPqRecall _,
     "q_dedup_semdedup" -> qDedupSemdedup _,
     "q_emb_dim_stats" -> qEmbDimStats _,
+    "q_emb_outliers" -> qEmbOutliers _,
     "q_sim_knn_join" -> qSimKnnJoin _,
     "q_sim_topk" -> qSimTopk _,
     "q_sim_pair_count" -> qSimPairCount _,
@@ -684,6 +725,26 @@ object SimilarityQueries {
         |  FROM v a JOIN v b ON a.cl = b.cl AND a.vec_id < b.vec_id)
         |SELECT label_a, label_b, count(*) AS n_pairs, round(max(sim), 6) AS max_sim
         |FROM pairs WHERE sim >= 0.2 GROUP BY label_a, label_b ORDER BY label_a, label_b""".stripMargin,
+    "q_emb_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |x AS (SELECT label, CAST(generate_subscripts(vec, 1) AS BIGINT) AS pos,
+        |        unnest(vec) AS x FROM e),
+        |c AS (SELECT label, pos, round(avg(x), 6) AS cx FROM x GROUP BY label, pos),
+        |cv AS (SELECT label, list(cx ORDER BY pos) AS cvec FROM c GROUP BY label),
+        |sc AS (SELECT e.vec_id, e.label,
+        |    round(list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * cv.cvec[i]))
+        |      / (sqrt(list_sum(list_transform(e.vec, v -> v * v)))
+        |         * sqrt(list_sum(list_transform(cv.cvec, v -> v * v)))), 6) AS cos_c
+        |  FROM e JOIN cv USING (label)),
+        |r AS (SELECT vec_id, label, cos_c,
+        |    row_number() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS rk_out,
+        |    row_number() OVER (PARTITION BY label ORDER BY cos_c DESC, vec_id) AS rk_proto
+        |  FROM sc)
+        |SELECT label, vec_id, cos_c,
+        |  CASE WHEN rk_out <= 5 THEN 'outlier' ELSE 'prototype' END AS role,
+        |  CAST(CASE WHEN rk_out <= 5 THEN rk_out ELSE rk_proto END AS INTEGER) AS rk
+        |FROM r WHERE rk_out <= 5 OR rk_proto <= 5
+        |ORDER BY label, role, rk""".stripMargin,
     "q_emb_dim_stats" ->
       """SELECT dim, count(*) AS n,
         |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,

@@ -264,6 +264,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling without replacement — Efraimidis & Spirakis
+    * (IPL 2006) exponential-key reservoir sampling, derandomized: each
+    * document draws u ∈ (0,1] from the Knuth multiplicative hash of
+    * its id and competes with key ln(u)/w (w = n_chars), the log form
+    * of u^(1/w); the k LARGEST u^(1/w) ⇔ k smallest -ln(u)/w win.
+    * Inclusion probability is proportional to weight — the
+    * char-weighted corpus subsample that matches token-budget
+    * sampling (a 10k-char doc is 100× likelier in than a 100-char
+    * one), vs the uniform stratified sample of
+    * [[qTxtSampleStratified]].
+    *
+    * Scale shape: the key is map-side arithmetic per row; the global
+    * top-k plans as TakeOrderedAndProject (per-partition heap of k +
+    * driver merge of partitions×k rows) — no global sort, no shuffle
+    * of the corpus. Engine parity: keys are ROUNDED to the 1e-12 grid
+    * before ranking with a doc_id tiebreak, so a last-ulp `ln`
+    * difference between libm implementations cannot reorder the
+    * boundary.
+    */
+  private def qTxtSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    t(s, dir, "documents")
+      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(4294967296L)))
+      .withColumn("skey",
+        round(-log((col("h") + 1).cast("double") / 4294967296.0) /
+          col("n_chars"), 12))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("skey"))
+  }
+
   /** Corpus-derived unigram log-probability — the statistical quality
     * score (CCNet-style perplexity filtering, public recipe): train a
     * unigram LM on the corpus itself (one groupBy), score every doc by
@@ -760,6 +791,7 @@ object TextQueries {
     "q_txt_redact" -> qTxtRedact _,
     "q_txt_pack" -> qTxtPack _,
     "q_txt_sample_stratified" -> qTxtSampleStratified _,
+    "q_txt_sample_weighted" -> qTxtSampleWeighted _,
     "q_txt_heavy_hitters" -> qTxtHeavyHitters _,
     "q_txt_tokens" -> qTxtTokens _,
     "q_txt_bpe_tokens" -> qTxtBpeTokens _,
@@ -971,6 +1003,11 @@ object TextQueries {
         |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
         |  FROM documents)
         |SELECT doc_id, lang, h, rk FROM h WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+    "q_txt_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(-ln(CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE)
+        |    / 4294967296) / n_chars, 12) AS skey
+        |FROM documents ORDER BY skey, doc_id LIMIT 100""".stripMargin,
     "q_txt_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(

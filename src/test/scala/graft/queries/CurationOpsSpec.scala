@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.SparkSpec
+import scala.math.BigDecimal.RoundingMode.HALF_UP
+
+/** Round-12 curation operators — sequence-pattern matching, grouped
+  * k-fold, weighted sampling, centroid-distance pruning. Each is
+  * checked against an independent plain-Scala recompute of the full
+  * contract at sf0.001 (the DuckDB oracle hash-checks the same values
+  * at sf0.01; these pin semantics row-by-row with no SQL in the loop).
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rnd(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, HALF_UP).toDouble
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("evt pattern: journeys assemble in (ts, event_id) order and regex counts replay") {
+    val out = graft.SparkEntry.queries("q_evt_pattern")(spark, dir).collect()
+    val events = Q.t(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val journeys = events.groupBy(_._1).map { case (uid, evs) =>
+      uid -> evs.sortBy(e => (e._2.toInstant.getEpochSecond,
+        e._2.toInstant.getNano.toLong, e._3)).map(_._4.head).mkString
+    }
+    assert(out.length == journeys.size)
+    def count(j: String, p: String): Int = {
+      val m = java.util.regex.Pattern.compile(p).matcher(j)
+      var n = 0; while (m.find()) n += 1; n
+    }
+    out.foreach { r =>
+      val j = journeys(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == j.length)
+      assert(r.getAs[Int]("n_conv") == count(j, "vc*p"))
+      assert(r.getAs[Int]("n_err_runs") == count(j, "ee+"))
+      assert(r.getAs[Boolean]("signup_converted") == (count(j, "s[^p]*p") > 0))
+      assert(r.getAs[String]("journey_fp") == md5hex(j))
+    }
+    // at least one user converts and the journeys are non-trivial
+    assert(out.exists(_.getAs[Int]("n_conv") > 0))
+  }
+
+  test("kfold: fold is a pure function of source, no source straddles folds") {
+    val out = graft.SparkEntry.queries("q_ds_kfold")(spark, dir).collect()
+    val docs = Q.t(spark, dir, "documents")
+      .select("source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def fold(src: String): Long =
+      java.lang.Long.parseLong(md5hex(src).take(8), 16) % DatasetQueries.kFolds
+    // expected per (fold, lang) rollup
+    val exp = docs.groupBy(d => (fold(d._1), d._2))
+    assert(out.length == exp.size)
+    out.foreach { r =>
+      val key = (r.getAs[Long]("fold"), r.getAs[String]("lang"))
+      val g = exp(key)
+      assert(r.getAs[Long]("n_docs") == g.length)
+      assert(r.getAs[Long]("n_sources") == g.map(_._1).distinct.length)
+      assert(r.getAs[Long]("n_chars_total") == g.map(_._3).sum)
+    }
+    // leakage rule: every source appears in exactly one fold
+    val srcFolds = docs.map(_._1).distinct.map(s => s -> fold(s))
+    assert(srcFolds.map(_._2).forall(f => f >= 0 && f < DatasetQueries.kFolds))
+    val outSources = out.map(r => r.getAs[Long]("n_sources")).sum
+    assert(outSources >= srcFolds.length) // (fold,lang) cells re-count a source per lang
+  }
+
+  test("weighted sample: Efraimidis-Spirakis keys replay; selection is char-weighted") {
+    val out = graft.SparkEntry.queries("q_txt_sample_weighted")(spark, dir).collect()
+    val docs = Q.t(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keyed = docs.map { case (id, w) =>
+      val h = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+      (id, w, rnd(-math.log((h + 1).toDouble / 4294967296.0) / w, 12))
+    }
+    val expect = keyed.sortBy(k => (k._3, k._1)).take(100)
+    assert(out.length == expect.length)
+    val gotIds = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(gotIds == expect.map(_._1).toSet)
+    out.foreach { r =>
+      val k = keyed.find(_._1 == r.getAs[Long]("doc_id")).get
+      assert(r.getAs[Double]("skey") == k._3)
+    }
+    // weighting property: expected char mass per sampled doc exceeds the
+    // corpus mean (long docs are proportionally likelier to be drawn)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = out.map(_.getAs[Long]("n_chars")).sum.toDouble / out.length
+    assert(sampleMean > corpusMean)
+  }
+
+  test("emb outliers: per-label centroid cosine extremes replay") {
+    val out = graft.SparkEntry.queries("q_emb_outliers")(spark, dir).collect()
+    val vecs = Q.t(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val expected = byLabel.iterator.flatMap { case (label, vs) =>
+      val dim = vs.head._3.length
+      val cent = Array.tabulate(dim) { i =>
+        rnd(vs.map(_._3(i)).sum / vs.length, 6)
+      }
+      def cos(v: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < dim) { dot += v(i) * cent(i); na += v(i) * v(i); nb += cent(i) * cent(i); i += 1 }
+        rnd(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+      }
+      val scored = vs.map(v => (v._1, cos(v._3)))
+      val asc = scored.sortBy(s => (s._2, s._1)).take(5).zipWithIndex
+        .map { case ((id, c), i) => (label, id, c, "outlier", i + 1) }
+      val desc = scored.sortBy(s => (-s._2, s._1)).take(5).zipWithIndex
+        .map { case ((id, c), i) => (label, id, c, "prototype", i + 1) }
+        .filterNot(d => asc.exists(_._2 == d._2))
+      asc ++ desc
+    }.toSet
+    val got = out.map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"),
+      r.getAs[Double]("cos_c"), r.getAs[String]("role"), r.getAs[Int]("rk"))).toSet
+    assert(got == expected)
+    // scoring sanity: prototypes are strictly closer than outliers per label
+    byLabel.keys.foreach { l =>
+      val rows = out.filter(_.getAs[Int]("label") == l)
+      val protoMin = rows.filter(_.getAs[String]("role") == "prototype")
+        .map(_.getAs[Double]("cos_c")).min
+      val outMax = rows.filter(_.getAs[String]("role") == "outlier")
+        .map(_.getAs[Double]("cos_c")).max
+      assert(protoMin >= outMax)
+    }
+  }
+}
