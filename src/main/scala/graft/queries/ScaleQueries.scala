@@ -247,6 +247,75 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual-hash image dedup — the multimodal twin of the MinHash
+    * family: every document's deterministic gray tile is PNG-encoded,
+    * decoded back through the REAL ImageIO codec, and dHash'd
+    * (row-wise gradient sign bits, Krawetz's public difference-hash
+    * recipe) from the DECODED luminance; clusters and near-dup pairs
+    * then assemble exactly like text LSH. 63 usable bits — the MSB
+    * stays clear so the hash is a non-negative BIGINT in every engine
+    * (a 64th bit would overflow a signed left-shift in the oracle).
+    *
+    * Scale shape: the codec runs once per image in a narrow map (no
+    * shuffle); pairing is over DISTINCT hashes only (cluster census
+    * first — identical images collapse before any join), blocked by
+    * 4×16-bit hash bands — the same banded-LSH discipline as
+    * `Dedup.lshCandidatePairs`, cost Σ bucket² over band buckets, no
+    * all-pairs stage at any scale. Output: exact-dup clusters
+    * (hamming 0, n≥2) plus cross-cluster near-dup pairs (hamming ≤
+    * 10) with cluster sizes.
+    *
+    * Recall contract (same semantics as MinHash-LSH banding): a pair
+    * differing in ≤ 3 bits ALWAYS shares a clean band (pigeonhole
+    * over 4 bands) and is guaranteed found; beyond that the band
+    * match is the standard probabilistic candidate filter. The oracle
+    * replays the identical banding, so the gate checks the declared
+    * candidate set, not a vacuous all-pairs ideal.
+    */
+  private def qMmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val side = 8
+    val hashes = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val png = Multimodal.encodeGrayPng(
+          Multimodal.grayTileOf(text, side), side, side)
+        val (_, _, lum) = Multimodal.decodeImage(png).get // gray PNG: exact
+        var hash = 0L
+        var j = 0
+        while (j < 63) { // bit j compares p[r][c] to its right wrap-neighbor
+          val r = j / side; val c = j % side
+          if (lum(r * side + (c + 1) % side) > lum(r * side + c)) hash |= 1L << j
+          j += 1
+        }
+        (id, hash)
+      }.toDF("doc_id", "phash")
+    val clusters = hashes.groupBy("phash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+    val bands = clusters.select(col("phash"), col("n"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L)).as("bval"))): _*))
+        .as("bb"))
+      .select(col("phash"), col("n"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.phash") < col("b.phash"))
+      .select(col("a.phash").as("h1"), col("b.phash").as("h2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .distinct()
+    val near = cand
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 10)
+      .select(lit("near_pair").as("kind"), col("h1"), col("h2"),
+        col("n1"), col("n2"), col("hamming"))
+    val exact = clusters.filter(col("n") >= 2)
+      .select(lit("exact_cluster").as("kind"), col("phash").as("h1"),
+        col("phash").as("h2"), col("n").as("n1"), col("n").as("n2"),
+        lit(0).as("hamming"))
+    exact.union(near).orderBy("kind", "h1", "h2")
+  }
+
   /** REAL audio decode end-to-end: each document synthesizes a
     * deterministic k-cycle sine (k = 4 + doc_id % 8, amplitude 0.5,
     * phase 0.1 so no sample lands exactly on zero), encodes it as
@@ -525,6 +594,7 @@ object ScaleQueries {
     "q_mm_decode" -> qMmDecode _,
     "q_mm_audio" -> qMmAudio _,
     "q_mm_frames" -> qMmFrames _,
+    "q_mm_phash" -> qMmPhash _,
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_ewma" -> qStreamEwma _,
@@ -544,6 +614,33 @@ object ScaleQueries {
     // as their boolean verdicts, pinned TRUE — the ENGINE computes
     // them from the real decode, so a broken codec/featurizer flips a
     // verdict and fails the hash.
+    // q_mm_phash: unlike the verdict oracles above, the hash VALUE
+    // replays fully — the gray tile is the text's cyclic bytes
+    // (ASCII corpus: byte == codepoint), so DuckDB rebuilds each
+    // dHash bit from character arithmetic while the ENGINE derives it
+    // from the real PNG encode→decode round trip. A codec that
+    // corrupts any pixel changes hashes, clusters and pairs — the
+    // whole relation hash-fails.
+    "q_mm_phash" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |px AS (SELECT doc_id,
+        |    list_transform(range(64), i -> ord(substr(text, CAST(i % len AS INT) + 1, 1))) AS p
+        |  FROM d),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(63), j ->
+        |    CASE WHEN p[CAST((j // 8) * 8 + ((j % 8) + 1) % 8 AS INT) + 1] > p[CAST(j AS INT) + 1]
+        |         THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END)) AS BIGINT) AS phash FROM px),
+        |cl AS (SELECT phash, count(*) AS n FROM h GROUP BY phash),
+        |bb AS (SELECT phash, n, band, (phash >> CAST(16 * band AS INT)) & 65535 AS bval
+        |       FROM (SELECT phash, n, unnest(range(4)) AS band FROM cl)),
+        |cand AS (SELECT DISTINCT a.phash AS h1, b.phash AS h2, a.n AS n1, b.n AS n2
+        |         FROM bb a JOIN bb b ON a.band = b.band AND a.bval = b.bval AND a.phash < b.phash),
+        |near AS (SELECT 'near_pair' AS kind, h1, h2, n1, n2,
+        |           CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+        |         FROM cand WHERE bit_count(xor(h1, h2)) <= 10),
+        |ex AS (SELECT 'exact_cluster' AS kind, phash AS h1, phash AS h2,
+        |         n AS n1, n AS n2, 0 AS hamming
+        |       FROM cl WHERE n >= 2)
+        |SELECT * FROM ex UNION ALL SELECT * FROM near ORDER BY kind, h1, h2""".stripMargin,
     "q_mm_features" ->
       """SELECT doc_id AS id, 'text/fake' AS modality,
         |       octet_length(encode(text)) AS n_bytes,

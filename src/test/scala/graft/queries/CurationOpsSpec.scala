@@ -94,6 +94,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(sampleMean > corpusMean)
   }
 
+  test("mm phash: dHash clusters and banded near-pairs replay from text bytes") {
+    val out = graft.SparkEntry.queries("q_mm_phash")(spark, dir).collect()
+    val docs = Q.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def dhash(text: String): Long = {
+      val b = text.getBytes("UTF-8")
+      val p = Array.tabulate(64)(i => b(i % b.length) & 0xff)
+      var h = 0L
+      for (j <- 0 until 63) {
+        val r = j / 8; val c = j % 8
+        if (p(r * 8 + (c + 1) % 8) > p(r * 8 + c)) h |= 1L << j
+      }
+      h
+    }
+    val clusters = docs.groupBy(d => dhash(d._2)).map { case (h, ds) => h -> ds.length }
+    val exact = clusters.filter(_._2 >= 2)
+      .map { case (h, n) => ("exact_cluster", h, h, n.toLong, n.toLong, 0) }.toSet
+    val distinctH = clusters.keys.toSeq
+    val byBand = distinctH.flatMap(h => (0 until 4).map(b => ((b, (h >> (16 * b)) & 0xffffL), h)))
+      .groupBy(_._1).values
+    val cand = byBand.flatMap { bs =>
+      val hs = bs.map(_._2).distinct.sorted
+      for (i <- hs.indices; k <- i + 1 until hs.length) yield (hs(i), hs(k))
+    }.toSet
+    val near = cand.collect {
+      case (h1, h2) if java.lang.Long.bitCount(h1 ^ h2) <= 10 =>
+        ("near_pair", h1, h2, clusters(h1).toLong, clusters(h2).toLong,
+          java.lang.Long.bitCount(h1 ^ h2))
+    }
+    val got = out.map(r => (r.getAs[String]("kind"), r.getAs[Long]("h1"),
+      r.getAs[Long]("h2"), r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Int]("hamming"))).toSet
+    assert(got == exact ++ near)
+    assert(out.forall(r => r.getAs[Long]("h1") >= 0L && r.getAs[Long]("h2") >= 0L))
+    // pigeonhole recall: every pair within hamming <= 3 must be present
+    val all3 = for (i <- distinctH.indices; k <- i + 1 until distinctH.length
+      if java.lang.Long.bitCount(distinctH(i) ^ distinctH(k)) <= 3)
+      yield (math.min(distinctH(i), distinctH(k)), math.max(distinctH(i), distinctH(k)))
+    assert(all3.forall(p => near.exists(n => n._2 == p._1 && n._3 == p._2)))
+  }
+
   test("emb outliers: per-label centroid cosine extremes replay") {
     val out = graft.SparkEntry.queries("q_emb_outliers")(spark, dir).collect()
     val vecs = Q.t(spark, dir, "embeddings")
