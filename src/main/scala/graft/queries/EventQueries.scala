@@ -457,8 +457,110 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Exact nearest-rank percentiles (p50/p95/p99) of `value` per event
+    * type, each cross-checked against the mergeable KLL-style sketch
+    * (`approx_percentile`, accuracy 10000). The exact side is ONE
+    * window pass — row_number + count over the type partition, pick
+    * the ceil(q·n)-th row (percentile_disc semantics; identical rank
+    * arithmetic in any engine, no interpolation to diverge) — the
+    * same idiom as q_a1_median. The sketch side is the 100 TB path:
+    * map-side mergeable, no per-group sort; its verdict checks the
+    * RANK of the sketch estimate lands within ±1% of the target — the
+    * sketch's actual guarantee, so the verdict is deterministic-true
+    * for a correct sketch and hash-fails for a broken one.
+    */
+  private def qEvtValuePctl(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"), col("event_id"), col("value"))
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val cw = Window.partitionBy("event_type")
+    val ranked = e.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+    val exact = ranked
+      .filter(col("rn") === ceil(col("cnt") * 0.5) ||
+        col("rn") === ceil(col("cnt") * 0.95) ||
+        col("rn") === ceil(col("cnt") * 0.99))
+      .groupBy("event_type")
+      .agg(first("cnt").as("n"),
+        min(when(col("rn") === ceil(col("cnt") * 0.5), col("value"))).as("p50"),
+        min(when(col("rn") === ceil(col("cnt") * 0.95), col("value"))).as("p95"),
+        min(when(col("rn") === ceil(col("cnt") * 0.99), col("value"))).as("p99"))
+    val sketch = e.groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("sk"))
+    val rankOf = e.join(broadcast(sketch), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("value") <= col("sk")(0), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("sk")(1), 1L).otherwise(0L)).as("r95"),
+        sum(when(col("value") <= col("sk")(2), 1L).otherwise(0L)).as("r99"))
+    exact.join(rankOf, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("p50"), col("p95"), col("p99"),
+        (col("r50") >= col("n") * 0.49 && col("r50") <= col("n") * 0.51).as("sk50_ok"),
+        (col("r95") >= col("n") * 0.94 && col("r95") <= col("n") * 0.96).as("sk95_ok"),
+        (col("r99") >= col("n") * 0.98 && col("r99") <= col("n")).as("sk99_ok"))
+      .orderBy("event_type")
+  }
+
+  /** Pivot (long→wide transpose): daily event-type counts as one
+    * column per type. The value list is EXPLICIT — `pivot(col)`
+    * without it runs an eager distinct scan to discover columns
+    * (a planning-time job over the full table, and at 100 TB a
+    * schema that drifts with the data); pinning the five types keeps
+    * construction lazy and the output schema stable. Plans as a
+    * single partial-aggregatable groupBy(day) with conditional
+    * counts — one shuffle, no join.
+    */
+  private def qEvtPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(asDate(col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("day")
+
+  /** Experiment (A/B) analysis — the readout loop of data-curation
+    * ablations: users hash-assign to two variants (same Knuth
+    * multiplicative hash as every seeded split here — assignment is
+    * stable under traffic growth), conversion is "ever purchased",
+    * and the two-proportion pooled z-score decides significance.
+    * Conversion is "ever made a high-value purchase" (value > 90 —
+    * every synthetic user purchases SOMETHING, so the plain flag
+    * would be 1.0 in both arms and degenerate the pooled variance).
+    * Shape: per-user rollup (one shuffle on user_id), then a single
+    * conditional aggregation to ONE row — no join, no second shuffle;
+    * the z arithmetic is one fixed double expression rounded to 1e-6
+    * so both engines agree on the hash.
+    */
+  private def qEvtAbtest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 90, 1)
+        .otherwise(0)).as("conv"))
+      .withColumn("variant",
+        pmod(pmod(col("user_id") * 2654435761L, lit(4294967296L)), lit(2)))
+    val agg = perUser.groupBy()
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0)).as("c_a"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0)).as("c_b"))
+    agg.select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+        round(col("c_a").cast("double") / col("n_a"), 6).as("rate_a"),
+        round(col("c_b").cast("double") / col("n_b"), 6).as("rate_b"),
+        round(
+          (col("c_b").cast("double") / col("n_b") - col("c_a").cast("double") / col("n_a")) /
+            sqrt(((col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_evt_pattern" -> qEvtPattern _,
+    "q_evt_value_pctl" -> qEvtValuePctl _,
+    "q_evt_abtest" -> qEvtAbtest _,
+    "q_evt_pivot" -> qEvtPivot _,
     "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
@@ -478,6 +580,53 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_evt_value_pctl" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |SELECT event_type, min(cnt) AS n,
+        |  min(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN value END) AS p50,
+        |  min(CASE WHEN rn = CAST(ceil(cnt * 0.95) AS BIGINT) THEN value END) AS p95,
+        |  min(CASE WHEN rn = CAST(ceil(cnt * 0.99) AS BIGINT) THEN value END) AS p99,
+        |  TRUE AS sk50_ok, TRUE AS sk95_ok, TRUE AS sk99_ok
+        |FROM r
+        |WHERE rn IN (CAST(ceil(cnt * 0.5) AS BIGINT), CAST(ceil(cnt * 0.95) AS BIGINT),
+        |             CAST(ceil(cnt * 0.99) AS BIGINT))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_evt_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT conv, ((user_id * 2654435761) % 4294967296) % 2 AS variant FROM u),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM v)
+        |SELECT n_a, n_b, c_a, c_b,
+        |  round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+        |    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |           * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |           * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+        |  abs(round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+        |    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |           * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |           * (1.0 / n_a + 1.0 / n_b)), 6)) > 1.96 AS significant
+        |FROM a""".stripMargin,
     "q_evt_pattern" ->
       """WITH j AS (
         |  SELECT user_id, count(*) AS n_events,

@@ -434,6 +434,15 @@ object ScaleQueries {
   private def qStreamEwma(s: SparkSession, dir: String): DataFrame =
     StreamOps.ewmaState(s, dir)._1
 
+  /** Streaming CEP — q_evt_pattern's stateful twin with O(1) DFA
+    * state per user instead of the batch journey string; must produce
+    * the identical pattern counts, so it replays the same journey
+    * oracle (minus the full-journey fingerprint, which O(1) state by
+    * design cannot reconstruct). See StreamOps.patternState.
+    */
+  private def qStreamPattern(s: SparkSession, dir: String): DataFrame =
+    StreamOps.patternState(s, dir)._1
+
   /** Stateful streaming sessionization (flatMapGroupsWithState) —
     * must equal the batch window-algebra sessionization, so it shares
     * q_evt_sessionize's oracle.
@@ -598,6 +607,7 @@ object ScaleQueries {
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_ewma" -> qStreamEwma _,
+    "q_stream_pattern" -> qStreamPattern _,
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_hourly_append" -> qStreamHourlyAppend _,
     "q_stream_sessionize_append" -> qStreamSessionizeAppend _,
@@ -763,6 +773,16 @@ object ScaleQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the full-history fold the O(1) streaming state replaces: the
     // list_reduce IS the e' = v/2 + e/2 recursion, element 1 seeding
+    "q_stream_pattern" ->
+      """WITH j AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(journey, 'vc*p')) AS BIGINT) AS n_conv,
+        |  CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT) AS n_err_runs,
+        |  len(regexp_extract_all(journey, 's[^p]*p')) > 0 AS signup_converted
+        |FROM j ORDER BY user_id""".stripMargin,
     "q_stream_ewma" ->
       """SELECT user_id, count(*) AS n_events,
         |  round(list_reduce(list(value ORDER BY ts, event_id),

@@ -322,6 +322,107 @@ object StreamOps {
     (out, maxState)
   }
 
+  case class EvtT(user_id: Long, us: Long, event_id: Long, letter: String)
+  case class CepState(nEvents: Long, inMatch: Boolean, runLen: Int,
+                      pending: Boolean, matched: Boolean,
+                      nConv: Long, nErrRuns: Long)
+
+  /** Streaming CEP — the stateful twin of the batch q_evt_pattern
+    * (MATCH_RECOGNIZE-lite): the three journey regexes compile to
+    * constant-size DFAs simulated per user, so state is O(1) — a few
+    * counters and three machine flags — where the batch form holds
+    * the whole journey string. The simulations are EXACT equivalents
+    * of leftmost-greedy non-overlapping java.util.regex matching for
+    * these patterns:
+    *   - `vc*p`: an attempt can only start at 'v' and consumes only
+    *     'c's before 'p', so on failure the failing char itself is
+    *     the only viable restart — one boolean suffices.
+    *   - `ee+`: greedy matches are exactly the maximal runs of ≥2
+    *     'e's — a run-length counter, committed when the run breaks.
+    *     An OPEN run at a batch boundary is flushed provisionally
+    *     into the emitted value but never into state, so a
+    *     continuation batch cannot double-count it.
+    *   - `s[^p]*p` (existence): a pending-signup flag armed by 's',
+    *     resolved by the next 'p'.
+    * Like every arrival-order feature, cross-batch equality with the
+    * batch oracle assumes batches arrive in event-time order; the
+    * within-batch (us, event_id) sort handles intra-batch disorder
+    * (spec-asserted with a two-slice replay).
+    */
+  def patternState(spark: SparkSession, sfDir: String,
+                   glob: String = "events.parquet",
+                   maxFilesPerTrigger: Int = 0): (DataFrame, Long) = {
+    import spark.implicits._
+    val batchSchema = spark.read.parquet(s"$sfDir/$glob").schema
+    var reader = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val stream = graft.core.EventTime.normalize(reader.parquet(sfDir))
+    val events = stream
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("letter"))
+      .as[EvtT]
+    val updates = events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[EvtT], state: GroupState[CepState]) => {
+          var st = state.getOption
+            .getOrElse(CepState(0L, false, 0, false, false, 0L, 0L))
+          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            val ch = e.letter.charAt(0)
+            var inM = st.inMatch; var nConv = st.nConv
+            if (inM) {
+              if (ch == 'p') { nConv += 1; inM = false }
+              else if (ch != 'c') inM = ch == 'v'
+            } else if (ch == 'v') inM = true
+            var runLen = st.runLen; var nErr = st.nErrRuns
+            if (ch == 'e') runLen += 1
+            else { if (runLen >= 2) nErr += 1; runLen = 0 }
+            var pending = st.pending; var matched = st.matched
+            if (ch == 's') pending = true
+            else if (ch == 'p' && pending) { matched = true; pending = false }
+            st = CepState(st.nEvents + 1, inM, runLen, pending, matched,
+              nConv, nErr)
+          }
+          state.update(st)
+          (uid, st.nEvents, st.nConv,
+            st.nErrRuns + (if (st.runLen >= 2) 1L else 0L), st.matched)
+        })
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Boolean)]
+    val q = updates.writeStream
+      .outputMode("update")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Boolean)],
+         _: Long) =>
+          val rows = batch.collect()
+          buf.synchronized { buf ++= rows }
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_pattern") = maxState
+    // last update per user wins: nEvents is strictly monotone per touch
+    val out = buf.synchronized(buf.toSeq)
+      .toDF("user_id", "n_events", "n_conv", "n_err_runs", "signup_converted")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_conv"), col("n_err_runs"),
+        col("signup_converted"))).as("last"))
+      .select(col("user_id"), col("last.n_events").as("n_events"),
+        col("last.n_conv").as("n_conv"),
+        col("last.n_err_runs").as("n_err_runs"),
+        col("last.signup_converted").as("signup_converted"))
+      .orderBy("user_id")
+    (out, maxState)
+  }
+
   /** The 100 TB form of [[sessionCounts]]: per-user state carries ONE
     * open session and is EVICTED by event-time timeout the moment the
     * watermark passes `last event + gap` — from that point no

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkSpec
+import scala.math.BigDecimal.RoundingMode.HALF_UP
+
+/** Round-12 event-analytics operators — exact/sketch percentiles, A/B
+  * z-test, pivot. Each replayed in plain Scala at sf0.001 (DuckDB
+  * hash-gates the same values at sf0.01/sf0.1).
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def r6(x: Double): Double = BigDecimal(x).setScale(6, HALF_UP).toDouble
+
+  private def events =
+    Q.t(spark, dir, "events")
+      .select("user_id", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+
+  test("value percentiles: nearest-rank exacts replay; sketch verdicts all true") {
+    val out = graft.SparkEntry.queries("q_evt_value_pctl")(spark, dir).collect()
+    val byType = events.groupBy(_._3)
+    assert(out.length == byType.size)
+    out.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+        .sortBy(e => (e._4, e._2)).map(_._4)
+      val n = vs.length
+      def pct(q: Double): Double = vs(math.ceil(n * q).toInt - 1)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("p50") == pct(0.5))
+      assert(r.getAs[Double]("p95") == pct(0.95))
+      assert(r.getAs[Double]("p99") == pct(0.99))
+      assert(r.getAs[Boolean]("sk50_ok") && r.getAs[Boolean]("sk95_ok") &&
+        r.getAs[Boolean]("sk99_ok"))
+      assert(pct(0.5) <= pct(0.95) && pct(0.95) <= pct(0.99))
+    }
+  }
+
+  test("abtest: hash assignment, conversion rates and pooled z replay") {
+    val out = graft.SparkEntry.queries("q_evt_abtest")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val perUser = events.groupBy(_._1).toSeq.map { case (uid, evs) =>
+      val conv = if (evs.exists(e => e._3 == "purchase" && e._4 > 90)) 1L else 0L
+      val variant = java.lang.Math.floorMod(uid * 2654435761L, 4294967296L) % 2
+      (variant, conv)
+    }
+    val nA = perUser.count(_._1 == 0L); val nB = perUser.count(_._1 == 1L)
+    val cA = perUser.filter(_._1 == 0L).map(_._2).sum
+    val cB = perUser.filter(_._1 == 1L).map(_._2).sum
+    assert(r.getAs[Long]("n_a") == nA && r.getAs[Long]("n_b") == nB)
+    assert(r.getAs[Long]("c_a") == cA && r.getAs[Long]("c_b") == cB)
+    val p = (cA + cB).toDouble / (nA + nB)
+    val z = (cB.toDouble / nB - cA.toDouble / nA) /
+      math.sqrt(p * (1.0 - p) * (1.0 / nA + 1.0 / nB))
+    assert(r.getAs[Double]("rate_a") == r6(cA.toDouble / nA))
+    assert(r.getAs[Double]("rate_b") == r6(cB.toDouble / nB))
+    assert(r.getAs[Double]("z") == r6(z))
+    assert(r.getAs[Boolean]("significant") == (math.abs(r6(z)) > 1.96))
+  }
+
+  test("pivot: per-day wide counts replay and row-sums equal the day totals") {
+    val out = graft.SparkEntry.queries("q_evt_pivot")(spark, dir).collect()
+    val days = Q.t(spark, dir, "events")
+      .selectExpr("date_format(ts, 'yyyy-MM-dd') AS day", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = days.groupBy(_._1).map { case (d, es) =>
+      d -> es.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val m = expect(r.getAs[String]("day")).withDefaultValue(0L)
+      Seq("click", "error", "purchase", "signup", "view").foreach { t =>
+        assert(r.getAs[Long](t) == m(t), s"day ${r.getAs[String]("day")} type $t")
+      }
+    }
+  }
+}

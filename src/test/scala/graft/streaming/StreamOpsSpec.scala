@@ -100,4 +100,62 @@ class StreamOpsSpec extends SparkSpec {
     val two = sliced.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(two == one, "time-ordered two-batch replay must reproduce the single-batch EWMA")
   }
+
+  test("streaming CEP: DFA state equals the batch regex counts, O(1) state per user") {
+    val dir = "/root/testdata/sf0.001"
+    val (oneShot, maxState) = StreamOps.patternState(spark, dir)
+    val one = oneShot.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val batch = EventQueries.defs("q_evt_pattern")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Int]("n_conv").toLong,
+          r.getAs[Int]("n_err_runs").toLong, r.getAs[Boolean]("signup_converted")))
+      .toMap
+    assert(one == batch, "O(1)-state DFA simulation == batch journey regexes")
+    assert(maxState == batch.size.toLong,
+      s"state high-water $maxState != ${batch.size} users (O(1)/user)")
+  }
+
+  test("streaming CEP: runs and open attempts carry across micro-batch boundaries") {
+    import org.apache.spark.sql.functions._
+    // crafted journeys split mid-pattern:
+    //   user 1: "vee" | "ep"  -> one ee+ run straddling the cut (a
+    //           commit-at-boundary bug would count it twice)
+    //   user 2: "vc"  | "cp"  -> one vc*p conversion spanning batches
+    //   user 3: "s"   | "p"   -> signup converts across the boundary
+    val letters = Map('v' -> "view", 'c' -> "click", 'p' -> "purchase",
+      'e' -> "error", 's' -> "signup")
+    def rows(uid: Long, journey: String, t0: Long): Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] =
+      journey.zipWithIndex.map { case (ch, i) =>
+        (uid * 1000 + i, new java.sql.Timestamp(t0 + i * 1000L), uid,
+          letters(ch), 1.0, "{}")
+      }
+    val tmp = java.nio.file.Files.createTempDirectory("cep_slices")
+    import spark.implicits._
+    def writeSlice(data: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)],
+                   name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      data.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, tmp.resolve(name))
+    }
+    // batch 1 holds each user's prefix (earlier timestamps)
+    writeSlice(rows(1, "vee", 0) ++ rows(2, "vc", 0) ++ rows(3, "s", 0),
+      "evt_000.parquet")
+    writeSlice(rows(1, "ep", 100000) ++ rows(2, "cp", 100000) ++ rows(3, "p", 100000),
+      "evt_001.parquet")
+    tmp.resolve("evt_001.parquet").toFile
+      .setLastModified(tmp.resolve("evt_000.parquet").toFile.lastModified() + 10000)
+    val (out, _) = StreamOps.patternState(spark, tmp.toString,
+      glob = "evt_*.parquet", maxFilesPerTrigger = 1)
+    val got = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // journeys: 1 -> "veeep", 2 -> "vccp", 3 -> "sp"
+    assert(got == Map(
+      1L -> ((5L, 0L, 1L, false)),
+      2L -> ((4L, 1L, 0L, false)),
+      3L -> ((2L, 0L, 0L, true))))
+  }
 }
