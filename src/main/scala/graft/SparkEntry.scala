@@ -29,7 +29,8 @@ object SparkEntry {
       DatasetQueries.defs ++
       ScaleQueries.defs ++
       AdvancedQueries.defs ++
-      GraphQueries.defs
+      GraphQueries.defs ++
+      DqQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       DatasetQueries.oracles ++
       ScaleQueries.oracles ++
       AdvancedQueries.oracles ++
-      GraphQueries.oracles
+      GraphQueries.oracles ++
+      DqQueries.oracles
 }

@@ -60,6 +60,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("significant") == (math.abs(r6(z)) > 1.96))
   }
 
+  test("dq constraints: violation counts replay; the two real defects are flagged") {
+    val out = graft.SparkEntry.queries("q_dq_constraints")(spark, dir).collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[String]("cname")) ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"), r.getAs[Boolean]("ok")))
+      .toMap
+    assert(out.size == 9)
+    out.foreach { case (_, (_, v, ok)) => assert(ok == (v == 0L)) }
+    // composite-key uniqueness: replay count(*) - distinct (lo, ln)
+    val li = Q.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val (n, viol, _) = out(("lineitem", "orderkey_linenumber_unique"))
+    assert(n == li.length && viol == li.length - li.distinct.length)
+    // reconciliation: replay the 1% tolerance comparison
+    val ext = Q.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val tot = Q.t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val expViol = ext.count { case (k, s) =>
+      tot.contains(k) && math.abs(tot(k) - s.toDouble) > tot(k) * 0.01
+    }
+    val (nRec, violRec, okRec) = out(("orders", "totalprice_reconciles_1pct"))
+    assert(nRec == ext.count(e => tot.contains(e._1)))
+    assert(violRec == expViol && !okRec,
+      "synthetic totals must NOT reconcile — a vacuous all-green report would hide a broken check")
+    // the referential/domain checks genuinely hold on this corpus
+    assert(out(("orders", "fk_custkey_resolves"))._3)
+    assert(out(("events", "event_type_in_domain"))._3)
+  }
+
   test("pivot: per-day wide counts replay and row-sums equal the day totals") {
     val out = graft.SparkEntry.queries("q_evt_pivot")(spark, dir).collect()
     val days = Q.t(spark, dir, "events")
