@@ -19,6 +19,35 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_docs"),
            countDistinct(md5(col("text"))).as("n_unique"))
 
+  /** Duplication-aware reweighting (the soft alternative to dropping:
+    * keep every copy, down-weight it by its duplicate multiplicity —
+    * the SoftDeDup recipe): each document's sampling weight is
+    * 1/|exact-dup cluster| in integer MICRO-units (floor(1e6/size) —
+    * rational per row, summed exactly, so no order-dependent double
+    * accumulation enters the hash gate). The report is per-language:
+    * raw count, unique count, effective corpus mass (Σ weights), and
+    * the weight extremes.
+    *
+    * Scale shape: ONE exchange — cluster size is a count over a
+    * window partitioned by the 16-byte fingerprint (no groupBy+join
+    * back), then the per-lang rollup is partial-aggregatable. Text
+    * never shuffles; only (fp, lang, weight) rows move.
+    */
+  private def qDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fp")
+    t(s, dir, "documents")
+      .select(col("lang"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .withColumn("sz", count(lit(1)).over(w))
+      .withColumn("w_micro", floor(lit(1000000L) / col("sz")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum("w_micro").as("eff_micro"),
+        min("w_micro").as("min_w"), max("w_micro").as("max_w"))
+      .orderBy("lang")
+  }
+
   /** The one-scan base projection shared by the dedup family: every
     * text-derived column any corpus-curation stage needs — content
     * fingerprint, token count, hashed 3-shingles — built in a single
@@ -379,6 +408,7 @@ object DedupQueries {
     "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_weights" -> qDedupWeights _,
     "q_dedup_keep_first" -> qDedupKeepFirst _,
     "q_dedup_jaccard_pairs" -> qDedupJaccardPairs _,
     "q_dedup_components" -> qDedupComponents _,
@@ -430,6 +460,16 @@ object DedupQueries {
         |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "q_dedup_weights" ->
+      """WITH f AS (
+        |  SELECT lang, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |s AS (SELECT lang, fp, count(*) OVER (PARTITION BY fp) AS sz FROM f)
+        |SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+        |  CAST(sum(1000000 // sz) AS BIGINT) AS eff_micro,
+        |  CAST(min(1000000 // sz) AS BIGINT) AS min_w,
+        |  CAST(max(1000000 // sz) AS BIGINT) AS max_w
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_keep_first" ->
       """SELECT doc_id, fp FROM (
         |  SELECT doc_id, md5(text) AS fp,

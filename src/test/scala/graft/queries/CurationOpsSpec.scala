@@ -136,6 +136,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(all3.forall(p => near.exists(n => n._2 == p._1 && n._3 == p._2)))
   }
 
+  test("dedup weights: per-cluster micro-weights replay; effective mass is bounded") {
+    val out = graft.SparkEntry.queries("q_dedup_weights")(spark, dir).collect()
+    val docs = Q.t(spark, dir, "documents").select("lang", "text").collect()
+      .map { r =>
+        val norm = r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+        (r.getString(0), md5hex(norm))
+      }
+    val szByFp = docs.groupBy(_._2).map { case (fp, xs) => fp -> xs.length }
+    val byLang = docs.groupBy(_._1)
+    assert(out.length == byLang.size)
+    out.foreach { r =>
+      val g = byLang(r.getAs[String]("lang"))
+      val ws = g.map(d => 1000000L / szByFp(d._2))
+      assert(r.getAs[Long]("n_docs") == g.length)
+      assert(r.getAs[Long]("n_unique") == g.map(_._2).distinct.length)
+      assert(r.getAs[Long]("eff_micro") == ws.sum)
+      assert(r.getAs[Long]("min_w") == ws.min && r.getAs[Long]("max_w") == ws.max)
+      // soft-dedup invariant: unique mass <= effective mass <= raw mass
+      assert(ws.sum <= g.length * 1000000L)
+      assert(ws.sum >= g.map(_._2).distinct.length.toLong * 500000L)
+    }
+  }
+
   test("emb outliers: per-label centroid cosine extremes replay") {
     val out = graft.SparkEntry.queries("q_emb_outliers")(spark, dir).collect()
     val vecs = Q.t(spark, dir, "embeddings")
