@@ -327,6 +327,36 @@ object StreamOps {
                       pending: Boolean, matched: Boolean,
                       nConv: Long, nErrRuns: Long)
 
+  val cepInit: CepState = CepState(0L, false, 0, false, false, 0L, 0L)
+
+  /** Pure one-event CEP transition — the DFA simulation shared by
+    * [[patternState]] and the regex-equivalence property spec (which
+    * proves fold-over-journey == java.util.regex counts on arbitrary
+    * journeys, not just the event corpus).
+    */
+  def cepStep(st: CepState, ch: Char): CepState = {
+    var inM = st.inMatch; var nConv = st.nConv
+    if (inM) {
+      if (ch == 'p') { nConv += 1; inM = false }
+      else if (ch != 'c') inM = ch == 'v'
+    } else if (ch == 'v') inM = true
+    var runLen = st.runLen; var nErr = st.nErrRuns
+    if (ch == 'e') runLen += 1
+    else { if (runLen >= 2) nErr += 1; runLen = 0 }
+    var pending = st.pending; var matched = st.matched
+    if (ch == 's') pending = true
+    else if (ch == 'p' && pending) { matched = true; pending = false }
+    CepState(st.nEvents + 1, inM, runLen, pending, matched, nConv, nErr)
+  }
+
+  /** End-of-stream readout: a trailing error run of ≥2 counts (the
+    * regex would match it), but state itself stays uncommitted so a
+    * continuation batch cannot double-count.
+    */
+  def cepEmit(st: CepState): (Long, Long, Long, Boolean) =
+    (st.nEvents, st.nConv,
+      st.nErrRuns + (if (st.runLen >= 2) 1L else 0L), st.matched)
+
   /** Streaming CEP — the stateful twin of the batch q_evt_pattern
     * (MATCH_RECOGNIZE-lite): the three journey regexes compile to
     * constant-size DFAs simulated per user, so state is O(1) — a few
@@ -368,27 +398,13 @@ object StreamOps {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[EvtT], state: GroupState[CepState]) => {
-          var st = state.getOption
-            .getOrElse(CepState(0L, false, 0, false, false, 0L, 0L))
+          var st = state.getOption.getOrElse(cepInit)
           it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
-            val ch = e.letter.charAt(0)
-            var inM = st.inMatch; var nConv = st.nConv
-            if (inM) {
-              if (ch == 'p') { nConv += 1; inM = false }
-              else if (ch != 'c') inM = ch == 'v'
-            } else if (ch == 'v') inM = true
-            var runLen = st.runLen; var nErr = st.nErrRuns
-            if (ch == 'e') runLen += 1
-            else { if (runLen >= 2) nErr += 1; runLen = 0 }
-            var pending = st.pending; var matched = st.matched
-            if (ch == 's') pending = true
-            else if (ch == 'p' && pending) { matched = true; pending = false }
-            st = CepState(st.nEvents + 1, inM, runLen, pending, matched,
-              nConv, nErr)
+            st = cepStep(st, e.letter.charAt(0))
           }
           state.update(st)
-          (uid, st.nEvents, st.nConv,
-            st.nErrRuns + (if (st.runLen >= 2) 1L else 0L), st.matched)
+          val (n, conv, err, conv2) = cepEmit(st)
+          (uid, n, conv, err, conv2)
         })
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long, Boolean)]

@@ -102,6 +102,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CEP DFA == java.util.regex on arbitrary journeys, at every batch split") {
+    import graft.streaming.StreamOps
+    def regexCounts(j: String): (Long, Long, Long, Boolean) = {
+      def count(p: String): Long = {
+        val m = java.util.regex.Pattern.compile(p).matcher(j)
+        var n = 0L; while (m.find()) n += 1; n
+      }
+      (j.length.toLong, count("vc*p"), count("ee+"), count("s[^p]*p") > 0)
+    }
+    val gen = Gen.listOf(Gen.oneOf('c', 'e', 'p', 's', 'v')).map(_.mkString)
+    samples(gen, 300).foreach { j =>
+      val folded = j.foldLeft(StreamOps.cepInit)(StreamOps.cepStep)
+      assert(StreamOps.cepEmit(folded) == regexCounts(j), s"journey '$j'")
+      // batch-boundary invariance: folding the two halves through the
+      // carried state gives the same emission for EVERY split point
+      (0 to j.length).foreach { cut =>
+        val mid = j.take(cut).foldLeft(StreamOps.cepInit)(StreamOps.cepStep)
+        val full = j.drop(cut).foldLeft(mid)(StreamOps.cepStep)
+        assert(StreamOps.cepEmit(full) == regexCounts(j),
+          s"journey '$j' split at $cut")
+      }
+    }
+  }
+
   test("minhash estimate: symmetric, bounded, exact on hand-built signatures") {
     val gen = Gen.listOfN(32, Gen.choose(0L, 50L))
     samples(gen.flatMap(a => gen.map(b => (a, b))), 100).foreach { case (a, b) =>
