@@ -26,6 +26,28 @@ object AdvancedQueries {
       .orderBy("event_id")
   }
 
+  /** The remaining analytic-rank family in one pass: percent_rank,
+    * cume_dist, ntile(4) and nth_value over each customer's orders by
+    * price — all ride ONE window sort (same partition + ordering), so
+    * Catalyst evaluates them in a single WindowExec with no extra
+    * exchanges. Doubles from percent_rank/cume_dist are exact rational
+    * k/n values — identical in any engine, no rounding needed.
+    */
+  private def qWRankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("cheapest_key",
+        nth_value(col("o_orderkey"), 1).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("pr"), col("cd"),
+        col("quartile"), col("cheapest_key"))
+      .orderBy("o_orderkey")
+  }
+
   /** GROUPING SETS with grouping() flags — finer than rollup (A4's
     * generalization).
     */
@@ -130,6 +152,7 @@ object AdvancedQueries {
   val defs: Map[String, QueryFn] = Map(
     "q_skew_distinct" -> qSkewDistinct _,
     "q_w_range_frame" -> qWRangeFrame _,
+    "q_w_rank_family" -> qWRankFamily _,
     "q_grouping_sets" -> qGroupingSets _,
     "q_cond_agg" -> qCondAgg _,
     "q_regex_extract" -> qRegexExtract _,
@@ -142,6 +165,18 @@ object AdvancedQueries {
     "q_skew_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_w_rank_family" ->
+      """SELECT o_orderkey, o_custkey, pr, cd, quartile, cheapest_key FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd,
+        |    CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |    first_value(o_orderkey) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey))
+        |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
     "q_w_range_frame" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (

@@ -92,11 +92,60 @@ object DqQueries {
       .orderBy("tbl", "cname")
   }
 
+  /** Shuffle-skew pre-flight: before a 100 TB job commits to a plan,
+    * measure the key distribution of every candidate join/aggregation
+    * key — rows, distinct keys, the heaviest key's row count, and the
+    * skew factor (max/mean, in exact integer hundredths: floor(100 ·
+    * max · n_keys / n_rows) — no double division enters the hash).
+    * `salt_recommended` flags keys whose heaviest value exceeds 16×
+    * the mean — the threshold at which AQE's skew split stops being
+    * enough and explicit salting (Dedup.lshCandidatePairsSalted's
+    * treatment) pays. Each audit is one partial-aggregatable
+    * two-level groupBy; nothing collects.
+    */
+  private def qSkewPreflight(s: SparkSession, dir: String): DataFrame = {
+    def audit(tbl: String, keyName: String, df: DataFrame): DataFrame =
+      df.toDF("k")
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(lit(tbl).as("tbl"), lit(keyName).as("key"),
+          sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("max_rows"))
+        .select(col("tbl"), col("key"), col("n_rows"), col("n_keys"),
+          col("max_rows"),
+          floor(lit(100L) * col("max_rows") * col("n_keys") / col("n_rows"))
+            .as("skew_x100"))
+    Seq(
+      audit("lineitem", "l_orderkey", t(s, dir, "lineitem").select(col("l_orderkey"))),
+      audit("lineitem", "l_suppkey", t(s, dir, "lineitem").select(col("l_suppkey"))),
+      audit("orders", "o_custkey", t(s, dir, "orders").select(col("o_custkey"))),
+      audit("events", "user_id", t(s, dir, "events").select(col("user_id"))),
+      audit("events", "event_type", t(s, dir, "events").select(col("event_type"))),
+      audit("documents", "source", t(s, dir, "documents").select(col("source"))))
+      .reduce(_.union(_))
+      .withColumn("salt_recommended", col("skew_x100") > 1600L)
+      .orderBy("tbl", "key")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_dq_constraints" -> qDqConstraints _,
+    "q_skew_preflight" -> qSkewPreflight _,
   )
 
+  private def skewOracleRow(tbl: String, key: String): String =
+    s"""SELECT '$tbl' AS tbl, '$key' AS key,
+       |  CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+       |  CAST(max(c) AS BIGINT) AS max_rows,
+       |  CAST(floor(100 * max(c) * count(*) / sum(c)) AS BIGINT) AS skew_x100,
+       |  floor(100 * max(c) * count(*) / sum(c)) > 1600 AS salt_recommended
+       |FROM (SELECT count(*) AS c FROM $tbl GROUP BY $key)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_skew_preflight" ->
+      (Seq(("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"), ("events", "user_id"),
+        ("events", "event_type"), ("documents", "source"))
+        .map { case (t0, k) => skewOracleRow(t0, k) }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY tbl, key")),
     "q_dq_constraints" ->
       """WITH rep AS (
         |  SELECT 'orders' AS tbl, 'o_orderkey_unique' AS cname,

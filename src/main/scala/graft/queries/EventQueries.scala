@@ -501,6 +501,42 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** RFM segmentation (recency / frequency / monetary quartiles — the
+    * classic user-value census): one per-user rollup (the only
+    * event-scale shuffle), recency anchored to the corpus max
+    * timestamp (1-row broadcast — declared bounded cross join), then
+    * quartile assignment by ntile over each dimension with a user_id
+    * tiebreak, rolled up to the ≤64-cell segment census. The ntile
+    * windows sort USERS, not events — bounded by the user population;
+    * a 1e9-user deployment would swap exact ntile for broadcast
+    * approx-quantile thresholds, which changes only the cut points,
+    * not the operator contract.
+    */
+  private def qEvtRfm(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val anchor = e.agg(max(col("ts")).as("ts_max"))
+    val perUser = e.groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        sum(when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(dec(lit(0.0)))).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(to_date(col("ts_max")), to_date(col("last_ts"))))
+    val rW = Window.orderBy(col("recency_days"), col("user_id"))
+    val fW = Window.orderBy(desc("freq"), col("user_id"))
+    val mW = Window.orderBy(desc("monetary"), col("user_id"))
+    perUser
+      .withColumn("r_q", ntile(4).over(rW))
+      .withColumn("f_q", ntile(4).over(fW))
+      .withColumn("m_q", ntile(4).over(mW))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"),
+        sum("freq").as("n_events"),
+        sum("monetary").cast("double").as("monetary_total"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   /** Pivot (long→wide transpose): daily event-type counts as one
     * column per type. The value list is EXPLICIT — `pivot(col)`
     * without it runs an eager distinct scan to discover columns
@@ -561,6 +597,7 @@ object EventQueries {
     "q_evt_value_pctl" -> qEvtValuePctl _,
     "q_evt_abtest" -> qEvtAbtest _,
     "q_evt_pivot" -> qEvtPivot _,
+    "q_evt_rfm" -> qEvtRfm _,
     "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
@@ -580,6 +617,27 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_rfm" ->
+      """WITH anchor AS (SELECT max(ts) AS ts_max FROM events),
+        |u AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS monetary
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id, freq, monetary,
+        |    datediff('day', CAST(last_ts AS DATE), CAST(ts_max AS DATE)) AS recency_days
+        |  FROM u, anchor),
+        |q AS (
+        |  SELECT freq, monetary,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS INTEGER) AS r_q,
+        |    CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS INTEGER) AS f_q,
+        |    CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_q
+        |  FROM d)
+        |SELECT r_q, f_q, m_q, count(*) AS n_users,
+        |  CAST(sum(freq) AS BIGINT) AS n_events,
+        |  CAST(sum(monetary) AS DOUBLE) AS monetary_total
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
     "q_evt_pivot" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

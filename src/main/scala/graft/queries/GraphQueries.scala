@@ -100,11 +100,54 @@ object GraphQueries {
        |ORDER BY node_type, key""".stripMargin
   }
 
+  /** Degree distribution of the trade graph in exact log2 bins — the
+    * pre-flight diagnostic for every graph algorithm here (is the
+    * degree sequence heavy-tailed enough to need salting / hub
+    * mirroring, or benign?). The bin is floor(log2(deg)) computed as
+    * `length(bin(deg)) - 1` — pure integer/string arithmetic, because
+    * `floor(ln(x)/ln(2))` flips at exact powers of two depending on
+    * the engine's libm rounding. One groupBy(node) + one tiny census
+    * aggregation; the distinct() is the same bounded projection
+    * PageRank builds.
+    */
+  private def qGraphDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val deg = pairs.select(col("c").as("node"), col("sp").as("peer"))
+      .union(pairs.select(col("sp").as("node"), col("c").as("peer")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg
+      .select(when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        (length(bin(col("deg"))) - 1).as("bucket"), col("deg"))
+      .groupBy("node_type", "bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"),
+        sum("deg").as("sum_deg"))
+      .orderBy("node_type", "bucket")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_graph_pagerank" -> qGraphPagerank _,
+    "q_graph_degree_dist" -> qGraphDegreeDist _,
   )
 
   val oracles: Map[String, String] = Map(
     "q_graph_pagerank" -> prOracle,
+    "q_graph_degree_dist" ->
+      """WITH p AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT c AS node FROM p UNION ALL SELECT sp AS node FROM p) GROUP BY node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+        |  CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket,
+        |  count(*) AS n_nodes,
+        |  min(deg) AS min_deg, max(deg) AS max_deg,
+        |  CAST(sum(deg) AS BIGINT) AS sum_deg
+        |FROM deg GROUP BY 1, 2 ORDER BY node_type, bucket""".stripMargin,
   )
 }

@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_emb_pca",        // crossJoin of the 1-row norm aggregate
     "q_emb_pca2",       // same 1-row norm aggregate on the deflated matrix
     "q_txt_bm25",       // crossJoin of the 1-row (N, avgdl) corpus stats
-    "q_evt_drift"       // crossJoin of the 1-row corpus-total aggregate
+    "q_evt_drift",      // crossJoin of the 1-row corpus-total aggregate
+    "q_evt_rfm"         // crossJoin of the 1-row max-timestamp anchor
   )
 
   // streaming queries execute a real stream per call; keep them out of

@@ -93,6 +93,75 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(("events", "event_type_in_domain"))._3)
   }
 
+  test("rank family: percent_rank/cume_dist/ntile/first replay per customer") {
+    val out = graft.SparkEntry.queries("q_w_rank_family")(spark, dir).collect()
+    val orders = Q.t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byCust = orders.groupBy(_._2)
+    def ntileOf(idx: Int, n: Int, tiles: Int): Int = {
+      // Spark/DuckDB ntile: first (n % tiles) buckets get one extra row
+      val base = n / tiles; val extra = n % tiles
+      var rows = 0
+      (1 to tiles).find { b =>
+        rows += base + (if (b <= extra) 1 else 0); idx < rows
+      }.get
+    }
+    out.foreach { r =>
+      val g = byCust(r.getAs[Long]("o_custkey")).sortBy(o => (o._3, o._1))
+      val n = g.length
+      val idx = g.indexWhere(_._1 == r.getAs[Long]("o_orderkey"))
+      assert(idx >= 0)
+      val pr = if (n == 1) 0.0 else idx.toDouble / (n - 1)
+      assert(r.getAs[Double]("pr") == pr)
+      assert(r.getAs[Double]("cd") == (idx + 1).toDouble / n)
+      assert(r.getAs[Int]("quartile") == ntileOf(idx, n, 4))
+      assert(r.getAs[Long]("cheapest_key") == g.head._1)
+    }
+  }
+
+  test("rfm: segment census is a partition of users; quartiles are balanced") {
+    val out = graft.SparkEntry.queries("q_evt_rfm")(spark, dir).collect()
+    val nUsers = Q.t(spark, dir, "events").select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == nUsers)
+    // each dimension's quartiles partition users into n/4 +- 1 cells
+    Seq("r_q", "f_q", "m_q").foreach { dim =>
+      val byQ = out.groupBy(_.getAs[Int](dim))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_users")).sum }
+      assert(byQ.keySet == Set(1, 2, 3, 4))
+      assert(byQ.values.forall(v => math.abs(v - nUsers / 4.0) <= 1))
+    }
+    val totalEvents = Q.t(spark, dir, "events").count()
+    assert(out.map(_.getAs[Long]("n_events")).sum == totalEvents)
+  }
+
+  test("skew preflight: factors replay; the one genuinely skewed key is flagged") {
+    val out = graft.SparkEntry.queries("q_skew_preflight")(spark, dir).collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[String]("key")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"), r.getAs[Long]("max_rows"),
+          r.getAs[Long]("skew_x100"), r.getAs[Boolean]("salt_recommended"))).toMap
+    assert(out.size == 6)
+    out.foreach { case (_, (nr, nk, mx, sk, rec)) =>
+      assert(mx >= nr / nk && mx <= nr)
+      assert(sk == math.floor(100.0 * mx * nk / nr).toLong)
+      assert(rec == (sk > 1600L))
+      assert(sk >= 100L) // max >= mean always
+    }
+    // uniform synthetic keys must NOT trigger salting recommendations
+    assert(!out(("events", "user_id"))._5)
+  }
+
+  test("degree dist: log2 bins are exact at power-of-two boundaries") {
+    val out = graft.SparkEntry.queries("q_graph_degree_dist")(spark, dir).collect()
+    out.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      val lo = r.getAs[Long]("min_deg"); val hi = r.getAs[Long]("max_deg")
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b must hold degrees in [2^$b, 2^${b + 1})")
+      assert(r.getAs[Long]("n_nodes") > 0)
+    }
+  }
+
   test("pivot: per-day wide counts replay and row-sums equal the day totals") {
     val out = graft.SparkEntry.queries("q_evt_pivot")(spark, dir).collect()
     val days = Q.t(spark, dir, "events")
