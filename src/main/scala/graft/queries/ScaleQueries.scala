@@ -434,6 +434,13 @@ object ScaleQueries {
   private def qStreamEwma(s: SparkSession, dir: String): DataFrame =
     StreamOps.ewmaState(s, dir)._1
 
+  /** The same EWMA on Spark 4's transformWithState (RocksDB-backed
+    * named state) — API-surface twin, must hash-match q_stream_ewma's
+    * oracle exactly. See StreamOps.ewmaStateTws.
+    */
+  private def qStreamEwmaTws(s: SparkSession, dir: String): DataFrame =
+    StreamOps.ewmaStateTws(s, dir)._1
+
   /** Streaming CEP — q_evt_pattern's stateful twin with O(1) DFA
     * state per user instead of the batch journey string; must produce
     * the identical pattern counts, so it replays the same journey
@@ -607,6 +614,7 @@ object ScaleQueries {
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_ewma" -> qStreamEwma _,
+    "q_stream_ewma_tws" -> qStreamEwmaTws _,
     "q_stream_pattern" -> qStreamPattern _,
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_hourly_append" -> qStreamHourlyAppend _,
@@ -784,6 +792,11 @@ object ScaleQueries {
         |  len(regexp_extract_all(journey, 's[^p]*p')) > 0 AS signup_converted
         |FROM j ORDER BY user_id""".stripMargin,
     "q_stream_ewma" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(list_reduce(list(value ORDER BY ts, event_id),
+        |    (acc, x) -> acc / 2.0 + x / 2.0), 6) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_ewma_tws" ->
       """SELECT user_id, count(*) AS n_events,
         |  round(list_reduce(list(value ORDER BY ts, event_id),
         |    (acc, x) -> acc / 2.0 + x / 2.0), 6) AS ewma

@@ -322,6 +322,89 @@ object StreamOps {
     (out, maxState)
   }
 
+  /** [[ewmaState]] on the Spark 4 `transformWithState` API — the
+    * arbitrary-state surface that replaces mapGroupsWithState at
+    * scale (named state variables, RocksDB-backed, TTL/timers
+    * available): the SAME dyadic EWMA recursion held in a
+    * `ValueState[EwmaState]`, so it must reproduce [[ewmaState]]'s
+    * table bit-for-bit and shares q_stream_ewma's DuckDB oracle.
+    * transformWithState requires the RocksDB state-store provider;
+    * the conf is set for the stream's start and restored after
+    * (streams capture their conf at start).
+    */
+  private class EwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvtV, (Long, Long, Double)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[EwmaState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[EwmaState]("ewma",
+        org.apache.spark.sql.Encoders.product[EwmaState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[EvtV],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      var s = if (st.exists()) st.get() else EwmaState(0L, 0.0)
+      rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        s = if (s.n == 0L) EwmaState(1L, e.value)
+            else EwmaState(s.n + 1, s.ewma / 2.0 + e.value / 2.0)
+      }
+      st.update(s)
+      Iterator.single((uid, s.n, s.ewma))
+    }
+  }
+
+  def ewmaStateTws(spark: SparkSession, sfDir: String): (DataFrame, Long) = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val stream = graft.core.EventTime.normalize(
+        spark.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      val events = stream
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .as[EvtV]
+      val updates = events.groupByKey(_.user_id)
+        .transformWithState(new EwmaProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = updates.writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+            val rows = batch.collect()
+            buf.synchronized { buf ++= rows }
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val progress = q.recentProgress
+      q.stop()
+      val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      stateHighWater("q_stream_ewma_tws") = maxState
+      val out = buf.synchronized(buf.toSeq).toDF("user_id", "n_events", "ewma")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("ewma"))).as("last"))
+        .select(col("user_id"), col("last.n_events").as("n_events"),
+          round(col("last.ewma"), 6).as("ewma"))
+        .orderBy("user_id")
+      (out, maxState)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   case class EvtT(user_id: Long, us: Long, event_id: Long, letter: String)
   case class CepState(nEvents: Long, inMatch: Boolean, runLen: Int,
                       pending: Boolean, matched: Boolean,

@@ -101,6 +101,19 @@ class StreamOpsSpec extends SparkSpec {
     assert(two == one, "time-ordered two-batch replay must reproduce the single-batch EWMA")
   }
 
+  test("transformWithState EWMA equals the mapGroupsWithState twin bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val (mgws, _) = StreamOps.ewmaState(spark, dir)
+    val (tws, maxState) = StreamOps.ewmaStateTws(spark, dir)
+    val a = mgws.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val b = tws.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(a == b, "the Spark 4 state API must reproduce the classic API exactly")
+    assert(maxState == a.size.toLong, "RocksDB state rows == users (O(1)/user)")
+    // conf restored: the shared session must not keep the RocksDB provider
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("streaming CEP: DFA state equals the batch regex counts, O(1) state per user") {
     val dir = "/root/testdata/sf0.001"
     val (oneShot, maxState) = StreamOps.patternState(spark, dir)
