@@ -501,6 +501,21 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Unpivot (wide→long melt) — the inverse reshape of [[qEvtPivot]],
+    * applied to the pivoted table itself so the pair proves the
+    * round-trip law: unpivot(pivot(events)) reproduces the long-form
+    * daily aggregation (zero-count cells melt to 0 rows and are
+    * filtered, exactly the cells pivot's na.fill fabricated). Melt is
+    * a zero-shuffle projection — each wide row expands map-side.
+    */
+  private def qEvtUnpivot(s: SparkSession, dir: String): DataFrame =
+    qEvtPivot(s, dir)
+      .unpivot(Array(col("day")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy("day", "event_type")
+
   /** RFM segmentation (recency / frequency / monetary quartiles — the
     * classic user-value census): one per-user rollup (the only
     * event-scale shuffle), recency anchored to the corpus max
@@ -598,6 +613,7 @@ object EventQueries {
     "q_evt_abtest" -> qEvtAbtest _,
     "q_evt_pivot" -> qEvtPivot _,
     "q_evt_rfm" -> qEvtRfm _,
+    "q_evt_unpivot" -> qEvtUnpivot _,
     "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
@@ -617,6 +633,12 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the round-trip law: melting the pivoted table back must equal the
+    // direct long-form aggregation
+    "q_evt_unpivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_evt_rfm" ->
       """WITH anchor AS (SELECT max(ts) AS ts_max FROM events),
         |u AS (
