@@ -52,7 +52,7 @@ object Ql {
     "q_stream_incremental", "q_stream_hourly_append",
     "q_stream_incremental_append", "q_stream_sessionize_append",
     "q_stream_stitch", "q_stream_range_append", "q_stream_ewma",
-    "q_stream_pattern", "q_stream_ewma_tws",
+    "q_stream_pattern", "q_stream_ewma_tws", "q_evt_pipeline",
     "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank")
 
   /** Register inventory queries as temp views named after their registry

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Q._
@@ -501,6 +501,44 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Events-side flagship COMPOSITION (the q_corpus_build discipline
+    * applied to the behavioral pipeline): ONE per-user projection
+    * `(n_events, first/last day, conversion, variant, lifetime,
+    * engagement bucket)` — a single event-scale shuffle, materialized
+    * once via localCheckpoint — drives three product censuses:
+    * experiment arms, lifetime-weeks distribution, and log2
+    * engagement buckets (exact bins via binary-string length, the
+    * q_graph_degree_dist trick). Without the checkpoint each census
+    * would re-shuffle the raw events; with it the event scan+rollup
+    * runs exactly once and three ≤dozens-row aggregations share it.
+    */
+  private def qEvtPipeline(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"),
+        max(when(col("event_type") === "purchase" && col("value") > 90, 1)
+          .otherwise(0)).as("conv"))
+      .withColumn("variant",
+        pmod(pmod(col("user_id") * 2654435761L, lit(4294967296L)), lit(2)))
+      .withColumn("lifetime_weeks",
+        floor(datediff(col("last_day"), col("first_day")) / 7))
+      .withColumn("bucket", length(bin(col("n_events"))) - 1)
+      .localCheckpoint()
+    def census(section: String, k: Column): DataFrame =
+      perUser.groupBy(k.cast("string").as("k"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("n_events").as("n_events_sum"),
+          sum("conv").cast("long").as("n_conv"))
+        .select(lit(section).as("section"), col("k"),
+          col("n_users"), col("n_events_sum"), col("n_conv"))
+    census("arm", col("variant"))
+      .union(census("engagement", col("bucket")))
+      .union(census("lifetime", col("lifetime_weeks")))
+      .orderBy("section", "k")
+  }
+
   /** Unpivot (wide→long melt) — the inverse reshape of [[qEvtPivot]],
     * applied to the pivoted table itself so the pair proves the
     * round-trip law: unpivot(pivot(events)) reproduces the long-form
@@ -614,6 +652,7 @@ object EventQueries {
     "q_evt_pivot" -> qEvtPivot _,
     "q_evt_rfm" -> qEvtRfm _,
     "q_evt_unpivot" -> qEvtUnpivot _,
+    "q_evt_pipeline" -> qEvtPipeline _,
     "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
@@ -633,6 +672,30 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_pipeline" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    min(CAST(ts AS DATE)) AS first_day, max(CAST(ts AS DATE)) AS last_day,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |x AS (SELECT n_events, conv,
+        |    ((user_id * 2654435761) % 4294967296) % 2 AS variant,
+        |    datediff('day', first_day, last_day) // 7 AS lifetime_weeks,
+        |    length(bin(n_events)) - 1 AS bucket
+        |  FROM u)
+        |SELECT section, k, n_users, n_events_sum, n_conv FROM (
+        |  SELECT 'arm' AS section, CAST(variant AS VARCHAR) AS k, count(*) AS n_users,
+        |    CAST(sum(n_events) AS BIGINT) AS n_events_sum, CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM x GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'engagement', CAST(bucket AS VARCHAR), count(*),
+        |    CAST(sum(n_events) AS BIGINT), CAST(sum(conv) AS BIGINT)
+        |  FROM x GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'lifetime', CAST(lifetime_weeks AS VARCHAR), count(*),
+        |    CAST(sum(n_events) AS BIGINT), CAST(sum(conv) AS BIGINT)
+        |  FROM x GROUP BY 2)
+        |ORDER BY section, k""".stripMargin,
     // the round-trip law: melting the pivoted table back must equal the
     // direct long-form aggregation
     "q_evt_unpivot" ->

@@ -162,6 +162,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("events pipeline: every census section partitions the same user base") {
+    val out = graft.SparkEntry.queries("q_evt_pipeline")(spark, dir).collect()
+    val nUsers = Q.t(spark, dir, "events").select("user_id").distinct().count()
+    val nEvents = Q.t(spark, dir, "events").count()
+    Seq("arm", "engagement", "lifetime").foreach { sec =>
+      val rows = out.filter(_.getAs[String]("section") == sec)
+      assert(rows.nonEmpty, s"section $sec missing")
+      assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers, s"$sec user partition")
+      assert(rows.map(_.getAs[Long]("n_events_sum")).sum == nEvents, s"$sec event mass")
+    }
+    // conversions are consistent across sections (same per-user flag summed)
+    val convBySec = Seq("arm", "engagement", "lifetime").map { sec =>
+      out.filter(_.getAs[String]("section") == sec).map(_.getAs[Long]("n_conv")).sum
+    }
+    assert(convBySec.distinct.size == 1)
+  }
+
   test("pivot: per-day wide counts replay and row-sums equal the day totals") {
     val out = graft.SparkEntry.queries("q_evt_pivot")(spark, dir).collect()
     val days = Q.t(spark, dir, "events")
