@@ -501,6 +501,40 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Holt double-exponential forecast of daily event volume per type —
+    * trend-aware smoothing, the capacity-planning readout. α = β = 1/2
+    * (the dyadic choice, same reason as q_evt_ewma): every update is
+    * halvings of a FIXED-ORDER three-term sum, so the recursion is
+    * bit-exactly replayable — the fold init is {l: y₁, b: 0} and each
+    * later day applies l' = (y + l + b)/2, b' = (l' − l)/2 + b/2;
+    * forecast = l + b. The daily rollup is the only event-scale
+    * shuffle; the per-type fold runs over ~30 doubles (a HOF
+    * `aggregate` — interpreted, but the PCA per-row-cost lesson does
+    * not apply to a 5-row aggregate table).
+    */
+  private def qEvtForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lb = (y: Column, l: Column, b: Column) => (y + l + b) / 2
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("srt"))
+      .withColumn("ys", transform(col("srt"), _.getField("n").cast("double")))
+      .withColumn("fit",
+        aggregate(
+          slice(col("ys"), lit(2), greatest(size(col("ys")) - 1, lit(0))),
+          struct(element_at(col("ys"), 1).as("l"), lit(0.0).as("b")),
+          (acc, y) => struct(
+            lb(y, acc.getField("l"), acc.getField("b")).as("l"),
+            ((lb(y, acc.getField("l"), acc.getField("b")) - acc.getField("l")) / 2 +
+              acc.getField("b") / 2).as("b"))))
+      .select(col("event_type"), size(col("ys")).as("n_days"),
+        round(col("fit.l"), 6).as("level"),
+        round(col("fit.b"), 6).as("trend"),
+        round(col("fit.l") + col("fit.b"), 6).as("forecast_next"))
+      .orderBy("event_type")
+  }
+
   /** Events-side flagship COMPOSITION (the q_corpus_build discipline
     * applied to the behavioral pipeline): ONE per-user projection
     * `(n_events, first/last day, conversion, variant, lifetime,
@@ -653,6 +687,7 @@ object EventQueries {
     "q_evt_rfm" -> qEvtRfm _,
     "q_evt_unpivot" -> qEvtUnpivot _,
     "q_evt_pipeline" -> qEvtPipeline _,
+    "q_evt_forecast" -> qEvtForecast _,
     "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
@@ -672,6 +707,33 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // recursive-CTE replay of the fold. A struct-accumulator
+    // list_reduce is NOT usable here: DuckDB updates accumulator
+    // fields sequentially, so the 'b' expression reads the
+    // already-updated 'l' (measured, not guessed) — the CTE advances
+    // (l, b) atomically per day instead.
+    "q_evt_forecast" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(n AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |        FROM events GROUP BY 1, 2)),
+        |f AS (
+        |  SELECT event_type, rn, y AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.rn,
+        |    (d.y + f.l + f.b) / 2,
+        |    ((d.y + f.l + f.b) / 2 - f.l) / 2 + f.b / 2
+        |  FROM f JOIN d ON d.event_type = f.event_type AND d.rn = f.rn + 1),
+        |last AS (
+        |  SELECT event_type, rn, l, b,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY rn DESC) AS rev
+        |  FROM f)
+        |SELECT event_type, CAST(rn AS INTEGER) AS n_days,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(l + b, 6) AS forecast_next
+        |FROM last WHERE rev = 1 ORDER BY event_type""".stripMargin,
     "q_evt_pipeline" ->
       """WITH u AS (
         |  SELECT user_id, count(*) AS n_events,

@@ -162,6 +162,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("holt forecast: dyadic level/trend fold replays in plain Scala") {
+    val out = graft.SparkEntry.queries("q_evt_forecast")(spark, dir).collect()
+    val daily = Q.t(spark, dir, "events")
+      .selectExpr("event_type", "to_date(ts) AS day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(identity).map { case ((t0, d), xs) => (t0, d, xs.size.toDouble) }
+      .toSeq.groupBy(_._1)
+    assert(out.length == daily.size)
+    out.foreach { r =>
+      val ys = daily(r.getAs[String]("event_type")).sortBy(_._2).map(_._3)
+      var l = ys.head; var b = 0.0
+      ys.tail.foreach { y =>
+        val l2 = (y + l + b) / 2
+        b = (l2 - l) / 2 + b / 2
+        l = l2
+      }
+      assert(r.getAs[Int]("n_days") == ys.length)
+      assert(r.getAs[Double]("level") == r6(l))
+      assert(r.getAs[Double]("trend") == r6(b))
+      assert(r.getAs[Double]("forecast_next") == r6(l + b))
+    }
+  }
+
   test("events pipeline: every census section partitions the same user base") {
     val out = graft.SparkEntry.queries("q_evt_pipeline")(spark, dir).collect()
     val nUsers = Q.t(spark, dir, "events").select("user_id").distinct().count()
