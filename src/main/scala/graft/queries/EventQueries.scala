@@ -501,6 +501,45 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** CUSUM changepoint detection on daily event volume per type
+    * (Page 1954), via the drawdown duality: the one-sided CUSUM
+    * S_i = max(0, S_{i-1} + dev_i) equals P_i − min_{j≤i} P_j where
+    * P is the running prefix sum of deviations — so the "recursive"
+    * statistic becomes two ordinary day-ordered windows (cumulative
+    * sum + cumulative min) per type, no iteration anywhere. The
+    * deviation is exact-integer: dev_i = n_days·y_i − total (sums to
+    * zero by construction, no rational mean enters), so the statistic
+    * and its argmax replay exactly in any engine. Output per type:
+    * the peak upward CUSUM (scaled by n_days), the day it peaks
+    * (first peak on ties), and a shift verdict at the 2·total/n_days
+    * threshold (≈ two mean days of excess volume).
+    */
+  private def qEvtCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+    val cum = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("total", sum("n").over(byType))
+      .withColumn("dev", col("n_days") * col("n") - col("total"))
+      .withColumn("p", sum("dev").over(cum))
+      .withColumn("minp", min(least(col("p"), lit(0L))).over(cum))
+      .withColumn("cusum", col("p") - col("minp"))
+    val peak = Window.partitionBy("event_type")
+      .orderBy(desc("cusum"), col("day"))
+    scored
+      .withColumn("rk", row_number().over(peak))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_days").cast("int").as("n_days"),
+        col("total"), col("cusum").as("peak_cusum"),
+        date_format(col("day"), "yyyy-MM-dd").as("peak_day"),
+        (col("cusum") > col("total") * 2).as("shift_detected"))
+      .orderBy("event_type")
+  }
+
   /** Holt double-exponential forecast of daily event volume per type —
     * trend-aware smoothing, the capacity-planning readout. α = β = 1/2
     * (the dyadic choice, same reason as q_evt_ewma): every update is
@@ -688,6 +727,7 @@ object EventQueries {
     "q_evt_unpivot" -> qEvtUnpivot _,
     "q_evt_pipeline" -> qEvtPipeline _,
     "q_evt_forecast" -> qEvtForecast _,
+    "q_evt_cusum" -> qEvtCusum _,
     "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
@@ -707,6 +747,31 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_cusum" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day, n,
+        |    count(*) OVER (PARTITION BY event_type) AS n_days,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM d),
+        |c1 AS (SELECT event_type, day, n_days, total,
+        |    CAST(sum(n_days * n - total) OVER
+        |      (PARTITION BY event_type ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        |  FROM s),
+        |c2 AS (SELECT event_type, day, n_days, total, p,
+        |    CAST(min(least(p, 0)) OVER
+        |      (PARTITION BY event_type ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS minp
+        |  FROM c1),
+        |r AS (SELECT event_type, day, n_days, total, p - minp AS cusum,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY p - minp DESC, day) AS rk
+        |  FROM c2)
+        |SELECT event_type, CAST(n_days AS INTEGER) AS n_days, total,
+        |  CAST(cusum AS BIGINT) AS peak_cusum,
+        |  strftime(day, '%Y-%m-%d') AS peak_day,
+        |  cusum > total * 2 AS shift_detected
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
     // recursive-CTE replay of the fold. A struct-accumulator
     // list_reduce is NOT usable here: DuckDB updates accumulator
     // fields sequentially, so the 'b' expression reads the

@@ -185,6 +185,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("cusum: window drawdown form equals the recursive max(0, S+dev) fold") {
+    val out = graft.SparkEntry.queries("q_evt_cusum")(spark, dir).collect()
+    val daily = Q.t(spark, dir, "events")
+      .selectExpr("event_type", "to_date(ts) AS day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(identity).map { case ((t0, d), xs) => (t0, d, xs.size.toLong) }
+      .toSeq.groupBy(_._1)
+    assert(out.length == daily.size)
+    out.foreach { r =>
+      val ys = daily(r.getAs[String]("event_type")).sortBy(_._2)
+      val n = ys.length.toLong
+      val total = ys.map(_._3).sum
+      // the RECURSIVE definition, folded directly
+      var s = 0L; var best = 0L; var bestDay = ys.head._2
+      ys.foreach { case (_, d, y) =>
+        s = math.max(0L, s + (n * y - total))
+        if (s > best) { best = s; bestDay = d }
+      }
+      assert(r.getAs[Int]("n_days") == n)
+      assert(r.getAs[Long]("total") == total)
+      assert(r.getAs[Long]("peak_cusum") == best)
+      if (best > 0L) assert(r.getAs[String]("peak_day") == bestDay)
+      assert(r.getAs[Boolean]("shift_detected") == (best > total * 2))
+    }
+  }
+
   test("events pipeline: every census section partitions the same user base") {
     val out = graft.SparkEntry.queries("q_evt_pipeline")(spark, dir).collect()
     val nUsers = Q.t(spark, dir, "events").select("user_id").distinct().count()
