@@ -501,6 +501,36 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Seasonality profile: the (day-of-week × hour) traffic matrix with
+    * exact per-myriad shares and the peak cell — the load-shaping
+    * readout behind capacity planning and anomaly baselines. Weekday
+    * comes from pure epoch-day arithmetic (days since 1970-01-01 mod
+    * 7; 0 = Thursday) because named/indexed dow functions disagree
+    * across engines (Spark 1=Sunday, DuckDB 0=Sunday, ISO 1=Monday);
+    * the share is floor(10000·n/total) — integer, no double division
+    * in the hash. One partial-aggregatable groupBy; the total is a
+    * broadcast 1-row aggregate; the peak-ranking window runs over the
+    * CELL table — ≤ 7×24 = 168 rows by construction at any data
+    * scale, so its single partition is a declared bounded dimension,
+    * not a row-scale funnel.
+    */
+  private def qEvtSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        lit(7)).as("dow_idx"),
+        hour(col("ts")).as("hour"))
+      .groupBy("dow_idx", "hour")
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum("n").as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow_idx"), col("hour"), col("n"),
+        floor(lit(10000L) * col("n") / col("total")).as("share_myriad"))
+      .withColumn("is_peak",
+        row_number().over(Window.partitionBy(lit(1))
+          .orderBy(desc("n"), col("dow_idx"), col("hour"))) === 1)
+      .orderBy("dow_idx", "hour")
+  }
+
   /** CUSUM changepoint detection on daily event volume per type
     * (Page 1954), via the drawdown duality: the one-sided CUSUM
     * S_i = max(0, S_{i-1} + dev_i) equals P_i − min_{j≤i} P_j where
@@ -728,6 +758,7 @@ object EventQueries {
     "q_evt_pipeline" -> qEvtPipeline _,
     "q_evt_forecast" -> qEvtForecast _,
     "q_evt_cusum" -> qEvtCusum _,
+    "q_evt_seasonality" -> qEvtSeasonality _,
     "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
@@ -747,6 +778,16 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_seasonality" ->
+      """WITH c AS (
+        |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow_idx,
+        |    CAST(hour(ts) AS INTEGER) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT CAST(dow_idx AS INTEGER) AS dow_idx, hour, n,
+        |  CAST(floor(10000 * n / total) AS BIGINT) AS share_myriad,
+        |  row_number() OVER (ORDER BY n DESC, dow_idx, hour) = 1 AS is_peak
+        |FROM c, t ORDER BY dow_idx, hour""".stripMargin,
     "q_evt_cusum" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1, 2),

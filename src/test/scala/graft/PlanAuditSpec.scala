@@ -34,7 +34,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_emb_pca2",       // same 1-row norm aggregate on the deflated matrix
     "q_txt_bm25",       // crossJoin of the 1-row (N, avgdl) corpus stats
     "q_evt_drift",      // crossJoin of the 1-row corpus-total aggregate
-    "q_evt_rfm"         // crossJoin of the 1-row max-timestamp anchor
+    "q_evt_rfm",        // crossJoin of the 1-row max-timestamp anchor
+    "q_evt_seasonality" // crossJoin of the 1-row total aggregate
   )
 
   // streaming queries execute a real stream per call; keep them out of
@@ -107,7 +108,9 @@ class PlanAuditSpec extends SparkSpec {
     // windows rank the per-user ROLLUP — the user dimension, already
     // reduced from events — and its scaladoc declares the
     // broadcast-threshold variant a 1e9-user deployment swaps in.
-    val boundedDim = Set("q_natural_sort", "q_evt_rfm")
+    // q_evt_seasonality ranks the (dow x hour) cell table — <= 168
+    // rows at any data scale by construction.
+    val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>
