@@ -531,6 +531,61 @@ object EventQueries {
       .orderBy("dow_idx", "hour")
   }
 
+  /** Inter-arrival hazard census: the distribution of per-user gaps
+    * between consecutive events, in exact log2(microsecond) buckets —
+    * the telemetry readout that separates bot cadence (tight bucket
+    * spike) from human browsing (heavy right tail), and the
+    * empirical basis for choosing a sessionization gap. The bucket
+    * is `length(bin(gap_us)) - 1` — the same pure integer/string
+    * floor(log2) both engines agree on at exact powers of two
+    * (q_graph_degree_dist's trick); sub-microsecond ties land in
+    * bucket 0. One lag window per user (the event key breaks ts
+    * ties, so the gap sequence is deterministic), then a
+    * partial-aggregatable census over ≤ 64 buckets — no row-scale
+    * funnel anywhere.
+    */
+  private def qEvtInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select((length(bin(col("gap_us"))) - 1).as("bucket"), col("gap_us"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_us").as("min_gap_us"), max("gap_us").as("max_gap_us"),
+        sum("gap_us").as("sum_gap_us"))
+      .orderBy("bucket")
+  }
+
+  /** Audience-overlap matrix: exact user-set Jaccard between every
+    * pair of event types — the cohort-overlap readout behind
+    * "do purchasers also convert?" segmentation decisions. The
+    * user↔type incidence is reduced FIRST (distinct on the ~6-type ×
+    * user key, one partial-aggregatable shuffle), then the pair
+    * expansion self-joins per user with fan-out ≤ C(types,2) = a
+    * constant per user at any corpus size; audience sizes broadcast
+    * back onto the ≤ C(types,2)-row pair table. All exact integers;
+    * Jaccard reported in floor-myriad.
+    */
+  private def qEvtAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val inc = t(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = inc.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val both = inc.as("a")
+      .join(inc.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n_users").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n_users").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        floor(lit(10000L) * col("n_both") / (col("n_a") + col("n_b") - col("n_both")))
+          .as("jac_myriad"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** CUSUM changepoint detection on daily event volume per type
     * (Page 1954), via the drawdown duality: the one-sided CUSUM
     * S_i = max(0, S_{i-1} + dev_i) equals P_i − min_{j≤i} P_j where
@@ -759,6 +814,8 @@ object EventQueries {
     "q_evt_forecast" -> qEvtForecast _,
     "q_evt_cusum" -> qEvtCusum _,
     "q_evt_seasonality" -> qEvtSeasonality _,
+    "q_evt_interarrival" -> qEvtInterarrival _,
+    "q_evt_audience_overlap" -> qEvtAudienceOverlap _,
     "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
@@ -778,6 +835,28 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_audience_overlap" ->
+      """WITH inc AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n_users FROM inc GROUP BY 1),
+        |b AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |  FROM inc a JOIN inc b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, s1.n_users AS n_a, s2.n_users AS n_b, n_both,
+        |  CAST(floor(10000 * n_both / (s1.n_users + s2.n_users - n_both)) AS BIGINT)
+        |    AS jac_myriad
+        |FROM b JOIN sz s1 ON s1.event_type = type_a
+        |       JOIN sz s2 ON s2.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q_evt_interarrival" ->
+      """WITH g AS (SELECT epoch_us(ts) -
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT CAST(length(bin(gap_us)) - 1 AS INTEGER) AS bucket,
+        |  count(*) AS n_gaps, min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_evt_seasonality" ->
       """WITH c AS (
         |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow_idx,

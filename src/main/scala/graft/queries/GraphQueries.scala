@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -200,14 +201,97 @@ object GraphQueries {
       .orderBy("tri_count")
   }
 
+  /** Probe-batch size for [[qGraphLinkpred]] — the construction-time
+    * bound that keeps the wedge fan-out fixed at any corpus size
+    * (shared with the oracle so the cap cannot drift).
+    */
+  val linkpredProbes = 100
+
+  /** Common-neighbor link prediction over the part co-purchase graph
+    * — for each probe part, the top-5 NON-adjacent parts ranked by
+    * shared co-purchase neighbors (Liben-Nowell & Kleinberg 2003's
+    * strongest simple baseline), with the exact neighborhood Jaccard
+    * as floor-myriad. The candidate-generation readout behind
+    * "customers who bought X also bought" recommendations.
+    *
+    * Scale shape — probe-batched, NOT all-pairs: all-pairs wedge
+    * enumeration is Σ deg² rows (measured 298M at sf0.1 → 3B at
+    * sf1); production link prediction scores a candidate batch, so
+    * the probe set is an explicit deterministic slice
+    * (partkey % 101 = 0, ordered, LIMIT [[linkpredProbes]]) — the
+    * same bounded-broadcast contract as q_sim_knn_join. Total wedge
+    * rows ≤ probes·maxdeg² regardless of corpus size; every step is
+    * an equi-join keyed on an 8-byte part id (probe filter pushed
+    * into the first hop as a broadcast join), the common-neighbor
+    * count is one partial-aggregatable groupBy, non-adjacency is a
+    * left_anti join against the edge list, and the per-probe top-5
+    * window partitions by probe. On a heavy-tailed graph the
+    * mid-hop fan-out would additionally cap per-node adjacency
+    * lists (top-w by co-purchase weight); this graph's degree
+    * sequence is near-uniform (max 222 vs avg 120 at sf0.1 —
+    * q_graph_degree_dist is the pre-flight), so no cap binds.
+    */
+  private def qGraphLinkpred(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct()
+    val edges = pairs.select(col("x").as("a"), col("y").as("b"))
+      .union(pairs.select(col("y").as("a"), col("x").as("b")))
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    val probes = t(s, dir, "part")
+      .filter(pmod(col("p_partkey"), lit(101)) === 0)
+      .select(col("p_partkey").as("u"))
+      .orderBy("u").limit(linkpredProbes)
+    val hop1 = broadcast(probes)
+      .join(edges.select(col("a").as("u"), col("b").as("mid")), Seq("u"))
+    val wedges = hop1
+      .join(edges.select(col("a").as("mid"), col("b").as("v")), Seq("mid"))
+      .filter(col("v") =!= col("u"))
+    val cn = wedges.groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    val nonAdj = cn.join(edges.select(col("a").as("u"), col("b").as("v")),
+      Seq("u", "v"), "left_anti")
+    nonAdj
+      .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
+      .withColumn("jac_myriad",
+        floor(lit(10000L) * col("cn") / (col("du") + col("dv") - col("cn"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("u").orderBy(desc("cn"), col("v"))))
+      .filter(col("rnk") <= 5)
+      .select(col("u"), col("v"), col("cn"), col("jac_myriad"), col("rnk"))
+      .orderBy("u", "rnk")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_graph_pagerank" -> qGraphPagerank _,
     "q_graph_degree_dist" -> qGraphDegreeDist _,
     "q_graph_triangles" -> qGraphTriangles _,
+    "q_graph_linkpred" -> qGraphLinkpred _,
   )
 
   val oracles: Map[String, String] = Map(
     "q_graph_pagerank" -> prOracle,
+    "q_graph_linkpred" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS (SELECT DISTINCT a.pk AS x, b.pk AS y
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT x AS a, y AS b FROM p UNION ALL SELECT y AS a, x AS b FROM p),
+         |deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
+         |probes AS (SELECT p_partkey AS u FROM part WHERE p_partkey % 101 = 0
+         |  ORDER BY p_partkey LIMIT $linkpredProbes),
+         |w AS (SELECT pr.u, n2.b AS v, count(*) AS cn
+         |  FROM probes pr JOIN e n1 ON n1.a = pr.u JOIN e n2 ON n2.a = n1.b
+         |  WHERE n2.b <> pr.u GROUP BY 1, 2),
+         |na AS (SELECT w.u, w.v, w.cn FROM w
+         |  LEFT JOIN e ON e.a = w.u AND e.b = w.v WHERE e.a IS NULL),
+         |sc AS (SELECT na.u, na.v, na.cn,
+         |  CAST(floor(10000 * na.cn / (d1.deg + d2.deg - na.cn)) AS BIGINT) AS jac_myriad,
+         |  CAST(row_number() OVER (PARTITION BY na.u ORDER BY na.cn DESC, na.v) AS INTEGER) AS rnk
+         |  FROM na JOIN deg d1 ON d1.node = na.u JOIN deg d2 ON d2.node = na.v)
+         |SELECT u, v, cn, jac_myriad, rnk FROM sc WHERE rnk <= 5
+         |ORDER BY u, rnk""".stripMargin,
     "q_graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |p AS (SELECT DISTINCT a.pk AS u, b.pk AS v

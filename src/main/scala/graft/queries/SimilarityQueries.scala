@@ -562,7 +562,52 @@ object SimilarityQueries {
       .orderBy("pos")
   }
 
+  /** INT8 symmetric-quantization census — the health readout of the
+    * 4× embedding-store compression an ANN deployment runs before
+    * swapping float32 vectors for int8 (absmax scaling, the
+    * faiss/ScaNN default): per dimension, the scale, how many of the
+    * 255 levels the data actually occupies (dead/saturated-dim
+    * detector), and the exact reconstruction-error mass. At 100 TB
+    * the embedding store is the dominant ANN cost; this census is
+    * what decides the compression is safe.
+    *
+    * Scale shape: one posexplode fan-out; the per-dim absmax is a
+    * partial-aggregatable d-row census broadcast back onto the
+    * exploded rows (d ≤ 64 — a kilobyte-scale broadcast at any
+    * corpus size); the final census is again partial per dim. No
+    * row-scale shuffle anywhere.
+    *
+    * Determinism: quantize = floor(x·127/absmax + 0.5) and the
+    * error = floor(|x − q·absmax/127|·1e9/absmax) are fixed IEEE op
+    * sequences over value-preserving float→double promotions —
+    * bit-identical across engines, so sums of the integer error
+    * units are accumulation-order-free (the [[qEmbDimStats]]
+    * convention). Zero-absmax dims quantize to 0 with zero error by
+    * declared convention.
+    */
+  private def qEmbInt8(s: SparkSession, dir: String): DataFrame = {
+    val ex = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+    val scales = ex.groupBy("dim").agg(max(abs(col("x"))).as("absmax"))
+    val q = ex.join(broadcast(scales), Seq("dim"))
+      .withColumn("q", when(col("absmax") === 0d, lit(0L))
+        .otherwise(floor(col("x") * 127.0 / col("absmax") + 0.5)))
+      .withColumn("err_nano", when(col("absmax") === 0d, lit(0L))
+        .otherwise(floor(abs(col("x") - col("q") * col("absmax") / 127.0)
+          * 1000000000.0 / col("absmax"))))
+    q.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        floor(max("absmax") * 1000000d).as("absmax_micro"),
+        countDistinct(col("q")).as("n_levels"),
+        min("q").as("min_q"), max("q").as("max_q"),
+        sum("err_nano").as("sum_err_nano"), max("err_nano").as("max_err_nano"))
+      .orderBy("dim")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_emb_int8" -> qEmbInt8 _,
     "q_emb_pca2" -> qEmbPca2 _,
     "q_emb_pca" -> qEmbPca _,
     "q_emb_pq" -> qEmbPq _,
@@ -745,6 +790,24 @@ object SimilarityQueries {
         |  CAST(CASE WHEN rk_out <= 5 THEN rk_out ELSE rk_proto END AS INTEGER) AS rk
         |FROM r WHERE rk_out <= 5 OR rk_proto <= 5
         |ORDER BY label, role, rk""".stripMargin,
+    "q_emb_int8" ->
+      """WITH ex AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim FROM embeddings),
+        |sc AS (SELECT dim, max(abs(x)) AS absmax FROM ex GROUP BY dim),
+        |q AS (SELECT ex.dim, x, absmax,
+        |    CASE WHEN absmax = 0 THEN 0
+        |         ELSE CAST(floor(x * 127.0 / absmax + 0.5) AS BIGINT) END AS q
+        |  FROM ex JOIN sc USING (dim)),
+        |e AS (SELECT dim, absmax, q,
+        |    CASE WHEN absmax = 0 THEN 0
+        |         ELSE CAST(floor(abs(x - q * absmax / 127.0) * 1000000000.0 / absmax) AS BIGINT)
+        |    END AS err_nano
+        |  FROM q)
+        |SELECT dim, count(*) AS n,
+        |  CAST(floor(max(absmax) * 1000000) AS BIGINT) AS absmax_micro,
+        |  count(DISTINCT q) AS n_levels, min(q) AS min_q, max(q) AS max_q,
+        |  CAST(sum(err_nano) AS BIGINT) AS sum_err_nano, max(err_nano) AS max_err_nano
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
     "q_emb_dim_stats" ->
       """SELECT dim, count(*) AS n,
         |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,

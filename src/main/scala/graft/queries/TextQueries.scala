@@ -774,7 +774,51 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Bigram language-model estimation (the KenLM-style count pass):
+    * per language, the 20 highest-mass contexts and their top-3
+    * continuations with exact maximum-likelihood probabilities in
+    * floor-myriad — the n-gram LM table a quality filter perplexes
+    * documents against.
+    *
+    * Scale shape: bigrams are produced MAP-ONLY by zipping each
+    * token array with its own tail (no per-token window, no lag —
+    * the array is already local to the row), so the only row-scale
+    * exchange is the partial-aggregatable groupBy(lang, w1, w2)
+    * count, where map-side combine absorbs the Zipfian hot bigrams
+    * before the shuffle. The context table is vocabulary-scale, not
+    * corpus-scale; the top-20-contexts window partitions by lang
+    * over it (sublinear, same declared shape as the other per-lang
+    * vocab windows), the surviving contexts broadcast back as a
+    * semi-join, and the continuation window then ranks only the
+    * ≤ 20·langs surviving context groups.
+    */
+  private def qTxtBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .select(col("lang"), toks.as("w")).filter(size(col("w")) >= 2)
+    val bi = tk.select(col("lang"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnt = bi.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n12"))
+    val ctx = cnt.groupBy("lang", "w1")
+      .agg(sum("n12").as("n1"), count(lit(1)).as("n_cont"))
+      .withColumn("ctx_rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("n1"), col("w1"))))
+      .filter(col("ctx_rnk") <= 20)
+    cnt.join(broadcast(ctx), Seq("lang", "w1"))
+      .withColumn("cont_rnk", row_number().over(
+        Window.partitionBy("lang", "w1").orderBy(desc("n12"), col("w2"))))
+      .filter(col("cont_rnk") <= 3)
+      .select(col("lang"), col("w1"), col("w2"), col("n12"), col("n1"),
+        col("n_cont"), col("ctx_rnk"), col("cont_rnk"),
+        floor(lit(10000L) * col("n12") / col("n1")).as("prob_myriad"))
+      .orderBy("lang", "ctx_rnk", "cont_rnk")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_bigram_lm" -> qTxtBigramLm _,
     "q_txt_zipf" -> qTxtZipf _,
     "q_txt_bm25" -> qTxtBm25 _,
     "q_txt_bloom_decon" -> qTxtBloomDecon _,
@@ -808,6 +852,26 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_bigram_lm" ->
+      """WITH tk AS (SELECT lang, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT lang,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> {'w1': w[i], 'w2': w[i + 1]})) AS b FROM tk),
+        |cnt AS (SELECT lang, b.w1 AS w1, b.w2 AS w2, count(*) AS n12
+        |  FROM bi GROUP BY 1, 2, 3),
+        |ctx AS (SELECT lang, w1, CAST(sum(n12) AS BIGINT) AS n1, count(*) AS n_cont,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY sum(n12) DESC, w1) AS INTEGER) AS ctx_rnk
+        |  FROM cnt GROUP BY lang, w1 QUALIFY ctx_rnk <= 20),
+        |j AS (SELECT cnt.lang, cnt.w1, cnt.w2, cnt.n12, ctx.n1, ctx.n_cont, ctx.ctx_rnk,
+        |    CAST(row_number() OVER (PARTITION BY cnt.lang, cnt.w1
+        |      ORDER BY cnt.n12 DESC, cnt.w2) AS INTEGER) AS cont_rnk
+        |  FROM cnt JOIN ctx ON cnt.lang = ctx.lang AND cnt.w1 = ctx.w1)
+        |SELECT lang, w1, w2, n12, n1, n_cont, ctx_rnk, cont_rnk,
+        |  CAST(floor(10000 * n12 / n1) AS BIGINT) AS prob_myriad
+        |FROM j WHERE cont_rnk <= 3
+        |ORDER BY lang, ctx_rnk, cont_rnk""".stripMargin,
     "q_txt_zipf" ->
       """WITH c AS (SELECT lang, t AS token, count(*) AS n
         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
