@@ -586,6 +586,63 @@ object EventQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Top journey prefixes: the 20 most common 5-step session
+    * openings with their user counts and conversion incidence — the
+    * Sankey-diagram source behind onboarding-flow analysis. Reuses
+    * q_evt_pattern's journey construction (ONE groupBy(user) shuffle;
+    * the sort is per-key inside the aggregated array, never global);
+    * the top-20 is orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject — per-partition heaps plus a 20-row driver
+    * merge, NOT a global sort and NOT an unpartitioned window, so
+    * the selection stays scale-free. Ties at the boundary are
+    * deterministic under the (count desc, prefix) total order.
+    */
+  private def qEvtTopPaths(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "events")
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("letter")).as("ev"))
+      .groupBy("user_id")
+      .agg(array_join(transform(array_sort(collect_list(col("ev"))),
+        e => e.getField("letter")), "").as("journey"))
+    j.select(substring(col("journey"), 1, 5).as("path_prefix"),
+        when(col("journey").contains("p"), 1L).otherwise(0L).as("conv"))
+      .groupBy("path_prefix")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_converted"))
+      .orderBy(desc("n_users"), col("path_prefix"))
+      .limit(20)
+  }
+
+  /** Cohort lifetime-value triangle over orders: customers grouped by
+    * first-purchase month, revenue laid out by months-since-first —
+    * the retention-economics readout every subscription/commerce
+    * dashboard leads with. Months are pure integer arithmetic
+    * (year·12+month−1) so cohort/age bucketing cannot drift across
+    * engines; revenue is exact integer cents via the deterministic
+    * floor(x·100+0.5) IEEE sequence; the cumulative column is a
+    * window PARTITIONED by cohort over the ≤ months² triangle — a
+    * bounded dimension, not row scale. Shapes: one groupBy(custkey)
+    * for first-purchase, one shuffle join back on custkey, one
+    * partial-aggregatable census.
+    */
+  private def qEvtCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"),
+        floor(col("o_totalprice") * 100.0 + 0.5).as("rev_cents"))
+    val first = o.groupBy("o_custkey").agg(min("m").as("m0"))
+    val tri = o.join(first, Seq("o_custkey"))
+      .groupBy(format_string("%04d-%02d", floor(col("m0") / 12).cast("int"),
+          (pmod(col("m0"), lit(12)) + 1).cast("int")).as("cohort"),
+        (col("m") - col("m0")).as("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"), sum("rev_cents").as("rev_cents"))
+    tri.withColumn("cum_rev_cents",
+        sum("rev_cents").over(Window.partitionBy("cohort").orderBy("age_months")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("cohort", "age_months")
+  }
+
   /** CUSUM changepoint detection on daily event volume per type
     * (Page 1954), via the drawdown duality: the one-sided CUSUM
     * S_i = max(0, S_{i-1} + dev_i) equals P_i − min_{j≤i} P_j where
@@ -816,6 +873,8 @@ object EventQueries {
     "q_evt_seasonality" -> qEvtSeasonality _,
     "q_evt_interarrival" -> qEvtInterarrival _,
     "q_evt_audience_overlap" -> qEvtAudienceOverlap _,
+    "q_evt_top_paths" -> qEvtTopPaths _,
+    "q_evt_cohort_ltv" -> qEvtCohortLtv _,
     "q_evt_drift" -> qEvtDrift _,
     "q_evt_ewma" -> qEvtEwma _,
     "q_evt_hll_rolling" -> qEvtHllRolling _,
@@ -835,6 +894,29 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_top_paths" ->
+      """WITH j AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id)
+        |SELECT substr(journey, 1, 5) AS path_prefix, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN journey LIKE '%p%' THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM j GROUP BY 1 ORDER BY n_users DESC, path_prefix LIMIT 20""".stripMargin,
+    "q_evt_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS rev_cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+        |tri AS (SELECT printf('%04d-%02d', m0 // 12, m0 % 12 + 1) AS cohort,
+        |    CAST(m - m0 AS BIGINT) AS age_months,
+        |    count(DISTINCT o.o_custkey) AS n_custs, count(*) AS n_orders,
+        |    CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2)
+        |SELECT cohort, age_months, n_custs, n_orders, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age_months
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+        |FROM tri ORDER BY cohort, age_months""".stripMargin,
     "q_evt_audience_overlap" ->
       """WITH inc AS (SELECT DISTINCT event_type, user_id FROM events),
         |sz AS (SELECT event_type, count(*) AS n_users FROM inc GROUP BY 1),

@@ -122,6 +122,51 @@ class Round12dOpsSpec extends SparkSpec {
     }
   }
 
+  test("top paths: prefix census replays and the top-20 cut is maximal") {
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_id", "unix_micros(cast(ts as timestamp)) as us",
+        "substr(event_type, 1, 1) as l")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val journeys = evs.groupBy(_._1).values.map { es =>
+      es.sortBy(e => (e._3, e._2)).map(_._4).mkString
+    }.toSeq
+    val census = journeys.groupBy(_.take(5)).map { case (p, js) =>
+      (p, js.length.toLong, js.count(_.contains("p")).toLong)
+    }.toSeq.sortBy { case (p, n, _) => (-n, p) }
+    val out = SparkEntry.queries("q_evt_top_paths")(spark, dir).collect()
+      .map(r => (r.getAs[String]("path_prefix"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_converted")))
+      .sortBy { case (p, n, _) => (-n, p) }
+    assert(out.toSeq == census.take(out.length))
+    assert(out.length == math.min(20, census.length))
+  }
+
+  test("cohort LTV: triangle replays in exact cents and cumsum telescopes") {
+    val os = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey", "year(o_orderdate)*12 + month(o_orderdate) - 1 as m",
+        "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1), math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val m0 = os.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+    val out = SparkEntry.queries("q_evt_cohort_ltv")(spark, dir).collect()
+    val expected = os.groupBy(x => (m0(x._1), x._2 - m0(x._1))).map { case ((c0, age), xs) =>
+      (f"${c0 / 12}%04d-${c0 % 12 + 1}%02d", age.toLong) ->
+        ((xs.map(_._1).distinct.length.toLong, xs.length.toLong, xs.map(_._3).sum))
+    }
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val k = (r.getAs[String]("cohort"), r.getAs[Int]("age_months").toLong)
+      val (nc, no, rev) = expected(k)
+      assert(r.getAs[Long]("n_custs") == nc && r.getAs[Long]("n_orders") == no &&
+        r.getAs[Long]("rev_cents") == rev, s"mismatch at $k")
+    }
+    // cumulative telescopes: per cohort, cum at max age == sum of rev
+    out.groupBy(_.getAs[String]("cohort")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("age_months"))
+      assert(sorted.last.getAs[Long]("cum_rev_cents") ==
+        sorted.map(_.getAs[Long]("rev_cents")).sum)
+    }
+  }
+
   test("bigram LM: probabilities and context mass replay from raw counts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
