@@ -189,8 +189,16 @@ object GraphQueries {
         Seq("apex"))
       .filter(col("klo") < col("khi"))
       .select(col("apex"), col("lo"), col("hi"))
+    // close the wedge against the edge list with a SHUFFLE_HASH hint:
+    // the edge side builds a hash table per partition while the
+    // ~100x-larger wedge stream probes WITHOUT being sorted — at
+    // sf0.1 this removes a 149M-row sort from the plan (measured
+    // 21.8 s as SMJ vs 11.4 s as hash join; packing (lo,hi) into one
+    // long bought nothing further). The shuffle itself — the honest
+    // O(m^1.5) cost — is unchanged and still partitions by (lo, hi)
     val tri = wedges
-      .join(e.select(col("src").as("lo"), col("dst").as("hi")), Seq("lo", "hi"))
+      .join(e.select(col("src").as("lo"), col("dst").as("hi")).hint("shuffle_hash"),
+        Seq("lo", "hi"))
     val perNode = tri.select(col("apex").as("node"))
       .union(tri.select(col("lo").as("node")))
       .union(tri.select(col("hi").as("node")))
