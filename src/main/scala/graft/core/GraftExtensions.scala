@@ -99,6 +99,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PcaRound(children.head, arr(children(1)), arr(children(2)),
           if (children.length == 4) Some(arr(children(3))) else None)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[graft.functions.MisraGriesTopK].getName, "mg_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "mg_topk takes (token, k); k literal")
+        val k = children(1).eval() match {
+          case n: java.lang.Number => n.intValue()
+          case other => sys.error(s"mg_topk k must be a literal, got $other")
+        }
+        graft.functions.MisraGriesTopK(children.head, k)
+      }))
     // Spark 4 keeps its runtime-filter Bloom expressions off the SQL
     // search path; expose both so two-phase bloom-pruned joins are
     // writable in the Column API (the probe side must be a CONSTANT per

@@ -817,7 +817,49 @@ object TextQueries {
       .orderBy("lang", "ctx_rnk", "cont_rnk")
   }
 
+  /** Size of the Misra–Gries summary in [[qTxtTopkMg]] (shared with
+    * the verdict arithmetic and the oracle).
+    */
+  val mgK = 100
+
+  /** Heavy hitters via the native Misra–Gries mergeable aggregate
+    * ([[graft.functions.MisraGriesTopK]]) — the single-pass,
+    * plan-integrated alternative to both the exact vocabulary-wide
+    * groupBy and the driver-side CountMinSketch of
+    * q_txt_heavy_hitters: only k=[[mgK]] counters per partition reach
+    * the shuffle. The hash-gated output is the exact top-20 joined
+    * with the ORDER-INVARIANT facts the summary guarantees
+    * (Agarwal et al., PODS 2012): `guaranteed` = the exact count
+    * clears the N/(k+1) presence threshold; `present_ok` = every
+    * guaranteed token is held by the sketch; `est_ok` = every held
+    * estimate sits in [true − N/(k+1), true]. Raw summary contents
+    * are merge-order-dependent and deliberately never surface —
+    * the q_txt_heavy_hitters verdict-column discipline.
+    */
+  private def qTxtTopkMg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MisraGriesTopK.mgTopK
+    val words = t(s, dir, "documents").select(explode(toks).as("token"))
+    val sk = words.agg(mgTopK(col("token"), mgK).as("summary"),
+      count(lit(1)).as("n_total"))
+    val exact = words.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(20)
+    exact.crossJoin(broadcast(sk))
+      .withColumn("entry",
+        filter(col("summary"), e => e.getField("token") === col("token")))
+      .withColumn("est",
+        when(size(col("entry")) > 0, col("entry").getItem(0).getField("est")))
+      .select(col("token"), col("n"),
+        (col("n") * (mgK + 1) > col("n_total")).as("guaranteed"),
+        (!(col("n") * (mgK + 1) > col("n_total")) || col("est").isNotNull)
+          .as("present_ok"),
+        (col("est").isNull || (col("est") <= col("n") &&
+          col("est") >= col("n") - floor(col("n_total") / (mgK + 1))))
+          .as("est_ok"))
+      .orderBy(desc("n"), col("token"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_topk_mg" -> qTxtTopkMg _,
     "q_txt_bigram_lm" -> qTxtBigramLm _,
     "q_txt_zipf" -> qTxtZipf _,
     "q_txt_bm25" -> qTxtBm25 _,
@@ -852,6 +894,14 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_topk_mg" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n_total FROM w),
+         |e AS (SELECT token, count(*) AS n FROM w GROUP BY 1
+         |      ORDER BY n DESC, token LIMIT 20)
+         |SELECT token, n, (n * ${mgK + 1} > n_total) AS guaranteed,
+         |  TRUE AS present_ok, TRUE AS est_ok
+         |FROM e, tot ORDER BY n DESC, token""".stripMargin,
     "q_txt_bigram_lm" ->
       """WITH tk AS (SELECT lang, string_split(text, ' ') AS w FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_txt_bm25",       // crossJoin of the 1-row (N, avgdl) corpus stats
     "q_evt_drift",      // crossJoin of the 1-row corpus-total aggregate
     "q_evt_rfm",        // crossJoin of the 1-row max-timestamp anchor
-    "q_evt_seasonality" // crossJoin of the 1-row total aggregate
+    "q_evt_seasonality", // crossJoin of the 1-row total aggregate
+    "q_txt_topk_mg"     // crossJoin of the 1-row (MG summary, total) aggregate
   )
 
   // streaming queries execute a real stream per call; keep them out of
