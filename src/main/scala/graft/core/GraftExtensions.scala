@@ -12,6 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // custom-operator ladder step (c): the as-of join as a real
+    // logical node + planner strategy + physical operator
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -108,6 +108,29 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** The SAME as-of attribution through the native Catalyst operator
+    * ([[graft.plans.AsOfJoinExec]], planned via the injected
+    * strategy) instead of the union+window composition — two
+    * side-local exchanges and a per-co-partition O(1)-state merge in
+    * place of one merged-timeline shuffle. Shares q_evt_asof's
+    * oracle verbatim, so the driver gate hash-proves the two
+    * execution paths equal; AsOfJoinSpec additionally asserts the
+    * physical plan shape.
+    */
+  private def qEvtAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"))
+    graft.plans.AsOfJoinPlan.joinLastBefore(purchases, clicks, Seq("user_id"),
+        leftTime = "p_us", rightTime = "click_us",
+        payloadCols = Seq("click_us"))
+      .withColumn("gap_us", col("p_us") - col("click_us"))
+      .orderBy("event_id")
+  }
+
   /** As-of with tolerance (merge_asof staleness rule): the latest
     * prior click only attributes if it is at most 15 minutes stale —
     * the latest-before row is the nearest, so one carry + one
@@ -887,6 +910,7 @@ object EventQueries {
     "q_evt_hopping" -> qEvtHopping _,
     "q_evt_json" -> qEvtJson _,
     "q_evt_asof" -> qEvtAsof _,
+    "q_evt_asof_native" -> qEvtAsofNative _,
     "q_evt_asof_tol" -> qEvtAsofTol _,
     "q_evt_range_join" -> qEvtRangeJoin _,
     "q_evt_overlap_join" -> qEvtOverlapJoin _,
@@ -1208,6 +1232,19 @@ object EventQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "q_evt_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.p_us, p.value,
+        |  max(c.c_us) AS click_us,
+        |  p.p_us - max(c.c_us) AS gap_us
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.c_us <= p.p_us
+        |GROUP BY p.event_id, p.user_id, p.p_us, p.value
+        |ORDER BY p.event_id""".stripMargin,
+    "q_evt_asof_native" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS p_us, value
         |  FROM events WHERE event_type = 'purchase'),
