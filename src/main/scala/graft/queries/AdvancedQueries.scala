@@ -149,7 +149,65 @@ object AdvancedQueries {
       t(s, dir, "lineitem"), "l_returnflag", "l_partkey", salts = 16)
       .orderBy("l_returnflag")
 
+  /** Z-order data-layout census — the Delta/Iceberg `OPTIMIZE ZORDER
+    * BY` decision, made measurable: would clustering the event log on
+    * a Morton (bit-interleaved) key of (user, hour) let min/max file
+    * stats prune a two-dimensional predicate better than the naive
+    * time-sorted ingest layout?
+    *
+    * Both layouts are simulated from ONE scan with map-only file
+    * assignment: the time layout files by hour (what append-order
+    * ingest produces), the Z layout files by the top bits of the
+    * 32-bit Morton key (a 32×32 (user, hour) tile per file — exactly
+    * the space-filling-curve prefix a real Z-order writer range-
+    * partitions on, so there is no global sort/row_number anywhere).
+    * Per-file min/max of BOTH dimensions is the parquet-footer model;
+    * a file is "scanned" iff its box intersects the planted predicate
+    * (users 100–199 × hours 240–339 from the corpus epoch
+    * 2024-01-01). The census reports, per layout: file count, files
+    * scanned, rows read under pruning, and true matching rows
+    * (layout-invariant — the built-in sanity row). Hour index is
+    * anchored at the fixed corpus epoch (day 19723 × 24 = 473352) so
+    * the key is a pure function of the data. The Morton spread is the
+    * standard magic-mask shift sequence — plain integer ops both
+    * engines evaluate identically, no UDF.
+    */
+  private def qLayoutZorder(s: SparkSession, dir: String): DataFrame = {
+    val (uLo, uHi, hLo, hHi) = (100L, 199L, 240L, 339L)
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+      d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val keyed = t(s, dir, "events")
+      .select(col("user_id").bitwiseAND(lit(0xFFFFL)).as("u"),
+        (expr("unix_micros(ts) div 3600000000") - lit(473352L)).as("h"))
+      .withColumn("zfile", shiftrightunsigned(
+        spread(col("u")).bitwiseOR(shiftleft(spread(col("h")), 1)), 10))
+      .withColumn("tfile", col("h"))
+      .withColumn("hit", (col("u").between(uLo, uHi) &&
+        col("h").between(hLo, hHi)).cast("long"))
+    def census(fileCol: String, name: String): DataFrame = {
+      val overlap = col("min_u") <= uHi && col("max_u") >= uLo &&
+        col("min_h") <= hHi && col("max_h") >= hLo
+      keyed.groupBy(col(fileCol).as("f"))
+        .agg(min("u").as("min_u"), max("u").as("max_u"),
+          min("h").as("min_h"), max("h").as("max_h"),
+          count(lit(1)).as("rws"), sum("hit").as("m"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(overlap, 1L).otherwise(0L)).as("files_scanned"),
+          sum(when(overlap, col("rws")).otherwise(0L)).as("rows_scanned"),
+          sum("m").as("rows_matched"))
+        .withColumn("layout", lit(name))
+        .select("layout", "n_files", "files_scanned", "rows_scanned", "rows_matched")
+    }
+    census("zfile", "zorder").unionByName(census("tfile", "time_sort"))
+      .orderBy("layout")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_layout_zorder" -> qLayoutZorder _,
     "q_skew_distinct" -> qSkewDistinct _,
     "q_w_range_frame" -> qWRangeFrame _,
     "q_w_rank_family" -> qWRankFamily _,
@@ -162,6 +220,42 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_layout_zorder" ->
+      """WITH base AS (
+        |  SELECT user_id & 65535 AS u,
+        |         (epoch_us(ts) // 3600000000) - 473352 AS h
+        |  FROM events),
+        |s1 AS (SELECT u, h, ((u | (u << 8)) & 16711935) AS u1,
+        |              ((h | (h << 8)) & 16711935) AS h1 FROM base),
+        |s2 AS (SELECT u, h, ((u1 | (u1 << 4)) & 252645135) AS u2,
+        |              ((h1 | (h1 << 4)) & 252645135) AS h2 FROM s1),
+        |s3 AS (SELECT u, h, ((u2 | (u2 << 2)) & 858993459) AS u3,
+        |              ((h2 | (h2 << 2)) & 858993459) AS h3 FROM s2),
+        |s4 AS (SELECT u, h, ((u3 | (u3 << 1)) & 1431655765) AS su,
+        |              ((h3 | (h3 << 1)) & 1431655765) AS sh FROM s3),
+        |k AS (SELECT u, h, (su | (sh << 1)) >> 10 AS zfile, h AS tfile,
+        |        CASE WHEN u BETWEEN 100 AND 199 AND h BETWEEN 240 AND 339
+        |             THEN 1 ELSE 0 END AS hit
+        |      FROM s4),
+        |fz AS (SELECT zfile AS f, min(u) min_u, max(u) max_u, min(h) min_h,
+        |              max(h) max_h, count(*) rws, sum(hit) m
+        |       FROM k GROUP BY 1),
+        |ft AS (SELECT tfile AS f, min(u) min_u, max(u) max_u, min(h) min_h,
+        |              max(h) max_h, count(*) rws, sum(hit) m
+        |       FROM k GROUP BY 1),
+        |cz AS (SELECT 'zorder' AS layout, count(*)::BIGINT AS n_files,
+        |  CAST(sum(CASE WHEN min_u <= 199 AND max_u >= 100 AND min_h <= 339
+        |                 AND max_h >= 240 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+        |  CAST(sum(CASE WHEN min_u <= 199 AND max_u >= 100 AND min_h <= 339
+        |                 AND max_h >= 240 THEN rws ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(m) AS BIGINT) AS rows_matched FROM fz),
+        |ct AS (SELECT 'time_sort' AS layout, count(*)::BIGINT AS n_files,
+        |  CAST(sum(CASE WHEN min_u <= 199 AND max_u >= 100 AND min_h <= 339
+        |                 AND max_h >= 240 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+        |  CAST(sum(CASE WHEN min_u <= 199 AND max_u >= 100 AND min_h <= 339
+        |                 AND max_h >= 240 THEN rws ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(m) AS BIGINT) AS rows_matched FROM ft)
+        |SELECT * FROM cz UNION ALL SELECT * FROM ct ORDER BY layout""".stripMargin,
     "q_skew_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

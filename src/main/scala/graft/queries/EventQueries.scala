@@ -915,9 +915,72 @@ object EventQueries {
     "q_evt_range_join" -> qEvtRangeJoin _,
     "q_evt_overlap_join" -> qEvtOverlapJoin _,
     "q_evt_transitions" -> qEvtTransitions _,
+    "q_evt_scd2" -> qEvtScd2 _,
   )
 
+  /** SCD2 (slowly-changing-dimension type 2) interval build — the
+    * warehouse-staple temporal operator: collapse each user's purchase
+    * stream into versioned validity intervals of a derived attribute
+    * (the spend tier), `valid_from`/`valid_to` half-open in integer
+    * microseconds, `valid_to IS NULL` marking the current version.
+    *
+    * Classic gaps-and-islands in three window steps over ONE
+    * partitioning: change flag vs `lag(tier)`, running-sum of flags as
+    * the version number, then per-(user, version) min/count plus a
+    * `lead` to close each interval. Every window and the groupBy
+    * cluster on `user_id`, so Catalyst reuses a single exchange and
+    * the whole build is one shuffle, linear per user — the shape that
+    * turns a 100 TB event log into a dimension table without a
+    * self-join. Ties inside a microsecond break on `event_id` so both
+    * engines fold runs identically.
+    */
+  private def qEvtScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        when(col("value") < 10, "low").when(col("value") < 20, "mid")
+          .otherwise("high").as("tier"))
+    val wSeq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    p.withColumn("chg",
+        when(lag("tier", 1).over(wSeq).isNull ||
+             col("tier") =!= lag("tier", 1).over(wSeq), 1).otherwise(0))
+      .withColumn("version", sum("chg").over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min("tier").as("tier"), min("us").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("user_id", "version", "tier", "valid_from_us", "valid_to_us",
+        "is_current", "n_events")
+      .orderBy("user_id", "version")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_evt_scd2" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN value < 10 THEN 'low' WHEN value < 20 THEN 'mid'
+        |         ELSE 'high' END AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+        |                   OR tier <> lag(tier) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM r),
+        |g AS (
+        |  SELECT user_id, version, min(tier) AS tier, min(us) AS valid_from_us,
+        |    count(*) AS n_events
+        |  FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, tier, valid_from_us,
+        |  lead(valid_from_us) OVER w2 AS valid_to_us,
+        |  (lead(valid_from_us) OVER w2 IS NULL) AS is_current,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
     "q_evt_top_paths" ->
       """WITH j AS (
         |  SELECT user_id,
