@@ -916,6 +916,7 @@ object EventQueries {
     "q_evt_overlap_join" -> qEvtOverlapJoin _,
     "q_evt_transitions" -> qEvtTransitions _,
     "q_evt_scd2" -> qEvtScd2 _,
+    "q_evt_concurrency" -> qEvtConcurrency _,
   )
 
   /** SCD2 (slowly-changing-dimension type 2) interval build — the
@@ -957,7 +958,67 @@ object EventQueries {
       .orderBy("user_id", "version")
   }
 
+  /** Peak-concurrency sweep line: each event opens a 5-minute activity
+    * interval `[ts, ts+5m)`; the query reports, per day, the maximum
+    * number of simultaneously open intervals and the earliest
+    * microsecond at which that peak is reached — the capacity-planning
+    * readout (max concurrent sessions/connections).
+    *
+    * The textbook +1/−1 sweep needs a running sum over the ordered
+    * timeline — a GLOBAL window that cannot scale. Here the sweep is
+    * day-partitioned: an interval contributes its boundary points to
+    * every day it covers, clipped to that day's range (the standard
+    * interval-split at partition boundaries; a 5-minute interval
+    * covers ≤ 2 days), so each day's sweep is independent, exact, and
+    * the window always has a partition key. Half-open semantics: at
+    * equal timestamps the −1 sorts before the +1 (`ORDER BY us,
+    * delta`), so an interval ending exactly when another starts never
+    * counts as overlap. Peak and its timestamp are deterministic under
+    * ties because equal-delta runs pass through a fixed value
+    * sequence at one timestamp.
+    */
+  private def qEvtConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = 86400000000L
+    val iv = t(s, dir, "events")
+      .select(unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + lit(300000000L))
+    val pts = iv
+      .withColumn("day", explode(sequence(expr(s"st div ${D}L"),
+        expr(s"(en - 1) div ${D}L"))))
+      .withColumn("pt", explode(array(
+        struct(greatest(col("st"), col("day") * D).as("us"), lit(1).as("delta")),
+        struct(least(col("en"), (col("day") + 1) * D).as("us"), lit(-1).as("delta")))))
+      .select(col("day"), col("pt.us").as("us"), col("pt.delta").as("delta"))
+    val sweep = Window.partitionBy("day").orderBy("us", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("conc", sum("delta").over(sweep))
+      .withColumn("mx", max("conc").over(Window.partitionBy("day")))
+      .filter(col("conc") === col("mx"))
+      .groupBy("day")
+      .agg(max("conc").as("peak_concurrent"), min("us").as("peak_us"))
+      .orderBy("day")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_evt_concurrency" ->
+      """WITH iv AS (
+        |  SELECT epoch_us(ts) AS st, epoch_us(ts) + 300000000 AS en FROM events),
+        |dd AS (
+        |  SELECT st, en, unnest(range(st // 86400000000,
+        |    (en - 1) // 86400000000 + 1)) AS day
+        |  FROM iv),
+        |pts AS (
+        |  SELECT day, greatest(st, day * 86400000000) AS us, 1 AS delta FROM dd
+        |  UNION ALL
+        |  SELECT day, least(en, (day + 1) * 86400000000) AS us, -1 AS delta FROM dd),
+        |c AS (
+        |  SELECT day, us, CAST(sum(delta) OVER (PARTITION BY day ORDER BY us, delta
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM pts),
+        |m AS (SELECT *, max(conc) OVER (PARTITION BY day) AS mx FROM c)
+        |SELECT day, max(conc) AS peak_concurrent, min(us) AS peak_us
+        |FROM m WHERE conc = mx GROUP BY day ORDER BY day""".stripMargin,
     "q_evt_scd2" ->
       """WITH p AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

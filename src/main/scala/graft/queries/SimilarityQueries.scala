@@ -606,7 +606,79 @@ object SimilarityQueries {
       .orderBy("dim")
   }
 
+  /** Exactly-replayable distributed k-means (Lloyd's algorithm, k=8,
+    * two update rounds + a final assignment census) — the curation
+    * primitive behind cluster-balanced data mixing and SemDeDup-style
+    * pruning, here as a HASH-gated query rather than a rows-only
+    * sketch, by making every step integer-exact:
+    *
+    *  - vectors quantize ONCE to micro-units (floor(x·1e6) as long) —
+    *    distances on their double images are exact integers (every
+    *    partial sum < 2^53), so accumulation order cannot matter;
+    *  - argmin ties break by packing `dist·16 + cluster` into one
+    *    comparable (dist < 2.6e14, so the pack is exact) and taking
+    *    `min` — a partial-aggregatable scalar, no window;
+    *  - centroid update is floor-division of exact integer sums
+    *    (mod-corrected so Spark and DuckDB floor identically), so the
+    *    next round's centroids are bit-equal in both engines;
+    *  - empty clusters keep their previous centroid (left join +
+    *    coalesce), the production behavior.
+    *
+    * Scale shape: per round, ONE broadcast of the 8-row centroid
+    * relation against the corpus (declared bounded cross join), a
+    * map-side-combinable min per vector, and a (cl, dim)-keyed
+    * partial-agg sum for the update — k·d = 512 tiny rows shuffle,
+    * never vectors. The distance is the native codegen'd `l2_sq`
+    * ([[graft.functions.L2Squared]]), not an interpreted HOF chain.
+    * Everything is ONE lazy plan: no driver-side collect between
+    * rounds at any scale.
+    */
+  private def qEmbKmeans(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val eq = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000.0)).cast("long")).as("xq"))
+    def withD(c: DataFrame): DataFrame =
+      c.withColumn("cd", transform(col("cq"), _.cast("double")))
+    def assign(cents: DataFrame): DataFrame =
+      eq.withColumn("xd", transform(col("xq"), _.cast("double")))
+        .crossJoin(broadcast(withD(cents)))
+        .withColumn("packed",
+          graft.functions.L2Squared.l2Sq(col("xd"), col("cd")) * 16 + col("cl"))
+        .groupBy("vec_id").agg(min("packed").as("p"))
+    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val upd = assigned.withColumn("cl", (col("p") % 16).cast("int"))
+        .join(eq, "vec_id")
+        .select(col("cl"), posexplode(col("xq")))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "v")
+        .groupBy("cl", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .withColumn("m", ((col("sv") % col("n")) + col("n")) % col("n"))
+        .withColumn("c", ((col("sv") - col("m")) / col("n")).cast("long"))
+        .groupBy("cl")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          x => x.getField("c")).as("cq2"))
+      prev.select("cl", "cq").join(upd, Seq("cl"), "left")
+        .select(col("cl"), coalesce(col("cq2"), col("cq")).as("cq"))
+    }
+    val c0 = eq.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cl"), col("xq").as("cq"))
+    val c1 = update(assign(c0), c0)
+    val c2 = update(assign(c1), c1)
+    val fin = assign(c2)
+      .withColumn("cl", (col("p") % 16).cast("int"))
+      .withColumn("dist", floor(col("p") / 16).cast("long"))
+      .groupBy("cl")
+      .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
+    c2.join(fin, Seq("cl"), "left")
+      .select(col("cl"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"),
+        element_at(col("cq"), 1).as("cq1"), element_at(col("cq"), 2).as("cq2"),
+        element_at(col("cq"), 3).as("cq3"), element_at(col("cq"), 4).as("cq4"))
+      .orderBy("cl")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_emb_kmeans" -> qEmbKmeans _,
     "q_emb_int8" -> qEmbInt8 _,
     "q_emb_pca2" -> qEmbPca2 _,
     "q_emb_pca" -> qEmbPca _,
@@ -714,7 +786,48 @@ object SimilarityQueries {
        |  ${pcaNormSub(s"i$pcaIters")} n1, ${pcaNormSub(s"h$pcaIters")} n2
        |ORDER BY pos""".stripMargin
 
+  /** Lloyd's rounds unrolled as CTE chains (the q_emb_pca precedent):
+    * every quantity is an exact integer, so DuckDB replays the whole
+    * iteration bit-identically.
+    */
+  private def kmeansOracle: String = {
+    def assign(from: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT e.vec_id,
+         |    min(CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (e.xq[i] - c.cq[i]) * (e.xq[i] - c.cq[i]))) AS BIGINT) * 16
+         |      + c.cl) AS p
+         |  FROM $from e, $cents c GROUP BY e.vec_id)""".stripMargin
+    def update(a: String, prev: String, n: Int): String =
+      s"""u$n AS (SELECT CAST(a.p % 16 AS INTEGER) AS cl, t.i AS i, e.xq[t.i] AS v
+         |  FROM $a a JOIN e USING (vec_id), unnest(range(1, 65)) AS t(i)),
+         |g$n AS (SELECT cl, i, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+         |  FROM u$n GROUP BY cl, i),
+         |n$n AS (SELECT cl, i, (sv - (((sv % n) + n) % n)) // n AS c FROM g$n),
+         |r$n AS (SELECT cl, list(c ORDER BY i) AS cq FROM n$n GROUP BY cl),
+         |c$n AS (SELECT p.cl, coalesce(r.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN r$n r USING (cl))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cl, xq AS cq FROM e WHERE vec_id < 8),
+       |${assign("e", "c0", "a1")},
+       |${update("a1", "c0", 1)},
+       |${assign("e", "c1", "a2")},
+       |${update("a2", "c1", 2)},
+       |${assign("e", "c2", "a3")},
+       |f AS (SELECT CAST(p % 16 AS INTEGER) AS cl, p // 16 AS dist FROM a3),
+       |cen AS (SELECT cl, count(*) AS n_vecs, CAST(sum(dist) AS BIGINT) AS inertia
+       |  FROM f GROUP BY cl)
+       |SELECT c2.cl, CAST(coalesce(cen.n_vecs, 0) AS BIGINT) AS n_vecs,
+       |  CAST(coalesce(cen.inertia, 0) AS BIGINT) AS inertia,
+       |  c2.cq[1] AS cq1, c2.cq[2] AS cq2, c2.cq[3] AS cq3, c2.cq[4] AS cq4
+       |FROM c2 LEFT JOIN cen USING (cl) ORDER BY cl""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_emb_kmeans" -> kmeansOracle,
     "q_emb_pca" -> pcaOracle,
     "q_emb_pca2" -> pca2Oracle,
     "q_emb_pq" ->
