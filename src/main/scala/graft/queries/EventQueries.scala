@@ -917,6 +917,8 @@ object EventQueries {
     "q_evt_transitions" -> qEvtTransitions _,
     "q_evt_scd2" -> qEvtScd2 _,
     "q_evt_concurrency" -> qEvtConcurrency _,
+    "q_evt_merge_upsert" -> qEvtMergeUpsert _,
+    "q_evt_audience_hll" -> qEvtAudienceHll _,
   )
 
   /** SCD2 (slowly-changing-dimension type 2) interval build — the
@@ -1000,7 +1002,122 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** CDC MERGE (upsert) — the lakehouse `MERGE INTO` shape as a
+    * queryable operator: a latest-wins dimension snapshot built from
+    * the first 15 days of purchases merges with the delta built from
+    * the rest, via ONE full outer join on the key. Every output row
+    * carries its merge `action` (insert / update / unchanged / carry),
+    * so the result doubles as the CDC audit report. Latest-wins
+    * compaction is a per-key window (row_number DESC = 1) on each
+    * side — the standard dedup-before-merge; both sides and the join
+    * cluster on `user_id`, so the whole merge is the minimal two
+    * sorts + one join shuffle, no driver state. Ties inside a
+    * microsecond break on event_id.
+    */
+  private def qEvtMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        when(col("value") < 10, "low").when(col("value") < 20, "mid")
+          .otherwise("high").as("tier"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val cutoff = 19723L + 15L
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("tier"), col("us"))
+    }
+    val snap = latest(e.filter(col("day") < cutoff)).as("s")
+    val delta = latest(e.filter(col("day") >= cutoff)).as("d")
+    snap.join(delta, col("s.user_id") === col("d.user_id"), "full_outer")
+      .select(coalesce(col("s.user_id"), col("d.user_id")).as("user_id"),
+        coalesce(col("d.tier"), col("s.tier")).as("tier"),
+        coalesce(col("d.us"), col("s.us")).as("as_of_us"),
+        when(col("s.tier").isNull, "insert")
+          .when(col("d.tier").isNull, "carry")
+          .when(col("d.tier") === col("s.tier"), "unchanged")
+          .otherwise("update").as("action"))
+      .orderBy("user_id")
+  }
+
+  /** The sketch scale-path of [[qEvtAudienceOverlap]]: pairwise
+    * audience intersections from mergeable per-type HLL sketches via
+    * inclusion–exclusion (est(A) + est(B) − est(A∪B), the union being
+    * a scalar `hll_union` of two ~4 KB sketches) instead of the exact
+    * per-user self-join. At 100 TB the exact pair join reshuffles the
+    * full (type, user) incidence; the sketch report needs ONE pass to
+    * k·|types| bytes, and new days/partitions merge in for free.
+    * Exactly as in q_evt_hll_rolling, the sketch estimate itself
+    * never enters the output (it is implementation-defined): the
+    * output carries the EXACT pair counts plus the oracle-asserted
+    * contract column `hll_inter_ok` = |est − exact| ≤ 5% of the exact
+    * union — so sketch accuracy is part of the hash gate while the
+    * hash stays engine-portable.
+    */
+  private def qEvtAudienceHll(s: SparkSession, dir: String): DataFrame = {
+    val inc = t(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sk = inc.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n"))
+    val est = sk.as("a")
+      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk")) -
+          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))).as("est_inter"))
+    val exact = inc.as("x")
+      .join(inc.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    est.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        (abs(col("est_inter") - col("n_both")) <=
+          lit(0.05) * (col("n_a") + col("n_b") - col("n_both"))).as("hll_inter_ok"))
+      .orderBy("type_a", "type_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_evt_merge_upsert" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN value < 10 THEN 'low' WHEN value < 20 THEN 'mid'
+        |         ELSE 'high' END AS tier,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |snap AS (SELECT user_id, tier, us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM p WHERE day < 19738) WHERE rn = 1),
+        |delta AS (SELECT user_id, tier, us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM p WHERE day >= 19738) WHERE rn = 1)
+        |SELECT coalesce(s.user_id, d.user_id) AS user_id,
+        |  coalesce(d.tier, s.tier) AS tier,
+        |  coalesce(d.us, s.us) AS as_of_us,
+        |  CASE WHEN s.tier IS NULL THEN 'insert'
+        |       WHEN d.tier IS NULL THEN 'carry'
+        |       WHEN d.tier = s.tier THEN 'unchanged'
+        |       ELSE 'update' END AS action
+        |FROM snap s FULL OUTER JOIN delta d ON s.user_id = d.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_evt_audience_hll" ->
+      """WITH inc AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n_users FROM inc GROUP BY 1),
+        |b AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM inc a JOIN inc b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, s1.n_users AS n_a, s2.n_users AS n_b, n_both,
+        |  TRUE AS hll_inter_ok
+        |FROM b JOIN sz s1 ON s1.event_type = type_a
+        |       JOIN sz s2 ON s2.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_evt_concurrency" ->
       """WITH iv AS (
         |  SELECT epoch_us(ts) AS st, epoch_us(ts) + 300000000 AS en FROM events),

@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_evt_rfm",        // crossJoin of the 1-row max-timestamp anchor
     "q_evt_seasonality", // crossJoin of the 1-row total aggregate
     "q_txt_topk_mg",    // crossJoin of the 1-row (MG summary, total) aggregate
-    "q_emb_kmeans"      // broadcast of the k=8-row centroid relation per round
+    "q_emb_kmeans",     // broadcast of the k=8-row centroid relation per round
+    "q_evt_audience_hll" // pair join of the |event-type|-row sketch relation
   )
 
   // streaming queries execute a real stream per call; keep them out of
