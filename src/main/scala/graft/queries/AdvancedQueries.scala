@@ -206,7 +206,94 @@ object AdvancedQueries {
       .orderBy("layout")
   }
 
+  /** Two-phase distributed skyline (Pareto frontier) of the part
+    * catalog: the parts for which no other part is both cheaper-or-
+    * equal AND larger-or-equal with at least one strict — the classic
+    * "best price/size trade-offs" multi-objective query
+    * (Börzsönyi/Kossmann/Stocker, ICDE'01).
+    *
+    * Scale shape: an exact skyline needs every row compared against
+    * the frontier, but skyline(S) = skyline(∪ skyline(partᵢ)) for ANY
+    * disjoint partitioning — so phase 1 prunes per hash bucket with a
+    * per-bucket sort window (drop a row iff some earlier row in
+    * (cents asc, size desc) order has strictly larger size: that row
+    * is cheaper-or-equal and strictly bigger, hence a dominator; a
+    * dropped dominator is itself dominated transitively by a kept
+    * one, so the prune is lossless). For random data each bucket
+    * keeps ~H(n/B) ≈ ln(n/B) rows, so phase 2's exact global pass
+    * runs on a few hundred rows at any corpus size — the one global
+    * window is bounded by the skyline-union theorem, not by test
+    * scale. Phase 2 is exact dominance via two windows on one sort:
+    * m1 = max size over STRICTLY cheaper rows (range frame, dominated
+    * iff m1 ≥ size — price strict), m2 = max size within the same
+    * price (dominated iff m2 > size — size strict). Prices compare as
+    * exact integer cents.
+    */
+  private def qPartSkyline(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "part").select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+      round(col("p_retailprice") * 100).cast("long").as("cents"))
+    val wLocal = Window.partitionBy("bucket")
+      .orderBy(col("cents").asc, col("p_size").desc, col("p_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pruned = base
+      .withColumn("bucket", pmod(col("p_partkey"), lit(64)))
+      .withColumn("prev_max", max("p_size").over(wLocal))
+      .filter(col("prev_max").isNull || col("prev_max") <= col("p_size"))
+    // phase 2: survivors are ~buckets × ln(n/buckets) rows — bounded
+    // global window by construction (see scaladoc); declared in
+    // PlanAuditSpec's allowlist
+    val wCheaper = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    val wSamePrice = Window.partitionBy("cents")
+    pruned
+      .withColumn("m1", max("p_size").over(wCheaper))
+      .withColumn("m2", max("p_size").over(wSamePrice))
+      .filter((col("m1").isNull || col("m1") < col("p_size")) && col("m2") <= col("p_size"))
+      .select(col("p_partkey"), col("p_size"), col("cents"))
+      .orderBy("p_partkey")
+  }
+
+  /** Small-file compaction planner — the other half of the data-layout
+    * story next to [[qLayoutZorder]]: given a directory of small files
+    * (each document modeled as a file of `n_chars` bytes under its
+    * `source` prefix), plan their coalescing into ~`target`-byte
+    * output bins and report the plan quality per prefix (bin count,
+    * fattest bin, mean fill).
+    *
+    * The packing rule is boundary-by-start-offset: a file goes to bin
+    * `floor(start_offset / target)` of its prefix's concatenated
+    * stream (exactly how Spark's `maxPartitionBytes` file-slicing
+    * assigns splits) — a pure prefix-sum, so the whole plan is ONE
+    * window cumsum per prefix (parallel across prefixes, the 100 TB
+    * axis) with no sequential driver loop; the two census rollups
+    * after it run on partial-aggregated (prefix, bin) rows, so their
+    * exchanges carry bin counts, not files. Bins overshoot `target`
+    * by at most one file — the standard slicing trade-off, reported
+    * honestly as max_bin_chars.
+    */
+  private def qLayoutCompaction(s: SparkSession, dir: String): DataFrame = {
+    val target = 4096L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("bin", (coalesce(sum("n_chars").over(w), lit(0L)) / target)
+        .cast("long"))
+    binned.groupBy("source", "bin")
+      .agg(count(lit(1)).as("bin_files"), sum("n_chars").as("bin_chars"))
+      .groupBy("source")
+      .agg(sum("bin_files").as("n_files"),
+        sum("bin_chars").as("total_chars"),
+        count(lit(1)).as("n_bins"),
+        max("bin_chars").as("max_bin_chars"))
+      .withColumn("fill_ppm",
+        round(lit(1000000.0) * col("total_chars") / (col("n_bins") * target))
+          .cast("long"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_layout_compaction" -> qLayoutCompaction _,
+    "q_part_skyline" -> qPartSkyline _,
     "q_layout_zorder" -> qLayoutZorder _,
     "q_skew_distinct" -> qSkewDistinct _,
     "q_w_range_frame" -> qWRangeFrame _,
@@ -220,6 +307,42 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_layout_compaction" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, start_off // 4096 AS bin,
+        |         count(*) AS bin_files, sum(n_chars) AS bin_chars
+        |  FROM f GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(bin_files) AS BIGINT) AS n_files,
+        |  CAST(sum(bin_chars) AS BIGINT) AS total_chars,
+        |  count(*) AS n_bins,
+        |  CAST(max(bin_chars) AS BIGINT) AS max_bin_chars,
+        |  CAST(round(1000000.0 * CAST(sum(bin_chars) AS BIGINT)
+        |       / (count(*) * 4096)) AS BIGINT) AS fill_ppm
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
+    // single-pass window formulation, provably equivalent to the
+    // NOT-EXISTS dominance definition (see qPartSkyline scaladoc):
+    // dominated iff a strictly-cheaper row has size >= mine (m1) or a
+    // same-price row has size > mine (m2)
+    "q_part_skyline" ->
+      """WITH b AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part),
+        |w AS (
+        |  SELECT *,
+        |    max(p_size) OVER (ORDER BY cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |    max(p_size) OVER (PARTITION BY cents) AS m2
+        |  FROM b)
+        |SELECT p_partkey, p_size, cents FROM w
+        |WHERE (m1 IS NULL OR m1 < p_size) AND m2 <= p_size
+        |ORDER BY p_partkey""".stripMargin,
     "q_layout_zorder" ->
       """WITH base AS (
         |  SELECT user_id & 65535 AS u,

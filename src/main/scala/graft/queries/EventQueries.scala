@@ -883,7 +883,63 @@ object EventQueries {
       .withColumn("significant", abs(col("z")) > 1.96)
   }
 
+  /** Multi-touch marketing attribution census: every purchase credits
+    * the user's preceding `click`/`view` touches under two standard
+    * models — last-touch (the whole conversion to the most recent
+    * touch) and linear (1/n to each preceding touch's channel) — and
+    * the census reports, per channel, conversions + revenue under
+    * each model.
+    *
+    * One window sort per user on (time, event_id) carries everything:
+    * the last-touch channel (`last(... ignoreNulls)` over the
+    * strictly-preceding rows-frame — the as-of carry pattern) and the
+    * per-channel touch counts ride the SAME frame, so Catalyst plans
+    * ONE WindowExec and one user_id exchange; the census then stacks
+    * two channel rows map-side. Lookback is full user history (the
+    * frame is all preceding rows); a bounded-lookback variant swaps
+    * in a microsecond range-frame per channel count — same shape, one
+    * more window pass. Fractional linear credits are made
+    * order-invariant (hence engine-exact) by rounding each purchase's
+    * credit to integer parts-per-million BEFORE the sum: per-row
+    * `round` of a correctly-rounded IEEE quotient is bit-identical in
+    * any engine, and integer sums commute.
+    */
+  private def qEvtAttribution(s: SparkSession, dir: String): DataFrame = {
+    val isTouch = col("event_type").isin("click", "view")
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val purchases = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("lt_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("n_click", count(when(col("event_type") === "click", 1)).over(w))
+      .withColumn("n_view", count(when(col("event_type") === "view", 1)).over(w))
+      .filter(col("event_type") === "purchase" && (col("n_click") + col("n_view")) > 0)
+      .withColumn("n_tot", col("n_click") + col("n_view"))
+    purchases.agg(
+      count(when(col("lt_type") === "click", 1)).as("nlt_c"),
+      sum(when(col("lt_type") === "click", col("cents")).otherwise(0L)).as("ltc_c"),
+      sum(round(lit(1000000.0) * col("n_click") / col("n_tot")).cast("long")).as("lin_c"),
+      sum(round(col("cents") * lit(1000000.0) * col("n_click") / col("n_tot"))
+        .cast("long")).as("linc_c"),
+      count(when(col("lt_type") === "view", 1)).as("nlt_v"),
+      sum(when(col("lt_type") === "view", col("cents")).otherwise(0L)).as("ltc_v"),
+      sum(round(lit(1000000.0) * col("n_view") / col("n_tot")).cast("long")).as("lin_v"),
+      sum(round(col("cents") * lit(1000000.0) * col("n_view") / col("n_tot"))
+        .cast("long")).as("linc_v"))
+      .select(expr(
+        """stack(2,
+          |  'click', nlt_c, ltc_c, lin_c, linc_c,
+          |  'view',  nlt_v, ltc_v, lin_v, linc_v)
+          |  AS (channel, n_last_touch, lt_cents, lin_credit_ppm, lin_cents_ppm)
+          |""".stripMargin))
+      .orderBy("channel")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_attribution" -> qEvtAttribution _,
     "q_evt_pattern" -> qEvtPattern _,
     "q_evt_value_pctl" -> qEvtValuePctl _,
     "q_evt_abtest" -> qEvtAbtest _,
@@ -1081,6 +1137,43 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click','view')
+        |                    THEN event_type END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_click,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_view
+        |  FROM e),
+        |p AS (
+        |  SELECT *, n_click + n_view AS n_tot FROM w
+        |  WHERE event_type = 'purchase' AND n_click + n_view > 0),
+        |a AS (
+        |  SELECT
+        |    count(CASE WHEN lt_type = 'click' THEN 1 END) AS nlt_c,
+        |    CAST(coalesce(sum(CASE WHEN lt_type = 'click' THEN cents ELSE 0 END), 0) AS BIGINT) AS ltc_c,
+        |    CAST(sum(CAST(round(1000000.0 * n_click / n_tot) AS BIGINT)) AS BIGINT) AS lin_c,
+        |    CAST(sum(CAST(round(cents * 1000000.0 * n_click / n_tot) AS BIGINT)) AS BIGINT) AS linc_c,
+        |    count(CASE WHEN lt_type = 'view' THEN 1 END) AS nlt_v,
+        |    CAST(coalesce(sum(CASE WHEN lt_type = 'view' THEN cents ELSE 0 END), 0) AS BIGINT) AS ltc_v,
+        |    CAST(sum(CAST(round(1000000.0 * n_view / n_tot) AS BIGINT)) AS BIGINT) AS lin_v,
+        |    CAST(sum(CAST(round(cents * 1000000.0 * n_view / n_tot) AS BIGINT)) AS BIGINT) AS linc_v
+        |  FROM p)
+        |SELECT 'click' AS channel, nlt_c AS n_last_touch, ltc_c AS lt_cents,
+        |       lin_c AS lin_credit_ppm, linc_c AS lin_cents_ppm FROM a
+        |UNION ALL
+        |SELECT 'view', nlt_v, ltc_v, lin_v, linc_v FROM a
+        |ORDER BY channel""".stripMargin,
     "q_evt_merge_upsert" ->
       """WITH p AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

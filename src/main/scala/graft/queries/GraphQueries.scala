@@ -272,7 +272,51 @@ object GraphQueries {
       .orderBy("u", "rnk")
   }
 
+  /** Market-basket association rules over order baskets at the brand
+    * grain (Agrawal & Srikant, VLDB'94): for every brand pair
+    * co-occurring in an order, support, both directed confidences,
+    * and lift — the classic "customers who bought X also bought Y"
+    * scorer — top-20 by lift.
+    *
+    * Scale shape: the candidate-pair pass is an equi-join of the
+    * per-order distinct brand set with itself on the order key, so
+    * fan-out is C(basket, 2) per order — bounded by basket size (the
+    * a-priori property: pair candidates come only from within a
+    * basket), never corpus-quadratic. The brand dimension (25 rows at
+    * every SF by the TPC-H brand grammar) rides broadcast joins for
+    * the marginals, the order total is a 1-row broadcast, and top-20
+    * is TakeOrderedAndProject — no global sort. Ratios are emitted as
+    * ppm with a shared literal expression tree (each IEEE op
+    * correctly rounded ⇒ engine-identical), ties broken by the pair
+    * key.
+    */
+  private def qBasketRules(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))), Seq("pk"))
+      .select("ok", "brand").distinct()
+    val supp = items.groupBy("brand").agg(count(lit(1)).as("supp"))
+    val n = items.agg(countDistinct("ok").as("n_orders"))
+    val pairs = items.select(col("ok"), col("brand").as("b1"))
+      .join(items.select(col("ok"), col("brand").as("b2")), Seq("ok"))
+      .filter(col("b1") < col("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("supp_pair"))
+    pairs
+      .join(broadcast(supp.select(col("brand").as("b1"), col("supp").as("supp_b1"))), Seq("b1"))
+      .join(broadcast(supp.select(col("brand").as("b2"), col("supp").as("supp_b2"))), Seq("b2"))
+      .crossJoin(broadcast(n))
+      .select(col("b1"), col("b2"), col("supp_pair"), col("supp_b1"), col("supp_b2"),
+        round(lit(1000000.0) * col("supp_pair") / col("supp_b1")).cast("long").as("conf12_ppm"),
+        round(lit(1000000.0) * col("supp_pair") / col("supp_b2")).cast("long").as("conf21_ppm"),
+        round(lit(1000000.0) * (col("supp_pair") / col("supp_b1"))
+          * (col("n_orders") / col("supp_b2"))).cast("long").as("lift_ppm"))
+      .orderBy(desc("lift_ppm"), col("b1"), col("b2"))
+      .limit(20)
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_basket_rules" -> qBasketRules _,
     "q_graph_pagerank" -> qGraphPagerank _,
     "q_graph_degree_dist" -> qGraphDegreeDist _,
     "q_graph_triangles" -> qGraphTriangles _,
@@ -280,6 +324,25 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_basket_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |supp AS (SELECT brand, count(*) AS supp FROM items GROUP BY 1),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+        |pairs AS (
+        |  SELECT a.brand AS b1, b.brand AS b2, count(*) AS supp_pair
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT b1, b2, supp_pair, s1.supp AS supp_b1, s2.supp AS supp_b2,
+        |  CAST(round(1000000.0 * supp_pair / s1.supp) AS BIGINT) AS conf12_ppm,
+        |  CAST(round(1000000.0 * supp_pair / s2.supp) AS BIGINT) AS conf21_ppm,
+        |  CAST(round(1000000.0 * (supp_pair / s1.supp)
+        |       * (n.n_orders / s2.supp)) AS BIGINT) AS lift_ppm
+        |FROM pairs JOIN supp s1 ON pairs.b1 = s1.brand
+        |           JOIN supp s2 ON pairs.b2 = s2.brand
+        |           CROSS JOIN n
+        |ORDER BY lift_ppm DESC, b1, b2 LIMIT 20""".stripMargin,
     "q_graph_pagerank" -> prOracle,
     "q_graph_linkpred" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -113,7 +113,11 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast-threshold variant a 1e9-user deployment swaps in.
     // q_evt_seasonality ranks the (dow x hour) cell table — <= 168
     // rows at any data scale by construction.
-    val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality")
+    // q_part_skyline's phase-2 global window runs on the union of
+    // per-bucket skylines — ~B·ln(n/B) rows at any corpus size by the
+    // skyline-union theorem (see its scaladoc).
+    val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality",
+      "q_part_skyline")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>
