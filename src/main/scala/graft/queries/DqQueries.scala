@@ -126,7 +126,53 @@ object DqQueries {
       .orderBy("tbl", "key")
   }
 
+  /** Column profiler — the ANALYZE/Deequ-profiling companion to
+    * [[qDqConstraints]]: for each audited column, row count, null
+    * count, exact distinct count, min/max, and a verdict that the
+    * HLL++ estimate (`approx_count_distinct`, the only NDV a 100 TB
+    * profile would compute) lands within 3× its configured 5%
+    * relative standard deviation of the exact answer.
+    *
+    * One aggregate pass per table produces every column's stats as
+    * sibling aggregates (exact NDVs share Catalyst's single expand;
+    * the sketch NDVs and min/max are plain partial aggs), then the
+    * per-column report rows are stacked map-side from the 1-row
+    * result — the report is always (columns) rows, never data-sized.
+    * The verdict is partitioning-invariant because HLL++ register
+    * merge is a max — the same estimate falls out of any split of the
+    * corpus. Min/max aggregate on the native type and cast to string
+    * only for the report (numeric order, lexicographic rendering).
+    */
+  private def qDqProfile(s: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, tbl: String, cols: Seq[String]): DataFrame = {
+      val aggs = cols.flatMap { c => Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        approx_count_distinct(col(c)).as(s"andv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+      }
+      val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      one.select(explode(array(cols.map { c =>
+        struct(lit(tbl).as("tbl"), lit(c).as("col_name"),
+          col("n_rows"),
+          (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+          col(s"ndv_$c").as("ndv"),
+          (abs(col(s"andv_$c") - col(s"ndv_$c")) <=
+            lit(0.15) * col(s"ndv_$c")).as("hll_ok"),
+          col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))
+      }: _*)).as("p")).select("p.*")
+    }
+    profile(t(s, dir, "lineitem"), "lineitem", Seq("l_partkey", "l_returnflag"))
+      .unionByName(profile(t(s, dir, "orders"), "orders",
+        Seq("o_custkey", "o_orderpriority")))
+      .unionByName(profile(t(s, dir, "events"), "events",
+        Seq("event_type", "user_id")))
+      .orderBy("tbl", "col_name")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_dq_profile" -> qDqProfile _,
     "q_dq_constraints" -> qDqConstraints _,
     "q_skew_preflight" -> qSkewPreflight _,
   )
@@ -140,6 +186,63 @@ object DqQueries {
        |FROM (SELECT count(*) AS c FROM $tbl GROUP BY $key)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // hll_ok replays as TRUE: the oracle owns the exact NDV; the
+    // sketch estimate is Spark-side and gated by the verdict column
+    // (the q_evt_value_pctl discipline)
+    "q_dq_profile" ->
+      """WITH li AS (
+        |  SELECT 'lineitem' AS tbl, c.col_name,
+        |    (SELECT count(*) FROM lineitem) AS n_rows,
+        |    CASE c.col_name
+        |      WHEN 'l_partkey' THEN (SELECT count(*) - count(l_partkey) FROM lineitem)
+        |      ELSE (SELECT count(*) - count(l_returnflag) FROM lineitem) END AS n_null,
+        |    CASE c.col_name
+        |      WHEN 'l_partkey' THEN (SELECT count(DISTINCT l_partkey) FROM lineitem)
+        |      ELSE (SELECT count(DISTINCT l_returnflag) FROM lineitem) END AS ndv,
+        |    TRUE AS hll_ok,
+        |    CASE c.col_name
+        |      WHEN 'l_partkey' THEN (SELECT CAST(min(l_partkey) AS VARCHAR) FROM lineitem)
+        |      ELSE (SELECT min(l_returnflag) FROM lineitem) END AS min_s,
+        |    CASE c.col_name
+        |      WHEN 'l_partkey' THEN (SELECT CAST(max(l_partkey) AS VARCHAR) FROM lineitem)
+        |      ELSE (SELECT max(l_returnflag) FROM lineitem) END AS max_s
+        |  FROM (VALUES ('l_partkey'), ('l_returnflag')) c(col_name)),
+        |o AS (
+        |  SELECT 'orders' AS tbl, c.col_name,
+        |    (SELECT count(*) FROM orders) AS n_rows,
+        |    CASE c.col_name
+        |      WHEN 'o_custkey' THEN (SELECT count(*) - count(o_custkey) FROM orders)
+        |      ELSE (SELECT count(*) - count(o_orderpriority) FROM orders) END AS n_null,
+        |    CASE c.col_name
+        |      WHEN 'o_custkey' THEN (SELECT count(DISTINCT o_custkey) FROM orders)
+        |      ELSE (SELECT count(DISTINCT o_orderpriority) FROM orders) END AS ndv,
+        |    TRUE AS hll_ok,
+        |    CASE c.col_name
+        |      WHEN 'o_custkey' THEN (SELECT CAST(min(o_custkey) AS VARCHAR) FROM orders)
+        |      ELSE (SELECT min(o_orderpriority) FROM orders) END AS min_s,
+        |    CASE c.col_name
+        |      WHEN 'o_custkey' THEN (SELECT CAST(max(o_custkey) AS VARCHAR) FROM orders)
+        |      ELSE (SELECT max(o_orderpriority) FROM orders) END AS max_s
+        |  FROM (VALUES ('o_custkey'), ('o_orderpriority')) c(col_name)),
+        |e AS (
+        |  SELECT 'events' AS tbl, c.col_name,
+        |    (SELECT count(*) FROM events) AS n_rows,
+        |    CASE c.col_name
+        |      WHEN 'event_type' THEN (SELECT count(*) - count(event_type) FROM events)
+        |      ELSE (SELECT count(*) - count(user_id) FROM events) END AS n_null,
+        |    CASE c.col_name
+        |      WHEN 'event_type' THEN (SELECT count(DISTINCT event_type) FROM events)
+        |      ELSE (SELECT count(DISTINCT user_id) FROM events) END AS ndv,
+        |    TRUE AS hll_ok,
+        |    CASE c.col_name
+        |      WHEN 'event_type' THEN (SELECT min(event_type) FROM events)
+        |      ELSE (SELECT CAST(min(user_id) AS VARCHAR) FROM events) END AS min_s,
+        |    CASE c.col_name
+        |      WHEN 'event_type' THEN (SELECT max(event_type) FROM events)
+        |      ELSE (SELECT CAST(max(user_id) AS VARCHAR) FROM events) END AS max_s
+        |  FROM (VALUES ('event_type'), ('user_id')) c(col_name))
+        |SELECT * FROM li UNION ALL SELECT * FROM o UNION ALL SELECT * FROM e
+        |ORDER BY tbl, col_name""".stripMargin,
     "q_skew_preflight" ->
       (Seq(("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"),
         ("orders", "o_custkey"), ("events", "user_id"),

@@ -938,7 +938,84 @@ object EventQueries {
       .orderBy("channel")
   }
 
+  /** Time-series gap fill — the resample step every monitoring/
+    * training pipeline runs before a forecast: densify each event
+    * type's hourly series onto its full [min, max] hour grid, filling
+    * absent hours with a zero count and forward-filling the last
+    * observed hourly revenue (the "carry last observation" rule).
+    *
+    * The dense grid comes from `sequence` + explode of each type's
+    * 2-value span row — generated data, not a join against a
+    * calendar table — so the grid size is (types × span hours),
+    * bounded by wall-clock time, never by event volume. One groupBy
+    * builds the sparse series (the only full-data shuffle); the
+    * left join onto the grid and the forward-fill window both run on
+    * the already-aggregated series. Revenue is exact integer cents.
+    */
+  private def qEvtGapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val wFill = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("event_type", "h"), "left_outer")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("cents_ffill",
+        last(col("cents"), ignoreNulls = true).over(wFill))
+      .select(col("event_type"), col("h"), col("n"),
+        col("cents_ffill"), col("cents").isNull.as("filled"))
+      .orderBy("event_type", "h")
+  }
+
+  /** Autocorrelation census of the hourly traffic series at the lags
+    * an on-call engineer actually reads (1 h, 2 h, 3 h, 6 h, 12 h,
+    * 24 h) — the diagnostic behind [[qEvtSeasonality]]: a spike at
+    * lag 24 says daily rhythm, decay over 1–3 says burstiness.
+    *
+    * The series is the per-hour event count — one partial-agg shuffle
+    * over the corpus, then every lag correlation runs on the tiny
+    * (hours × 6) self-join, broadcast both sides. Pearson r is
+    * assembled from INTEGER power sums (counts are longs, so
+    * Σx/Σy/Σxy/Σx²/Σy² are exact and order-invariant); the single
+    * double expression over them is evaluated with an identical tree
+    * by any engine, emitted as ppm. At petabyte scale the integer
+    * sums still fit i64 (they overflow only past ~3e9 events/hour);
+    * the exactness-through-i64 discipline is the q_evt_cohort_ltv
+    * cents rule applied to moments.
+    */
+  private def qEvtAcf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("y"))
+    import s.implicits._
+    val lags = Seq(1, 2, 3, 6, 12, 24).toDF("lag")
+    val pairs = broadcast(hourly.select(col("h"), col("y").as("x")))
+      .crossJoin(broadcast(lags))
+      .withColumn("h2", col("h") + col("lag"))
+      .join(broadcast(hourly.select(col("h").as("h2"), col("y"))),
+        Seq("h2"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        round(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .cast("long").as("r_ppm"))
+      .orderBy("lag")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_gap_fill" -> qEvtGapFill _,
+    "q_evt_acf" -> qEvtAcf _,
     "q_evt_attribution" -> qEvtAttribution _,
     "q_evt_pattern" -> qEvtPattern _,
     "q_evt_value_pctl" -> qEvtValuePctl _,
@@ -1137,6 +1214,43 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(min(h), max(h))) AS h
+        |  FROM hourly GROUP BY event_type)
+        |SELECT g.event_type, g.h, coalesce(hourly.n, 0) AS n,
+        |  last_value(hourly.cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill,
+        |  hourly.cents IS NULL AS filled
+        |FROM grid g LEFT JOIN hourly
+        |  ON g.event_type = hourly.event_type AND g.h = hourly.h
+        |ORDER BY g.event_type, g.h""".stripMargin,
+    "q_evt_acf" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS y
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT l.lag, a.y AS x, b.y AS y
+        |  FROM (VALUES (1), (2), (3), (6), (12), (24)) l(lag)
+        |  CROSS JOIN hourly a JOIN hourly b ON b.h = a.h + l.lag),
+        |m AS (
+        |  SELECT lag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, n,
+        |  CAST(round(1000000.0 * (n * sxy - sx * sy) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r_ppm
+        |FROM m ORDER BY lag""".stripMargin,
     "q_evt_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

@@ -1,0 +1,78 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Round-12g operators (gap fill, ACF, column profiler): planted
+  * fixtures with hand-computed expectations — a constructed gap to
+  * fill, a perfectly periodic series whose autocorrelations are
+  * exactly ±1 — plus profiler invariants on real data.
+  */
+class Round12gOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Long, String, Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("r12g").toFile.getAbsolutePath
+    rows.map { case (id, ts, uid, typ, v) =>
+      (id, Timestamp.valueOf(ts), uid, typ, v, """{"k": 1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("gap fill: zero-count gap hours, forward-filled revenue, honest filled flag") {
+    // clicks at hour H and H+3 (gap at H+1, H+2); views at H only
+    val dir = writeEvents(Seq(
+      (1L, "2024-03-01 00:10:00", 1L, "click", 2.0),
+      (2L, "2024-03-01 00:20:00", 2L, "click", 3.0),
+      (3L, "2024-03-01 03:30:00", 1L, "click", 7.0),
+      (4L, "2024-03-01 00:40:00", 3L, "view", 1.0)))
+    val out = SparkEntry.queries("q_evt_gap_fill")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1) -
+        Timestamp.valueOf("2024-03-01 00:00:00").getTime / 3600000,
+        r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val clicks = out.filter(_._1 == "click").map(t => (t._2, t._3, t._4, t._5))
+    assert(clicks.toSeq == Seq(
+      (0L, 2L, 500L, false), (1L, 0L, 500L, true),
+      (2L, 0L, 500L, true), (3L, 1L, 700L, false)), s"got ${clicks.toSeq}")
+    val views = out.filter(_._1 == "view").map(t => (t._2, t._3, t._4, t._5))
+    assert(views.toSeq == Seq((0L, 1L, 100L, false)), s"got ${views.toSeq}")
+  }
+
+  test("acf: a period-2 series correlates exactly -1 at odd lags, +1 at even") {
+    // hourly counts 1,3,1,3,1,3,1,3 over 8 hours: every power sum is a
+    // small exact integer, so r is EXACTLY +-1 and the ppm rounding has
+    // nothing to hide
+    val base = "2024-03-01 %02d:15:00"
+    var id = 0L
+    val rows = (0 until 8).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      (0 until n).map { _ => id += 1
+        (id, base.format(h), id, "click", 1.0) }
+    }
+    val out = SparkEntry.queries("q_evt_acf")(spark, writeEvents(rows))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, 7L, -1000000L), (2, 6L, 1000000L),
+      (3, 5L, -1000000L), (6, 2L, 1000000L)), s"got $out")
+  }
+
+  test("profiler: exact stats agree with directly-computed ground truth on real data") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_dq_profile")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5),
+          r.getString(6), r.getString(7))).toMap
+    assert(out.size == 6)
+    val ev = Q.t(spark, sfDir, "events")
+    val truth = ev.agg(count(lit(1)), countDistinct(col("user_id")),
+      min("user_id").cast("string"), max("user_id").cast("string")).head()
+    val (n, nNull, ndv, hllOk, minS, maxS) = out(("events", "user_id"))
+    assert(n == truth.getLong(0) && nNull == 0L && ndv == truth.getLong(1))
+    assert(hllOk, "HLL estimate outside 3-sigma of exact NDV")
+    assert(minS == truth.getString(2) && maxS == truth.getString(3))
+    assert(out.values.forall(_._4), "every audited column's HLL verdict must hold")
+  }
+}
