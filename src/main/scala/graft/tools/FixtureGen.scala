@@ -29,14 +29,20 @@ import org.apache.spark.sql.functions._
 object FixtureGen {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("fixtures/signatures")
+    // extra args = explicit SF dirs (e.g. /tmp/graft-sf1 for the
+    // uncommitted sf1 fixture oracle_sf1_sketchpairs.py replays);
+    // default = the three driver-gated dirs the committed fixture pins
+    val dirs =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("sf0.001", "sf0.01", "sf0.1").map(sf => s"/root/testdata/$sf")
     val spark = graft.core.GraftSession
       .builder(master = "local[8]", shufflePartitions = 8)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("sf0.001", "sf0.01", "sf0.1")
-      .map { sf =>
+    dirs
+      .map { dir =>
         val docs = spark.read
-          .parquet(s"/root/testdata/$sf/documents.parquet")
+          .parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"), col("n_chars"))
         val Array(n, nChars) = docs
           .agg(count(lit(1)), sum("n_chars")).head().toSeq.toArray

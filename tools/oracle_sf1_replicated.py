@@ -159,6 +159,22 @@ def main():
     ]
     compare("q_dedup_components", cols01, expected, method)
 
+    # --- q_dedup_cluster_split: split census scales x COPIES ---
+    # cluster id = per-copy min doc_id = sf0.1 cluster + offset, and the
+    # offsets are multiples of 1000, so cluster % 10 (the split rule) is
+    # copy-invariant: every copied cluster lands in the SAME split.
+    assert all(off % 10 == 0 for off in offsets), "split law needs 10|offset"
+    rel = con.sql(oracles["q_dedup_cluster_split"])
+    cols01 = list(rel.columns)
+    rows01 = rel.fetchall()
+    idx = {c: i for i, c in enumerate(cols01)}
+    expected = [
+        tuple(r[j] * COPIES if j in (idx["n_clusters"], idx["n_docs"]) else r[j]
+              for j in range(len(r)))
+        for r in rows01
+    ]
+    compare("q_dedup_cluster_split", cols01, expected, method)
+
     # --- q_corpus_build: per-language census scales x COPIES ---
     rel = con.sql(oracles["q_corpus_build"])
     cols01 = list(rel.columns)

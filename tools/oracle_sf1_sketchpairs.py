@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""sf1 oracle for q_dedup_minhash_pairs / q_dedup_simhash_pairs.
+
+Why not oracle_spotcheck.py: the committed oracles replay the banding
+pipeline from the COMMITTED signature fixture, which pins only the
+three driver-gated SFs (sf0.001/0.01/0.1); sf1's (n_docs,
+n_chars_total) key has no fixture row, so the spotcheck can't run.
+
+What replaces it: the same replay against an sf1 signature fixture
+generated on demand (`sbt "runMain graft.tools.FixtureGen <out>
+/tmp/graft-sf1"`, ~26 MB at sf1 — per-SF artifacts stay uncommitted). The trust structure
+is IDENTICAL to the committed fixture's (FixtureGen.scala scaladoc):
+the signature step is engine-computed either way (DuckDB has no
+xxhash64) and is spec-verified bit-for-bit against the driver-side
+twin (MinhashSignatureSpec/DedupSpec); what the fixture buys is an
+independent DuckDB replay of everything DOWNSTREAM — banding, bucket
+joins, pair dedup, estimate/hamming thresholds — which is where the
+scale-sensitive logic lives.
+
+Usage: oracle_sf1_sketchpairs.py <sf1Dir> <fixtureDir> <verifyOutDir> <resultJson>
+"""
+import json
+import sys
+
+import duckdb
+
+MINHASH_SQL = """
+WITH sig AS (SELECT doc_id, minhash FROM fixture),
+banded AS (
+  SELECT doc_id, t.band AS band,
+    array_to_string(list_slice(minhash, t.band*4 + 1, t.band*4 + 4), ',') AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0,32)) AS band) t),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id),
+est AS (
+  SELECT id_a, id_b,
+    len(list_filter(range(1,129), i -> sa.minhash[i] = sb.minhash[i])) / 128.0 AS est_jaccard
+  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a JOIN sig sb ON sb.doc_id = cand.id_b)
+SELECT id_a, id_b, est_jaccard FROM est
+WHERE est_jaccard >= 0.05 ORDER BY id_a, id_b
+"""
+
+SIMHASH_SQL = """
+WITH sig AS (SELECT doc_id, simhash FROM fixture),
+chunked AS (
+  SELECT doc_id, simhash, t.ci AS ci, (simhash >> (t.ci*16)) & 65535 AS chunk
+  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS ci) t),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM chunked a JOIN chunked b USING (ci, chunk)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs
+WHERE hamming <= 8 ORDER BY id_a, id_b
+"""
+
+
+def main():
+    sf_dir, fix_dir, out_dir, result_path = sys.argv[1:5]
+    sys.path.insert(0, "tools")
+    from oracle_spotcheck import table_of
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW fixture AS SELECT * FROM "
+            f"read_parquet('{fix_dir}/*.parquet')")
+    # the fixture must describe exactly this corpus
+    n_docs, n_chars = con.sql(
+        f"SELECT count(*), sum(n_chars) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchone()
+    fn, fd, fc = con.sql(
+        "SELECT count(*), min(n_docs), min(n_chars_total) FROM fixture").fetchone()
+    assert fn == n_docs and fd == n_docs and fc == n_chars, \
+        f"fixture ({fn},{fd},{fc}) does not match corpus ({n_docs},{n_chars})"
+
+    results = {}
+    method = ("sf1 signature fixture (FixtureGen, uncommitted, ~26 MB) + "
+              "DuckDB replay of the banding/pair pipeline downstream of "
+              "the spec-verified signature step")
+    for name, sql in [("q_dedup_minhash_pairs", MINHASH_SQL),
+                      ("q_dedup_simhash_pairs", SIMHASH_SQL)]:
+        s_cols, s_rows = table_of(
+            con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        o_cols, o_rows = table_of(con, sql)
+        entry = {
+            "rows_match": len(s_rows) == len(o_rows),
+            "schema_match": s_cols == o_cols,
+            "hash_match": s_rows == o_rows,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(o_rows),
+            "err": None,
+            "method": method,
+        }
+        results[name] = entry
+        ok = entry["hash_match"] and entry["schema_match"]
+        print(f"{'PASS' if ok else 'FAIL'} {name} "
+              f"spark_rows={entry['spark_rows']} oracle_rows={entry['oracle_rows']}")
+    with open(result_path, "w") as f:
+        json.dump(results, f, indent=2)
+    sys.exit(0 if all(r["hash_match"] and r["schema_match"]
+                      for r in results.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()
