@@ -315,7 +315,74 @@ object GraphQueries {
       .limit(20)
   }
 
+  /** k-core decomposition census over the part co-purchase graph —
+    * the graph-family's density primitive next to triangles/PageRank:
+    * the k-core is the maximal subgraph where every node keeps ≥ k
+    * in-core neighbors (Seidman 1983), found by iterated peeling of
+    * sub-k nodes. Three k values bracket this graph's degree range
+    * ([[kcoreKs]]: whole graph / light peel / deep cascade),
+    * reporting core size, core edges, and an attested convergence
+    * flag per k.
+    *
+    * Each peel round is one degree groupBy + two semi-joins on the
+    * node id — O(E) per round, nothing driver-side but the loop
+    * counter — with `localCheckpoint` truncating lineage between
+    * rounds (the componentsFrom discipline). Rounds are capped at 16:
+    * peeling shrinks the edge set monotonically, so an early Spark
+    * fixpoint equals the oracle's full 16 unrolled stages (extra
+    * stages are no-ops), and a non-converged cap is REPORTED
+    * (converged=false) and still hash-matches — the same
+    * deterministic sequence truncated at the same stage. The edge
+    * count is the fixpoint test: monotone shrinking makes count
+    * equality exact.
+    */
+  /** Peel thresholds for [[qGraphKcore]], shared with the unrolled
+    * oracle so the census axes cannot drift. Chosen against the
+    * measured degree range (~40-220, median ~115): 30 keeps the whole
+    * graph (1 round), 60 peels lightly (2 rounds), 80 drives a real
+    * 6-round cascade that still leaves a proper core at sf0.01+ (85
+    * was measured to collapse the sf0.1 graph only after 39 rounds -
+    * past any sane cap - and was rejected).
+    */
+  val kcoreKs = Seq(30, 60, 80)
+
+  private def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges0 = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .localCheckpoint()
+    val rows = kcoreKs.map { k =>
+      var edges = edges0
+      var prev = edges.count()
+      var converged = prev == 0L
+      var rounds = 0
+      while (!converged && rounds < 16) {
+        val keep = edges.select(col("u").as("node"))
+          .union(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("node")
+        val next = edges
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint()
+        val n = next.count()
+        converged = n == prev
+        prev = n
+        edges = next
+        rounds += 1
+      }
+      val nCore = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node"))).distinct().count()
+      (k, nCore, prev, converged)
+    }
+    rows.toDF("k", "n_core", "core_edges", "converged").orderBy("k")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_graph_kcore" -> qGraphKcore _,
     "q_basket_rules" -> qBasketRules _,
     "q_graph_pagerank" -> qGraphPagerank _,
     "q_graph_degree_dist" -> qGraphDegreeDist _,
@@ -323,7 +390,41 @@ object GraphQueries {
     "q_graph_linkpred" -> qGraphLinkpred _,
   )
 
+  /** The kcore oracle unrolls the peel as a generated 16-stage CTE
+    * chain per k (no RECURSIVE: shrinking working sets don't fit the
+    * union-only recursion model; a Spark fixpoint before stage 16
+    * makes the remaining stages no-ops, so the truncation points
+    * agree — see qGraphKcore's scaladoc).
+    */
+  private def kcoreOracle: String = {
+    val ks = kcoreKs
+    val stages = 16
+    val sb = new StringBuilder
+    sb.append("WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),\n")
+    sb.append("e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+      "JOIN li b ON a.ok = b.ok AND a.pk < b.pk)")
+    for (k <- ks; i <- 1 to stages) {
+      val prev = if (i == 1) "e0" else s"e${i - 1}_$k"
+      sb.append(s""",
+        |s${i}_$k AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM $prev
+        |  UNION ALL SELECT v FROM $prev) t GROUP BY node HAVING count(*) >= $k),
+        |e${i}_$k AS MATERIALIZED (SELECT e.u, e.v FROM $prev e
+        |  JOIN s${i}_$k a ON e.u = a.node JOIN s${i}_$k b ON e.v = b.node)""".stripMargin)
+    }
+    val selects = ks.map { k =>
+      s"""SELECT $k AS k,
+         |  (SELECT count(*) FROM (SELECT u AS node FROM e${stages}_$k
+         |     UNION SELECT v FROM e${stages}_$k) t) AS n_core,
+         |  (SELECT count(*) FROM e${stages}_$k) AS core_edges,
+         |  (SELECT count(*) FROM e${stages}_$k) =
+         |    (SELECT count(*) FROM e${stages - 1}_$k) AS converged""".stripMargin
+    }
+    sb.append("\n" + selects.mkString("\nUNION ALL\n") + "\nORDER BY k")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_graph_kcore" -> kcoreOracle,
     "q_basket_rules" ->
       """WITH items AS (
         |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand

@@ -59,6 +59,38 @@ class Round12gOpsSpec extends SparkSpec {
       (3, 5L, -1000000L), (6, 2L, 1000000L)), s"got $out")
   }
 
+  test("kcore: the distributed peel equals a plain-Scala peel, and every k converges") {
+    val sfDir = "/root/testdata/sf0.001"
+    val li = Q.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values
+    val edges0 = byOrder.flatMap { lines =>
+      val pks = lines.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+    }.toSet
+    def peel(k: Int): (Long, Long) = {
+      var e = edges0
+      var n = -1
+      while (e.size != n) {
+        n = e.size
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size)
+        val keep = deg.filter(_._2 >= k).keySet
+        e = e.filter(p => keep(p._1) && keep(p._2))
+      }
+      val nodes = e.flatMap(p => Seq(p._1, p._2))
+      (nodes.size.toLong, e.size.toLong)
+    }
+    val got = graft.SparkEntry.queries("q_graph_kcore")(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    for (k <- graft.queries.GraphQueries.kcoreKs) {
+      val (nn, ne) = peel(k)
+      assert(got(k) == ((nn, ne, true)), s"k=$k: got ${got(k)}, brute ($nn, $ne)")
+    }
+  }
+
   test("profiler: exact stats agree with directly-computed ground truth on real data") {
     val sfDir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q_dq_profile")(spark, sfDir)
