@@ -52,8 +52,10 @@ object Ql {
     "q_stream_incremental", "q_stream_hourly_append",
     "q_stream_incremental_append", "q_stream_sessionize_append",
     "q_stream_stitch", "q_stream_range_append", "q_stream_ewma",
-    "q_stream_pattern", "q_stream_ewma_tws", "q_evt_pipeline",
-    "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank")
+    "q_stream_pattern", "q_stream_ewma_tws", "q_stream_attribution",
+    "q_evt_pipeline",
+    "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank",
+    "q_graph_kcore")
 
   /** Register inventory queries as temp views named after their registry
     * keys, so `spark.sql("SELECT * FROM q_dedup_exact")` composes with

@@ -434,6 +434,16 @@ object ScaleQueries {
   private def qStreamEwma(s: SparkSession, dir: String): DataFrame =
     StreamOps.ewmaState(s, dir)._1
 
+  /** Streaming multi-touch attribution — q_evt_attribution's O(1)-state
+    * twin (two counters + last-touch channel + eight integer credit
+    * accumulators per user, ~100 bytes forever, vs the batch window's
+    * whole-history scan); per-purchase rounding replays the batch
+    * expression tree exactly, so it shares the batch oracle's hash.
+    * See StreamOps.attributionState.
+    */
+  private def qStreamAttribution(s: SparkSession, dir: String): DataFrame =
+    StreamOps.attributionState(s, dir)._1
+
   /** The same EWMA on Spark 4's transformWithState (RocksDB-backed
     * named state) — API-surface twin, must hash-match q_stream_ewma's
     * oracle exactly. See StreamOps.ewmaStateTws.
@@ -614,6 +624,7 @@ object ScaleQueries {
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_ewma" -> qStreamEwma _,
+    "q_stream_attribution" -> qStreamAttribution _,
     "q_stream_ewma_tws" -> qStreamEwmaTws _,
     "q_stream_pattern" -> qStreamPattern _,
     "q_stream_incremental" -> qStreamIncremental _,
@@ -791,6 +802,7 @@ object ScaleQueries {
         |  CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT) AS n_err_runs,
         |  len(regexp_extract_all(journey, 's[^p]*p')) > 0 AS signup_converted
         |FROM j ORDER BY user_id""".stripMargin,
+    "q_stream_attribution" -> EventQueries.oracles("q_evt_attribution"),
     "q_stream_ewma" ->
       """SELECT user_id, count(*) AS n_events,
         |  round(list_reduce(list(value ORDER BY ts, event_id),

@@ -322,6 +322,112 @@ object StreamOps {
     (out, maxState)
   }
 
+  case class EvtTV(user_id: Long, us: Long, event_id: Long,
+                   event_type: String, value: Double)
+  case class AttrState(seq: Long, nClick: Long, nView: Long, lt: Int,
+                       nltC: Long, ltcC: Long, linC: Long, lincC: Long,
+                       nltV: Long, ltcV: Long, linV: Long, lincV: Long)
+
+  /** Streaming multi-touch attribution — q_evt_attribution's stateful
+    * twin. The batch form window-scans each user's WHOLE preceding
+    * history per purchase; the stream carries O(1) state per user:
+    * two touch counters, the last-touch channel, and eight integer
+    * credit accumulators (~100 bytes, forever). Each purchase folds
+    * its ppm-rounded credits into the accumulators with EXACTLY the
+    * batch expression tree (`(1e6·n_c)/n_tot`, `((cents·1e6)·n_c)/
+    * n_tot`, positive-domain round — bit-identical to Spark SQL's
+    * HALF_UP on these operands), so the final census hash-matches the
+    * batch oracle. Events fold in (us, event_id) order within a
+    * batch; cross-batch agreement assumes time-ordered arrival (the
+    * ewmaState contract, spec-asserted by a two-slice replay). The
+    * per-user LAST update wins via the monotone fold counter, then
+    * the census is a 2-row stack — the same shape the batch emits.
+    */
+  def attributionState(spark: SparkSession, sfDir: String,
+                       glob: String = "events.parquet",
+                       maxFilesPerTrigger: Int = 0): (DataFrame, Long) = {
+    import spark.implicits._
+    val batchSchema = spark.read.parquet(s"$sfDir/$glob").schema
+    var reader = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val stream = graft.core.EventTime.normalize(reader.parquet(sfDir))
+    val events = stream
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[EvtTV]
+    val zero = AttrState(0L, 0L, 0L, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    val updates = events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[EvtTV], state: GroupState[AttrState]) => {
+          var st = state.getOption.getOrElse(zero)
+          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            st = e.event_type match {
+              case "click" => st.copy(seq = st.seq + 1, nClick = st.nClick + 1, lt = 1)
+              case "view"  => st.copy(seq = st.seq + 1, nView = st.nView + 1, lt = 2)
+              case "purchase" =>
+                val nt = st.nClick + st.nView
+                if (nt > 0) {
+                  val cents = math.round(e.value * 100)
+                  st.copy(seq = st.seq + 1,
+                    nltC = st.nltC + (if (st.lt == 1) 1L else 0L),
+                    ltcC = st.ltcC + (if (st.lt == 1) cents else 0L),
+                    linC = st.linC + math.round(1000000.0 * st.nClick / nt),
+                    lincC = st.lincC + math.round(cents * 1000000.0 * st.nClick / nt),
+                    nltV = st.nltV + (if (st.lt == 2) 1L else 0L),
+                    ltcV = st.ltcV + (if (st.lt == 2) cents else 0L),
+                    linV = st.linV + math.round(1000000.0 * st.nView / nt),
+                    lincV = st.lincV + math.round(cents * 1000000.0 * st.nView / nt))
+                } else st.copy(seq = st.seq + 1)
+              case _ => st.copy(seq = st.seq + 1)
+            }
+          }
+          state.update(st)
+          (uid, st.seq, st.nltC, st.ltcC, st.linC, st.lincC,
+            st.nltV, st.ltcV, st.linV, st.lincV)
+        })
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    val q = updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)], _: Long) =>
+        val rows = batch.collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_attribution") = maxState
+    val out = buf.synchronized(buf.toSeq)
+      .toDF("user_id", "seq", "nlt_c", "ltc_c", "lin_c", "linc_c",
+        "nlt_v", "ltc_v", "lin_v", "linc_v")
+      .groupBy("user_id")
+      .agg(max(struct(col("seq"), col("nlt_c"), col("ltc_c"), col("lin_c"),
+        col("linc_c"), col("nlt_v"), col("ltc_v"), col("lin_v"),
+        col("linc_v"))).as("last"))
+      .agg(sum("last.nlt_c").as("nlt_c"), sum("last.ltc_c").as("ltc_c"),
+        sum("last.lin_c").as("lin_c"), sum("last.linc_c").as("linc_c"),
+        sum("last.nlt_v").as("nlt_v"), sum("last.ltc_v").as("ltc_v"),
+        sum("last.lin_v").as("lin_v"), sum("last.linc_v").as("linc_v"))
+      .select(org.apache.spark.sql.functions.expr(
+        """stack(2,
+          |  'click', nlt_c, ltc_c, lin_c, linc_c,
+          |  'view',  nlt_v, ltc_v, lin_v, linc_v)
+          |  AS (channel, n_last_touch, lt_cents, lin_credit_ppm, lin_cents_ppm)
+          |""".stripMargin))
+      .orderBy("channel")
+    (out, maxState)
+  }
+
   /** [[ewmaState]] on the Spark 4 `transformWithState` API — the
     * arbitrary-state surface that replaces mapGroupsWithState at
     * scale (named state variables, RocksDB-backed, TTL/timers

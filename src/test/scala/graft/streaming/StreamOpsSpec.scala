@@ -101,6 +101,43 @@ class StreamOpsSpec extends SparkSpec {
     assert(two == one, "time-ordered two-batch replay must reproduce the single-batch EWMA")
   }
 
+  test("streaming attribution: O(1)-state census equals the batch window, sliced replay agrees") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val (oneShot, maxState) = StreamOps.attributionState(spark, dir)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val one = toMap(oneShot)
+    val batch = toMap(EventQueries.defs("q_evt_attribution")(spark, dir))
+    assert(one == batch, "O(1)-state credit accumulators == batch window census")
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(maxState == nUsers, s"state high-water $maxState != $nUsers users (O(1)/user)")
+
+    // two time-ordered slices, one micro-batch each: same census
+    val ev = graft.queries.Q.t(spark, dir, "events")
+    val n = ev.count()
+    val tmp = java.nio.file.Files.createTempDirectory("attr_slices")
+    val cut = ev.select(unix_micros(col("ts")).as("us")).orderBy("us")
+      .collect()(n.toInt / 2).getLong(0)
+    def writeSlice(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      slice.coalesce(1).write.parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, tmp.resolve(name))
+    }
+    writeSlice(ev.filter(unix_micros(col("ts")) < cut), "evt_000.parquet")
+    writeSlice(ev.filter(unix_micros(col("ts")) >= cut), "evt_001.parquet")
+    tmp.resolve("evt_001.parquet").toFile
+      .setLastModified(tmp.resolve("evt_000.parquet").toFile.lastModified() + 10000)
+    val (sliced, _) = StreamOps.attributionState(spark, tmp.toString,
+      glob = "evt_*.parquet", maxFilesPerTrigger = 1)
+    assert(toMap(sliced) == one,
+      "time-ordered two-batch replay must reproduce the single-batch census")
+  }
+
   test("transformWithState EWMA equals the mapGroupsWithState twin bit-for-bit") {
     val dir = "/root/testdata/sf0.001"
     val (mgws, _) = StreamOps.ewmaState(spark, dir)
