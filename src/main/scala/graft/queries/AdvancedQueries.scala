@@ -291,7 +291,36 @@ object AdvancedQueries {
       .orderBy("source")
   }
 
+  /** Approximate-query-processing estimator readout: per event type,
+    * the exact revenue total next to a Horvitz–Thompson scale-up of a
+    * deterministic 1-in-8 hash sample (Knuth multiplicative hash on
+    * the event id — engine-neutral integer arithmetic, so the SAMPLE
+    * MEMBERSHIP itself replays in the oracle), with the realized
+    * relative error in ppm. At 100 TB only the sample side runs (the
+    * exact twin here is the verdict's ground truth, affordable at
+    * test scale); the estimate needs 1/8 of the scan and 1/8 of the
+    * aggregation state, and the hash predicate pushes into the scan.
+    * Everything is exact integer/deterministic-double arithmetic —
+    * the oracle recomputes the estimator itself, not a TRUE literal.
+    */
+  private def qApproxSum(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("in_sample", pmod(col("event_id") * 2654435761L, lit(8)) === 0)
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum("cents").as("exact_cents"),
+        count(when(col("in_sample"), 1)).as("n_sample"),
+        (sum(when(col("in_sample"), col("cents")).otherwise(0L)) * 8L).as("est_cents"))
+      .withColumn("rel_err_ppm",
+        round(lit(1000000.0) * abs(col("est_cents") - col("exact_cents")) /
+          col("exact_cents")).cast("long"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_approx_sum" -> qApproxSum _,
     "q_layout_compaction" -> qLayoutCompaction _,
     "q_part_skyline" -> qPartSkyline _,
     "q_layout_zorder" -> qLayoutZorder _,
@@ -307,6 +336,18 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_approx_sum" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |         (event_id * 2654435761) % 8 = 0 AS in_sample
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(cents) AS BIGINT) AS exact_cents,
+        |  count(CASE WHEN in_sample THEN 1 END) AS n_sample,
+        |  CAST(sum(CASE WHEN in_sample THEN cents ELSE 0 END) * 8 AS BIGINT) AS est_cents,
+        |  CAST(round(1000000.0 * abs(CAST(sum(CASE WHEN in_sample THEN cents ELSE 0 END) * 8 AS BIGINT)
+        |       - CAST(sum(cents) AS BIGINT)) / CAST(sum(cents) AS BIGINT)) AS BIGINT) AS rel_err_ppm
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_layout_compaction" ->
       """WITH f AS (
         |  SELECT doc_id, source, n_chars,

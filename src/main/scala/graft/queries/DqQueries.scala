@@ -171,7 +171,57 @@ object DqQueries {
       .orderBy("tbl", "col_name")
   }
 
+  /** k-anonymity audit (Sweeney 2002) over the customer table — the
+    * privacy-release check a training-data pipeline runs before
+    * shipping user-derived rows: group by the quasi-identifier tuple
+    * (nation, market segment, $1000 account-balance bucket) and
+    * measure, for k ∈ {2, 5, 11}, how many equivalence classes and
+    * how many ROWS sit below k — the re-identification risk mass —
+    * at two generalization levels (the full QI, and the balance
+    * bucket generalized away: the k-anonymity ladder's next rung,
+    * showing how much risk one generalization step removes).
+    *
+    * Scale shape: one groupBy per generalization level builds the
+    * class-size relation (partial-aggregatable; classes, not rows,
+    * cross the shuffle), and the per-k census rows are conditional
+    * sums over those few class sizes. Balance buckets come from
+    * integer cents (floor division by 100 000), so bucket edges are
+    * engine-exact.
+    */
+  private def qPrivKanon(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        // floor of the double quotient, NOT integer division: both
+        // Spark's long/long and DuckDB's // truncate toward zero, which
+        // would merge the (-$1000, 0) bucket into bucket 0 — the oracle
+        // mirrors this exact floor-of-double form
+        floor(round(col("c_acctbal") * 100).cast("long") / lit(100000.0))
+          .cast("long").as("bal_bucket"))
+    def level(name: String, keys: Seq[String]): DataFrame = {
+      val classes = cust.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("sz"))
+      val ks = Seq(2, 5, 11)
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        ks.map(k => count(when(col("sz") < k, 1)).as(s"c_$k")) ++
+          ks.map(k => sum(when(col("sz") < k, col("sz")).otherwise(0L)).as(s"r_$k")): _*)
+        .select(expr(
+          s"""stack(3,
+             |  2,  n_classes, c_2,  r_2,
+             |  5,  n_classes, c_5,  r_5,
+             |  11, n_classes, c_11, r_11)
+             |  AS (k, n_classes, classes_below_k, rows_at_risk)""".stripMargin))
+        .withColumn("qi_level", lit(name))
+    }
+    level("nation_segment_balance",
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"))
+      .unionByName(level("nation_segment", Seq("c_nationkey", "c_mktsegment")))
+      .select("qi_level", "k", "n_classes", "classes_below_k", "rows_at_risk")
+      .orderBy("qi_level", "k")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_priv_kanon" -> qPrivKanon _,
     "q_dq_profile" -> qDqProfile _,
     "q_dq_constraints" -> qDqConstraints _,
     "q_skew_preflight" -> qSkewPreflight _,
@@ -186,6 +236,43 @@ object DqQueries {
        |FROM (SELECT count(*) AS c FROM $tbl GROUP BY $key)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_priv_kanon" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)
+        |              AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |cls1 AS (
+        |  SELECT count(*) AS sz FROM cust
+        |  GROUP BY c_nationkey, c_mktsegment, bal_bucket),
+        |cls2 AS (
+        |  SELECT count(*) AS sz FROM cust GROUP BY c_nationkey, c_mktsegment),
+        |lv1 AS (
+        |  SELECT 'nation_segment_balance' AS qi_level, count(*) AS n_classes,
+        |    count(CASE WHEN sz < 2 THEN 1 END) AS c2,
+        |    CAST(sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS r2,
+        |    count(CASE WHEN sz < 5 THEN 1 END) AS c5,
+        |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS r5,
+        |    count(CASE WHEN sz < 11 THEN 1 END) AS c11,
+        |    CAST(sum(CASE WHEN sz < 11 THEN sz ELSE 0 END) AS BIGINT) AS r11
+        |  FROM cls1),
+        |lv2 AS (
+        |  SELECT 'nation_segment' AS qi_level, count(*) AS n_classes,
+        |    count(CASE WHEN sz < 2 THEN 1 END) AS c2,
+        |    CAST(sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS r2,
+        |    count(CASE WHEN sz < 5 THEN 1 END) AS c5,
+        |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS r5,
+        |    count(CASE WHEN sz < 11 THEN 1 END) AS c11,
+        |    CAST(sum(CASE WHEN sz < 11 THEN sz ELSE 0 END) AS BIGINT) AS r11
+        |  FROM cls2),
+        |u AS (SELECT * FROM lv1 UNION ALL SELECT * FROM lv2)
+        |SELECT qi_level, k, n_classes, classes_below_k, rows_at_risk FROM (
+        |  SELECT qi_level, 2 AS k, n_classes, c2 AS classes_below_k, r2 AS rows_at_risk FROM u
+        |  UNION ALL
+        |  SELECT qi_level, 5, n_classes, c5, r5 FROM u
+        |  UNION ALL
+        |  SELECT qi_level, 11, n_classes, c11, r11 FROM u)
+        |ORDER BY qi_level, k""".stripMargin,
     // hll_ok replays as TRUE: the oracle owns the exact NDV; the
     // sketch estimate is Spark-side and gated by the verdict column
     // (the q_evt_value_pctl discipline)

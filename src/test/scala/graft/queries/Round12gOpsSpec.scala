@@ -91,6 +91,38 @@ class Round12gOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx sum: Horvitz-Thompson scale-up and realized error by hand") {
+    // 2654435761 ≡ 1 (mod 8), so sample membership here is exactly
+    // id % 8 == 0: event 8 is the one sampled purchase
+    val dir = writeEvents(Seq(
+      (8L, "2024-03-01 10:00:00", 1L, "purchase", 10.0),
+      (1L, "2024-03-01 11:00:00", 1L, "purchase", 30.0),
+      (2L, "2024-03-01 12:00:00", 2L, "purchase", 50.0)))
+    val r = SparkEntry.queries("q_approx_sum")(spark, dir).collect().head
+    // exact = 9000 cents; sample = {id 8}: 1000 cents -> est 8000
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((3L, 9000L, 1L, 8000L, math.round(1000000.0 * 1000 / 9000))), s"got $r")
+  }
+
+  test("k-anonymity: class census at both generalization levels by hand") {
+    // nation 1 / seg A: balances 500, 700 (bucket 0) and -500 (bucket -1)
+    // nation 2 / seg A: balance 1500 (bucket 1)
+    val dir = Files.createTempDirectory("r12g").toFile.getAbsolutePath
+    Seq((1L, "c1", 1L, 5.0, "A"), (2L, "c2", 1L, 7.0, "A"),
+      (3L, "c3", 1L, -5.0, "A"), (4L, "c4", 2L, 1500.0, "A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q_priv_kanon")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // full QI: classes {n1,A,0}=2 {n1,A,-1}=1 {n2,A,1}=1 -> 3 classes
+    assert(out(("nation_segment_balance", 2)) == ((3L, 2L, 2L)))
+    assert(out(("nation_segment_balance", 5)) == ((3L, 3L, 4L)))
+    // generalized: {n1,A}=3 {n2,A}=1 -> 2 classes; only n2 below k=2
+    assert(out(("nation_segment", 2)) == ((2L, 1L, 1L)))
+    assert(out(("nation_segment", 5)) == ((2L, 2L, 4L)))
+  }
+
   test("profiler: exact stats agree with directly-computed ground truth on real data") {
     val sfDir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q_dq_profile")(spark, sfDir)
