@@ -113,6 +113,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.MisraGriesTopK(children.head, k)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[graft.functions.CountMinSketchAgg].getName, "cms_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "cms_sketch takes (key, d, w); d/w literals")
+        def asInt(ex: Expression): Int = ex.eval() match {
+          case n: java.lang.Number => n.intValue()
+          case other => sys.error(s"cms_sketch parameter must be a literal, got $other")
+        }
+        graft.functions.CountMinSketchAgg(children.head, asInt(children(1)), asInt(children(2)))
+      }))
     // Spark 4 keeps its runtime-filter Bloom expressions off the SQL
     // search path; expose both so two-phase bloom-pruned joins are
     // writable in the Column API (the probe side must be a CONSTANT per

@@ -1013,7 +1013,52 @@ object EventQueries {
       .orderBy("lag")
   }
 
+  /** Depth/width of the q_evt_countmin sketch (shared with the oracle
+    * SQL and the streaming twin). w=256 forces real collisions once
+    * the user population outgrows a few hundred (sf0.1+), so the
+    * overestimates the gate replays are non-trivial.
+    */
+  val cmsD = 4
+  val cmsW = 256
+
+  /** Point-frequency estimation via the native Count-Min sketch
+    * aggregate ([[graft.functions.CountMinSketchAgg]]): ONE pass folds
+    * every event into a d×w counter matrix (only d·w longs cross the
+    * shuffle — the 100 TB frequency-oracle shape), then a deterministic
+    * probe set (user_id ≡ 0 mod 13) reads `est = min_j M[j][h_j(k)]`
+    * against its exact per-key count. Because every counter is an
+    * exact SUM (order-invariant, unlike Misra–Gries' retained set),
+    * the raw estimates hash-gate directly: the DuckDB oracle rebuilds
+    * each probed counter as a COUNT(*) over the same
+    * `((a_j·x + b_j) mod p) mod w` bucket predicate and takes the same
+    * min — values, not verdicts. `over_ok` pins the CMS no-underestimate
+    * law. The probe lookup is pure Column arithmetic over the
+    * broadcast one-row sketch (element_at + pmod, codegen'd, no UDF).
+    *
+    * Reference analog: dataset_builder.py:137-158 exact per-category
+    * counts — the sketch answer to the same census once keys outgrow
+    * memory.
+    */
+  private def qEvtCountmin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMin
+    val ev = t(s, dir, "events")
+    val sk = ev.agg(CountMin.cmsSketch(col("user_id"), cmsD, cmsW).as("sk"))
+    val probes = ev.filter(col("user_id") % 13 === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    def bucket(j: Int) =
+      pmod(pmod(lit(CountMin.A(j)) * pmod(col("user_id"), lit(CountMin.P))
+        + lit(CountMin.B(j)), lit(CountMin.P)), lit(cmsW.toLong))
+    val est = least((0 until cmsD).map { j =>
+      element_at(col("sk"), (lit(j * cmsW) + bucket(j) + lit(1)).cast("int"))
+    }: _*)
+    probes.crossJoin(broadcast(sk))
+      .select(col("user_id"), col("n_exact"), est.as("est"),
+        (est >= col("n_exact")).as("over_ok"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_countmin" -> qEvtCountmin _,
     "q_evt_gap_fill" -> qEvtGapFill _,
     "q_evt_acf" -> qEvtAcf _,
     "q_evt_attribution" -> qEvtAttribution _,
@@ -1214,6 +1259,27 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Counter replay, not a verdict: each probed CMS cell is a
+    // COUNT(*) over the identical bucket predicate (params literal-
+    // shared with graft.functions.CountMin), so the estimate VALUES
+    // hash-match — any hash or merge defect in the native aggregate
+    // shifts a counter and fails the gate.
+    "q_evt_countmin" ->
+      s"""WITH params AS (SELECT * FROM (VALUES (0, 131, 7), (1, 1031, 911),
+         |    (2, 131071, 3571), (3, 524287, 77377)) AS t(j, a, b)),
+         |counters AS (
+         |  SELECT p.j,
+         |    ((p.a * (e.user_id % 1000000007) + p.b) % 1000000007) % $cmsW AS bucket,
+         |    count(*) AS c
+         |  FROM events e CROSS JOIN params p GROUP BY 1, 2),
+         |probes AS (SELECT user_id, count(*) AS n_exact FROM events
+         |  WHERE user_id % 13 = 0 GROUP BY 1)
+         |SELECT pr.user_id, pr.n_exact, CAST(min(c.c) AS BIGINT) AS est,
+         |  (min(c.c) >= pr.n_exact) AS over_ok
+         |FROM probes pr CROSS JOIN params p
+         |JOIN counters c ON c.j = p.j
+         |  AND c.bucket = ((p.a * (pr.user_id % 1000000007) + p.b) % 1000000007) % $cmsW
+         |GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
     "q_evt_gap_fill" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
