@@ -1042,7 +1042,18 @@ object EventQueries {
   private def qEvtCountmin(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.CountMin
     val ev = t(s, dir, "events")
-    val sk = ev.agg(CountMin.cmsSketch(col("user_id"), cmsD, cmsW).as("sk"))
+    cmsProbeTable(ev,
+      ev.agg(CountMin.cmsSketch(col("user_id"), cmsD, cmsW).as("sk")))
+  }
+
+  /** Probe-set verdict over a one-row `sk` sketch relation — shared
+    * verbatim by the batch query and the streaming twin
+    * (q_stream_countmin): because the CMS matrix is an exact sum, a
+    * complete-mode drain over ANY file slicing commits the identical
+    * array, so both paths hash to the same oracle values.
+    */
+  private[graft] def cmsProbeTable(ev: DataFrame, sk: DataFrame): DataFrame = {
+    import graft.functions.CountMin
     val probes = ev.filter(col("user_id") % 13 === 0)
       .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
     def bucket(j: Int) =

@@ -608,7 +608,52 @@ object ScaleQueries {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming twin of q_evt_countmin: the native CMS aggregate runs
+    * as a complete-mode global aggregation over a 6-way sliced events
+    * replay (one micro-batch per file), so the state store holds
+    * exactly ONE row — the d×w buffer — however long the stream runs:
+    * O(sketch) streaming state, the same shape a 100 TB/day feed
+    * needs. Because every counter is an exact sum, the drained matrix
+    * is bit-identical to the batch sketch, and the twin shares
+    * q_evt_countmin's value-level oracle verbatim (not just a verdict).
+    */
+  private def qStreamCountmin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMin
+    val ev = t(s, dir, "events")
+    val streamDir = StreamOps.sliceParquet(ev, col("event_id"), 6, "q_stream_cms")
+    val (sk, _) = StreamOps.completeAggDrain(s, streamDir, "*.parquet",
+      df => df.agg(CountMin.cmsSketch(col("user_id"),
+        EventQueries.cmsD, EventQueries.cmsW).as("sk")),
+      queryName = s"stream_countmin_${math.abs(dir.hashCode)}",
+      stateKey = "q_stream_countmin")
+    EventQueries.cmsProbeTable(ev, sk)
+  }
+
+  /** Streaming twin of q_txt_topk_mg: the Misra–Gries summary as a
+    * complete-mode global aggregation over a 5-way sliced documents
+    * replay — one ≤k-counter buffer in state, merged across
+    * micro-batches by the PODS 2012 rule. The retained SET may differ
+    * from the batch run (merge order differs), but the verdict columns
+    * gate only on the merge-invariant guarantees, so the twin shares
+    * the batch oracle.
+    */
+  private def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MisraGriesTopK.mgTopK
+    val docs = t(s, dir, "documents")
+    val streamDir = StreamOps.sliceParquet(docs, col("doc_id"), 5, "q_stream_topk")
+    val (sk, _) = StreamOps.completeAggDrain(s, streamDir, "*.parquet",
+      df => df.select(explode(split(col("text"), " ")).as("token"))
+        .agg(mgTopK(col("token"), TextQueries.mgK).as("summary"),
+          count(lit(1)).as("n_total")),
+      queryName = s"stream_topk_${math.abs(dir.hashCode)}",
+      stateKey = "q_stream_topk")
+    TextQueries.mgVerdict(
+      docs.select(explode(split(col("text"), " ")).as("token")), sk)
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_stream_countmin" -> qStreamCountmin _,
+    "q_stream_topk" -> qStreamTopk _,
     "q_stream_sessionize" -> qStreamSessionize _,
     "q_dedup_minhash_pairs" -> qDedupMinhash _,
     "q_dedup_lsh_recall" -> qDedupLshRecall _,
@@ -636,6 +681,11 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Shared batch oracles: CMS commits a bit-identical matrix under
+    // any slicing (value replay); MG's verdict columns are
+    // merge-invariant by the PODS bound (verdict replay).
+    "q_stream_countmin" -> EventQueries.oracles("q_evt_countmin"),
+    "q_stream_topk" -> TextQueries.oracles("q_txt_topk_mg"),
     // Pinned-verdict multimodal oracles (the round-9 pattern): the
     // fixture inputs are deterministic functions of doc_id, so every
     // integer/constant column replays exactly in DuckDB; the live

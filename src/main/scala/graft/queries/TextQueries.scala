@@ -839,8 +839,19 @@ object TextQueries {
   private def qTxtTopkMg(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.MisraGriesTopK.mgTopK
     val words = t(s, dir, "documents").select(explode(toks).as("token"))
-    val sk = words.agg(mgTopK(col("token"), mgK).as("summary"),
-      count(lit(1)).as("n_total"))
+    mgVerdict(words, words.agg(mgTopK(col("token"), mgK).as("summary"),
+      count(lit(1)).as("n_total")))
+  }
+
+  /** Exact-top-20 verdict join over a one-row (summary, n_total)
+    * sketch relation — shared by the batch query and the streaming
+    * twin (q_stream_topk). The verdict columns gate ONLY on the
+    * mergeable-summary guarantees (presence above N/(k+1), estimate
+    * within [true − N/(k+1), true]), which the PODS 2012 merge rule
+    * preserves under ANY micro-batch slicing — so both paths share one
+    * oracle even though the retained summary SETS may differ.
+    */
+  private[graft] def mgVerdict(words: DataFrame, sk: DataFrame): DataFrame = {
     val exact = words.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("token")).limit(20)
     exact.crossJoin(broadcast(sk))

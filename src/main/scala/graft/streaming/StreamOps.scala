@@ -135,6 +135,68 @@ object StreamOps {
   val stateHighWater: scala.collection.concurrent.TrieMap[String, Long] =
     scala.collection.concurrent.TrieMap.empty
 
+  /** Replay a batch table as genuinely incremental arrival: `nSlices`
+    * single-part parquet files (keyed `idCol mod nSlices`) with
+    * ascending mtimes in a fresh temp dir, so a file source with
+    * `maxFilesPerTrigger = 1` sees one micro-batch per file. A
+    * single-file drain would fold everything in one trigger and prove
+    * nothing about cross-batch state merging.
+    */
+  def sliceParquet(df: DataFrame, idCol: org.apache.spark.sql.Column,
+                   nSlices: Int, prefix: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val streamDir = Files.createTempDirectory(prefix).toFile.getAbsolutePath
+    (0 until nSlices).foreach { i =>
+      val tmp = Files.createTempDirectory(s"${prefix}_slice$i").toFile.getAbsolutePath
+      df.filter(pmod(idCol, lit(nSlices)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach { part =>
+          val dest = Paths.get(streamDir, f"slice_$i%03d.parquet")
+          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+          dest.toFile.setLastModified(1700000000000L + i * 10000L)
+        }
+    }
+    streamDir
+  }
+
+  /** Drain a complete-mode aggregation over a sliced file stream and
+    * return (final result table, state-store high water). The generic
+    * harness behind the sketch twins (q_stream_countmin /
+    * q_stream_topk): `build` maps the raw stream to a streaming
+    * aggregation whose buffers are MERGEABLE summaries, so state holds
+    * one buffer per group (one row total for a global sketch) no
+    * matter how many micro-batches arrive — O(sketch) streaming state,
+    * vs. the complete-mode window harnesses whose state is
+    * result-sized. stateKey records the high water for Bench's
+    * state_rows artifact.
+    */
+  def completeAggDrain(spark: SparkSession, dir: String, glob: String,
+                       build: DataFrame => DataFrame, queryName: String,
+                       stateKey: String,
+                       maxFilesPerTrigger: Int = 1): (DataFrame, Long) = {
+    val batchSchema = spark.read.parquet(dir).schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+    val q = build(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    stateHighWater(stateKey) = maxState
+    (spark.table(queryName), maxState)
+  }
+
   /** The 100 TB form of [[hourlyCounts]]: APPEND output mode, so each
     * window row is emitted exactly once — when the watermark passes
     * its end — and then EVICTED from the state store. Complete mode
