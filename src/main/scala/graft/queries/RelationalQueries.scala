@@ -325,7 +325,26 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    * order-less customers land in the c_count = 0 bucket, then a
+    * count-of-counts census. Two shuffles total — one key-partitioned
+    * count per customer (map-side partial on o_custkey first), one
+    * tiny groupBy over the ≤ max-orders-per-customer distinct counts;
+    * nothing is broadcast because BOTH sides are fact-sized at scale.
+    */
+  private def qCustOrderDist(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+    val perCust = t(s, dir, "customer").select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_cust_order_dist" -> qCustOrderDist _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q03_shipping_priority" -> q03ShippingPriority _,
     "q05_region_revenue" -> q05RegionRevenue _,
@@ -351,6 +370,12 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cust_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
