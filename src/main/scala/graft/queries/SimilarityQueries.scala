@@ -677,7 +677,100 @@ object SimilarityQueries {
       .orderBy("cl")
   }
 
+  /** MaxSim late-interaction parameters (shared with the oracle SQL):
+    * 8-dim integer hash embeddings, values in [-100, 100], from the
+    * token's 31-polynomial codepoint hash pushed through 8 affine
+    * maps mod p — all int64-exact in both engines.
+    */
+  private val msP = 1000000007L
+  private val msA = Array(131L, 1031L, 131071L, 524287L, 8191L, 2047L, 127L, 8388607L)
+  private val msB = Array(7L, 911L, 3571L, 77377L, 11L, 193L, 3L, 65537L)
+  private val msProbes = Seq(0L, 7L, 13L, 29L)
+
+  /** Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia,
+    * SIGIR 2020): score(q, d) = Σ_{t∈q} max_{u∈d} sim(t, u) over
+    * TOKEN-level embeddings, here the engine-neutral integer hash
+    * embedding above so the oracle replays score VALUES exactly (a
+    * learned embedder plugs into the same plan; raw integer dot is
+    * the similarity so no float ever enters the sort key). Plan
+    * shape — the 100 TB late-interaction scan: the ≤32-row query-token
+    * embedding table BROADCASTS onto one pass over the exploded
+    * distinct-token corpus (a declared broadcast nested-loop: every
+    * query token must score every doc token — that product IS the
+    * operator; cost is |corpus tokens|·|Q|, linear in the corpus),
+    * then two partial-aggregatable groupBys (max per query token,
+    * sum per doc) and a per-probe top-10 window. Token embeddings are
+    * computed ONCE per distinct (doc, token) row, not per pair.
+    */
+  private def qSimMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tokHash = (tok: Column) => aggregate(
+      transform(split(tok, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, cp) => pmod(acc * 31 + cp, lit(msP)))
+    val embed = (h: Column) => array((0 until 8).map { i =>
+      pmod(pmod(h * lit(msA(i)) + lit(msB(i)), lit(msP)), lit(201L)) - lit(100L)
+    }: _*)
+    // Query-token embeddings: a driver pull BOUNDED BY CONSTRUCTION
+    // (4 literal probe ids × first-8-token slice ⇒ ≤ 32 rows at any
+    // corpus size — the Ivf.limit(k) probe-pull class), inlined as
+    // literals so the corpus pass needs NO join at all.
+    val qrows = docs.filter(col("doc_id").isInCollection(msProbes))
+      .select(col("doc_id").as("probe_id"),
+        posexplode(slice(split(col("text"), " "), 1, 8)).as(Seq("qpos", "qtoken")))
+      .filter(col("qtoken") =!= "")
+      .select(col("probe_id"), embed(tokHash(col("qtoken"))).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // One narrow pass over the exploded distinct-token corpus: each
+    // token is hashed/embedded ONCE (explode materializes the row, so
+    // CollapseProject cannot re-inline the hash into every dot — the
+    // Q.shingles3 lesson), then all ≤32 query dots are sibling codegen
+    // expressions and the per-doc maxes fold in ONE partial-aggregated
+    // groupBy(doc_id): 32 longs per doc cross the shuffle; no
+    // token-level join or 32× row blow-up ever materializes.
+    val dv = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("dtoken"))
+      .filter(col("dtoken") =!= "")
+      .select(col("doc_id"), embed(tokHash(col("dtoken"))).as("dv"))
+    val dotCols = qrows.zipWithIndex.map { case ((_, qv), k) =>
+      (0 until 8).map(i => element_at(col("dv"), i + 1) * lit(qv(i)))
+        .reduce(_ + _).as(s"d$k")
+    }
+    val maxes = dv.select(col("doc_id") +: dotCols.toSeq: _*)
+      .groupBy("doc_id")
+      .agg(max("d0").as("m0"),
+        (1 until qrows.length).map(k => max(s"d$k").as(s"m$k")): _*)
+    // per-probe MaxSim score = Σ of that probe's query-token maxes
+    val probeScores = msProbes.map { p =>
+      val ks = qrows.zipWithIndex.collect { case ((pid, _), k) if pid == p => k }
+      struct(lit(p).as("probe_id"),
+        ks.map(k => col(s"m$k")).reduce(_ + _).as("score"))
+    }
+    val scored = maxes
+      .select(col("doc_id"), explode(array(probeScores: _*)).as("ps"))
+      .select(col("ps.probe_id").as("probe_id"), col("doc_id"),
+        col("ps.score").as("score"))
+    // Two-phase top-10: a salted local top-10 first, so the global
+    // per-probe window only ever sees 64×10 rows per probe — with
+    // only |probes| partitions, a single-phase window would drag
+    // every doc of a probe onto one task at scale.
+    val local = scored
+      .withColumn("salt", pmod(col("doc_id"), lit(64L)))
+      .withColumn("lrk", row_number().over(Window.partitionBy("probe_id", "salt")
+        .orderBy(desc("score"), col("doc_id"))))
+      .filter(col("lrk") <= 10)
+    local
+      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("score"), col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("score"))
+      .orderBy("probe_id", "rk")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_sim_maxsim" -> qSimMaxsim _,
     "q_emb_kmeans" -> qEmbKmeans _,
     "q_emb_int8" -> qEmbInt8 _,
     "q_emb_pca2" -> qEmbPca2 _,
@@ -826,7 +919,47 @@ object SimilarityQueries {
        |FROM c2 LEFT JOIN cen USING (cl) ORDER BY cl""".stripMargin
   }
 
+  /** The 8-entry integer hash-embedding list expression over a hash
+    * column `h` — literal-shared with [[qSimMaxsim]]'s msA/msB.
+    */
+  private def msEmbedSql(h: String): String =
+    (0 until 8).map { i =>
+      s"(($h * ${msA(i)} + ${msB(i)}) % $msP) % 201 - 100"
+    }.mkString("[", ",\n       ", "]")
+
+  private def msHashSql(tok: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($tok, ''), c -> CAST(ord(c) AS BIGINT))),
+       |      (acc, cp) -> (acc * 31 + cp) % $msP)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Value-level MaxSim replay: hash, embedding, per-query-token max
+    // and the summed score are all int64-exact, so the top-10 relation
+    // hashes identically — no float ever enters the sort key.
+    "q_sim_maxsim" ->
+      s"""WITH qt AS (
+         |  SELECT doc_id AS probe_id, CAST(i - 1 AS INT) AS qpos, w[CAST(i AS INT)] AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |        WHERE doc_id IN (${msProbes.mkString(", ")})),
+         |       unnest(range(1, least(9, len(w) + 1))) AS t(i)
+         |  WHERE w[CAST(i AS INT)] <> ''),
+         |qh AS (SELECT probe_id, qpos, ${msHashSql("tok")} AS h FROM qt),
+         |qv AS (SELECT probe_id, qpos, ${msEmbedSql("h")} AS v FROM qh),
+         |dt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |       FROM documents),
+         |dh AS (SELECT doc_id, ${msHashSql("tok")} AS h FROM dt WHERE tok <> ''),
+         |dv AS (SELECT doc_id, ${msEmbedSql("h")} AS v FROM dh),
+         |x AS (SELECT q.probe_id, d.doc_id, q.qpos,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> q.v[CAST(i AS INT)] * d.v[CAST(i AS INT)])) AS dot
+         |  FROM qv q CROSS JOIN dv d),
+         |m AS (SELECT probe_id, doc_id, qpos, max(dot) AS mx FROM x GROUP BY 1, 2, 3),
+         |sc AS (SELECT probe_id, doc_id, CAST(sum(mx) AS BIGINT) AS score
+         |       FROM m GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY score DESC, doc_id) AS INT) AS rk FROM sc)
+         |SELECT probe_id, rk, doc_id, score FROM r WHERE rk <= 10
+         |ORDER BY probe_id, rk""".stripMargin,
     "q_emb_kmeans" -> kmeansOracle,
     "q_emb_pca" -> pcaOracle,
     "q_emb_pca2" -> pca2Oracle,

@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_evt_rfm",        // crossJoin of the 1-row max-timestamp anchor
     "q_evt_seasonality", // crossJoin of the 1-row total aggregate
     "q_txt_topk_mg",    // crossJoin of the 1-row (MG summary, total) aggregate
+    "q_evt_countmin",   // crossJoin of the 1-row CMS sketch aggregate
     "q_emb_kmeans",     // broadcast of the k=8-row centroid relation per round
     "q_evt_audience_hll", // pair join of the |event-type|-row sketch relation
     "q_basket_rules",   // crossJoin of the 1-row order-total aggregate
@@ -49,7 +50,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_stream_incremental", "q_stream_hourly_append", "q_stream_incremental_append",
     "q_stream_sessionize_append", "q_stream_stitch", "q_stream_range_append",
     "q_stream_ewma", "q_stream_pattern", "q_stream_ewma_tws",
-    "q_stream_attribution")
+    "q_stream_attribution", "q_stream_countmin", "q_stream_topk")
 
   test("decontamination joins against a BROADCAST benchmark set, and the self-checking queries hold") {
     // the benchmark side must broadcast (corpus never shuffles for it)
@@ -196,6 +197,22 @@ class PlanAuditSpec extends SparkSpec {
       s"pq_recall probe side lacks pushed vec_id<$probeBound: $pqrPushed")
     assert(pqrPushed.exists(_.contains(s"LessThan(vec_id,$cbBound)")),
       s"pq_recall codebook side lacks pushed vec_id<$cbBound: $pqrPushed")
+    // q_sim_maxsim: the query-token embeddings are a construction-time
+    // driver pull bounded to ≤ 32 rows by literal probe ids × the
+    // 8-token slice, inlined as literals — so the CORPUS plan must be
+    // completely join-free (one scan, one aggregate, two windows);
+    // any Join appearing here means the bounded pull regressed into a
+    // per-token join
+    val ms = SparkEntry.queries("q_sim_maxsim")(spark, sfDir)
+    val msJoins = ms.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(msJoins.isEmpty, s"maxsim corpus plan must be join-free, found $msJoins")
+    val msScans = ms.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(msScans.length == 1 &&
+      msScans.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"maxsim must make ONE pruned corpus scan: ${msScans.map(_.requiredSchema.fieldNames.mkString(","))}")
   }
 
   test("parquet scans prune columns: no query reads text/pixels it doesn't use") {
