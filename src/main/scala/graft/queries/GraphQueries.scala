@@ -381,7 +381,104 @@ object GraphQueries {
     rows.toDF("k", "n_core", "core_edges", "converged").orderBy("k")
   }
 
+  /** Hop cap for [[qGraphBfs]], shared with the unrolled oracle. */
+  val bfsMaxHops = 6
+
+  /** Single-source BFS distance census over the bipartite
+    * customer–supplier co-purchase graph (the q_graph_pagerank edge
+    * set): frontier expansion from the smallest node id, one
+    * equi-join + distinct + anti-join per hop (all shuffles on the
+    * 8-byte node id, partial-aggregatable, nothing driver-side but
+    * the 1-row source pull and per-round counts), localCheckpoint
+    * between rounds to cut the iterative lineage — the Pregel
+    * superstep discipline shared with q_graph_kcore/pagerank. Output
+    * is the per-distance node census plus an always-present d = -1
+    * row counting edge-endpoint nodes never reached under the
+    * [[bfsMaxHops]] cap. The oracle unrolls the same frontier algebra
+    * as a generated MATERIALIZED-CTE chain (EXCEPT against the
+    * accumulated distance set per stage); an early Spark fixpoint
+    * makes the remaining oracle stages empty, and empty levels are
+    * filtered on both sides, so truncation points agree.
+    */
+  private def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
+      .localCheckpoint()
+    val source = edges.agg(min("src")).head().getLong(0)
+    bfsCensus(s, edges, source, bfsMaxHops)
+  }
+
+  /** The frontier-expansion loop behind [[qGraphBfs]], on an arbitrary
+    * directed (src, dst) edge relation — package-visible so the spec
+    * can drive it over planted path/disconnected fixtures.
+    */
+  private[graft] def bfsCensus(s: SparkSession, edges: DataFrame,
+      source: Long, maxHops: Int): DataFrame = {
+    import s.implicits._
+    var dist = Seq((source, 0)).toDF("node", "d").localCheckpoint()
+    var frontier = dist.select("node")
+    var round = 0
+    var done = false
+    while (round < maxHops && !done) {
+      round += 1
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("d", lit(round))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next.select("node")
+      }
+    }
+    val unreachedCnt = edges.select(col("src").as("node")).distinct()
+      .join(dist, Seq("node"), "left_anti").count()
+    dist.groupBy("d").agg(count(lit(1)).as("n_nodes"))
+      .union(Seq((-1, unreachedCnt)).toDF("d", "n_nodes"))
+      .orderBy("d")
+  }
+
+  private def bfsOracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH p AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS MATERIALIZED (SELECT c AS src, sp AS dst FROM p
+        |  UNION ALL SELECT sp, c FROM p),
+        |fr0 AS MATERIALIZED (SELECT min(src) AS node FROM edges),
+        |dist0 AS MATERIALIZED (SELECT node FROM fr0)""".stripMargin)
+    for (i <- 1 to bfsMaxHops) {
+      sb.append(s""",
+        |fr$i AS MATERIALIZED (
+        |  (SELECT DISTINCT e.dst AS node FROM fr${i - 1} f JOIN edges e ON f.node = e.src)
+        |  EXCEPT (SELECT node FROM dist${i - 1})),
+        |dist$i AS MATERIALIZED (SELECT node FROM dist${i - 1}
+        |  UNION ALL SELECT node FROM fr$i)""".stripMargin)
+    }
+    val levels = (0 to bfsMaxHops)
+      .map(i => s"SELECT $i AS d, count(*) AS n_nodes FROM fr$i")
+      .mkString("\nUNION ALL ")
+    sb.append(s""",
+      |lv AS ($levels),
+      |unreached AS (SELECT -1 AS d, count(*) AS n_nodes FROM (
+      |  SELECT DISTINCT src AS node FROM edges) n
+      |  WHERE n.node NOT IN (SELECT node FROM dist$bfsMaxHops))
+      |SELECT d, n_nodes FROM lv WHERE n_nodes > 0
+      |UNION ALL SELECT d, n_nodes FROM unreached
+      |ORDER BY d""".stripMargin)
+    sb.toString
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_graph_bfs" -> qGraphBfs _,
     "q_graph_kcore" -> qGraphKcore _,
     "q_basket_rules" -> qBasketRules _,
     "q_graph_pagerank" -> qGraphPagerank _,
@@ -424,6 +521,7 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_graph_bfs" -> bfsOracle,
     "q_graph_kcore" -> kcoreOracle,
     "q_basket_rules" ->
       """WITH items AS (

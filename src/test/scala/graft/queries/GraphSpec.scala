@@ -29,4 +29,20 @@ class GraphSpec extends SparkSpec {
     val hi = byDeg.takeRight(q).map(_.getLong(3).toDouble).sum / q
     assert(hi > lo, s"mean rank of top degree quartile $hi <= bottom $lo")
   }
+
+  test("bfs census: planted path, disconnected island, and hop-cap truncation") {
+    import spark.implicits._
+    // path 0-1-2-3 (undirected) plus island 10-11: distances 0..3,
+    // island nodes unreached
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+    val edges = und.toDF("src", "dst")
+      .union(und.map(_.swap).toDF("src", "dst"))
+    val census = graft.queries.GraphQueries.bfsCensus(spark, edges, 0L, 6)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(census == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, -1 -> 2L), s"got $census")
+    // hop cap 2 truncates: node 3 joins the unreached mass with the island
+    val capped = graft.queries.GraphQueries.bfsCensus(spark, edges, 0L, 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(capped == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, -1 -> 3L), s"got $capped")
+  }
 }
