@@ -55,7 +55,8 @@ object Ql {
     "q_stream_pattern", "q_stream_ewma_tws", "q_stream_attribution",
     "q_evt_pipeline",
     "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank",
-    "q_graph_kcore")
+    "q_graph_kcore", "q_graph_bfs", "q_sim_maxsim",
+    "q_stream_countmin", "q_stream_topk")
 
   /** Register inventory queries as temp views named after their registry
     * keys, so `spark.sql("SELECT * FROM q_dedup_exact")` composes with

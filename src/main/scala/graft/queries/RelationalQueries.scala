@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Q._
@@ -343,7 +343,68 @@ object RelationalQueries {
       .orderBy(desc("custdist"), desc("c_count"))
   }
 
+  /** Promo revenue share per ship month (TPC-H Q14 shape): one
+    * broadcast of the part dimension onto the lineitem scan, revenue
+    * in exact cents (DECIMAL before aggregation), share emitted as
+    * floor-ppm so no float ratio enters the hash. The conditional
+    * promo sum and the total fold in the SAME partial aggregate —
+    * one pass, one shuffle on the month key.
+    */
+  private def qPromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"),
+        col("p_type").startsWith("PROMO").as("is_promo"))),
+        col("l_partkey") === col("p_partkey"))
+    li.groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(sum(when(col("is_promo"), revX10000).otherwise(lit(0L))).as("promo_x10000"),
+        sum(revX10000).as("total_x10000"))
+      .select(col("ship_month"), col("promo_x10000"), col("total_x10000"),
+        floor(lit(1000000.0) * (col("promo_x10000") / col("total_x10000")))
+          .cast("long").as("promo_ppm"))
+      .orderBy("ship_month")
+  }
+
+  /** Discounted revenue in exact ten-thousandths of a currency unit:
+    * price cents (an exact 2-decimal double, so round() recovers the
+    * integer) times (100 − discount percent-hundredths) — pure int64
+    * in both engines, immune to the decimal-cast rounding divergence
+    * (Spark truncates DECIMAL→LONG, DuckDB rounds).
+    */
+  private def revX10000: Column =
+    round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+
+  /** Cross-nation trade volume per year (TPC-H Q7 shape, all nation
+    * pairs): the two nation legs resolve through BROADCASTs (nation is
+    * constant-size; supplier is dimension-sized at any SF), the
+    * customer leg is the one fact-to-fact shuffle join on o_custkey,
+    * and revenue folds in exact cents keyed by the tiny
+    * (supp_nation, cust_nation, year) space.
+    */
+  private def qNationVolume(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supp = broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), revX10000.as("r"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "yr")
+      .agg(sum("r").as("revenue_x10000"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q14_promo_share" -> qPromoShare _,
+    "q07_nation_volume" -> qNationVolume _,
     "q_cust_order_dist" -> qCustOrderDist _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q03_shipping_priority" -> q03ShippingPriority _,
@@ -370,6 +431,32 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q14_promo_share" ->
+      """WITH li AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |    p_type LIKE 'PROMO%' AS is_promo,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_month,
+        |  CAST(sum(CASE WHEN is_promo THEN r ELSE 0 END) AS BIGINT) AS promo_x10000,
+        |  CAST(sum(r) AS BIGINT) AS total_x10000,
+        |  CAST(floor(1000000.0 * (CAST(sum(CASE WHEN is_promo THEN r ELSE 0 END) AS BIGINT)
+        |    / CAST(sum(r) AS BIGINT))) AS BIGINT) AS promo_ppm
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_x10000,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_cust_order_dist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
