@@ -1068,7 +1068,36 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Sample-ratio-mismatch audit (Fabijan et al., KDD 2019 — the
+    * standard A/B trust check): under q_evt_abtest's Knuth-hash 50/50
+    * assignment, a healthy experiment has variant counts within
+    * sampling noise; χ² = (n_a − n_b)²/(n_a + n_b) against the 0.95
+    * one-df critical value. Computed per event-type cohort (users
+    * OBSERVED in that slice — where real SRM bugs hide) plus overall,
+    * entirely in int64 (χ² emitted as floor-ppm; the srm flag is the
+    * cross-multiplied integer compare, so no float enters the gate).
+    * One distinct-users aggregate per cohort, partial-aggregatable;
+    * the census is |event types| + 1 rows.
+    */
+  private def qEvtSrm(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val users = ev.select(col("event_type"), col("user_id")).distinct()
+      .union(ev.select(lit("_all").as("event_type"), col("user_id")).distinct())
+      .withColumn("variant",
+        pmod(pmod(col("user_id") * 2654435761L, lit(4294967296L)), lit(2)))
+    users.groupBy("event_type")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        floor(lit(1000000L) * (col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))
+          / (col("n_a") + col("n_b"))).as("chi2_ppm"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * lit(1000000L) >
+          lit(3841459L) * (col("n_a") + col("n_b"))).as("srm"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_srm" -> qEvtSrm _,
     "q_evt_countmin" -> qEvtCountmin _,
     "q_evt_gap_fill" -> qEvtGapFill _,
     "q_evt_acf" -> qEvtAcf _,
@@ -1270,6 +1299,18 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_srm" ->
+      """WITH u AS (SELECT event_type, user_id FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |  UNION ALL SELECT '_all', user_id FROM (SELECT DISTINCT user_id FROM events)),
+        |v AS (SELECT event_type,
+        |    ((user_id * 2654435761) % 4294967296) % 2 AS variant FROM u),
+        |c AS (SELECT event_type,
+        |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b FROM v GROUP BY 1)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(floor(1000000 * (n_a - n_b) * (n_a - n_b) / (n_a + n_b)) AS BIGINT) AS chi2_ppm,
+        |  ((n_a - n_b) * (n_a - n_b) * 1000000 > 3841459 * (n_a + n_b)) AS srm
+        |FROM c ORDER BY event_type""".stripMargin,
     // Counter replay, not a verdict: each probed CMS cell is a
     // COUNT(*) over the identical bucket predicate (params literal-
     // shared with graft.functions.CountMin), so the estimate VALUES

@@ -869,7 +869,43 @@ object TextQueries {
       .orderBy(desc("n"), col("token"))
   }
 
+  /** Blocklisted tokens for [[qTxtBlocklist]] (shared with the
+    * oracle): the planted-duplicate marker token plus a never-present
+    * entry exercising the no-hit path. The synthetic vocab is near-
+    * uniform (every other token appears in ~77% of docs), so "dup" is
+    * the one entry that yields a non-degenerate census.
+    */
+  val blocklist = Seq("dup", "tombstone")
+
+  /** Blocklist filter census (Raffel et al. C4, JMLR 2020 §2.2: drop
+    * any page containing a blocklisted word): token-exact matching
+    * (array_intersect on the split tokens — substring matching
+    * over-blocks), evaluated as a pure narrow map with the list
+    * inlined as a literal (a real blocklist is a few-KB broadcast;
+    * either way the corpus never shuffles for it). Census per lang:
+    * docs/tokens blocked vs kept and the blocked-mass ppm — the
+    * numbers a pipeline owner reviews before enabling the drop.
+    */
+  private def qTxtBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val bl = lit(blocklist.toArray)
+    t(s, dir, "documents")
+      .select(col("lang"), size(toks).as("n_tok"),
+        (size(array_intersect(toks, bl)) > 0).as("blocked"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(col("n_tok").cast("long")).as("tok_total"),
+        sum(when(col("blocked"), col("n_tok").cast("long")).otherwise(0L))
+          .as("tok_blocked"))
+      .select(col("lang"), col("n_docs"), col("n_blocked"),
+        col("tok_total"), col("tok_blocked"),
+        floor(lit(1000000L) * col("tok_blocked") / col("tok_total"))
+          .as("blocked_ppm"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_blocklist" -> qTxtBlocklist _,
     "q_txt_topk_mg" -> qTxtTopkMg _,
     "q_txt_bigram_lm" -> qTxtBigramLm _,
     "q_txt_zipf" -> qTxtZipf _,
@@ -905,6 +941,18 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_blocklist" ->
+      s"""WITH d AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT lang, len(w) AS n_tok,
+         |    len(list_intersect(w, [${blocklist.map("'" + _ + "'").mkString(", ")}])) > 0 AS blocked
+         |  FROM d)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |  CAST(sum(CASE WHEN blocked THEN n_tok ELSE 0 END) AS BIGINT) AS tok_blocked,
+         |  CAST(floor(1000000 * CAST(sum(CASE WHEN blocked THEN n_tok ELSE 0 END) AS BIGINT)
+         |    / CAST(sum(n_tok) AS BIGINT)) AS BIGINT) AS blocked_ppm
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "q_txt_topk_mg" ->
       s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          |tot AS (SELECT count(*) AS n_total FROM w),
