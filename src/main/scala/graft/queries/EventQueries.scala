@@ -1096,7 +1096,33 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Semi-structured props via Spark 4's VARIANT type — the
+    * open-schema ingestion path next to q_evt_json's string-probing
+    * get_json_object: `parse_json` builds the binary variant once,
+    * `variant_get` does typed shredded access, and
+    * `schema_of_variant` audits the observed shape. At scale variant
+    * decode beats per-field JSON re-parsing (one parse, n typed
+    * reads) and survives schema drift without a declared struct. The
+    * per-type stats over the extracted field are exact int64; the
+    * shape audit enters the gate as a pinned verdict (the ENGINE
+    * computes it from the real variant binary — a parse/shredding
+    * defect flips it and fails the hash).
+    */
+  private def qEvtVariant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        expr("schema_of_variant(parse_json(props))").as("shape"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        countDistinct(col("k")).as("ndv_k"),
+        (count(when(col("shape") === "OBJECT<k: BIGINT>", 1)) === count(lit(1)))
+          .as("shape_ok"))
+      .orderBy("event_type")
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_variant" -> qEvtVariant _,
     "q_evt_srm" -> qEvtSrm _,
     "q_evt_countmin" -> qEvtCountmin _,
     "q_evt_gap_fill" -> qEvtGapFill _,
@@ -1299,6 +1325,17 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Typed-extraction values replay via DuckDB's JSON path; the
+    // variant SHAPE audit is engine-side reality pinned TRUE (the
+    // round-9 multimodal verdict pattern).
+    "q_evt_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS ndv_k,
+        |  TRUE AS shape_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_evt_srm" ->
       """WITH u AS (SELECT event_type, user_id FROM (SELECT DISTINCT event_type, user_id FROM events)
         |  UNION ALL SELECT '_all', user_id FROM (SELECT DISTINCT user_id FROM events)),
