@@ -1121,7 +1121,63 @@ object EventQueries {
           .as("shape_ok"))
       .orderBy("event_type")
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi, Walker, WSDM 2013) —
+    * the experimentation-platform companion to q_evt_abtest/q_evt_srm:
+    * each user's PRE-period value total is the covariate x, the
+    * POST-period total the metric y (period split at the corpus
+    * time-range midpoint, a 1-row bounded aggregate), and the adjusted
+    * metric is y − θ(x − x̄) with θ = cov(x,y)/var(x) estimated POOLED.
+    * Everything enters as exact int64 power sums over floor-of-value
+    * whole units (floor, not round: both engines floor identically,
+    * while round diverges on half-unit ties) (order-invariant; at 10× this scale n·Σxy stays under
+    * 2^63), and θ / means / the variance-reduction ratio (= ρ², in
+    * ppm) are single double expressions over those sums — identical
+    * trees in both engines, the q_evt_acf moment discipline. Per
+    * variant: user count, raw sums, raw and CUPED-adjusted post means;
+    * pooled θ and the ppm variance reduction ride both rows.
+    */
+  private def qEvtCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val mid = ev.agg(((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+      .cast("long").as("mid_us"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(unix_micros(col("ts")) < col("mid_us"),
+          floor(col("value")).cast("long")).otherwise(0L)).as("x"),
+        sum(when(unix_micros(col("ts")) >= col("mid_us"),
+          floor(col("value")).cast("long")).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        pmod(pmod(col("user_id") * 2654435761L, lit(4294967296L)), lit(2)))
+    val pooled = perUser.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+        floor(lit(1000000.0) *
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))))
+          .cast("long").as("var_red_ppm"))
+    perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum("x").as("sum_x"), sum("y").as("sum_y"))
+      .crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n_users"), col("sum_x"), col("sum_y"),
+        round(col("sum_y") / col("n_users"), 6).as("mean_y"),
+        round(col("sum_y") / col("n_users") -
+          col("theta") * (col("sum_x") / col("n_users") - col("sx") / col("n")), 6)
+          .as("mean_y_cuped"),
+        round(col("theta"), 6).as("theta"),
+        col("var_red_ppm"))
+      .orderBy("variant")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_cuped" -> qEvtCuped _,
     "q_evt_variant" -> qEvtVariant _,
     "q_evt_srm" -> qEvtSrm _,
     "q_evt_countmin" -> qEvtCountmin _,
@@ -1325,6 +1381,32 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_cuped" ->
+      """WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us FROM events),
+        |pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN epoch_us(ts) < mid_us THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN epoch_us(ts) >= mid_us THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+        |    ((user_id * 2654435761) % 4294967296) % 2 AS variant
+        |  FROM events, mid GROUP BY user_id, mid_us),
+        |pool AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy FROM pu),
+        |th AS (SELECT n, sx, sy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+        |    CAST(floor(1000000.0 * ((n * sxy - sx * sy) *
+        |      ((n * sxy - sx * sy) /
+        |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))))
+        |      AS BIGINT) AS var_red_ppm
+        |  FROM pool),
+        |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
+        |  FROM pu GROUP BY variant)
+        |SELECT variant, n_users, sum_x, sum_y,
+        |  round(sum_y / n_users, 6) AS mean_y,
+        |  round(sum_y / n_users - theta * (sum_x / n_users - sx / n), 6) AS mean_y_cuped,
+        |  round(theta, 6) AS theta, var_red_ppm
+        |FROM v, th ORDER BY variant""".stripMargin,
     // Typed-extraction values replay via DuckDB's JSON path; the
     // variant SHAPE audit is engine-side reality pinned TRUE (the
     // round-9 multimodal verdict pattern).
