@@ -247,6 +247,53 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  /** Container-header audit at the raw BYTE level — the multimodal
+    * family's format-forensics entry: every document's real
+    * ImageIO-encoded PNG is inspected WITHOUT a decoder, using only
+    * binary Column functions (`substring` on the binary + `hex` →
+    * `conv` big-endian reads): the 8-byte signature, the IHDR chunk
+    * length/type at fixed offsets, and width/height/bit-depth/
+    * color-type from the IHDR payload. This is the cheap first-pass a
+    * 100 TB media pipeline runs to ROUTE and QUARANTINE files before
+    * paying for decode (a truncated or mislabeled object fails here,
+    * never reaching the codec pool) — map-only, no shuffle except the
+    * tiny census. Oracle: the census per lang pins the header facts
+    * the REAL encoder wrote (8×8, 8-bit, grayscale color type 0,
+    * 13-byte IHDR, signature intact); a codec or byte-order defect
+    * flips a pinned verdict and fails the hash.
+    */
+  private def qMmContainer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        (id, lang, Multimodal.encodeGrayPng(Multimodal.grayTileOf(text, 8), 8, 8))
+      }.toDF("doc_id", "lang", "png")
+    def be32(pos: Int) =
+      conv(hex(substring(col("png"), pos, 4)), 16, 10).cast("long")
+    val audited = src.select(col("doc_id"), col("lang"),
+      length(col("png")).as("n_bytes"),
+      (hex(substring(col("png"), 1, 8)) === "89504E470D0A1A0A").as("sig_ok"),
+      (be32(9) === 13).as("ihdr_len_ok"),
+      (hex(substring(col("png"), 13, 4)) === "49484452").as("ihdr_type_ok"),
+      be32(17).as("w"), be32(21).as("h"),
+      conv(hex(substring(col("png"), 25, 1)), 16, 10).cast("long").as("depth"),
+      conv(hex(substring(col("png"), 26, 1)), 16, 10).cast("long").as("ctype"))
+    audited.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        // container floor: signature (8) + IHDR chunk (25) + IEND (12);
+        // actual sizes are zlib-dependent engine reality, so only the
+        // bound is pinned
+        (min("n_bytes") >= 45).as("size_ok"),
+        (count(when(col("sig_ok") && col("ihdr_len_ok") && col("ihdr_type_ok"), 1))
+          === count(lit(1))).as("container_ok"),
+        (count(when(col("w") === 8 && col("h") === 8, 1)) === count(lit(1)))
+          .as("dims_ok"),
+        (count(when(col("depth") === 8 && col("ctype") === 0, 1)) === count(lit(1)))
+          .as("format_ok"))
+      .orderBy("lang")
+  }
+
   /** Perceptual-hash image dedup — the multimodal twin of the MinHash
     * family: every document's deterministic gray tile is PNG-encoded,
     * decoded back through the REAL ImageIO codec, and dHash'd
@@ -663,6 +710,7 @@ object ScaleQueries {
     "q_sim_ivf_recall" -> qSimIvfRecall _,
     "q_mm_features" -> qMmFeatures _,
     "q_mm_decode" -> qMmDecode _,
+    "q_mm_container" -> qMmContainer _,
     "q_mm_audio" -> qMmAudio _,
     "q_mm_frames" -> qMmFrames _,
     "q_mm_phash" -> qMmPhash _,
@@ -686,6 +734,12 @@ object ScaleQueries {
     // merge-invariant by the PODS bound (verdict replay).
     "q_stream_countmin" -> EventQueries.oracles("q_evt_countmin"),
     "q_stream_topk" -> TextQueries.oracles("q_txt_topk_mg"),
+    // Per-lang doc counts replay; every header fact is a pinned
+    // verdict over the REAL encoder's bytes (the q_mm_decode pattern).
+    "q_mm_container" ->
+      """SELECT lang, count(*) AS n_docs, TRUE AS size_ok,
+        |  TRUE AS container_ok, TRUE AS dims_ok, TRUE AS format_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Pinned-verdict multimodal oracles (the round-9 pattern): the
     // fixture inputs are deterministic functions of doc_id, so every
     // integer/constant column replays exactly in DuckDB; the live

@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_evt_seasonality", // crossJoin of the 1-row total aggregate
     "q_txt_topk_mg",    // crossJoin of the 1-row (MG summary, total) aggregate
     "q_evt_countmin",   // crossJoin of the 1-row CMS sketch aggregate
+    "q_evt_cuped",      // crossJoins of the 1-row midpoint + pooled-moment aggregates
     "q_emb_kmeans",     // broadcast of the k=8-row centroid relation per round
     "q_evt_audience_hll", // pair join of the |event-type|-row sketch relation
     "q_basket_rules",   // crossJoin of the 1-row order-total aggregate
