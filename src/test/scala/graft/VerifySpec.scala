@@ -41,4 +41,14 @@ class VerifySpec extends SparkSpec {
     assert(failures.isEmpty)
     assert(Files.readString(Paths.get(s"$out/_errors.json")) == "{}")
   }
+
+  test("registry invariants: every oracle keys a registered query; names well-formed") {
+    // a stale oracleSql key (e.g. after a rename) would make the driver
+    // replay SQL with no Spark dump to compare against — catch it here
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracleSql keys with no registered query: $orphans")
+    val badNames = qs.filterNot(_.matches("q[0-9a-z_]+"))
+    assert(badNames.isEmpty, s"non-conforming query names: $badNames")
+  }
 }
