@@ -55,7 +55,7 @@ object Ql {
     "q_stream_pattern", "q_stream_ewma_tws", "q_stream_attribution",
     "q_evt_pipeline",
     "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank",
-    "q_graph_kcore", "q_graph_bfs", "q_sim_maxsim",
+    "q_graph_kcore", "q_graph_bfs", "q_sim_maxsim", "q_emb_meanpool_nn",
     "q_stream_countmin", "q_stream_topk")
 
   /** Register inventory queries as temp views named after their registry

@@ -769,7 +769,65 @@ object SimilarityQueries {
       .orderBy("probe_id", "rk")
   }
 
+  /** Pooled-embedding retrieval — the bi-encoder contrast to
+    * [[qSimMaxsim]]'s late interaction, over the SAME integer
+    * hash-embedding space: each document pools (element-wise SUMS —
+    * integer-exact, where a mean would reintroduce division) its
+    * distinct-token embeddings into one 8-vector, each probe pools its
+    * first-8-token slice, and the score is the single int64 dot.
+    * Pooling collapses the token dimension BEFORE scoring, so the
+    * corpus pass carries 8 longs per document instead of per token —
+    * the cheap retrieval tier a pipeline runs before paying for
+    * MaxSim reranking (this pair is the public two-stage retrieval
+    * architecture: bi-encoder recall, late-interaction precision).
+    * Same join-free plan: literal-inlined probe vectors, one pruned
+    * scan, one partial-agged groupBy(doc_id), salted two-phase top-10.
+    */
+  private def qEmbMeanpoolNn(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tokHash = (tok: Column) => aggregate(
+      transform(split(tok, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, cp) => pmod(acc * 31 + cp, lit(msP)))
+    val embed = (h: Column) => array((0 until 8).map { i =>
+      pmod(pmod(h * lit(msA(i)) + lit(msB(i)), lit(msP)), lit(201L)) - lit(100L)
+    }: _*)
+    def pooled(tokensCol: Column): Column =
+      aggregate(
+        transform(filter(tokensCol, _ =!= ""), tok => embed(tokHash(tok))),
+        array((0 until 8).map(_ => lit(0L)): _*),
+        (acc, v) => zip_with(acc, v, _ + _))
+    val qrows = docs.filter(col("doc_id").isInCollection(msProbes))
+      .select(col("doc_id").as("probe_id"),
+        pooled(slice(split(col("text"), " "), 1, 8)).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dv = docs.select(col("doc_id"),
+      pooled(array_distinct(split(col("text"), " "))).as("dv"))
+    val probeScores = qrows.map { case (p, qv) =>
+      struct(lit(p).as("probe_id"),
+        (0 until 8).map(i => element_at(col("dv"), i + 1) * lit(qv(i)))
+          .reduce(_ + _).as("score"))
+    }
+    val scored = dv
+      .select(col("doc_id"), explode(array(probeScores.toIndexedSeq: _*)).as("ps"))
+      .select(col("ps.probe_id").as("probe_id"), col("doc_id"),
+        col("ps.score").as("score"))
+    val local = scored
+      .withColumn("salt", pmod(col("doc_id"), lit(64L)))
+      .withColumn("lrk", row_number().over(Window.partitionBy("probe_id", "salt")
+        .orderBy(desc("score"), col("doc_id"))))
+      .filter(col("lrk") <= 10)
+    local
+      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("score"), col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("score"))
+      .orderBy("probe_id", "rk")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_emb_meanpool_nn" -> qEmbMeanpoolNn _,
     "q_sim_maxsim" -> qSimMaxsim _,
     "q_emb_kmeans" -> qEmbKmeans _,
     "q_emb_int8" -> qEmbInt8 _,
@@ -933,6 +991,34 @@ object SimilarityQueries {
        |      (acc, cp) -> (acc * 31 + cp) % $msP)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Pooled bi-encoder replay: per-dimension integer sums of the same
+    // hash embeddings, joined on the 8 dimension ids — every score is
+    // an exact int64.
+    "q_emb_meanpool_nn" ->
+      s"""WITH params AS (SELECT * FROM (VALUES ${(0 until 8).map(i =>
+            s"(${i + 1}, ${msA(i)}, ${msB(i)})").mkString(", ")}) AS t(i, a, b)),
+         |qt AS (
+         |  SELECT doc_id AS probe_id, w[CAST(i AS INT)] AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |        WHERE doc_id IN (${msProbes.mkString(", ")})),
+         |       unnest(range(1, least(9, len(w) + 1))) AS t(i)
+         |  WHERE w[CAST(i AS INT)] <> ''),
+         |qh AS (SELECT probe_id, ${msHashSql("tok")} AS h FROM qt),
+         |qvi AS (SELECT probe_id, p.i,
+         |    CAST(sum(((h * p.a + p.b) % $msP) % 201 - 100) AS BIGINT) AS qv
+         |  FROM qh CROSS JOIN params p GROUP BY 1, 2),
+         |dt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |       FROM documents),
+         |dh AS (SELECT doc_id, ${msHashSql("tok")} AS h FROM dt WHERE tok <> ''),
+         |dvi AS (SELECT doc_id, p.i,
+         |    CAST(sum(((h * p.a + p.b) % $msP) % 201 - 100) AS BIGINT) AS dv
+         |  FROM dh CROSS JOIN params p GROUP BY 1, 2),
+         |sc AS (SELECT q.probe_id, d.doc_id, CAST(sum(q.qv * d.dv) AS BIGINT) AS score
+         |  FROM qvi q JOIN dvi d USING (i) GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY score DESC, doc_id) AS INT) AS rk FROM sc)
+         |SELECT probe_id, rk, doc_id, score FROM r WHERE rk <= 10
+         |ORDER BY probe_id, rk""".stripMargin,
     // Value-level MaxSim replay: hash, embedding, per-query-token max
     // and the summed score are all int64-exact, so the top-10 relation
     // hashes identically — no float ever enters the sort key.

@@ -144,4 +144,14 @@ class Round12hOpsSpec extends SparkSpec {
       assert(top._3 == p, s"probe $p top-1 is ${top._3}")
     }
   }
+
+  test("meanpool bi-encoder: the clone ties its probe doc in the pooled space too") {
+    val vocabDoc = (i: Long) => s"tok${i}a tok${i}b tok${i}c"
+    val docs = (0L to 39L).map(i => (i, vocabDoc(i), "en")) :+ (40L, vocabDoc(0L), "en")
+    val out = SparkEntry.queries("q_emb_meanpool_nn")(spark, writeDocs(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val p0 = out.filter(_._1 == 0L).sortBy(_._2)
+    assert(p0(0)._3 == 0L && p0(1)._3 == 40L && p0(0)._4 == p0(1)._4,
+      s"pooled clone must tie doc 0: ${p0.take(3).toSeq}")
+  }
 }
