@@ -114,6 +114,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MisraGriesTopK(children.head, k)
       }))
     e.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[graft.functions.PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "poly_hash takes (str, base, mod); base/mod literals")
+        def asLong(ex: Expression): Long = ex.eval() match {
+          case n: java.lang.Number => n.longValue()
+          case other => sys.error(s"poly_hash parameter must be a literal, got $other")
+        }
+        graft.functions.PolyHash(children.head, asLong(children(1)), asLong(children(2)))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[graft.functions.CountMinSketchAgg].getName, "cms_sketch"),
       (children: Seq[Expression]) => {

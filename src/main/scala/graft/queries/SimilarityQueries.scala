@@ -704,9 +704,11 @@ object SimilarityQueries {
     */
   private def qSimMaxsim(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val tokHash = (tok: Column) => aggregate(
-      transform(split(tok, ""), c => ascii(c).cast("long")),
-      lit(0L), (acc, cp) => pmod(acc * 31 + cp, lit(msP)))
+    // native single-pass code-point fold (graft.functions.PolyHash) —
+    // same values as the split+ascii+aggregate Column form and the
+    // DuckDB ord-fold replay, without the per-char array materialization
+    val tokHash = (tok: Column) =>
+      call_function("poly_hash", tok, lit(31L), lit(msP))
     val embed = (h: Column) => array((0 until 8).map { i =>
       pmod(pmod(h * lit(msA(i)) + lit(msB(i)), lit(msP)), lit(201L)) - lit(100L)
     }: _*)
@@ -785,9 +787,11 @@ object SimilarityQueries {
     */
   private def qEmbMeanpoolNn(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val tokHash = (tok: Column) => aggregate(
-      transform(split(tok, ""), c => ascii(c).cast("long")),
-      lit(0L), (acc, cp) => pmod(acc * 31 + cp, lit(msP)))
+    // native single-pass code-point fold (graft.functions.PolyHash) —
+    // same values as the split+ascii+aggregate Column form and the
+    // DuckDB ord-fold replay, without the per-char array materialization
+    val tokHash = (tok: Column) =>
+      call_function("poly_hash", tok, lit(31L), lit(msP))
     val embed = (h: Column) => array((0 until 8).map { i =>
       pmod(pmod(h * lit(msA(i)) + lit(msB(i)), lit(msP)), lit(201L)) - lit(100L)
     }: _*)
