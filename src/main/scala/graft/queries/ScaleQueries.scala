@@ -276,6 +276,11 @@ object ScaleQueries {
       (hex(substring(col("png"), 1, 8)) === "89504E470D0A1A0A").as("sig_ok"),
       (be32(9) === 13).as("ihdr_len_ok"),
       (hex(substring(col("png"), 13, 4)) === "49484452").as("ihdr_type_ok"),
+      // real integrity check: Spark's built-in crc32 over the IHDR
+      // chunk bytes (type + 13-byte payload) must equal the stored
+      // big-endian CRC at offset 30 — a single corrupted header byte
+      // fails here without any decode
+      (crc32(substring(col("png"), 13, 17)) === be32(30)).as("crc_ok"),
       be32(17).as("w"), be32(21).as("h"),
       conv(hex(substring(col("png"), 25, 1)), 16, 10).cast("long").as("depth"),
       conv(hex(substring(col("png"), 26, 1)), 16, 10).cast("long").as("ctype"))
@@ -285,7 +290,8 @@ object ScaleQueries {
         // actual sizes are zlib-dependent engine reality, so only the
         // bound is pinned
         (min("n_bytes") >= 45).as("size_ok"),
-        (count(when(col("sig_ok") && col("ihdr_len_ok") && col("ihdr_type_ok"), 1))
+        (count(when(col("sig_ok") && col("ihdr_len_ok") && col("ihdr_type_ok")
+            && col("crc_ok"), 1))
           === count(lit(1))).as("container_ok"),
         (count(when(col("w") === 8 && col("h") === 8, 1)) === count(lit(1)))
           .as("dims_ok"),

@@ -145,6 +145,19 @@ class Round12hOpsSpec extends SparkSpec {
     }
   }
 
+  test("container audit CRC: one flipped header byte fails crc_ok") {
+    import graft.functions.Multimodal
+    import org.apache.spark.sql.functions._
+    val png = Multimodal.encodeGrayPng(Multimodal.grayTileOf("probe text", 8), 8, 8)
+    val bad = png.clone(); bad(19) = (bad(19) ^ 1).toByte // IHDR payload byte
+    val rows = Seq(("good", png), ("bad", bad)).toDF("tag", "png")
+      .select(col("tag"),
+        (crc32(substring(col("png"), 13, 17)) ===
+          conv(hex(substring(col("png"), 30, 4)), 16, 10).cast("long")).as("crc_ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(rows("good") && !rows("bad"), s"got $rows")
+  }
+
   test("meanpool bi-encoder: the clone ties its probe doc in the pooled space too") {
     val vocabDoc = (i: Long) => s"tok${i}a tok${i}b tok${i}c"
     val docs = (0L to 39L).map(i => (i, vocabDoc(i), "en")) :+ (40L, vocabDoc(0L), "en")
