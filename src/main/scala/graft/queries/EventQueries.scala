@@ -1176,7 +1176,40 @@ object EventQueries {
       .orderBy("variant")
   }
 
+  /** Power-user concentration readout: the Gini coefficient of
+    * per-user event counts plus the Lorenz share of the top decile —
+    * the inequality census a telemetry owner reads before trusting
+    * per-user averages (and a skew early-warning: high Gini on a key
+    * predicts hot partitions downstream). Exact arithmetic end to
+    * end: one groupBy(user_id), one rank window over the USER
+    * dimension (already reduced from events; the q_evt_rfm bounded-
+    * dimension declaration), then Gini from the integer identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over counts ranked
+    * ascending with a user_id tiebreak — Σ i·xᵢ ≤ n²·max stays in
+    * int64 far past this scale; the single division is the only
+    * double. Emitted as ppm.
+    */
+  private def qEvtGini(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("x"))
+    val nUsers = perUser.agg(count(lit(1)).as("n"))
+    val ranked = perUser.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("user_id"))).cast("long"))
+    ranked.crossJoin(broadcast(nUsers))
+      .agg(max("n").as("n"), sum("x").as("sx"),
+        sum(col("i") * col("x")).as("six"),
+        sum(when(col("i") * 10 > col("n") * 9, col("x")).otherwise(0L))
+          .as("top_decile_events"))
+      .select(col("n"), col("sx").as("n_events"),
+        floor(lit(1000000.0) * (lit(2L) * col("six") - (col("n") + 1) * col("sx"))
+          / (col("n") * col("sx"))).cast("long").as("gini_ppm"),
+        col("top_decile_events"),
+        floor(lit(1000000.0) * col("top_decile_events") / col("sx"))
+          .cast("long").as("top_decile_ppm"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_gini" -> qEvtGini _,
     "q_evt_cuped" -> qEvtCuped _,
     "q_evt_variant" -> qEvtVariant _,
     "q_evt_srm" -> qEvtSrm _,
@@ -1381,6 +1414,20 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_gini" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i FROM pu),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pu),
+        |s AS (SELECT max(n.n) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(i * x) AS BIGINT) AS six,
+        |    CAST(sum(CASE WHEN i * 10 > n.n * 9 THEN x ELSE 0 END) AS BIGINT)
+        |      AS top_decile_events
+        |  FROM r, n)
+        |SELECT n, sx AS n_events,
+        |  CAST(floor(1000000.0 * (2 * six - (n + 1) * sx) / (n * sx)) AS BIGINT) AS gini_ppm,
+        |  top_decile_events,
+        |  CAST(floor(1000000.0 * top_decile_events / sx) AS BIGINT) AS top_decile_ppm
+        |FROM s""".stripMargin,
     "q_evt_cuped" ->
       """WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us FROM events),
         |pu AS (SELECT user_id,

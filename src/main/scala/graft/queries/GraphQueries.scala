@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
@@ -477,7 +477,51 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Degree assortativity (Newman, PRL 2002) over the bipartite
+    * co-purchase graph: the Pearson correlation of endpoint degrees
+    * across directed edges, assembled from exact int64 power sums
+    * (Σd_u, Σd_v, Σd_u·d_v, Σd_u², Σd_v² over edges — degrees are
+    * longs, so every sum is order-invariant) and emitted as ppm by
+    * ONE double expression — the q_evt_acf moment discipline on a
+    * graph statistic. Plan: one degree groupBy + two broadcast-sized
+    * joins of the degree relation onto the edge list, then a single
+    * partial-aggregatable global fold. Negative r = disassortative
+    * mixing (hubs attach to leaves), the expected shape for a
+    * customer–supplier graph.
+    */
+  private def qGraphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+      .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val e2 = edges
+      .join(deg.select(col("node").as("src"), col("d").as("du")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("dv")), Seq("dst"))
+    // moment SUMS are exact int64 (suv ≤ edges·maxdeg² stays under
+    // 2^63 here); the m·Σ products would NOT, so every sum converts
+    // to double FIRST and the whole r expression is one IEEE tree —
+    // the oracle casts at the same points (DuckDB's HUGEINT sums
+    // would otherwise compute m·suv exactly and round differently)
+    def d(c: Column) = c.cast("double")
+    e2.agg(count(lit(1)).as("m"),
+        sum("du").as("su"), sum("dv").as("sv"),
+        sum(col("du") * col("dv")).as("suv"),
+        sum(col("du") * col("du")).as("suu"),
+        sum(col("dv") * col("dv")).as("svv"))
+      .select(col("m"),
+        floor(lit(1000000.0) * (d(col("m")) * d(col("suv")) - d(col("su")) * d(col("sv"))) /
+          sqrt((d(col("m")) * d(col("suu")) - d(col("su")) * d(col("su"))) *
+            (d(col("m")) * d(col("svv")) - d(col("sv")) * d(col("sv")))))
+          .cast("long").as("r_ppm"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_graph_assortativity" -> qGraphAssortativity _,
     "q_graph_bfs" -> qGraphBfs _,
     "q_graph_kcore" -> qGraphKcore _,
     "q_basket_rules" -> qBasketRules _,
@@ -521,6 +565,24 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_graph_assortativity" ->
+      """WITH p AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, sp AS dst FROM p UNION ALL SELECT sp, c FROM p),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+        |e2 AS (SELECT du.d AS du, dv.d AS dv FROM edges e
+        |  JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |  CAST(sum(du) AS BIGINT) AS su, CAST(sum(dv) AS BIGINT) AS sv,
+        |  CAST(sum(du * dv) AS BIGINT) AS suv,
+        |  CAST(sum(du * du) AS BIGINT) AS suu,
+        |  CAST(sum(dv * dv) AS BIGINT) AS svv FROM e2)
+        |SELECT m, CAST(floor(1000000.0 *
+        |    (CAST(m AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)) /
+        |    sqrt((CAST(m AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) *
+        |         (CAST(m AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))))
+        |  AS BIGINT) AS r_ppm
+        |FROM s""".stripMargin,
     "q_graph_bfs" -> bfsOracle,
     "q_graph_kcore" -> kcoreOracle,
     "q_basket_rules" ->

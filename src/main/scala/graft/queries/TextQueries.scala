@@ -904,7 +904,37 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Vocabulary-growth census (Heaps' law readout): cumulative
+    * distinct-token count over doc_id-ordered corpus prefixes at each
+    * decile — the curve a tokenizer owner reads to size vocab and
+    * detect template floods (sub-Heaps growth = duplicated boilerplate).
+    * ONE pass: per-token first occurrence (groupBy(token).min(doc_id) —
+    * the only corpus-sized shuffle, partial-aggregatable), each token
+    * bucketed by the decile its first doc falls in, a 10-row census,
+    * and a cumulative window over those 10 rows (bounded dimension by
+    * construction). Exact integer arithmetic throughout.
+    */
+  private def qTxtVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val firstSeen = docs.select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(min("doc_id").as("first_doc"))
+    val bucketed = firstSeen.crossJoin(broadcast(nDocs))
+      .select(least(lit(10L), floor(col("first_doc") * 10 / col("n")) + 1)
+        .as("decile"), col("n"))
+      .groupBy("decile").agg(count(lit(1)).as("new_tokens"), max("n").as("n"))
+    bucketed
+      .withColumn("vocab_cum",
+        sum("new_tokens").over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), expr("decile * n div 10").as("prefix_docs"),
+        col("new_tokens"), col("vocab_cum"))
+      .orderBy("decile")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_vocab_growth" -> qTxtVocabGrowth _,
     "q_txt_blocklist" -> qTxtBlocklist _,
     "q_txt_topk_mg" -> qTxtTopkMg _,
     "q_txt_bigram_lm" -> qTxtBigramLm _,
@@ -941,6 +971,19 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_vocab_growth" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |fs AS (SELECT t AS token, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY 1),
+        |b AS (SELECT least(10, first_doc * 10 // n.n + 1) AS decile,
+        |    max(n.n) AS n, count(*) AS new_tokens
+        |  FROM fs, n GROUP BY 1)
+        |SELECT decile, CAST(decile * n // 10 AS BIGINT) AS prefix_docs,
+        |  CAST(new_tokens AS BIGINT) AS new_tokens,
+        |  CAST(sum(new_tokens) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+        |FROM b ORDER BY decile""".stripMargin,
     "q_txt_blocklist" ->
       s"""WITH d AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
          |f AS (SELECT lang, len(w) AS n_tok,

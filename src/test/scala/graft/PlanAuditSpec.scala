@@ -39,6 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_txt_topk_mg",    // crossJoin of the 1-row (MG summary, total) aggregate
     "q_evt_countmin",   // crossJoin of the 1-row CMS sketch aggregate
     "q_evt_cuped",      // crossJoins of the 1-row midpoint + pooled-moment aggregates
+    "q_evt_gini",       // crossJoin of the 1-row user-count aggregate
+    "q_txt_vocab_growth", // crossJoin of the 1-row corpus-count aggregate
     "q_emb_kmeans",     // broadcast of the k=8-row centroid relation per round
     "q_evt_audience_hll", // pair join of the |event-type|-row sketch relation
     "q_basket_rules",   // crossJoin of the 1-row order-total aggregate
@@ -121,8 +123,11 @@ class PlanAuditSpec extends SparkSpec {
     // q_part_skyline's phase-2 global window runs on the union of
     // per-bucket skylines — ~B·ln(n/B) rows at any corpus size by the
     // skyline-union theorem (see its scaladoc).
+    // q_evt_gini ranks the per-user rollup (the q_evt_rfm user
+    // dimension); q_txt_vocab_growth's cumulative window runs over its
+    // 10-row decile census — both bounded by construction.
     val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality",
-      "q_part_skyline")
+      "q_part_skyline", "q_evt_gini", "q_txt_vocab_growth")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>
