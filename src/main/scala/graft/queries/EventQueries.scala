@@ -1208,7 +1208,42 @@ object EventQueries {
           .cast("long").as("top_decile_ppm"))
   }
 
+  /** Benford first-digit audit (Nigrini's forensic-accounting screen):
+    * the first significant digit of each event's cent amount, censused
+    * against the Benford expectation log10(1+1/d). The expectations are
+    * LITERAL ppm constants shared with the oracle — no runtime log, so
+    * no libm-rounding divergence can enter the gate (the
+    * q_graph_degree_dist lesson). Digit extraction is pure integer/
+    * string arithmetic on exact cents; the census is one tiny groupBy.
+    * Synthetic uniform values won't fit Benford — the DEVIATION is the
+    * point: the readout a release gate inspects for fabricated-value
+    * columns.
+    */
+  private def qEvtBenford(s: SparkSession, dir: String): DataFrame = {
+    val benfordPpm = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val expected = benfordPpm.toSeq.sortBy(_._1).tail
+      .foldLeft(when(col("digit") === 1, benfordPpm(1))) {
+        case (acc, (d, p)) => acc.when(col("digit") === d, p)
+      }
+    val cents = t(s, dir, "events")
+      .select(round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+    val digits = cents
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+    val total = digits.agg(count(lit(1)).as("n_total"))
+    digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        floor(lit(1000000L) * col("n") / col("n_total")).as("share_ppm"),
+        expected.as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+      .orderBy("digit")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_benford" -> qEvtBenford _,
     "q_evt_gini" -> qEvtGini _,
     "q_evt_cuped" -> qEvtCuped _,
     "q_evt_variant" -> qEvtVariant _,
@@ -1414,6 +1449,20 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_benford" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE CAST(round(value * 100) AS BIGINT) > 0),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |e(digit, benford_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT g.digit, g.n,
+        |  CAST(floor(1000000 * g.n / n_total) AS BIGINT) AS share_ppm,
+        |  CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(abs(floor(1000000 * g.n / n_total) - e.benford_ppm) AS BIGINT) AS dev_ppm
+        |FROM g JOIN e ON g.digit = e.digit CROSS JOIN tot
+        |ORDER BY g.digit""".stripMargin,
     "q_evt_gini" ->
       """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
         |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i FROM pu),
