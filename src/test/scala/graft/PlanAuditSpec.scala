@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_evt_countmin",   // crossJoin of the 1-row CMS sketch aggregate
     "q_evt_cuped",      // crossJoins of the 1-row midpoint + pooled-moment aggregates
     "q_evt_gini",       // crossJoin of the 1-row user-count aggregate
+    "q_evt_benford",    // crossJoin of the 1-row digit-total aggregate
     "q_txt_vocab_growth", // crossJoin of the 1-row corpus-count aggregate
     "q_emb_kmeans",     // broadcast of the k=8-row centroid relation per round
     "q_evt_audience_hll", // pair join of the |event-type|-row sketch relation
