@@ -402,7 +402,39 @@ object RelationalQueries {
       .orderBy("supp_nation", "cust_nation", "yr")
   }
 
+  /** ABC / Pareto revenue classification over the part dimension: rank
+    * parts by exact x10000 revenue, cumulate, and class the 70/90%
+    * knees (A carries ~70% of revenue, B the next 20, C the tail) —
+    * the classic inventory-curation cut, and the data-pruning shape a
+    * corpus owner uses to decide which sources deserve dedup effort.
+    * The rank/cumsum window runs over the PART dimension (already
+    * reduced from lineitem by the groupBy; dimension-sized at any SF —
+    * the q_evt_rfm declaration); class thresholds are exact integer
+    * cross-multiplications.
+    */
+  private def qPartAbc(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy("l_partkey").agg(sum(revX10000).as("r"))
+    val total = rev.agg(sum("r").as("tot"))
+    val ranked = rev
+      .withColumn("cum", sum("r").over(Window.orderBy(desc("r"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("cls",
+        when(col("cum") * 10 <= col("tot") * 7, "A")
+          .when(col("cum") * 10 <= col("tot") * 9, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum("r").as("class_rev"),
+        max("tot").as("tot"))
+      .select(col("cls"), col("n_parts"),
+        floor(lit(1000000.0) * col("class_rev") / col("tot")).cast("long")
+          .as("rev_share_ppm"))
+      .orderBy("cls")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_part_abc" -> qPartAbc _,
     "q14_promo_share" -> qPromoShare _,
     "q07_nation_volume" -> qNationVolume _,
     "q_cust_order_dist" -> qCustOrderDist _,
@@ -431,6 +463,20 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_part_abc" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r) AS BIGINT) AS tot FROM rev),
+        |ranked AS (SELECT r, CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM rev),
+        |cls AS (SELECT CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+        |    WHEN cum * 10 <= tot * 9 THEN 'B' ELSE 'C' END AS cls, r, tot
+        |  FROM ranked, tot)
+        |SELECT cls, count(*) AS n_parts,
+        |  CAST(floor(1000000.0 * CAST(sum(r) AS BIGINT) / max(tot)) AS BIGINT) AS rev_share_ppm
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_promo_share" ->
       """WITH li AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |    p_type LIKE 'PROMO%' AS is_promo,

@@ -933,7 +933,30 @@ object TextQueries {
       .orderBy("decile")
   }
 
+  /** Term burstiness (Church & Gale 1995; Katz's adaptation model):
+    * collection frequency over document frequency per term — a bursty
+    * term (cf ≫ df) concentrates in few docs (topical/templated), a
+    * uniform term spreads evenly (function words). The readout that
+    * separates content terms from glue BEFORE any model sees the
+    * corpus. One pass: explode tokens, ONE groupBy(token) computing cf
+    * exactly and df as count(DISTINCT doc_id) (partial-aggregatable),
+    * top-20 by cf with a deterministic tiebreak, burstiness emitted as
+    * exact x1000 integer.
+    */
+  private def qTxtBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val w = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+    w.groupBy("token")
+      .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
+      .select(col("token"), col("cf"), col("df"),
+        floor(lit(1000L) * col("cf") / col("df")).as("burstiness_x1000"))
+      .orderBy(desc("cf"), col("token"))
+      .limit(20)
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_burstiness" -> qTxtBurstiness _,
     "q_txt_vocab_growth" -> qTxtVocabGrowth _,
     "q_txt_blocklist" -> qTxtBlocklist _,
     "q_txt_topk_mg" -> qTxtTopkMg _,
@@ -971,6 +994,14 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_burstiness" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |g AS (SELECT token, CAST(count(*) AS BIGINT) AS cf,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM w WHERE token <> '' GROUP BY 1)
+        |SELECT token, cf, df,
+        |  CAST(floor(1000 * cf / df) AS BIGINT) AS burstiness_x1000
+        |FROM g ORDER BY cf DESC, token LIMIT 20""".stripMargin,
     "q_txt_vocab_growth" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |fs AS (SELECT t AS token, min(doc_id) AS first_doc

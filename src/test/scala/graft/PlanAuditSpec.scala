@@ -41,6 +41,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_evt_cuped",      // crossJoins of the 1-row midpoint + pooled-moment aggregates
     "q_evt_gini",       // crossJoin of the 1-row user-count aggregate
     "q_evt_benford",    // crossJoin of the 1-row digit-total aggregate
+    "q_part_abc",       // crossJoin of the 1-row revenue-total aggregate
     "q_txt_vocab_growth", // crossJoin of the 1-row corpus-count aggregate
     "q_emb_kmeans",     // broadcast of the k=8-row centroid relation per round
     "q_evt_audience_hll", // pair join of the |event-type|-row sketch relation
@@ -127,8 +128,10 @@ class PlanAuditSpec extends SparkSpec {
     // q_evt_gini ranks the per-user rollup (the q_evt_rfm user
     // dimension); q_txt_vocab_growth's cumulative window runs over its
     // 10-row decile census — both bounded by construction.
+    // q_part_abc's rank/cumsum window runs over the part dimension
+    // (already reduced from lineitem), the q_evt_rfm declaration class.
     val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality",
-      "q_part_skyline", "q_evt_gini", "q_txt_vocab_growth")
+      "q_part_skyline", "q_evt_gini", "q_txt_vocab_growth", "q_part_abc")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>
