@@ -955,7 +955,38 @@ object TextQueries {
       .limit(20)
   }
 
+  /** N-gram novelty census — the memorization-risk curve next to
+    * [[qTxtVocabGrowth]]'s token-level Heaps readout: for each corpus
+    * decile (doc_id order), what fraction of its 3-gram OCCURRENCES
+    * are first-ever-seen vs repeats of earlier deciles. A falling
+    * novelty curve is healthy growth; a collapse means the tail is
+    * recombinated boilerplate (the raw-novelty diagnostic of the
+    * LLM-data literature). One corpus-sized shuffle: explode distinct
+    * 3-gram strings per doc ([[Q.shingles3]] — strings, not hashes,
+    * so DuckDB replays them verbatim), groupBy(shingle).min(decile)
+    * for first-sight, join occurrences back on the shingle key
+    * (partial-aggregatable census after).
+    */
+  private def qTxtNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val occ = docs.select(col("doc_id"), explode(shingles3(toks)).as("sh"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("sh"),
+        least(lit(10L), floor(col("doc_id") * 10 / col("n")) + 1).as("decile"))
+    val first = occ.groupBy("sh").agg(min("decile").as("first_decile"))
+    occ.join(first, Seq("sh"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_occ"),
+        sum(when(col("first_decile") === col("decile"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("decile"), col("n_occ"), col("n_novel"),
+        floor(lit(1000000L) * col("n_novel") / col("n_occ")).as("novelty_ppm"))
+      .orderBy("decile")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_ngram_novelty" -> qTxtNgramNovelty _,
     "q_txt_burstiness" -> qTxtBurstiness _,
     "q_txt_vocab_growth" -> qTxtVocabGrowth _,
     "q_txt_blocklist" -> qTxtBlocklist _,
@@ -994,6 +1025,21 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_ngram_novelty" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+        |  FROM tk WHERE len(toks) >= 3),
+        |occ AS (SELECT sh, least(10, doc_id * 10 // n.n + 1) AS decile FROM sh, n),
+        |fs AS (SELECT sh, min(decile) AS fd FROM occ GROUP BY 1),
+        |c AS (SELECT occ.decile, count(*) AS n_occ,
+        |    CAST(sum(CASE WHEN fs.fd = occ.decile THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM occ JOIN fs USING (sh) GROUP BY 1)
+        |SELECT decile, n_occ, n_novel,
+        |  CAST(floor(1000000 * n_novel / n_occ) AS BIGINT) AS novelty_ppm
+        |FROM c ORDER BY decile""".stripMargin,
     "q_txt_burstiness" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |g AS (SELECT token, CAST(count(*) AS BIGINT) AS cf,

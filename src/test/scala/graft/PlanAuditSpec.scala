@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_evt_gini",       // crossJoin of the 1-row user-count aggregate
     "q_evt_benford",    // crossJoin of the 1-row digit-total aggregate
     "q_part_abc",       // crossJoin of the 1-row revenue-total aggregate
+    "q_txt_ngram_novelty", // crossJoin of the 1-row corpus-count aggregate
     "q_txt_vocab_growth", // crossJoin of the 1-row corpus-count aggregate
     "q_emb_kmeans",     // broadcast of the k=8-row centroid relation per round
     "q_evt_audience_hll", // pair join of the |event-type|-row sketch relation
