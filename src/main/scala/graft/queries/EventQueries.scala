@@ -1242,7 +1242,35 @@ object EventQueries {
       .orderBy("digit")
   }
 
+  /** DAU/MAU stickiness per calendar month — the product-health ratio
+    * (how much of the monthly audience shows up on an average day)
+    * every telemetry stack reports: per-day distinct users roll up to
+    * a per-month Σdau and day count (one partial-aggregatable
+    * two-level distinct), MAU is the month-level distinct, and
+    * stickiness = Σdau / (n_days · mau) in exact floor-ppm. Two
+    * distinct aggregations over (day, user) and (month, user)
+    * projections — both key-partitioned shuffles, no windows.
+    */
+  private def qEvtStickiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM").as("month"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    val daily = ev.select("month", "day", "user_id").distinct()
+      .groupBy("month", "day").agg(count(lit(1)).as("dau"))
+      .groupBy("month").agg(count(lit(1)).as("n_days"),
+        sum("dau").as("sum_dau"), max("dau").as("peak_dau"))
+    val mau = ev.select("month", "user_id").distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    daily.join(mau, Seq("month"))
+      .select(col("month"), col("n_days"), col("sum_dau"), col("peak_dau"),
+        col("mau"),
+        floor(lit(1000000L) * col("sum_dau") / (col("n_days") * col("mau")))
+          .as("stickiness_ppm"))
+      .orderBy("month")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_stickiness" -> qEvtStickiness _,
     "q_evt_benford" -> qEvtBenford _,
     "q_evt_gini" -> qEvtGini _,
     "q_evt_cuped" -> qEvtCuped _,
@@ -1449,6 +1477,19 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_stickiness" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m') AS month,
+        |    strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+        |daily AS (SELECT month, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM e GROUP BY 1, 2),
+        |dm AS (SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dau) AS BIGINT) AS sum_dau, max(dau) AS peak_dau
+        |  FROM daily GROUP BY 1),
+        |mm AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM e GROUP BY 1)
+        |SELECT dm.month, n_days, sum_dau, peak_dau, mau,
+        |  CAST(floor(1000000 * sum_dau / (n_days * mau)) AS BIGINT) AS stickiness_ppm
+        |FROM dm JOIN mm ON dm.month = mm.month ORDER BY dm.month""".stripMargin,
     "q_evt_benford" ->
       """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
         |  WHERE CAST(round(value * 100) AS BIGINT) > 0),
