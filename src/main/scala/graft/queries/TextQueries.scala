@@ -985,7 +985,31 @@ object TextQueries {
       .orderBy("decile")
   }
 
+  /** Classifier-eval census over the registered language-ID heuristic:
+    * the full (actual, predicted) confusion matrix with per-cell
+    * recall share (of the actual-language row) and precision share
+    * (of the predicted column) in exact floor-ppm — the evaluation
+    * harness a pipeline runs on EVERY heuristic classifier before
+    * trusting its routing decisions, computed here from the same
+    * [[qTxtLangid]] logic so the eval can never drift from the
+    * deployed classifier. Three partial-aggregatable counts (cell,
+    * row, column) over the per-doc guesses, joined on the tiny
+    * |langs|² matrix.
+    */
+  private def qTxtLangidEval(s: SparkSession, dir: String): DataFrame = {
+    val g = qTxtLangid(s, dir).select("lang", "guess")
+    val cell = g.groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+    val rowT = g.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val colT = g.groupBy("guess").agg(count(lit(1)).as("n_guess"))
+    cell.join(rowT, Seq("lang")).join(colT, Seq("guess"))
+      .select(col("lang"), col("guess"), col("n"),
+        floor(lit(1000000L) * col("n") / col("n_lang")).as("recall_ppm"),
+        floor(lit(1000000L) * col("n") / col("n_guess")).as("precision_ppm"))
+      .orderBy("lang", "guess")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_langid_eval" -> qTxtLangidEval _,
     "q_txt_ngram_novelty" -> qTxtNgramNovelty _,
     "q_txt_burstiness" -> qTxtBurstiness _,
     "q_txt_vocab_growth" -> qTxtVocabGrowth _,
@@ -1025,6 +1049,29 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_langid_eval" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','is'))) AS en_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('le','et','une','est'))) AS fr_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('der','und','die','ist'))) AS de_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('el','los','una','es'))) AS es_hits
+        |  FROM documents),
+        |g AS (SELECT lang,
+        |  CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |       WHEN fr_hits >= de_hits AND fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'und' END AS guess
+        |  FROM scored),
+        |cell AS (SELECT lang, guess, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM g GROUP BY 1),
+        |ct AS (SELECT guess, CAST(count(*) AS BIGINT) AS n_guess FROM g GROUP BY 1)
+        |SELECT cell.lang, cell.guess, cell.n,
+        |  CAST(floor(1000000 * cell.n / n_lang) AS BIGINT) AS recall_ppm,
+        |  CAST(floor(1000000 * cell.n / n_guess) AS BIGINT) AS precision_ppm
+        |FROM cell JOIN rt USING (lang) JOIN ct USING (guess)
+        |ORDER BY lang, guess""".stripMargin,
     "q_txt_ngram_novelty" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
