@@ -220,7 +220,53 @@ object DqQueries {
       .orderBy("qi_level", "k")
   }
 
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006 — the
+    * k-anonymity successor): a release can be k-anonymous yet leak the
+    * sensitive attribute outright when an equivalence class is
+    * sensitive-homogeneous. For QI = (nation, market segment) with the
+    * $1000 balance bucket as the sensitive attribute, measure per
+    * class l = |distinct sensitive values| and census, for
+    * l ∈ {5, 8, 11}, how many classes and rows fall below each rung —
+    * at two generalization levels (full QI, and segment generalized
+    * away), the same ladder discipline as [[qPrivKanon]].
+    *
+    * Scale shape: one groupBy per level builds the class relation
+    * (count + count-distinct, both partial-aggregatable — classes, not
+    * rows, cross the shuffle), and each census row is a conditional
+    * sum over the few class rows. The thresholds start at 5 because
+    * this corpus's weakest class already carries l = 4 — a {2,3}
+    * census would be vacuously green.
+    */
+  private def qPrivLdiv(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        // same floor-of-double bucketing as qPrivKanon (see note there)
+        floor(round(col("c_acctbal") * 100).cast("long") / lit(100000.0))
+          .cast("long").as("bal_bucket"))
+    def level(name: String, keys: Seq[String]): DataFrame = {
+      val classes = cust.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("sz"), countDistinct(col("bal_bucket")).as("l"))
+      val ls = Seq(5, 8, 11)
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        ls.map(l0 => count(when(col("l") < l0, 1)).as(s"c_$l0")) ++
+          ls.map(l0 => sum(when(col("l") < l0, col("sz")).otherwise(0L)).as(s"r_$l0")): _*)
+        .select(expr(
+          s"""stack(3,
+             |  5,  n_classes, c_5,  r_5,
+             |  8,  n_classes, c_8,  r_8,
+             |  11, n_classes, c_11, r_11)
+             |  AS (l, n_classes, classes_below_l, rows_at_risk)""".stripMargin))
+        .withColumn("qi_level", lit(name))
+    }
+    level("nation_segment", Seq("c_nationkey", "c_mktsegment"))
+      .unionByName(level("nation", Seq("c_nationkey")))
+      .select("qi_level", "l", "n_classes", "classes_below_l", "rows_at_risk")
+      .orderBy("qi_level", "l")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_priv_ldiv" -> qPrivLdiv _,
     "q_priv_kanon" -> qPrivKanon _,
     "q_dq_profile" -> qDqProfile _,
     "q_dq_constraints" -> qDqConstraints _,
@@ -236,6 +282,44 @@ object DqQueries {
        |FROM (SELECT count(*) AS c FROM $tbl GROUP BY $key)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_priv_ldiv" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)
+        |              AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |cls1 AS (
+        |  SELECT count(*) AS sz, count(DISTINCT bal_bucket) AS l
+        |  FROM cust GROUP BY c_nationkey, c_mktsegment),
+        |cls2 AS (
+        |  SELECT count(*) AS sz, count(DISTINCT bal_bucket) AS l
+        |  FROM cust GROUP BY c_nationkey),
+        |lv1 AS (
+        |  SELECT 'nation_segment' AS qi_level, count(*) AS n_classes,
+        |    count(CASE WHEN l < 5 THEN 1 END) AS c5,
+        |    CAST(sum(CASE WHEN l < 5 THEN sz ELSE 0 END) AS BIGINT) AS r5,
+        |    count(CASE WHEN l < 8 THEN 1 END) AS c8,
+        |    CAST(sum(CASE WHEN l < 8 THEN sz ELSE 0 END) AS BIGINT) AS r8,
+        |    count(CASE WHEN l < 11 THEN 1 END) AS c11,
+        |    CAST(sum(CASE WHEN l < 11 THEN sz ELSE 0 END) AS BIGINT) AS r11
+        |  FROM cls1),
+        |lv2 AS (
+        |  SELECT 'nation' AS qi_level, count(*) AS n_classes,
+        |    count(CASE WHEN l < 5 THEN 1 END) AS c5,
+        |    CAST(sum(CASE WHEN l < 5 THEN sz ELSE 0 END) AS BIGINT) AS r5,
+        |    count(CASE WHEN l < 8 THEN 1 END) AS c8,
+        |    CAST(sum(CASE WHEN l < 8 THEN sz ELSE 0 END) AS BIGINT) AS r8,
+        |    count(CASE WHEN l < 11 THEN 1 END) AS c11,
+        |    CAST(sum(CASE WHEN l < 11 THEN sz ELSE 0 END) AS BIGINT) AS r11
+        |  FROM cls2),
+        |u AS (SELECT * FROM lv1 UNION ALL SELECT * FROM lv2)
+        |SELECT qi_level, l, n_classes, classes_below_l, rows_at_risk FROM (
+        |  SELECT qi_level, 5 AS l, n_classes, c5 AS classes_below_l, r5 AS rows_at_risk FROM u
+        |  UNION ALL
+        |  SELECT qi_level, 8, n_classes, c8, r8 FROM u
+        |  UNION ALL
+        |  SELECT qi_level, 11, n_classes, c11, r11 FROM u)
+        |ORDER BY qi_level, l""".stripMargin,
     "q_priv_kanon" ->
       """WITH cust AS (
         |  SELECT c_nationkey, c_mktsegment,

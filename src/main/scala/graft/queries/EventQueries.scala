@@ -1269,7 +1269,54 @@ object EventQueries {
       .orderBy("month")
   }
 
+  /** Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958) for
+    * time-to-first-purchase: per user, the elapsed whole hours from
+    * first observed event to first `purchase`, right-censored at a
+    * 72-hour observation window (users not converting inside the
+    * window are censored — they contribute to every risk set but no
+    * death). Output: one row per conversion time t with the risk-set
+    * size n(t), deaths d(t), and the product-limit survival
+    * S(t) = Π_{u≤t} (1 − d(u)/n(u)).
+    *
+    * Scale shape: one partial-aggregatable groupBy(user) collapses the
+    * corpus to a per-user (first_ts, first_buy) pair; a second
+    * groupBy(t) collapses users to the ≤ window-width event-time
+    * relation. Only those few dozen rows enter the two unpartitioned
+    * windows (risk sets via a DESC running sum, the product limit via
+    * an ASC one) — single-partition but bounded by the window width in
+    * hours, not the corpus. Elapsed hours come from exact
+    * `unix_micros` integer arithmetic; S(t) is exp∘Σln of exact
+    * integer ratios accumulated in deterministic t-order in both
+    * engines, rounded to 1e-6.
+    */
+  private def qEvtSurvival(s: SparkSession, dir: String): DataFrame = {
+    val windowH = 72L
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("buy_us"))
+      .select(floor((col("buy_us") - col("first_us")) / lit(3600000000L))
+        .cast("long").as("t_h"))
+      .withColumn("died", col("t_h").isNotNull && col("t_h") <= windowH)
+    val censored = perUser.filter(!col("died"))
+      .agg(count(lit(1)).as("n_c"))
+    val ev = perUser.filter(col("died"))
+      .groupBy(col("t_h")).agg(count(lit(1)).as("d"))
+    val wRisk = Window.orderBy(desc("t_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSurv = Window.orderBy(col("t_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.crossJoin(broadcast(censored))
+      .withColumn("n_risk", col("n_c") + sum(col("d")).over(wRisk))
+      .select(col("t_h").as("t_hours"), col("n_risk"), col("d").as("n_death"),
+        round(exp(sum(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .over(wSurv)), 6).as("surv"))
+      .orderBy("t_hours")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_survival" -> qEvtSurvival _,
     "q_evt_stickiness" -> qEvtStickiness _,
     "q_evt_benford" -> qEvtBenford _,
     "q_evt_gini" -> qEvtGini _,
@@ -1477,6 +1524,27 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_survival" ->
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS buy_us
+        |  FROM events GROUP BY 1),
+        |lf AS (
+        |  SELECT CAST(floor((buy_us - first_us) / 3600000000.0) AS BIGINT) AS t_h
+        |  FROM u),
+        |cls AS (SELECT t_h, (t_h IS NOT NULL AND t_h <= 72) AS died FROM lf),
+        |cens AS (SELECT count(*) AS n_c FROM cls WHERE NOT died),
+        |ev AS (SELECT t_h, count(*) AS d FROM cls WHERE died GROUP BY 1),
+        |risk AS (
+        |  SELECT t_h, d,
+        |    (SELECT n_c FROM cens) + sum(d) OVER (ORDER BY t_h DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM ev)
+        |SELECT t_h AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_death,
+        |  round(exp(sum(ln(1 - CAST(d AS DOUBLE) / n_risk)) OVER (ORDER BY t_h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
+        |FROM risk ORDER BY t_hours""".stripMargin,
     "q_evt_stickiness" ->
       """WITH e AS (SELECT strftime(ts, '%Y-%m') AS month,
         |    strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),

@@ -433,7 +433,38 @@ object RelationalQueries {
       .orderBy("cls")
   }
 
+  /** TPC-H Q4 shape (order-priority checking, adapted to this schema's
+    * columns): count 1996 orders per priority that had at least one
+    * LATE line — a lineitem shipping more than 60 days after the order
+    * date. The defining operator is the correlated EXISTS whose
+    * predicate mixes the equi-key with an inequality against the
+    * OUTER row's date — Catalyst plans it as a left-semi hash join on
+    * `l_orderkey` with the date comparison as a post-join residual, so
+    * the probe side never materializes more than one match per order.
+    *
+    * Scale shape: the orders date filter prunes at the scan
+    * (PushedFilters), the semi join shuffles both sides on orderkey
+    * once (or broadcasts the filtered orders when small), and the
+    * priority census is a partial-aggregatable 5-row groupBy. No
+    * distinct, no row explosion — EXISTS semantics come free from the
+    * semi join.
+    */
+  private def qOrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > date_add(o("o_orderdate"), 60),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q04_order_priority" -> qOrderPriority _,
     "q_part_abc" -> qPartAbc _,
     "q14_promo_share" -> qPromoShare _,
     "q07_nation_volume" -> qNationVolume _,
@@ -463,6 +494,15 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_part_abc" ->
       """WITH rev AS (SELECT l_partkey,
         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -162,6 +162,56 @@ object SimilarityQueries {
       .orderBy("label", "role", "rk")
   }
 
+  /** Centroid-based (simplified) silhouette — the cluster-quality
+    * verdict over the provided `label` assignment (Rousseeuw 1987's
+    * coefficient with the O(n²) pairwise terms replaced by the
+    * O(n·k) centroid approximation every large-scale evaluator uses):
+    * per vector, a = squared L2 to its OWN label centroid, b = min
+    * squared L2 to any OTHER centroid, s = (b−a)/max(a,b); the census
+    * reports per label the mean s and how many vectors sit closer to
+    * a foreign centroid (b < a — the would-be reassignments). On this
+    * corpus the verdict is honest: labels overlap heavily (mean s
+    * slightly negative, ~60% misassigned) — exactly what the census
+    * exists to surface before anyone trains on the labels.
+    *
+    * Scale shape: centroids come from the posexplode + groupBy(label,
+    * pos) distributed mean ([[qEmbOutliers]]'s pattern — partial-
+    * aggregatable, no vector collects); the k-row centroid table
+    * broadcasts, so scoring is one map-side pass with a k-way fold per
+    * row, and the final census is a k-row groupBy. Determinism:
+    * centroid components round to 1e-6 before any distance, distances
+    * quantize to `floor(d²·1e6)` longs ([[pqAssign]]'s convention),
+    * and the per-label mean accumulates the 1e-6-quantized s as exact
+    * longs — every cross-row sum is integer arithmetic.
+    */
+  private def qEmbSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").withColumn("vec", dvec(col("embedding")))
+    val cent = e
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(round(avg("x"), 6).as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        p => p.getField("cx")).as("cvec"))
+      .select(col("label").as("c_label"), col("cvec"))
+    val ab = e.crossJoin(broadcast(cent))
+      .withColumn("qd",
+        floor(graft.functions.L2Squared.l2Sq(col("vec"), col("cvec")) * 1000000d)
+          .cast("long"))
+      .groupBy("vec_id", "label")
+      .agg(min(when(col("c_label") === col("label"), col("qd"))).as("a"),
+        min(when(col("c_label") =!= col("label"), col("qd"))).as("b"))
+    ab.withColumn("s_q",
+        when(greatest(col("a"), col("b")) === 0L, 0L)
+          .otherwise(round(lit(1000000.0) * (col("b") - col("a")) /
+            greatest(col("a"), col("b"))).cast("long")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("b") < col("a"), 1L).otherwise(0L)).as("n_misassigned"),
+        round(sum(col("s_q")).cast("double") /
+          (lit(1000000.0) * count(lit(1))), 6).as("mean_sil"))
+      .orderBy("label")
+  }
+
   /** Batched k-NN join — N probes resolved in ONE corpus scan (the
     * retrieval/auto-labeling shape: nearest exemplars for a whole
     * query batch at once, not one scan per query). The probe batch is
@@ -848,6 +898,7 @@ object SimilarityQueries {
     "q_sim_norms" -> qSimNorms _,
     "q_sim_centroid" -> qSimCentroid _,
     "q_dedup_embedding" -> qDedupEmbedding _,
+    "q_emb_silhouette" -> qEmbSilhouette _,
   )
 
   /** Shared oracle CTE prefix: PQ subvectors, seeded codebook and
@@ -995,6 +1046,32 @@ object SimilarityQueries {
        |      (acc, cp) -> (acc * 31 + cp) % $msP)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Centroid-silhouette replay: identical 1e-6 centroid rounding,
+    // floor(d²·1e6) quantization, and integer s accumulation.
+    "q_emb_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |flat AS (SELECT label, generate_subscripts(vec, 1) AS pos, unnest(vec) AS x FROM e),
+        |cent AS (SELECT label, list(round(ax, 6) ORDER BY pos) AS cvec
+        |         FROM (SELECT label, pos, avg(x) AS ax FROM flat GROUP BY 1, 2)
+        |         GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label AS own, c.label AS cl,
+        |        CAST(floor(list_sum(list_transform(range(1, 65),
+        |          i -> (e.vec[i] - c.cvec[i]) * (e.vec[i] - c.cvec[i]))) * 1000000)
+        |          AS BIGINT) AS qd
+        |      FROM e, cent c),
+        |ab AS (SELECT vec_id, own,
+        |         min(CASE WHEN cl = own THEN qd END) AS a,
+        |         min(CASE WHEN cl <> own THEN qd END) AS b
+        |       FROM d GROUP BY 1, 2),
+        |sil AS (SELECT vec_id, own, a, b,
+        |          CASE WHEN greatest(a, b) = 0 THEN 0
+        |               ELSE CAST(round(1000000.0 * (b - a) / greatest(a, b)) AS BIGINT)
+        |          END AS s_q
+        |        FROM ab)
+        |SELECT own AS label, count(*) AS n,
+        |  CAST(sum(CASE WHEN b < a THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned,
+        |  round(CAST(sum(s_q) AS DOUBLE) / (1000000.0 * count(*)), 6) AS mean_sil
+        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
     // Pooled bi-encoder replay: per-dimension integer sums of the same
     // hash embeddings, joined on the 8 dimension ids — every score is
     // an exact int64.

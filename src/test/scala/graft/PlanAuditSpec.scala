@@ -47,7 +47,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_emb_kmeans",     // broadcast of the k=8-row centroid relation per round
     "q_evt_audience_hll", // pair join of the |event-type|-row sketch relation
     "q_basket_rules",   // crossJoin of the 1-row order-total aggregate
-    "q_evt_acf"         // crossJoin of the literal 6-row lag relation
+    "q_evt_acf",        // crossJoin of the literal 6-row lag relation
+    "q_emb_silhouette", // broadcast of the k-row (label) centroid table
+    "q_evt_survival"    // crossJoin of the 1-row censored-count aggregate
   )
 
   // streaming queries execute a real stream per call; keep them out of
@@ -131,8 +133,12 @@ class PlanAuditSpec extends SparkSpec {
     // 10-row decile census — both bounded by construction.
     // q_part_abc's rank/cumsum window runs over the part dimension
     // (already reduced from lineitem), the q_evt_rfm declaration class.
+    // q_evt_survival's risk-set/product-limit windows run over the
+    // grouped event-time relation — <= 73 rows at any corpus size by
+    // the 72-hour observation-window construction (see its scaladoc).
     val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality",
-      "q_part_skyline", "q_evt_gini", "q_txt_vocab_growth", "q_part_abc")
+      "q_part_skyline", "q_evt_gini", "q_txt_vocab_growth", "q_part_abc",
+      "q_evt_survival")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>
