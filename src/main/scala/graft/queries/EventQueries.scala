@@ -1315,7 +1315,142 @@ object EventQueries {
       .orderBy("t_hours")
   }
 
+  /** Exact ROC AUC via the Mann–Whitney U statistic (the rank-sum
+    * identity: AUC = P(score_pos > score_neg) + ½P(tie)) for two
+    * propensity features — per-user event count and active-day count —
+    * against the "big spender" label: any purchase of $200+ (plain
+    * "ever purchased" is degenerate here — every user converts,
+    * leaving an empty negative class). Ties are handled exactly by
+    * the ½-credit convention, with every cross-row term an INTEGER:
+    * grouping by distinct score gives (pos_s, neg_s) counts, and
+    * 2·U = Σ_s pos_s · (2·neg_below_s + neg_s), so the only float op
+    * is the final ppm division. The eval census a labeling pipeline
+    * runs before trusting a ranking feature at corpus scale.
+    *
+    * Scale shape: one partial-aggregatable groupBy(user) collapses
+    * events to the user dimension; a second groupBy(score) collapses
+    * users to the score-support relation — bounded by the per-user
+    * activity RANGE, not the corpus row count — and only that small
+    * relation enters the unpartitioned cumulative window. (At extreme
+    * user counts the ppm division's 2·n_pos·n_neg product would want
+    * DecimalType; the division-first form keeps it in range for any
+    * realistic cohort.)
+    */
+  private def qEvalAuc(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
+          .otherwise(0L)).as("pos"))
+    def auc(feature: String): DataFrame = {
+      val grp = perUser.groupBy(col(feature).as("score"))
+        .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("q"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grp.withColumn("below_q", sum(col("q")).over(w) - col("q"))
+        .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+          sum(col("p") * (lit(2L) * col("below_q") + col("q"))).as("two_u"))
+        .select(lit(feature).as("score_feature"), col("n_pos"), col("n_neg"),
+          round(lit(1000000.0) * (col("two_u").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")))).cast("long").as("auc_ppm"))
+    }
+    auc("n_events").unionByName(auc("active_days")).orderBy("score_feature")
+  }
+
+  /** Mutual information + χ² independence census between event type
+    * and hour-of-day — the feature-dependence audit run before
+    * treating two columns as independent signals. The contingency
+    * table is bounded by construction (|event types| × 24 cells), so
+    * per-cell terms are scalar expressions over exact integer counts:
+    * the MI term quantizes to nano-nats and the χ² term (rational — no
+    * transcendental) to micro-units BEFORE summing, so every cross-row
+    * sum is order-invariant integer arithmetic; ln enters once per
+    * cell on identical operands in both engines. The table is the FULL
+    * margin grid (row margins × column margins), not just the observed
+    * support — a zero-observed cell contributes nothing to MI (the
+    * 0·ln 0 = 0 convention) but its full expectation to χ².
+    *
+    * Scale shape: three partial-aggregatable groupBys (cell, row
+    * margin, column margin) + a 1-row total; the grid is the cross
+    * join of the two margin AGGREGATES (never raw rows), everything
+    * joins by BROADCAST, and nothing larger than the 120-cell table
+    * ever joins.
+    */
+  private def qEvtMi(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"), hour(col("ts")).as("hr"))
+    val cells = e.groupBy("event_type", "hr").agg(count(lit(1)).as("n_obs"))
+    val rowM = e.groupBy("event_type").agg(count(lit(1)).as("n_x"))
+    val colM = e.groupBy("hr").agg(count(lit(1)).as("n_y"))
+    val total = e.agg(count(lit(1)).as("n_tot"))
+    rowM.crossJoin(broadcast(colM)).crossJoin(broadcast(total))
+      .join(broadcast(cells), Seq("event_type", "hr"), "left")
+      .withColumn("n_xy", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("mi_nnat",
+        when(col("n_xy") === 0L, 0L).otherwise(
+          round(lit(1e9) * (col("n_xy").cast("double") / col("n_tot")) *
+            log(col("n_xy").cast("double") * col("n_tot") /
+              (col("n_x").cast("double") * col("n_y")))).cast("long")))
+      .withColumn("e_xy", col("n_x").cast("double") * col("n_y") / col("n_tot"))
+      .withColumn("chi2_micro",
+        round(lit(1e6) * pow(col("n_xy") - col("e_xy"), 2) / col("e_xy")).cast("long"))
+      .groupBy("event_type")
+      .agg(sum("n_xy").as("n"), count(lit(1)).as("n_cells"),
+        sum("mi_nnat").as("mi_nnat"), sum("chi2_micro").as("chi2_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift test between cohorts' `value`
+    * distributions (view vs click, purchase vs error) — the
+    * distribution-shift gate run between corpus slices before mixing
+    * them. D = max |F_a − F_b| is computed EXACTLY by
+    * cross-multiplication: with values quantized to cents, per distinct
+    * cent the statistic numerator is |cum_a·n_b − cum_b·n_a| — integers
+    * on both sides — and only the final ppm emission divides. The
+    * report carries D in ppm, the cent value where the max is first
+    * attained, and both cohort sizes.
+    *
+    * Scale shape: one partial-aggregatable groupBy(cent) collapses each
+    * cohort pair to the VALUE-SUPPORT relation (bounded by the price
+    * range in cents, not the corpus), which alone enters the ordered
+    * cumulative window; cohort totals and the arg-max resolve through
+    * 1-row broadcast cross joins.
+    */
+  private def qEvtKs(s: SparkSession, dir: String): DataFrame = {
+    def ks(a: String, b: String): DataFrame = {
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin(a, b))
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
+      val grp = e.groupBy("v_c")
+        .agg(sum(when(col("event_type") === a, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === b, 1L).otherwise(0L)).as("cb"))
+      val tot = grp.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+      val w = Window.orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ecdf = grp
+        .withColumn("cum_a", sum(col("ca")).over(w))
+        .withColumn("cum_b", sum(col("cb")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("d_num", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      val dmax = ecdf.agg(max("d_num").as("d_max"))
+      ecdf.crossJoin(broadcast(dmax))
+        .filter(col("d_num") === col("d_max"))
+        .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+          first(col("d_max")).as("dm"), min(col("v_c")).as("at_value_cents"))
+        .select(lit(a).as("cohort_a"), lit(b).as("cohort_b"),
+          col("n_a"), col("n_b"),
+          round(lit(1000000.0) * (col("dm").cast("double") /
+            (col("n_a").cast("double") * col("n_b")))).cast("long").as("d_ppm"),
+          col("at_value_cents"))
+    }
+    ks("view", "click").unionByName(ks("purchase", "error"))
+      .orderBy("cohort_a")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_eval_auc" -> qEvalAuc _,
+    "q_evt_mi" -> qEvtMi _,
+    "q_evt_ks" -> qEvtKs _,
     "q_evt_survival" -> qEvtSurvival _,
     "q_evt_stickiness" -> qEvtStickiness _,
     "q_evt_benford" -> qEvtBenford _,
@@ -1524,6 +1659,83 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_eval_auc" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         count(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |         max(CASE WHEN event_type = 'purchase' AND value >= 200.0
+        |             THEN 1 ELSE 0 END) AS pos
+        |  FROM events GROUP BY 1),
+        |feat AS (
+        |  SELECT 'n_events' AS score_feature, n_events AS score, pos FROM u
+        |  UNION ALL
+        |  SELECT 'active_days', active_days, pos FROM u),
+        |grp AS (
+        |  SELECT score_feature, score, sum(pos) AS p, sum(1 - pos) AS q
+        |  FROM feat GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT score_feature, p, q,
+        |    sum(q) OVER (PARTITION BY score_feature ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - q AS below_q
+        |  FROM grp)
+        |SELECT score_feature, CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(q) AS BIGINT) AS n_neg,
+        |  CAST(round(1000000.0 * (CAST(sum(p * (2 * below_q + q)) AS DOUBLE)
+        |    / (2.0 * sum(p) * sum(q)))) AS BIGINT) AS auc_ppm
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_evt_mi" ->
+      """WITH e AS (SELECT event_type, hour(ts) AS hr FROM events),
+        |cells AS (SELECT event_type, hr, count(*) AS n_obs FROM e GROUP BY 1, 2),
+        |rm AS (SELECT event_type, count(*) AS n_x FROM e GROUP BY 1),
+        |cm AS (SELECT hr, count(*) AS n_y FROM e GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tot FROM e),
+        |grid AS (
+        |  SELECT rm.event_type, cm.hr, n_x, n_y, n_tot,
+        |         coalesce(n_obs, 0) AS n_xy
+        |  FROM rm CROSS JOIN cm CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.event_type = rm.event_type
+        |                 AND cells.hr = cm.hr),
+        |terms AS (
+        |  SELECT event_type, n_xy,
+        |    CASE WHEN n_xy = 0 THEN 0 ELSE
+        |      CAST(round(1e9 * (CAST(n_xy AS DOUBLE) / n_tot) *
+        |        ln(CAST(n_xy AS DOUBLE) * n_tot / (CAST(n_x AS DOUBLE) * n_y)))
+        |        AS BIGINT) END AS mi_nnat,
+        |    CAST(round(1e6 * pow(n_xy - CAST(n_x AS DOUBLE) * n_y / n_tot, 2)
+        |      / (CAST(n_x AS DOUBLE) * n_y / n_tot)) AS BIGINT) AS chi2_micro
+        |  FROM grid)
+        |SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n, count(*) AS n_cells,
+        |  CAST(sum(mi_nnat) AS BIGINT) AS mi_nnat,
+        |  CAST(sum(chi2_micro) AS BIGINT) AS chi2_micro
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_evt_ks" ->
+      """WITH pairs(cohort_a, cohort_b) AS (VALUES ('view', 'click'), ('purchase', 'error')),
+        |e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+        |grp AS (
+        |  SELECT cohort_a, cohort_b, v_c,
+        |    sum(CASE WHEN event_type = cohort_a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = cohort_b THEN 1 ELSE 0 END) AS cb
+        |  FROM pairs JOIN e ON event_type IN (cohort_a, cohort_b)
+        |  GROUP BY 1, 2, 3),
+        |ecdf AS (
+        |  SELECT cohort_a, cohort_b, v_c,
+        |    sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+        |    sum(ca) OVER (PARTITION BY cohort_a, cohort_b) AS n_a,
+        |    sum(cb) OVER (PARTITION BY cohort_a, cohort_b) AS n_b
+        |  FROM grp
+        |  WINDOW w AS (PARTITION BY cohort_a, cohort_b ORDER BY v_c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT *, abs(cum_a * n_b - cum_b * n_a) AS d_num FROM ecdf),
+        |dm AS (SELECT cohort_a, cohort_b, max(d_num) AS d_max
+        |       FROM d GROUP BY 1, 2)
+        |SELECT d.cohort_a, d.cohort_b,
+        |  CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
+        |  CAST(round(1000000.0 * (CAST(min(d_max) AS DOUBLE)
+        |    / (CAST(min(n_a) AS DOUBLE) * min(n_b)))) AS BIGINT) AS d_ppm,
+        |  min(v_c) AS at_value_cents
+        |FROM d JOIN dm ON d.cohort_a = dm.cohort_a AND d.cohort_b = dm.cohort_b
+        |WHERE d_num = d_max
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_evt_survival" ->
       """WITH u AS (
         |  SELECT user_id, min(epoch_us(ts)) AS first_us,

@@ -463,7 +463,112 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), with the
+    * classic EXISTS / NOT-EXISTS pair COLLAPSED into per-order distinct
+    * counts: a supplier qualifies for an order iff it shipped late
+    * (>60 days past the order date, the [[qOrderPriority]] lateness
+    * convention — this schema has no receipt/commit dates), the order
+    * had more than one supplier, and it was the ONLY late supplier —
+    * i.e. the order's late-supplier set is exactly {s} and its supplier
+    * set is larger. That is decidable from one groupBy(orderkey):
+    * countDistinct(supplier), countDistinct(late supplier), and
+    * max(late supplier) (well-defined when the late-count is 1).
+    *
+    * Scale shape: the reference SQL plan self-joins the fact table
+    * twice (a semi and an anti join); this plan replaces both with
+    * aggregation — lineitem joins orders once on orderkey (the one
+    * unavoidable fact shuffle; the orders side carries only two
+    * columns), and the groupBy(orderkey) REUSES that join's
+    * partitioning, so no second fact shuffle. The survivors (one row
+    * per qualifying order) then groupBy supplier and resolve names
+    * through a broadcast of the supplier dimension.
+    */
+  private def qWaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val lines = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > date_add(col("o_orderdate"), 60)).as("late"))
+    val perOrder = lines.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    perOrder.groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+  }
+
+  /** TPC-H Q15 shape (top supplier by quarterly revenue): the derived
+    * per-supplier revenue relation filtered against its OWN max — the
+    * correlated-scalar-subquery pattern, planned as a 1-row aggregate
+    * broadcast against the (cached-by-reuse) revenue relation. Revenue
+    * in overflow-safe int64 x10000 units ([[revX10000]]) so the
+    * max-equality filter compares exact integers, never float sums.
+    *
+    * Scale shape: the shipdate window prunes at the scan
+    * (PushedFilters), one partial-aggregatable groupBy(suppkey)
+    * collapses the fact table to the supplier dimension, and the max
+    * is a 1-row aggregate cross-joined back — the revenue relation is
+    * computed once per branch over dimension-sized input. Name lookup
+    * broadcasts the supplier dim.
+    */
+  private def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revX10000).as("total_x10000"))
+    val top = rev.agg(max(col("total_x10000")).as("best"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_x10000") === col("best"))
+      .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_x10000"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers holding an
+    * above-average positive balance who have LAPSED — no order since
+    * 1998-06-01 (this corpus's orders run to 2001, so "never ordered"
+    * is vacuous; the recency window is the live-data equivalent) —
+    * censused per nation (the stand-in for Q22's phone country code).
+    * The threshold is exact by cross-multiplication — a customer
+    * qualifies iff bal_cents * n_pos > total_pos_cents, integer on both
+    * sides — so no float average ever enters a predicate
+    * ([[qOrderPriority]]'s family of exact-arithmetic verdicts).
+    *
+    * Scale shape: the positive-balance average is a 1-row aggregate
+    * cross-joined back (broadcast); the NOT EXISTS is a left-anti join
+    * on custkey whose probe side is date-pruned AT THE SCAN
+    * (PushedFilters) before it ever shuffles; no distinct needed (anti
+    * join ignores probe-side multiplicity); the census is a
+    * partial-aggregatable nation groupBy.
+    */
+  private def qSalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val avgPos = cust.filter(col("bal_cents") > 0L)
+      .agg(sum(col("bal_cents")).as("total_pos_cents"), count(lit(1)).as("n_pos"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_cents") * col("n_pos") > col("total_pos_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
+      .orderBy("c_nationkey")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q21_waiting_supplier" -> qWaitingSupplier _,
+    "q15_top_supplier" -> qTopSupplier _,
+    "q22_sales_opportunity" -> qSalesOpportunity _,
     "q04_order_priority" -> qOrderPriority _,
     "q_part_abc" -> qPartAbc _,
     "q14_promo_share" -> qPromoShare _,
@@ -494,6 +599,58 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Q21 replayed in its CLASSIC exists/not-exists form — the oracle
+    // deliberately takes the self-join road the Spark plan collapsed
+    // into per-order aggregation, so the two derivations cross-check.
+    "q21_waiting_supplier" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |waiting AS (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM l l1
+        |  WHERE l1.late
+        |    AND EXISTS (SELECT 1 FROM l l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM l l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late))
+        |SELECT s_name, count(*) AS numwait
+        |FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS total_x10000
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_x10000
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_x10000 = (SELECT max(total_x10000) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |avgpos AS (
+        |  SELECT CAST(sum(bal_cents) AS BIGINT) AS total_pos_cents,
+        |         count(*) AS n_pos
+        |  FROM cust WHERE bal_cents > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust, avgpos
+        |WHERE bal_cents * n_pos > total_pos_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q04_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

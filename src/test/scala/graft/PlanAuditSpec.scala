@@ -49,7 +49,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_basket_rules",   // crossJoin of the 1-row order-total aggregate
     "q_evt_acf",        // crossJoin of the literal 6-row lag relation
     "q_emb_silhouette", // broadcast of the k-row (label) centroid table
-    "q_evt_survival"    // crossJoin of the 1-row censored-count aggregate
+    "q_evt_survival",   // crossJoin of the 1-row censored-count aggregate
+    "q15_top_supplier", // crossJoin of the 1-row max-revenue aggregate
+    "q22_sales_opportunity", // crossJoin of the 1-row balance-average aggregate
+    "q_evt_mi",         // crossJoin of the 1-row contingency total
+    "q_evt_ks"          // crossJoins of the 1-row cohort totals + arg-max
   )
 
   // streaming queries execute a real stream per call; keep them out of
@@ -136,9 +140,13 @@ class PlanAuditSpec extends SparkSpec {
     // q_evt_survival's risk-set/product-limit windows run over the
     // grouped event-time relation — <= 73 rows at any corpus size by
     // the 72-hour observation-window construction (see its scaladoc).
+    // q_eval_auc's cumulative window runs over the distinct-score
+    // relation (bounded by the per-user activity range); q_evt_ks's
+    // over the cents-quantized value support (bounded by the price
+    // range) — both support-bounded, never corpus-bounded.
     val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality",
       "q_part_skyline", "q_evt_gini", "q_txt_vocab_growth", "q_part_abc",
-      "q_evt_survival")
+      "q_evt_survival", "q_eval_auc", "q_evt_ks")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>

@@ -1,0 +1,79 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Planted-fixture specs for the round-12 TPC-H planner shapes (Q21
+  * waiting supplier, Q15 top supplier, Q22 sales opportunity):
+  * constructed inputs whose expected outputs are closed-form — the
+  * sole-late-supplier rule is exercised against an order where two
+  * suppliers were late (nobody counts) and a single-supplier order
+  * (excluded), the quarterly-revenue max has exactly one winner with a
+  * window-excluded decoy line, and the lapsed-customer census drops a
+  * below-average balance and a recently-ordering customer.
+  */
+class Round12kOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dir(): String =
+    Files.createTempDirectory("r12k").toFile.getAbsolutePath
+
+  private val jan96 = Timestamp.valueOf("1996-01-01 00:00:00")
+  private def ts(s: String) = Timestamp.valueOf(s"$s 00:00:00")
+
+  test("q21: only the SOLE late supplier of a multi-supplier order counts") {
+    val d = dir()
+    Seq((1L, jan96), (2L, jan96), (3L, jan96), (4L, jan96))
+      .toDF("o_orderkey", "o_orderdate").write.parquet(s"$d/orders.parquet")
+    Seq(
+      (1L, 10L, ts("1996-04-01")), // late, sole late in multi-supp order 1
+      (1L, 20L, ts("1996-01-15")), // on time
+      (2L, 10L, ts("1996-04-01")), // order 2: TWO late suppliers -> neither
+      (2L, 20L, ts("1996-05-01")),
+      (3L, 30L, ts("1996-04-01")), // single-supplier order -> excluded
+      (4L, 10L, ts("1996-01-10")), // all on time -> nothing
+      (4L, 20L, ts("1996-01-20")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    Seq((10L, "S#10"), (20L, "S#20"), (30L, "S#30"))
+      .toDF("s_suppkey", "s_name").write.parquet(s"$d/supplier.parquet")
+    val out = SparkEntry.queries("q21_waiting_supplier")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("S#10", 1L)), s"got ${out.toSeq}")
+  }
+
+  test("q15: max-revenue scalar picks the single winner; decoy outside the window") {
+    val d = dir()
+    Seq(
+      (1L, 100.0, 0.0, ts("1996-02-01")),  // s1: 10000*100 = 1,000,000
+      (1L, 100.0, 0.0, ts("1996-03-01")),  // s1 total 2,000,000 -> winner
+      (2L, 150.0, 0.50, ts("1996-02-15")), // s2: 15000*50 = 750,000
+      (3L, 999.0, 0.0, ts("1995-12-31")))  // outside Q1-1996 -> pruned
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    Seq((1L, "S#1"), (2L, "S#2"), (3L, "S#3"))
+      .toDF("s_suppkey", "s_name").write.parquet(s"$d/supplier.parquet")
+    val out = SparkEntry.queries("q15_top_supplier")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "S#1", 2000000L)), s"got ${out.toSeq}")
+  }
+
+  test("q22: above-average balance AND lapsed — both predicates must bite") {
+    val d = dir()
+    // positive balances: 100 + 50 + 80 -> avg 76.67; c1 and c4 clear it
+    Seq(
+      (1L, 0, 100.0),  // above avg, old order only -> counts
+      (2L, 0, 0.0),    // non-positive -> excluded from avg and census
+      (3L, 0, 50.0),   // below avg -> out
+      (4L, 1, 80.0))   // above avg but ordered recently -> out
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$d/customer.parquet")
+    Seq((1L, ts("1997-05-01")), (4L, ts("1999-01-01")))
+      .toDF("o_custkey", "o_orderdate").write.parquet(s"$d/orders.parquet")
+    val out = SparkEntry.queries("q22_sales_opportunity")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0, 1L, 10000L)), s"got ${out.toSeq}")
+  }
+}
