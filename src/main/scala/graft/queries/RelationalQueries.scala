@@ -495,10 +495,14 @@ object RelationalQueries {
         max(when(col("late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
     perOrder.groupBy(col("late_supp"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(count(lit(1)).as("key_wait"))
       .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
         col("late_supp") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
+      // Q21 reports per NAME, and names need not be unique across keys
+      // (scaled corpora replicate dimension rows) — re-aggregate the
+      // already-dimension-sized per-key counts after the name join.
+      .groupBy(col("s_name"))
+      .agg(sum(col("key_wait")).as("numwait"))
       .orderBy(desc("numwait"), col("s_name"))
   }
 
