@@ -30,7 +30,8 @@ object SparkEntry {
       ScaleQueries.defs ++
       AdvancedQueries.defs ++
       GraphQueries.defs ++
-      DqQueries.defs
+      DqQueries.defs ++
+      FeatureQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       ScaleQueries.oracles ++
       AdvancedQueries.oracles ++
       GraphQueries.oracles ++
-      DqQueries.oracles
+      DqQueries.oracles ++
+      FeatureQueries.oracles
 }

@@ -1447,7 +1447,46 @@ object EventQueries {
       .orderBy("cohort_a")
   }
 
+  /** Cumulative gains / lift table — [[qEvalAuc]]'s companion census
+    * (the campaign-targeting readout): users ranked by the n_events
+    * propensity score into DESC deciles (ties broken by user_id so the
+    * binning is deterministic in any engine), then per decile the
+    * big-spender capture rate (cumulative recall) and lift vs the base
+    * rate. Every cumulative quantity is an integer count; ppm division
+    * happens once per output cell.
+    *
+    * Scale shape: one partial-aggregatable groupBy(user) collapses
+    * events to the user dimension, which alone enters the ntile
+    * window ([[qEvtRfm]]'s declared class — a 1e9-user deployment
+    * swaps in the pre-aggregated-histogram binning); the cumulative
+    * window then runs over the 10-row decile census.
+    */
+  private def qEvalLift(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
+          .otherwise(0L)).as("pos"))
+    val ranked = perUser.withColumn("decile",
+      ntile(10).over(Window.orderBy(desc("n_events"), col("user_id"))))
+    val bins = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(bins.agg(sum("n").as("n_tot"), sum("n_pos").as("p_tot"))))
+      .select(col("decile"), col("n"), col("n_pos"),
+        floor(lit(1000000L) * col("cum_pos") / col("p_tot"))
+          .cast("long").as("capture_ppm"),
+        round(lit(1000000.0) * (col("cum_pos").cast("double") / col("p_tot")) /
+          (col("cum_n").cast("double") / col("n_tot"))).cast("long").as("lift_ppm"))
+      .orderBy("decile")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_eval_lift" -> qEvalLift _,
     "q_eval_auc" -> qEvalAuc _,
     "q_evt_mi" -> qEvtMi _,
     "q_evt_ks" -> qEvtKs _,
@@ -1659,6 +1698,28 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_eval_lift" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         max(CASE WHEN event_type = 'purchase' AND value >= 200.0
+        |             THEN 1 ELSE 0 END) AS pos
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT pos,
+        |        ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+        |      FROM u),
+        |bins AS (SELECT decile, count(*) AS n, sum(pos) AS n_pos
+        |         FROM r GROUP BY 1),
+        |c AS (SELECT decile, n, n_pos,
+        |        sum(n) OVER w AS cum_n, sum(n_pos) OVER w AS cum_pos,
+        |        sum(n) OVER () AS n_tot, sum(n_pos) OVER () AS p_tot
+        |      FROM bins
+        |      WINDOW w AS (ORDER BY decile
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(floor(1000000 * cum_pos / p_tot) AS BIGINT) AS capture_ppm,
+        |  CAST(round(1000000.0 * (CAST(cum_pos AS DOUBLE) / p_tot) /
+        |    (CAST(cum_n AS DOUBLE) / n_tot)) AS BIGINT) AS lift_ppm
+        |FROM c ORDER BY decile""".stripMargin,
     "q_eval_auc" ->
       """WITH u AS (
         |  SELECT user_id, count(*) AS n_events,

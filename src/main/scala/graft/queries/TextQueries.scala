@@ -1008,7 +1008,66 @@ object TextQueries {
       .orderBy("lang", "guess")
   }
 
+  /** Cohen's kappa for the language-ID classifier (Cohen 1960 —
+    * agreement corrected for chance) from the same (true, guessed)
+    * pairs as [[qTxtLangidEval]]: the overall multi-class kappa plus a
+    * one-vs-rest kappa per language (each language's confusion
+    * collapsed to its 2×2 table). Every margin is an exact integer
+    * count; p_o and p_e are formed by division-first double arithmetic
+    * (each a probability in [0,1], immune to count overflow) and kappa
+    * emits once per row in ppm — no cross-row float ever exists.
+    *
+    * Scale shape: the per-doc guess relation collapses to the
+    * |langs|² confusion matrix in one partial-aggregatable groupBy;
+    * margins and the diagonal are |langs|-row aggregates joined by
+    * broadcast, and the global totals ride a 1-row cross join.
+    */
+  private def qTxtKappa(s: SparkSession, dir: String): DataFrame = {
+    val g = qTxtLangid(s, dir).select("lang", "guess")
+    val cell = g.groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+    val rowT = cell.groupBy("lang").agg(sum("n").as("row_n"))
+    val colT = cell.groupBy("guess").agg(sum("n").as("col_n"))
+    val diag = cell.filter(col("lang") === col("guess"))
+      .select(col("lang").as("l"), col("n").as("diag_n"))
+    val tot = cell.agg(sum("n").as("n_tot"),
+      sum(when(col("lang") === col("guess"), col("n")).otherwise(0L)).as("diag_tot"))
+    def kappaPpm(po: org.apache.spark.sql.Column, pe: org.apache.spark.sql.Column) =
+      round(lit(1000000.0) * (po - pe) / (lit(1.0) - pe)).cast("long")
+    // per-language one-vs-rest 2x2: a=diag, b=row-a, c=col-a,
+    // d=N-row-col+a; margins are FULL-outer joined so a language that
+    // is never guessed (or never true) still gets its census row
+    val perLang = rowT
+      .join(colT, col("lang") === col("guess"), "full_outer")
+      .select(coalesce(col("lang"), col("guess")).as("lg"),
+        coalesce(col("row_n"), lit(0L)).as("row_n"),
+        coalesce(col("col_n"), lit(0L)).as("col_n"))
+      .join(broadcast(diag), col("lg") === col("l"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("a", coalesce(col("diag_n"), lit(0L)))
+      .withColumn("po",
+        (col("a") * 2L + col("n_tot") - col("row_n") - col("col_n"))
+          .cast("double") / col("n_tot"))
+      .withColumn("pe",
+        (col("row_n").cast("double") / col("n_tot")) *
+          (col("col_n").cast("double") / col("n_tot")) +
+          ((col("n_tot") - col("row_n")).cast("double") / col("n_tot")) *
+          ((col("n_tot") - col("col_n")).cast("double") / col("n_tot")))
+      .select(col("lg").as("lang"), col("a").as("n_agree"),
+        kappaPpm(col("po"), col("pe")).as("kappa_ppm"))
+    // overall multi-class kappa: p_e = (Σ row·col)/N² — the margin
+    // cross sum stays an exact integer, division happens once
+    val rc = rowT.join(colT, col("lang") === col("guess"))
+      .agg(sum(col("row_n") * col("col_n")).as("rc"))
+    val overall = rc.crossJoin(broadcast(tot))
+      .select(lit("__ALL__").as("lang"), col("diag_tot").as("n_agree"),
+        kappaPpm(col("diag_tot").cast("double") / col("n_tot"),
+          (col("rc").cast("double") / col("n_tot")) / col("n_tot"))
+          .as("kappa_ppm"))
+    perLang.unionByName(overall).orderBy("lang")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_kappa" -> qTxtKappa _,
     "q_txt_langid_eval" -> qTxtLangidEval _,
     "q_txt_ngram_novelty" -> qTxtNgramNovelty _,
     "q_txt_burstiness" -> qTxtBurstiness _,
@@ -1049,6 +1108,56 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_kappa" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','is'))) AS en_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('le','et','une','est'))) AS fr_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('der','und','die','ist'))) AS de_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('el','los','una','es'))) AS es_hits
+        |  FROM documents),
+        |g AS (SELECT lang,
+        |  CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |       WHEN fr_hits >= de_hits AND fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'und' END AS guess
+        |  FROM scored),
+        |cell AS (SELECT lang, guess, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM cell GROUP BY 1),
+        |ct AS (SELECT guess, CAST(sum(n) AS BIGINT) AS col_n FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+        |  CAST(sum(CASE WHEN lang = guess THEN n ELSE 0 END) AS BIGINT) AS diag_tot
+        |  FROM cell),
+        |m AS (SELECT coalesce(rt.lang, ct.guess) AS lg,
+        |        coalesce(row_n, 0) AS row_n, coalesce(col_n, 0) AS col_n
+        |      FROM rt FULL JOIN ct ON rt.lang = ct.guess),
+        |per AS (
+        |  SELECT lg AS lang,
+        |    coalesce((SELECT n FROM cell WHERE cell.lang = m.lg
+        |              AND cell.guess = m.lg), 0) AS a,
+        |    row_n, col_n, n_tot
+        |  FROM m, tot),
+        |pl AS (
+        |  SELECT lang, CAST(a AS BIGINT) AS n_agree,
+        |    CAST(round(1000000.0 *
+        |      ((CAST(a * 2 + n_tot - row_n - col_n AS DOUBLE) / n_tot) -
+        |       ((CAST(row_n AS DOUBLE) / n_tot) * (CAST(col_n AS DOUBLE) / n_tot) +
+        |        (CAST(n_tot - row_n AS DOUBLE) / n_tot) * (CAST(n_tot - col_n AS DOUBLE) / n_tot))) /
+        |      (1.0 - ((CAST(row_n AS DOUBLE) / n_tot) * (CAST(col_n AS DOUBLE) / n_tot) +
+        |        (CAST(n_tot - row_n AS DOUBLE) / n_tot) * (CAST(n_tot - col_n AS DOUBLE) / n_tot))))
+        |      AS BIGINT) AS kappa_ppm
+        |  FROM per),
+        |rc AS (SELECT CAST(sum(row_n * col_n) AS BIGINT) AS rc
+        |       FROM rt JOIN ct ON rt.lang = ct.guess),
+        |ov AS (
+        |  SELECT '__ALL__' AS lang, diag_tot AS n_agree,
+        |    CAST(round(1000000.0 *
+        |      ((CAST(diag_tot AS DOUBLE) / n_tot) -
+        |       ((CAST(rc AS DOUBLE) / n_tot) / n_tot)) /
+        |      (1.0 - ((CAST(rc AS DOUBLE) / n_tot) / n_tot))) AS BIGINT) AS kappa_ppm
+        |  FROM rc, tot)
+        |SELECT * FROM pl UNION ALL SELECT * FROM ov ORDER BY lang""".stripMargin,
     "q_txt_langid_eval" ->
       """WITH scored AS (
         |  SELECT lang,

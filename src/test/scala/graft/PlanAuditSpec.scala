@@ -53,7 +53,11 @@ class PlanAuditSpec extends SparkSpec {
     "q15_top_supplier", // crossJoin of the 1-row max-revenue aggregate
     "q22_sales_opportunity", // crossJoin of the 1-row balance-average aggregate
     "q_evt_mi",         // crossJoin of the 1-row contingency total
-    "q_evt_ks"          // crossJoins of the 1-row cohort totals + arg-max
+    "q_evt_ks",         // crossJoins of the 1-row cohort totals + arg-max
+    "q_eval_lift",      // crossJoin of the 1-row totals aggregate
+    "q_feat_target_enc", // crossJoin of the 1-row global-prior aggregate
+    "q_feat_woe",       // crossJoins of the 1-row totals + IV-total aggregates
+    "q_txt_kappa"       // crossJoins of the 1-row confusion-totals aggregate
   )
 
   // streaming queries execute a real stream per call; keep them out of
@@ -144,9 +148,12 @@ class PlanAuditSpec extends SparkSpec {
     // relation (bounded by the per-user activity range); q_evt_ks's
     // over the cents-quantized value support (bounded by the price
     // range) — both support-bounded, never corpus-bounded.
+    // q_eval_lift's ntile window ranks the per-user rollup (the
+    // q_evt_rfm declaration class) and its cumulative window the
+    // 10-row decile census.
     val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality",
       "q_part_skyline", "q_evt_gini", "q_txt_vocab_growth", "q_part_abc",
-      "q_evt_survival", "q_eval_auc", "q_evt_ks")
+      "q_evt_survival", "q_eval_auc", "q_evt_ks", "q_eval_lift")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>
