@@ -1485,7 +1485,99 @@ object EventQueries {
       .orderBy("decile")
   }
 
+  /** Pearson + Spearman correlation census between two per-user
+    * metrics (activity = event count, spend = exact cents sum) — the
+    * feature-redundancy audit run before both enter a model. Pearson
+    * comes from exact integer power sums (Σx, Σy, Σxy, Σx², Σy² — the
+    * [[qEvtAcf]] discipline: order-invariant, one double expression at
+    * emission). Spearman is Pearson over DOUBLED average ranks — for a
+    * tie group of k values starting at min-rank r the average rank is
+    * r + (k−1)/2, so 2·avg = 2r + k − 1 stays an exact integer — and
+    * rank correlation is invariant under that common scaling.
+    *
+    * Scale shape: one partial-aggregatable groupBy(user) collapses
+    * events to the user dimension; the rank windows run over that
+    * rollup (the [[qEvtRfm]] declared class) and every cross-row sum
+    * thereafter is a long. (Power sums of doubled ranks grow as 4n³ —
+    * past ~1e5 users a deployment swaps the longs for DecimalType.)
+    */
+  private def qEvtSpearman(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+    def rank2(c: String): Column =
+      lit(2L) * rank().over(Window.orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col(c))) - lit(1L)
+    val ranked = perUser
+      .withColumn("rx", rank2("x")).withColumn("ry", rank2("y"))
+    // the power sums stay exact longs; the single scalar combination
+    // casts each to double FIRST (n·Σy² overflows int64 at sf1 whale
+    // spend) — mirrored operand-for-operand in the oracle so both
+    // engines run the identical IEEE sequence
+    def d(c: String): Column = col(c).cast("double")
+    val pearsonPpm: Column =
+      round(lit(1000000.0) *
+        (d("n") * d("sxy") - d("sx") * d("sy")) /
+        sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+          (d("n") * d("syy") - d("sy") * d("sy")))).cast("long")
+    def corr2(df: DataFrame, xc: String, yc: String): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        sum(col(xc)).as("sx"), sum(col(yc)).as("sy"),
+        sum(col(xc) * col(yc)).as("sxy"),
+        sum(col(xc) * col(xc)).as("sxx"),
+        sum(col(yc) * col(yc)).as("syy"))
+    val p = corr2(ranked, "x", "y")
+      .select(col("n").as("n_users"), pearsonPpm.as("pearson_ppm"))
+    val sp = corr2(ranked, "rx", "ry")
+      .select(pearsonPpm.as("spearman_ppm"))
+    p.crossJoin(broadcast(sp)).select("n_users", "pearson_ppm", "spearman_ppm")
+  }
+
+  /** Markov entropy-rate census of the event-type process (Shannon's
+    * H(X_t | X_{t−1}) under the empirical transition matrix): per
+    * source state, the conditional entropy of its outgoing
+    * distribution; overall, the rate Σ_i p_i·H_i with p_i the
+    * empirical share of outgoing transitions. The
+    * sequence-predictability audit behind any next-event model. Every
+    * per-cell term −(n_ij/n_i)·ln(n_ij/n_i) quantizes to nano-nats
+    * BEFORE summation, so cross-row sums are exact longs; the rate
+    * weights those per-state integer sums by integer counts and
+    * divides once.
+    *
+    * Scale shape: transitions come from one lag window PARTITIONED by
+    * user (ordered by event time; no global window), collapse to the
+    * ≤|types|² cell table in a partial-aggregatable groupBy, and
+    * everything after is arithmetic on that tiny relation.
+    */
+  private def qEvtEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val cells = trans.groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n_ij"))
+    val rows = cells.groupBy("prev").agg(sum("n_ij").as("n_i"))
+    val perState = cells.join(broadcast(rows), "prev")
+      .withColumn("h_cell",
+        round(lit(-1e9) * (col("n_ij").cast("double") / col("n_i")) *
+          log(col("n_ij").cast("double") / col("n_i"))).cast("long"))
+      .groupBy(col("prev"))
+      .agg(first(col("n_i")).as("n_out"), sum(col("h_cell")).as("h_nnat"))
+    val tot = perState.agg(sum("n_out").as("t_tot"),
+      sum(col("n_out") * col("h_nnat")).as("wh"))
+    val overall = tot.select(lit("__RATE__").as("event_type"),
+      col("t_tot").as("n_out"),
+      round(col("wh").cast("double") / col("t_tot")).cast("long").as("h_nnat"))
+    perState.select(col("prev").as("event_type"), col("n_out"), col("h_nnat"))
+      .unionByName(overall)
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_spearman" -> qEvtSpearman _,
+    "q_evt_entropy_rate" -> qEvtEntropyRate _,
     "q_eval_lift" -> qEvalLift _,
     "q_eval_auc" -> qEvalAuc _,
     "q_evt_mi" -> qEvtMi _,
@@ -1698,6 +1790,56 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_spearman" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS x,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT x, y,
+        |    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM u),
+        |p AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+        |      FROM r),
+        |sp AS (SELECT count(*) AS n, CAST(sum(rx) AS BIGINT) AS sx,
+        |        CAST(sum(ry) AS BIGINT) AS sy, CAST(sum(rx*ry) AS BIGINT) AS sxy,
+        |        CAST(sum(rx*rx) AS BIGINT) AS sxx, CAST(sum(ry*ry) AS BIGINT) AS syy
+        |      FROM r)
+        |SELECT p.n AS n_users,
+        |  CAST(round(1000000.0 *
+        |    (CAST(p.n AS DOUBLE)*CAST(p.sxy AS DOUBLE) - CAST(p.sx AS DOUBLE)*CAST(p.sy AS DOUBLE)) /
+        |    sqrt((CAST(p.n AS DOUBLE)*CAST(p.sxx AS DOUBLE) - CAST(p.sx AS DOUBLE)*CAST(p.sx AS DOUBLE)) *
+        |         (CAST(p.n AS DOUBLE)*CAST(p.syy AS DOUBLE) - CAST(p.sy AS DOUBLE)*CAST(p.sy AS DOUBLE))))
+        |    AS BIGINT) AS pearson_ppm,
+        |  CAST(round(1000000.0 *
+        |    (CAST(sp.n AS DOUBLE)*CAST(sp.sxy AS DOUBLE) - CAST(sp.sx AS DOUBLE)*CAST(sp.sy AS DOUBLE)) /
+        |    sqrt((CAST(sp.n AS DOUBLE)*CAST(sp.sxx AS DOUBLE) - CAST(sp.sx AS DOUBLE)*CAST(sp.sx AS DOUBLE)) *
+        |         (CAST(sp.n AS DOUBLE)*CAST(sp.syy AS DOUBLE) - CAST(sp.sy AS DOUBLE)*CAST(sp.sy AS DOUBLE))))
+        |    AS BIGINT) AS spearman_ppm
+        |FROM p, sp""".stripMargin,
+    "q_evt_entropy_rate" ->
+      """WITH t0 AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |cells AS (SELECT prev, event_type, count(*) AS n_ij
+        |          FROM t0 WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |rows_ AS (SELECT prev, CAST(sum(n_ij) AS BIGINT) AS n_i
+        |          FROM cells GROUP BY 1),
+        |per AS (
+        |  SELECT cells.prev, CAST(min(n_i) AS BIGINT) AS n_out,
+        |    CAST(sum(CAST(round(-1e9 * (CAST(n_ij AS DOUBLE) / n_i) *
+        |      ln(CAST(n_ij AS DOUBLE) / n_i)) AS BIGINT)) AS BIGINT) AS h_nnat
+        |  FROM cells JOIN rows_ USING (prev) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_out) AS BIGINT) AS t_tot,
+        |               CAST(sum(n_out * h_nnat) AS BIGINT) AS wh FROM per)
+        |SELECT prev AS event_type, n_out, h_nnat FROM per
+        |UNION ALL
+        |SELECT '__RATE__', t_tot,
+        |  CAST(round(CAST(wh AS DOUBLE) / t_tot) AS BIGINT) FROM tot
+        |ORDER BY event_type""".stripMargin,
     "q_eval_lift" ->
       """WITH u AS (
         |  SELECT user_id, count(*) AS n_events,

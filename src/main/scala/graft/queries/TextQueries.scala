@@ -1066,7 +1066,60 @@ object TextQueries {
     perLang.unionByName(overall).orderBy("lang")
   }
 
+  /** Jensen–Shannon divergence between the unigram distributions of
+    * two corpus halves (doc_id parity — the deterministic stand-in for
+    * "yesterday's crawl vs today's") over the top-500 global vocabulary
+    * with everything else folded into one OTHER bucket — the bounded
+    * JSD every drift monitor actually computes, since the full-vocab
+    * divergence is support-unbounded. Ties at the vocabulary cut break
+    * by token, so the support set is identical in any engine. Per-token
+    * contributions ½p·ln(p/m) + ½q·ln(q/m) quantize to nano-nats
+    * BEFORE the order-invariant integer sum; a zero count contributes
+    * 0 by the 0·ln 0 convention (m > 0 everywhere on the union
+    * support). The report also names the top-contributing token — the
+    * "what drifted" readout.
+    *
+    * Scale shape: one explode+groupBy builds the token counts
+    * (partial-aggregatable); the 500-row vocabulary resolves via
+    * TakeOrdered and BROADCASTS into a map-side membership join, so
+    * the corpus shuffles only (≤501-key, half) cells; totals and the
+    * arg-max ride 1-row broadcast cross joins.
+    */
+  private def qTxtJsDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select((col("doc_id") % 2).cast("int").as("half"),
+        explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok")).limit(500)
+      .select(col("tok").as("vtok"))
+    val cells = toks
+      .join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .select(col("half"), coalesce(col("vtok"), lit("__OTHER__")).as("vt"))
+      .groupBy("vt")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c2"))
+    val tot = cells.agg(sum("c1").as("t1"), sum("c2").as("t2"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .withColumn("p", col("c1").cast("double") / col("t1"))
+      .withColumn("q", col("c2").cast("double") / col("t2"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("contrib_nnat", round(lit(1e9) * (
+        when(col("c1") === 0L, lit(0.0))
+          .otherwise(lit(0.5) * col("p") * log(col("p") / col("m"))) +
+        when(col("c2") === 0L, lit(0.0))
+          .otherwise(lit(0.5) * col("q") * log(col("q") / col("m")))))
+        .cast("long"))
+    terms.agg(count(lit(1)).as("n_terms"),
+        min(col("t1")).as("n_tok_1"), min(col("t2")).as("n_tok_2"),
+        sum(col("contrib_nnat")).as("jsd_nnat"),
+        max(struct(col("contrib_nnat"), col("vt"))).as("top"))
+      .select(col("n_terms"), col("n_tok_1"), col("n_tok_2"), col("jsd_nnat"),
+        col("top.vt").as("top_token"),
+        col("top.contrib_nnat").as("top_contrib_nnat"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_txt_js_drift" -> qTxtJsDrift _,
     "q_txt_kappa" -> qTxtKappa _,
     "q_txt_langid_eval" -> qTxtLangidEval _,
     "q_txt_ngram_novelty" -> qTxtNgramNovelty _,
@@ -1108,6 +1161,44 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_js_drift" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id % 2 AS INTEGER) AS half,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok AS vtok FROM toks GROUP BY 1
+        |  ORDER BY count(*) DESC, tok LIMIT 500),
+        |cells AS (
+        |  SELECT coalesce(vtok, '__OTHER__') AS vt,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM toks LEFT JOIN vocab ON tok = vtok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+        |               CAST(sum(c2) AS BIGINT) AS t2 FROM cells),
+        |terms AS (
+        |  SELECT vt,
+        |    CAST(round(1e9 * (
+        |      CASE WHEN c1 = 0 THEN 0 ELSE
+        |        0.5 * (CAST(c1 AS DOUBLE) / t1) *
+        |        ln((CAST(c1 AS DOUBLE) / t1) /
+        |           ((CAST(c1 AS DOUBLE) / t1 + CAST(c2 AS DOUBLE) / t2) / 2)) END +
+        |      CASE WHEN c2 = 0 THEN 0 ELSE
+        |        0.5 * (CAST(c2 AS DOUBLE) / t2) *
+        |        ln((CAST(c2 AS DOUBLE) / t2) /
+        |           ((CAST(c1 AS DOUBLE) / t1 + CAST(c2 AS DOUBLE) / t2) / 2)) END))
+        |      AS BIGINT) AS contrib_nnat
+        |  FROM cells, tot),
+        |agg AS (
+        |  SELECT count(*) AS n_terms,
+        |    (SELECT t1 FROM tot) AS n_tok_1, (SELECT t2 FROM tot) AS n_tok_2,
+        |    CAST(sum(contrib_nnat) AS BIGINT) AS jsd_nnat,
+        |    max(contrib_nnat) AS mx
+        |  FROM terms)
+        |SELECT n_terms, n_tok_1, n_tok_2, jsd_nnat,
+        |  (SELECT max(vt) FROM terms WHERE contrib_nnat = mx) AS top_token,
+        |  mx AS top_contrib_nnat
+        |FROM agg""".stripMargin,
     "q_txt_kappa" ->
       """WITH scored AS (
         |  SELECT lang,

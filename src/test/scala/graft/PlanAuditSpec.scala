@@ -57,7 +57,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_eval_lift",      // crossJoin of the 1-row totals aggregate
     "q_feat_target_enc", // crossJoin of the 1-row global-prior aggregate
     "q_feat_woe",       // crossJoins of the 1-row totals + IV-total aggregates
-    "q_txt_kappa"       // crossJoins of the 1-row confusion-totals aggregate
+    "q_txt_kappa",      // crossJoins of the 1-row confusion-totals aggregate
+    "q_evt_spearman",   // crossJoin of the two 1-row power-sum aggregates
+    "q_txt_js_drift"    // crossJoin of the 1-row token-totals aggregate
   )
 
   // streaming queries execute a real stream per call; keep them out of
@@ -153,7 +155,8 @@ class PlanAuditSpec extends SparkSpec {
     // 10-row decile census.
     val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality",
       "q_part_skyline", "q_evt_gini", "q_txt_vocab_growth", "q_part_abc",
-      "q_evt_survival", "q_eval_auc", "q_evt_ks", "q_eval_lift")
+      "q_evt_survival", "q_eval_auc", "q_evt_ks", "q_eval_lift",
+      "q_evt_spearman")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>
