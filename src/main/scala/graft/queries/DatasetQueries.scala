@@ -113,7 +113,40 @@ object DatasetQueries {
         sum("n_chars").as("n_chars_total"))
       .orderBy("fold", "lang")
 
+  /** Class-weight census for loss reweighting (Cui et al., CVPR 2019
+    * "effective number of samples", β = 0.999, beside the plain
+    * inverse-frequency weight): per language, the effective-number
+    * weight (1−β)/(1−β^n) with β^n computed as exp(n·ln β) —
+    * the SAME formula in both engines, no pow — quantized to nano
+    * units per class BEFORE the k-row normalization, so the
+    * normalized weight is an exact integer ratio (Σ weights = k by
+    * construction). The rebalancing table a trainer consumes when the
+    * corpus mix is skewed.
+    *
+    * Scale shape: one partial-aggregatable groupBy(lang); everything
+    * after is arithmetic on the |langs|-row census plus a 1-row
+    * broadcast totals cross join.
+    */
+  private def qDsClassWeights(s: SparkSession, dir: String): DataFrame = {
+    val cls = t(s, dir, "documents").groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("eff_w_nnat",
+        round(lit(1e9) * (lit(1.0) - lit(0.999)) /
+          (lit(1.0) - exp(col("n").cast("double") * log(lit(0.999)))))
+          .cast("long"))
+    val tot = cls.agg(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
+      sum(col("eff_w_nnat")).as("w_tot_nnat"))
+    cls.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"), col("eff_w_nnat"),
+        round(lit(1000000.0) * (col("eff_w_nnat") * col("k")).cast("double") /
+          col("w_tot_nnat")).cast("long").as("eff_w_norm_ppm"),
+        round(lit(1000000.0) * col("n_tot").cast("double") /
+          (col("k") * col("n")).cast("double")).cast("long").as("invfreq_ppm"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_ds_class_weights" -> qDsClassWeights _,
     "q_ds_kfold" -> qDsKfold _,
     "q_ds_split_contract" -> qDsSplitContract _,
     "q_ds_nested_prefix" -> qDsNestedPrefix _,
@@ -122,6 +155,21 @@ object DatasetQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ds_class_weights" ->
+      """WITH cls AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(round(1e9 * (1.0 - 0.999) /
+        |      (1.0 - exp(CAST(count(*) AS DOUBLE) * ln(0.999)))) AS BIGINT)
+        |      AS eff_w_nnat
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_tot,
+        |               CAST(sum(eff_w_nnat) AS BIGINT) AS w_tot_nnat FROM cls)
+        |SELECT lang, n, eff_w_nnat,
+        |  CAST(round(1000000.0 * CAST(eff_w_nnat * k AS DOUBLE) / w_tot_nnat)
+        |       AS BIGINT) AS eff_w_norm_ppm,
+        |  CAST(round(1000000.0 * CAST(n_tot AS DOUBLE) / CAST(k * n AS DOUBLE))
+        |       AS BIGINT) AS invfreq_ppm
+        |FROM cls, tot ORDER BY lang""".stripMargin,
     "q_ds_kfold" ->
       """SELECT ('0x' || substring(md5(source), 1, 8))::BIGINT % 5 AS fold,
         |  lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,

@@ -1575,7 +1575,68 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  // --- one-pass Poisson bootstrap (q_evt_bootstrap) constants ---
+  // Per-replicate universal hash ((a·x + c) mod p) mod 2^20, the
+  // q_evt_countmin convention; the Poisson(1) multiplicity comes from
+  // comparing that 20-bit integer against PRE-SCALED integer CDF
+  // thresholds floor(CDF_k · 2^20) — no float ever enters a weight.
+  private val bootB = 32
+  private val bootP = 2147483647L
+  private def bootA(b: Int): Long = (1000003L * (b + 1)) % bootP
+  private def bootC(b: Int): Long = (7919L * (b + 1) + 104729L) % bootP
+  /** floor(Poisson(1) CDF(k) · 2^20) for k = 0..9; 10+ is the tail. */
+  private val bootCdf20 = Seq(385749L, 771499L, 964373L, 1028665L,
+    1044738L, 1047952L, 1048488L, 1048565L, 1048574L, 1048575L)
+
+  /** One-pass Poisson bootstrap of total purchase revenue (Efron's
+    * resampling with Poisson(1) replicate weights — the only bootstrap
+    * that works in one distributed scan, since each row's weight per
+    * replicate is a pure function of (row id, replicate id), no
+    * sampling shuffle): B = 32 replicates, each an exact integer
+    * Σ w_b(e)·cents(e) accumulated as one conditional-sum column of a
+    * SINGLE aggregate, weights from integer hash-vs-integer-CDF
+    * comparisons. The replicate spread then yields the bootstrap SE
+    * and a 95% normal CI for total revenue — error bars at 100 TB
+    * without a second pass or a sampling shuffle. The scalar
+    * mean/variance combination casts the 32 exact longs to double in
+    * a FIXED textual order mirrored by the oracle (Σ s_b² overflows
+    * int64 at sf1).
+    *
+    * Scale shape: one partial-aggregatable aggregate over the
+    * purchase scan — 33 sums wide, map-side combined; the output is a
+    * single row. Nothing shuffles but partial aggregates.
+    */
+  private def qEvtBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    def weight(b: Int): Column = {
+      val h = ((lit(bootA(b)) * (col("event_id") % bootP) + lit(bootC(b)))
+        % bootP) % 1048576L
+      bootCdf20.zipWithIndex.reverse.foldLeft(lit(10L)) {
+        case (acc, (thr, k)) => when(h < lit(thr), lit(k.toLong)).otherwise(acc)
+      }
+    }
+    val repCols = (0 until bootB).map(b => sum(weight(b) * col("cents")).as(s"s_$b"))
+    val base = e.agg(count(lit(1)).as("n_purchases"),
+      (sum(col("cents")).as("point_cents") +: repCols): _*)
+    val ssD = (0 until bootB).map(b => col(s"s_$b").cast("double")).reduce(_ + _)
+    val ss2D = (0 until bootB)
+      .map(b => col(s"s_$b").cast("double") * col(s"s_$b").cast("double"))
+      .reduce(_ + _)
+    base
+      .withColumn("mean_d", ssD / lit(bootB.toDouble))
+      .withColumn("se_d",
+        sqrt((ss2D - ssD * ssD / lit(bootB.toDouble)) / lit((bootB - 1).toDouble)))
+      .select(col("n_purchases"), col("point_cents"),
+        round(col("mean_d")).cast("long").as("boot_mean_cents"),
+        round(col("se_d")).cast("long").as("boot_se_cents"),
+        round(col("mean_d") - lit(1.96) * col("se_d")).cast("long").as("ci_lo_cents"),
+        round(col("mean_d") + lit(1.96) * col("se_d")).cast("long").as("ci_hi_cents"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_bootstrap" -> qEvtBootstrap _,
     "q_evt_spearman" -> qEvtSpearman _,
     "q_evt_entropy_rate" -> qEvtEntropyRate _,
     "q_eval_lift" -> qEvalLift _,
@@ -1789,7 +1850,46 @@ object EventQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Generated bootstrap-replay SQL: the identical integer hash and
+    * integer-CDF weight CASE per replicate, the identical fixed-order
+    * double combination (the q_evt_countmin generated-oracle
+    * convention).
+    */
+  private def bootstrapOracle: String = {
+    def kCase(b: Int): String = {
+      val h = s"(((${bootA(b)} * (event_id % $bootP) + ${bootC(b)}) % $bootP) % 1048576)"
+      val whens = bootCdf20.zipWithIndex
+        .map { case (thr, k) => s"WHEN $h < $thr THEN $k" }.mkString(" ")
+      s"(CASE $whens ELSE 10 END)"
+    }
+    val repSums = (0 until bootB)
+      .map(b => s"    CAST(sum(${kCase(b)} * cents) AS BIGINT) AS s_$b")
+      .mkString(",\n")
+    val ssD = (0 until bootB).map(b => s"CAST(s_$b AS DOUBLE)").mkString(" + ")
+    val ss2D = (0 until bootB)
+      .map(b => s"CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |b AS (
+       |  SELECT count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS point_cents,
+       |$repSums
+       |  FROM e),
+       |m AS (
+       |  SELECT n_purchases, point_cents,
+       |    ($ssD) / 32.0 AS mean_d,
+       |    sqrt((($ss2D) - ($ssD) * ($ssD) / 32.0) / 31.0) AS se_d
+       |  FROM b)
+       |SELECT n_purchases, point_cents,
+       |  CAST(round(mean_d) AS BIGINT) AS boot_mean_cents,
+       |  CAST(round(se_d) AS BIGINT) AS boot_se_cents,
+       |  CAST(round(mean_d - 1.96 * se_d) AS BIGINT) AS ci_lo_cents,
+       |  CAST(round(mean_d + 1.96 * se_d) AS BIGINT) AS ci_hi_cents
+       |FROM m""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_evt_bootstrap" -> bootstrapOracle,
     "q_evt_spearman" ->
       """WITH u AS (
         |  SELECT user_id, count(*) AS x,

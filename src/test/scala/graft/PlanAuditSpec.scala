@@ -59,7 +59,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_feat_woe",       // crossJoins of the 1-row totals + IV-total aggregates
     "q_txt_kappa",      // crossJoins of the 1-row confusion-totals aggregate
     "q_evt_spearman",   // crossJoin of the two 1-row power-sum aggregates
-    "q_txt_js_drift"    // crossJoin of the 1-row token-totals aggregate
+    "q_txt_js_drift",   // crossJoin of the 1-row token-totals aggregate
+    "q_ds_class_weights" // crossJoin of the 1-row class-totals aggregate
   )
 
   // streaming queries execute a real stream per call; keep them out of
