@@ -1635,7 +1635,114 @@ object EventQueries {
         round(col("mean_d") + lit(1.96) * col("se_d")).cast("long").as("ci_hi_cents"))
   }
 
+  // --- PSI drift monitor (q_evt_psi batch / q_stream_psi twin) ---
+  // 20 fixed $25 value buckets; population stability index per hour
+  // against the whole-corpus reference histogram, Laplace-+1 smoothed
+  // so empty buckets stay finite. Per-bucket terms quantize to micro
+  // units BEFORE the order-invariant long sum.
+  private[graft] val psiNBuckets = 20
+
+  private[graft] def psiBucket(v: Column): Column =
+    least(lit(19L), greatest(lit(0L), floor(v / 25.0).cast("long")))
+
+  private[graft] def psiBucketSums(v: Column, prefix: String): Seq[Column] =
+    (0 until psiNBuckets).map(b =>
+      sum(when(psiBucket(v) === b.toLong, 1L).otherwise(0L)).as(s"$prefix$b"))
+
+  /** Σ_b micro-quantized (p_b − r_b)·ln(p_b/r_b) over columns
+    * b_0..b_19 / r_0..r_19 with totals n_events / r_tot present.
+    */
+  private[graft] def psiMicro: Column =
+    (0 until psiNBuckets).map { b =>
+      val p = (col(s"b_$b") + lit(1L)).cast("double") /
+        (col("n_events") + lit(20L)).cast("double")
+      val r = (col(s"r_$b") + lit(1L)).cast("double") /
+        (col("r_tot") + lit(20L)).cast("double")
+      round(lit(1e6) * (p - r) * log(p / r)).cast("long")
+    }.reduce(_ + _)
+
+  private[graft] def psiTotals(df: DataFrame): DataFrame = df
+    .withColumn("n_events",
+      (0 until psiNBuckets).map(b => col(s"b_$b")).reduce(_ + _))
+    .withColumn("r_tot",
+      (0 until psiNBuckets).map(b => col(s"r_$b")).reduce(_ + _))
+
+  /** Population stability index per hour vs the whole-corpus value
+    * distribution — the distribution-shift monitor ([[qEvtKs]] gives
+    * the one-shot two-cohort verdict; this is the per-window
+    * production readout, and [[graft.streaming.StreamOps.psiDriftAppend]]
+    * runs the IDENTICAL plan as an append-mode stream whose windows
+    * emit on watermark close). 20 fixed $25 buckets, Laplace-+1
+    * smoothing, per-bucket micro-quantization before the integer sum;
+    * drifted at the classic 0.2 threshold.
+    *
+    * Scale shape: ONE groupBy(hour) with the 20 bucket counts as
+    * sibling conditional sums (map-side combined — no second shuffle,
+    * no pivot), a 1-row broadcast reference, and scalar arithmetic on
+    * the hour census.
+    */
+  private def qEvtPsi(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"), col("value"))
+    val hourly = e.groupBy("hour")
+      .agg(psiBucketSums(col("value"), "b_").head,
+        psiBucketSums(col("value"), "b_").tail: _*)
+    val ref = e.agg(psiBucketSums(col("value"), "r_").head,
+      psiBucketSums(col("value"), "r_").tail: _*)
+    psiTotals(hourly.crossJoin(broadcast(ref)))
+      .select(col("hour"), col("n_events"), psiMicro.as("psi_micro"))
+      .withColumn("drifted", col("psi_micro") > 200000L)
+      .orderBy("hour")
+  }
+
+  /** Generated PSI oracle; `emissionLaw = true` adds the append-mode
+    * window-finality predicate (end ≤ final watermark), the
+    * q_stream_hourly_append convention.
+    */
+  private[queries] def psiOracle(emissionLaw: Boolean): String = {
+    val bSums = (0 until psiNBuckets)
+      .map(b => s"    CAST(sum(CASE WHEN bkt = $b THEN 1 ELSE 0 END) AS BIGINT) AS b_$b")
+      .mkString(",\n")
+    val rSums = (0 until psiNBuckets)
+      .map(b => s"    CAST(sum(CASE WHEN bkt = $b THEN 1 ELSE 0 END) AS BIGINT) AS r_$b")
+      .mkString(",\n")
+    val nTot = (0 until psiNBuckets).map(b => s"b_$b").mkString(" + ")
+    val rTot = (0 until psiNBuckets).map(b => s"r_$b").mkString(" + ")
+    val terms = (0 until psiNBuckets).map { b =>
+      val p = s"CAST(b_$b + 1 AS DOUBLE) / CAST(n_events + 20 AS DOUBLE)"
+      val r = s"CAST(r_$b + 1 AS DOUBLE) / CAST(r_tot + 20 AS DOUBLE)"
+      s"CAST(round(1e6 * (($p) - ($r)) * ln(($p) / ($r))) AS BIGINT)"
+    }.mkString(" +\n    ")
+    val law = if (emissionLaw)
+      """, wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 7200000 AS wm_ms
+        |         FROM events)""".stripMargin else ""
+    val lawJoin = if (emissionLaw) ", wm" else ""
+    val lawPred = if (emissionLaw)
+      "WHERE CAST(floor(epoch_us(CAST(t.hour AS TIMESTAMP) + INTERVAL 1 HOUR) / 1000) AS BIGINT) <= wm_ms"
+    else ""
+    s"""WITH e AS (
+       |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       |    least(19, greatest(0, CAST(floor(value / 25.0) AS BIGINT))) AS bkt
+       |  FROM events),
+       |h AS (SELECT hour,
+       |$bSums
+       |  FROM e GROUP BY 1),
+       |r AS (SELECT
+       |$rSums
+       |  FROM e),
+       |t AS (SELECT h.*, r.*, ($nTot) AS n_events, ($rTot) AS r_tot
+       |      FROM h, r)$law
+       |SELECT t.hour, t.n_events,
+       |  ($terms) AS psi_micro,
+       |  ($terms) > 200000 AS drifted
+       |FROM t$lawJoin
+       |$lawPred
+       |ORDER BY t.hour""".stripMargin
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_psi" -> qEvtPsi _,
     "q_evt_bootstrap" -> qEvtBootstrap _,
     "q_evt_spearman" -> qEvtSpearman _,
     "q_evt_entropy_rate" -> qEvtEntropyRate _,
@@ -1889,6 +1996,7 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_psi" -> psiOracle(emissionLaw = false),
     "q_evt_bootstrap" -> bootstrapOracle,
     "q_evt_spearman" ->
       """WITH u AS (

@@ -546,6 +546,14 @@ object ScaleQueries {
     StreamOps.hourlyCountsAppend(s, dir, glob = Some("events.parquet"),
       queryName = s"stream_hourly_append_${math.abs(dir.hashCode)}").result
 
+  /** Append-mode PSI drift monitor (StreamOps.psiDriftAppend): one row
+    * per watermark-closed hour; the oracle replays the batch PSI under
+    * the window-finality emission law.
+    */
+  private def qStreamPsi(s: SparkSession, dir: String): DataFrame =
+    StreamOps.psiDriftAppend(s, dir, glob = Some("events.parquet"),
+      queryName = s"stream_psi_${math.abs(dir.hashCode)}").result
+
   /** The bounded-state incremental dedup, driver-visible:
     * `dropDuplicatesWithinWatermark` evicts fingerprint keys once the
     * watermark passes their event time + horizon (StreamOps
@@ -721,6 +729,7 @@ object ScaleQueries {
     "q_mm_frames" -> qMmFrames _,
     "q_mm_phash" -> qMmPhash _,
     "q_stream_hourly" -> qStreamHourly _,
+    "q_stream_psi" -> qStreamPsi _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_ewma" -> qStreamEwma _,
     "q_stream_attribution" -> qStreamAttribution _,
@@ -939,6 +948,9 @@ object ScaleQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // Append-mode PSI: the batch PSI replay under the same
+    // window-finality law (generated beside the q_evt_psi oracle).
+    "q_stream_psi" -> EventQueries.psiOracle(emissionLaw = true),
     // Append-mode emission law: a window is final iff the watermark
     // (max event time in MILLISECONDS minus the 2 h delay — Spark
     // tracks watermarks at ms precision) has passed its END.

@@ -250,6 +250,57 @@ object StreamOps {
       maxState, progress.length)
   }
 
+  /** Streaming PSI drift monitor — the append-mode twin of
+    * graft.queries.EventQueries' q_evt_psi: per 1-hour event-time
+    * window, the 20 fixed value-bucket counts accumulate as sibling
+    * conditional sums of ONE watermarked streaming aggregation (state
+    * = open windows × 20 longs, evicted on watermark close), then each
+    * FINALIZED window joins the 1-row static reference histogram
+    * (stream-static broadcast — stateless) and emits its population
+    * stability index. The production shape of "alert when today's
+    * traffic stops looking like the corpus": bounded state, one row
+    * per closed hour, no second pass.
+    */
+  def psiDriftAppend(spark: SparkSession, eventsDir: String,
+                     maxFilesPerTrigger: Int = 1,
+                     queryName: String = "stream_psi",
+                     glob: Option[String] = None): AppendRun = {
+    import graft.queries.EventQueries.{psiBucketSums, psiMicro, psiTotals}
+    val path = glob.map(g => s"$eventsDir/$g").getOrElse(eventsDir)
+    val batch = spark.read.parquet(path)
+    val ref = batch.agg(psiBucketSums(col("value"), "r_").head,
+      psiBucketSums(col("value"), "r_").tail: _*).withColumn("j", lit(1))
+    var reader = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+    val stream = graft.core.EventTime.normalize(reader.parquet(eventsDir))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(psiBucketSums(col("value"), "b_").head,
+        psiBucketSums(col("value"), "b_").tail: _*)
+      .select((date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour") +:
+        (0 until graft.queries.EventQueries.psiNBuckets).map(b => col(s"b_$b"))): _*)
+      .withColumn("j", lit(1))
+    val out = psiTotals(agg.join(ref, "j"))
+      .select(col("hour"), col("n_events"), psiMicro.as("psi_micro"))
+      .withColumn("drifted", col("psi_micro") > 200000L)
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_psi") = maxState
+    AppendRun(spark.table(queryName).orderBy("hour"), maxState, progress.length)
+  }
+
   /** The 100 TB form of [[incrementalDedup]]: the static-store
     * anti-join stays stateless (unchanged — the store side never
     * enters state), and the within-batch keep-first becomes

@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_txt_kappa",      // crossJoins of the 1-row confusion-totals aggregate
     "q_evt_spearman",   // crossJoin of the two 1-row power-sum aggregates
     "q_txt_js_drift",   // crossJoin of the 1-row token-totals aggregate
-    "q_ds_class_weights" // crossJoin of the 1-row class-totals aggregate
+    "q_ds_class_weights", // crossJoin of the 1-row class-totals aggregate
+    "q_evt_psi"         // crossJoin of the 1-row reference histogram
   )
 
   // streaming queries execute a real stream per call; keep them out of
@@ -69,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_stream_incremental", "q_stream_hourly_append", "q_stream_incremental_append",
     "q_stream_sessionize_append", "q_stream_stitch", "q_stream_range_append",
     "q_stream_ewma", "q_stream_pattern", "q_stream_ewma_tws",
-    "q_stream_attribution", "q_stream_countmin", "q_stream_topk")
+    "q_stream_attribution", "q_stream_countmin", "q_stream_topk",
+    "q_stream_psi")
 
   test("decontamination joins against a BROADCAST benchmark set, and the self-checking queries hold") {
     // the benchmark side must broadcast (corpus never shuffles for it)
