@@ -319,7 +319,66 @@ object AdvancedQueries {
       .orderBy("event_type")
   }
 
+  /** Is the physical join under `df` a SortMergeJoin with NO shuffle
+    * exchange on either side? `sparkPlan` predates EnsureRequirements
+    * (no exchanges exist yet — a vacuous check), and under AQE the
+    * executed plan hides inside the adaptive wrapper, so the plan is
+    * materialized once with AQE off: exchanges inserted, tree
+    * directly walkable. The df must not have materialized its
+    * queryExecution before this call.
+    */
+  private[queries] def smjShuffleFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+      .collectFirst { case j: SortMergeJoinExec => j }
+      .exists(_.children.forall(
+        _.collect { case e: ShuffleExchangeExec => e }.isEmpty))
+    finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** Bucketed co-located join — the third panel of the data-layout
+    * story ([[qLayoutZorder]] orders WITHIN files, [[qLayoutCompaction]]
+    * sizes the files, this pre-shuffles ACROSS them): orders and
+    * lineitem are written once as hash-bucketed tables on the join
+    * key (8 buckets, sorted within), after which the orderkey join
+    * plans as a SortMergeJoin with ZERO shuffle exchanges — at 100 TB
+    * the fact-to-fact shuffle is paid once at ingest and amortized
+    * over every later join. The census carries the verdict as a
+    * column: `join_shuffle_free` is computed from the ACTUAL physical
+    * plan (no exchange under either SMJ child) and pinned TRUE by the
+    * oracle, so a bucketing regression fails the hash gate, not just
+    * a spec. (The post-join priority groupBy still shuffles — its
+    * exchange carries 5-row partials, not the fact table.)
+    */
+  private def qLayoutBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode).toString
+    val base = java.nio.file.Files.createTempDirectory(s"bktjoin$tag")
+      .toFile.getAbsolutePath
+    val oT = s"t_orders_bkt_$tag"
+    val lT = s"t_lineitem_bkt_$tag"
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").option("path", s"$base/o")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev"))
+      .write.mode("overwrite").option("path", s"$base/l")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lT)
+    val census = s.table(lT).hint("merge")
+      .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev")).as("rev_x10000"))
+    census.withColumn("join_shuffle_free", lit(smjShuffleFree(census)))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_layout_bucket_join" -> qLayoutBucketJoin _,
     "q_approx_sum" -> qApproxSum _,
     "q_layout_compaction" -> qLayoutCompaction _,
     "q_part_skyline" -> qPartSkyline _,
@@ -336,6 +395,17 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The TRUE literal pins the plan verdict: the engine must have
+    // produced an exchange-free sort-merge join over the bucketed
+    // tables, or the hash gate fails (the q_evt_variant convention).
+    "q_layout_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS rev_x10000,
+        |  TRUE AS join_shuffle_free
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_approx_sum" ->
       """WITH e AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
