@@ -56,7 +56,10 @@ object Ql {
     "q_evt_pipeline",
     "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank",
     "q_graph_kcore", "q_graph_bfs", "q_sim_maxsim", "q_emb_meanpool_nn",
-    "q_stream_countmin", "q_stream_topk")
+    "q_stream_countmin", "q_stream_topk",
+    "q_stream_psi",        // append-mode drain at construction
+    "q_layout_bucket_join" // writes the bucketed tables + plan verdict
+  )
 
   /** Register inventory queries as temp views named after their registry
     * keys, so `spark.sql("SELECT * FROM q_dedup_exact")` composes with
