@@ -1741,7 +1741,90 @@ object EventQueries {
        |ORDER BY t.hour""".stripMargin
   }
 
+  /** Difference-in-differences (the Card–Krueger quasi-experimental
+    * estimator): treatment by the [[qEvtAbtest]] Knuth-hash user
+    * assignment, periods split at the corpus midpoint (2024-01-16),
+    * outcome = mean event value in exact cents. The 2×2 cell counts
+    * and sums come from ONE conditional aggregation (no join, no
+    * second shuffle); the interaction estimate
+    * (post_T − pre_T) − (post_C − pre_C) is a single fixed double
+    * expression over the exact integer sums, emitted in milli-cents.
+    */
+  private def qEvtDid(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("treat",
+        pmod(pmod(col("user_id") * 2654435761L, lit(4294967296L)), lit(2)))
+      .withColumn("post",
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).cast("int"))
+    def cell(t0: Int, p0: Int, suffix: String) = Seq(
+      sum(when(col("treat") === t0 && col("post") === p0, 1L).otherwise(0L))
+        .as(s"n_$suffix"),
+      sum(when(col("treat") === t0 && col("post") === p0, col("cents"))
+        .otherwise(0L)).as(s"s_$suffix"))
+    val agg = e.agg(
+      (cell(0, 0, "pre_ctl") ++ cell(0, 1, "post_ctl") ++
+        cell(1, 0, "pre_trt") ++ cell(1, 1, "post_trt")).head,
+      (cell(0, 0, "pre_ctl") ++ cell(0, 1, "post_ctl") ++
+        cell(1, 0, "pre_trt") ++ cell(1, 1, "post_trt")).tail: _*)
+    def mean(sfx: String): Column =
+      col(s"s_$sfx").cast("double") / col(s"n_$sfx")
+    agg.select(
+      col("n_pre_ctl"), col("n_post_ctl"), col("n_pre_trt"), col("n_post_trt"),
+      round(lit(1000.0) * mean("pre_ctl")).cast("long").as("m_pre_ctl_milli"),
+      round(lit(1000.0) * mean("post_ctl")).cast("long").as("m_post_ctl_milli"),
+      round(lit(1000.0) * mean("pre_trt")).cast("long").as("m_pre_trt_milli"),
+      round(lit(1000.0) * mean("post_trt")).cast("long").as("m_post_trt_milli"),
+      round(lit(1000.0) * ((mean("post_trt") - mean("pre_trt")) -
+        (mean("post_ctl") - mean("pre_ctl")))).cast("long").as("did_milli"))
+  }
+
+  /** Winsorized robust means (the metric-hygiene census every
+    * revenue dashboard needs — one whale event should not move the
+    * mean): per event type, the EXACT p1/p99 cents bounds read off
+    * the cents-support cumulative distribution with cross-multiplied
+    * integer rank predicates (smallest v with 100·cum ≥ n, resp.
+    * ≥ 99·n — no float percentile, no approx_percentile
+    * nondeterminism), then the winsorized mean from a second pass
+    * clamping into [lo, hi]. Raw and winsorized means emitted in
+    * milli-cents from exact integer sums.
+    *
+    * Scale shape: the support relation (one partial-aggregatable
+    * groupBy(type, cents)) is bounded by the price range per type and
+    * carries the PARTITIONED cumulative window; the |types|-row bounds
+    * table broadcasts back into a map-side clamp.
+    */
+  private def qEvtWinsor(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sup = e.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_t", sum(col("cnt")).over(Window.partitionBy("event_type")))
+    val bounds = sup.groupBy("event_type")
+      .agg(min(when(col("cum") * 100L >= col("n_t"), col("cents"))).as("lo_cents"),
+        min(when(col("cum") * 100L >= col("n_t") * 99L, col("cents"))).as("hi_cents"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        first(col("lo_cents")).as("lo_cents"),
+        first(col("hi_cents")).as("hi_cents"),
+        sum(col("cents")).as("raw_sum"),
+        sum(greatest(col("lo_cents"), least(col("hi_cents"), col("cents"))))
+          .as("win_sum"))
+      .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+        round(lit(1000.0) * col("raw_sum").cast("double") / col("n"))
+          .cast("long").as("mean_milli"),
+        round(lit(1000.0) * col("win_sum").cast("double") / col("n"))
+          .cast("long").as("winsor_mean_milli"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_did" -> qEvtDid _,
+    "q_evt_winsor" -> qEvtWinsor _,
     "q_evt_psi" -> qEvtPsi _,
     "q_evt_bootstrap" -> qEvtBootstrap _,
     "q_evt_spearman" -> qEvtSpearman _,
@@ -1996,6 +2079,56 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_did" ->
+      """WITH e AS (
+        |  SELECT ((user_id * 2654435761) % 4294967296) % 2 AS treat,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS post,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_ctl,
+        |    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_pre_ctl,
+        |    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_ctl,
+        |    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_post_ctl,
+        |    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_trt,
+        |    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_pre_trt,
+        |    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_trt,
+        |    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_post_trt
+        |  FROM e)
+        |SELECT n_pre_ctl, n_post_ctl, n_pre_trt, n_post_trt,
+        |  CAST(round(1000.0 * (CAST(s_pre_ctl AS DOUBLE) / n_pre_ctl)) AS BIGINT) AS m_pre_ctl_milli,
+        |  CAST(round(1000.0 * (CAST(s_post_ctl AS DOUBLE) / n_post_ctl)) AS BIGINT) AS m_post_ctl_milli,
+        |  CAST(round(1000.0 * (CAST(s_pre_trt AS DOUBLE) / n_pre_trt)) AS BIGINT) AS m_pre_trt_milli,
+        |  CAST(round(1000.0 * (CAST(s_post_trt AS DOUBLE) / n_post_trt)) AS BIGINT) AS m_post_trt_milli,
+        |  CAST(round(1000.0 * ((CAST(s_post_trt AS DOUBLE) / n_post_trt - CAST(s_pre_trt AS DOUBLE) / n_pre_trt)
+        |    - (CAST(s_post_ctl AS DOUBLE) / n_post_ctl - CAST(s_pre_ctl AS DOUBLE) / n_pre_ctl)))
+        |    AS BIGINT) AS did_milli
+        |FROM a""".stripMargin,
+    "q_evt_winsor" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |sup AS (
+        |  SELECT event_type, cents, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, cents,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n_t
+        |  FROM sup),
+        |b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 100 >= n_t THEN cents END) AS lo_cents,
+        |    min(CASE WHEN cum * 100 >= n_t * 99 THEN cents END) AS hi_cents
+        |  FROM c GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n, min(lo_cents) AS lo_cents,
+        |  min(hi_cents) AS hi_cents,
+        |  CAST(round(1000.0 * CAST(sum(cents) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS mean_milli,
+        |  CAST(round(1000.0 * CAST(sum(greatest(lo_cents, least(hi_cents, cents)))
+        |    AS DOUBLE) / count(*)) AS BIGINT) AS winsor_mean_milli
+        |FROM e JOIN b ON e.event_type = b.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_evt_psi" -> psiOracle(emissionLaw = false),
     "q_evt_bootstrap" -> bootstrapOracle,
     "q_evt_spearman" ->
