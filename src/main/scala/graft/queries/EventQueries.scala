@@ -1822,7 +1822,54 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** 1-Wasserstein (earth-mover) distance between cohort value
+    * distributions — the INTEGRAL sibling of [[qEvtKs]]'s max:
+    * W₁ = ∫|F_a − F_b| dv, which on the cents support is the exact sum
+    * Σᵢ |cum_a·n_b − cum_b·n_a|·(vᵢ₊₁ − vᵢ) / (n_a·n_b) — every term
+    * integer until the single closing division. KS asks "how far apart
+    * do the ECDFs get"; W₁ asks "how much value must move" — the drift
+    * monitor pair every distribution gate wants side by side.
+    *
+    * Scale shape: identical to [[qEvtKs]] — the support relation
+    * (bounded by the price range) carries the ordered cumulative and
+    * lead windows; totals ride a 1-row broadcast cross join.
+    */
+  private def qEvtWasserstein(s: SparkSession, dir: String): DataFrame = {
+    def w1(a: String, b: String): DataFrame = {
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin(a, b))
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
+      val grp = e.groupBy("v_c")
+        .agg(sum(when(col("event_type") === a, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === b, 1L).otherwise(0L)).as("cb"))
+      val tot = grp.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+      val wc = Window.orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = Window.orderBy("v_c")
+      grp
+        .withColumn("cum_a", sum(col("ca")).over(wc))
+        .withColumn("cum_b", sum(col("cb")).over(wc))
+        // last support point gets gap 0 (its |F_a−F_b| is 0 anyway —
+        // both ECDFs are 1 there), which also keeps a single-point
+        // support from emptying the relation
+        .withColumn("gap",
+          coalesce(lead(col("v_c"), 1).over(wl) - col("v_c"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+          sum(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")) *
+            col("gap")).as("mass"))
+        .select(lit(a).as("cohort_a"), lit(b).as("cohort_b"),
+          col("n_a"), col("n_b"),
+          round(lit(1000.0) * (col("mass").cast("double") /
+            (col("n_a").cast("double") * col("n_b")))).cast("long")
+            .as("w1_millicents"))
+    }
+    w1("view", "click").unionByName(w1("purchase", "error"))
+      .orderBy("cohort_a")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_wasserstein" -> qEvtWasserstein _,
     "q_evt_did" -> qEvtDid _,
     "q_evt_winsor" -> qEvtWinsor _,
     "q_evt_psi" -> qEvtPsi _,
@@ -2079,6 +2126,30 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_wasserstein" ->
+      """WITH pairs(cohort_a, cohort_b) AS (VALUES ('view', 'click'), ('purchase', 'error')),
+        |e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+        |grp AS (
+        |  SELECT cohort_a, cohort_b, v_c,
+        |    sum(CASE WHEN event_type = cohort_a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = cohort_b THEN 1 ELSE 0 END) AS cb
+        |  FROM pairs JOIN e ON event_type IN (cohort_a, cohort_b)
+        |  GROUP BY 1, 2, 3),
+        |ecdf AS (
+        |  SELECT cohort_a, cohort_b, v_c,
+        |    sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+        |    coalesce(lead(v_c) OVER (PARTITION BY cohort_a, cohort_b ORDER BY v_c) - v_c, 0) AS gap,
+        |    sum(ca) OVER (PARTITION BY cohort_a, cohort_b) AS n_a,
+        |    sum(cb) OVER (PARTITION BY cohort_a, cohort_b) AS n_b
+        |  FROM grp
+        |  WINDOW w AS (PARTITION BY cohort_a, cohort_b ORDER BY v_c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort_a, cohort_b,
+        |  CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
+        |  CAST(round(1000.0 * (CAST(sum(abs(cum_a * n_b - cum_b * n_a) * gap) AS DOUBLE)
+        |    / (CAST(min(n_a) AS DOUBLE) * min(n_b)))) AS BIGINT) AS w1_millicents
+        |FROM ecdf
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_evt_did" ->
       """WITH e AS (
         |  SELECT ((user_id * 2654435761) % 4294967296) % 2 AS treat,

@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_evt_spearman",   // crossJoin of the two 1-row power-sum aggregates
     "q_txt_js_drift",   // crossJoin of the 1-row token-totals aggregate
     "q_ds_class_weights", // crossJoin of the 1-row class-totals aggregate
-    "q_evt_psi"         // crossJoin of the 1-row reference histogram
+    "q_evt_psi",        // crossJoin of the 1-row reference histogram
+    "q_evt_wasserstein" // crossJoin of the 1-row cohort totals
   )
 
   // streaming queries execute a real stream per call; keep them out of
@@ -159,7 +160,7 @@ class PlanAuditSpec extends SparkSpec {
     val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality",
       "q_part_skyline", "q_evt_gini", "q_txt_vocab_growth", "q_part_abc",
       "q_evt_survival", "q_eval_auc", "q_evt_ks", "q_eval_lift",
-      "q_evt_spearman")
+      "q_evt_spearman", "q_evt_wasserstein")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>

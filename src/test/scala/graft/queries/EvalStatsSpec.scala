@@ -73,6 +73,23 @@ class EvalStatsSpec extends SparkSpec {
       ("B", 3L, 2L, 346573590L, 3000000L)), s"got ${dep.toSeq}")
   }
 
+  test("wasserstein: moving {1,2} onto {2,4} costs exactly $1.50 per unit") {
+    val d = dir()
+    // optimal transport: 1.00->2.00 and 2.00->4.00, avg (100+200)/2 cents
+    val rows = Seq(
+      ("view", 1.0), ("view", 2.0), ("click", 2.0), ("click", 4.0),
+      ("purchase", 1.0), ("error", 1.0))
+    rows.toDF("event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(ts("2024-01-01 00:00:00")))
+      .write.parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("q_evt_wasserstein")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("purchase", "error", 1L, 1L, 0L),
+      ("view", "click", 2L, 2L, 150000L)), s"got ${out.toSeq}")
+  }
+
   test("ks: 3-point ECDF with max gap 0.5 first attained at the lowest cent") {
     val d = dir()
     // view {1.00, 2.00} vs click {2.00, 4.00}: at cent 100 the gap is
