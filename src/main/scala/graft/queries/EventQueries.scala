@@ -1868,7 +1868,68 @@ object EventQueries {
       .orderBy("cohort_a")
   }
 
+  /** Kruskal–Wallis H — the k-group nonparametric location test
+    * ([[qEvtKs]] compares two cohorts; this ranks ALL event types at
+    * once): doubled average ranks over the cents support (the
+    * [[qEvtSpearman]] integer-tie discipline — 2·avg = 2·below + t + 1
+    * stays exact), per-group doubled rank sums R2ᵢ as exact longs, and
+    * H = 3·Σᵢ (R2ᵢ − nᵢ(N+1))²/nᵢ / (N(N+1)) with the standard tie
+    * correction 1 − Σ(t³−t)/(N³−N). Per-group quadratic terms quantize
+    * to unit longs BEFORE the cross-group sum (their squares overflow
+    * int64 raw); everything else is integer until the one emission
+    * division. The census reports each group's mean doubled rank
+    * beside the shared H — the "is any cohort's spend distribution
+    * shifted" gate.
+    *
+    * Scale shape: one groupBy(type, cent) builds the per-group support
+    * (bounded by the price range); the global doubled ranks come from
+    * ONE unpartitioned cumulative window over the ≤|support|-row value
+    * census (support-bounded, never corpus-bounded) broadcast back;
+    * group sums and the H combination are |types|-row arithmetic.
+    */
+  private def qEvtKruskal(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
+    val byVal = e.groupBy("v_c").agg(count(lit(1)).as("t"))
+    val w = Window.orderBy("v_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = byVal
+      .withColumn("r2", lit(2L) * (sum(col("t")).over(w) - col("t")) + col("t") + 1L)
+    val grpVal = e.groupBy("event_type", "v_c").agg(count(lit(1)).as("cnt"))
+    val groups = grpVal.join(broadcast(ranks.select(col("v_c"), col("r2"))), "v_c")
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("n_i"), sum(col("cnt") * col("r2")).as("r2_i"))
+    val ties = byVal.agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+    val tot = groups.agg(sum(col("n_i")).as("n"), count(lit(1)).as("k"))
+    val terms = groups.crossJoin(broadcast(tot))
+      .withColumn("d", col("r2_i") - col("n_i") * (col("n") + 1L))
+      .withColumn("q",
+        round(col("d").cast("double") * col("d") / col("n_i")).cast("long"))
+    val corrFactor = lit(1.0) - col("tie_sum").cast("double") /
+      (col("n").cast("double") * col("n") * col("n") - col("n"))
+    val h = terms
+      .agg(first(col("n")).as("n"), first(col("k")).as("k"), sum(col("q")).as("qs"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), col("k"),
+        round(lit(1000.0) * lit(3.0) * col("qs").cast("double") /
+          (col("n").cast("double") * (col("n") + 1L))).cast("long").as("h_milli"),
+        // an all-tied corpus zeroes the tie correction (H undefined):
+        // emit NULL, never a cast-infinity crash
+        when(corrFactor > 0.0,
+          round(lit(1000.0) * (lit(3.0) * col("qs").cast("double") /
+            (col("n").cast("double") * (col("n") + 1L))) / corrFactor)
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("h_corr_milli"))
+    groups.crossJoin(broadcast(h))
+      .select(col("event_type"), col("n_i"),
+        round(lit(1000.0) * col("r2_i").cast("double") / (lit(2.0) * col("n_i")))
+          .cast("long").as("mean_rank_milli"),
+        col("h_milli"), col("h_corr_milli"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_kruskal" -> qEvtKruskal _,
     "q_evt_wasserstein" -> qEvtWasserstein _,
     "q_evt_did" -> qEvtDid _,
     "q_evt_winsor" -> qEvtWinsor _,
@@ -2126,6 +2187,42 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_kruskal" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |           FROM events),
+        |bv AS (SELECT v_c, count(*) AS t FROM e GROUP BY 1),
+        |rk AS (SELECT v_c,
+        |    2 * (sum(t) OVER (ORDER BY v_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2
+        |  FROM bv),
+        |gv AS (SELECT event_type, v_c, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_i,
+        |        CAST(sum(cnt * r2) AS BIGINT) AS r2_i
+        |      FROM gv JOIN rk USING (v_c) GROUP BY 1),
+        |ties AS (SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tie_sum FROM bv),
+        |tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, count(*) AS k FROM g),
+        |terms AS (
+        |  SELECT g.*, n, k,
+        |    CAST(round(CAST(r2_i - n_i * (n + 1) AS DOUBLE)
+        |      * (r2_i - n_i * (n + 1)) / n_i) AS BIGINT) AS q
+        |  FROM g, tot),
+        |h AS (
+        |  SELECT min(n) AS n, min(k) AS k,
+        |    CAST(round(1000.0 * 3.0 * CAST(sum(q) AS DOUBLE)
+        |      / (CAST(min(n) AS DOUBLE) * (min(n) + 1))) AS BIGINT) AS h_milli,
+        |    CASE WHEN 1.0 - CAST((SELECT tie_sum FROM ties) AS DOUBLE)
+        |           / (CAST(min(n) AS DOUBLE) * min(n) * min(n) - min(n)) > 0.0
+        |      THEN CAST(round(1000.0 * (3.0 * CAST(sum(q) AS DOUBLE)
+        |        / (CAST(min(n) AS DOUBLE) * (min(n) + 1)))
+        |        / (1.0 - CAST((SELECT tie_sum FROM ties) AS DOUBLE)
+        |           / (CAST(min(n) AS DOUBLE) * min(n) * min(n) - min(n))))
+        |        AS BIGINT) END AS h_corr_milli
+        |  FROM terms)
+        |SELECT event_type, n_i,
+        |  CAST(round(1000.0 * CAST(r2_i AS DOUBLE) / (2.0 * n_i)) AS BIGINT)
+        |    AS mean_rank_milli,
+        |  h_milli, h_corr_milli
+        |FROM g, h ORDER BY event_type""".stripMargin,
     "q_evt_wasserstein" ->
       """WITH pairs(cohort_a, cohort_b) AS (VALUES ('view', 'click'), ('purchase', 'error')),
         |e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c FROM events),

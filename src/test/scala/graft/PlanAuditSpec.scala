@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_txt_js_drift",   // crossJoin of the 1-row token-totals aggregate
     "q_ds_class_weights", // crossJoin of the 1-row class-totals aggregate
     "q_evt_psi",        // crossJoin of the 1-row reference histogram
-    "q_evt_wasserstein" // crossJoin of the 1-row cohort totals
+    "q_evt_wasserstein", // crossJoin of the 1-row cohort totals
+    "q_evt_kruskal"     // crossJoins of the 1-row totals/ties/H aggregates
   )
 
   // streaming queries execute a real stream per call; keep them out of
@@ -160,7 +161,7 @@ class PlanAuditSpec extends SparkSpec {
     val boundedDim = Set("q_natural_sort", "q_evt_rfm", "q_evt_seasonality",
       "q_part_skyline", "q_evt_gini", "q_txt_vocab_growth", "q_part_abc",
       "q_evt_survival", "q_eval_auc", "q_evt_ks", "q_eval_lift",
-      "q_evt_spearman", "q_evt_wasserstein")
+      "q_evt_spearman", "q_evt_wasserstein", "q_evt_kruskal")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip(n) || boundedDim(n) }
       .flatMap { case (name, fn) =>

@@ -73,6 +73,32 @@ class EvalStatsSpec extends SparkSpec {
       ("B", 3L, 2L, 346573590L, 3000000L)), s"got ${dep.toSeq}")
   }
 
+  test("kruskal-wallis: textbook separated groups give H = 32/7; all-tied gives NULL correction") {
+    val d = dir()
+    // A {1,2} B {3,4} C {5,6} dollars: ranks 1..6, no ties ->
+    // H = 12/(6·7)·(9+49+121)/2 − 3·7 = 32/7 ≈ 4.5714
+    Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0), ("C", 5.0), ("C", 6.0))
+      .toDF("event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(ts("2024-01-01 00:00:00")))
+      .write.parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("q_evt_kruskal")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val h = math.round(1000.0 * 32.0 / 7.0)
+    assert(out.toSeq == Seq(
+      ("A", 2L, 1500L, h, h), ("B", 2L, 3500L, h, h), ("C", 2L, 5500L, h, h)),
+      s"got ${out.toSeq}")
+
+    val d2 = dir()
+    Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 1.0))
+      .toDF("event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(ts("2024-01-01 00:00:00")))
+      .write.parquet(s"$d2/events.parquet")
+    val tied = SparkEntry.queries("q_evt_kruskal")(spark, d2).collect()
+    assert(tied.forall(r => r.getLong(3) == 0L && r.isNullAt(4)),
+      s"all-tied corpus must give H = 0 with NULL correction: ${tied.toSeq}")
+  }
+
   test("wasserstein: moving {1,2} onto {2,4} costs exactly $1.50 per unit") {
     val d = dir()
     // optimal transport: 1.00->2.00 and 2.00->4.00, avg (100+200)/2 cents
