@@ -569,7 +569,73 @@ object RelationalQueries {
       .orderBy("c_nationkey")
   }
 
+  /** TPC-H Q18 shape (large-volume orders): customers whose orders
+    * carry more than 250 units. The classic IN-(GROUP BY ... HAVING)
+    * subquery is expressed directly as the per-order quantity
+    * aggregate JOINED back — same semantics, one explicit plan: the
+    * fact table shuffles once on orderkey for the aggregate, joins
+    * orders on the same key (co-partitioned after AQE reuse), and the
+    * customer dimension resolves by BROADCAST. Quantities sum as exact
+    * longs (the generator's quantities are integral); output ordered
+    * by total price with orderkey tie-breaks, top 100.
+    */
+  private def qLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), round(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("qty_sum"))
+      .filter(col("qty_sum") > 250L)
+    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer").select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        col("qty_sum"))
+      .orderBy(desc("total_cents"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    * OR-of-ANDs over three brand/size/quantity envelopes — the classic
+    * optimizer test for pushing a disjunction through a join (the
+    * common `p_partkey` equi-key stays a single BROADCAST hash join;
+    * the residual OR evaluates in whole-stage codegen after it). The
+    * census reports each branch separately (brands are disjoint, so
+    * the branches partition the matches) — per-branch line counts and
+    * exact x10000 revenue as sibling conditional sums of ONE aggregate,
+    * stacked into rows.
+    */
+  private def qDisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), revX10000.as("rev"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    def branch(b: String, sizeHi: Int, qLo: Double, qHi: Double): Column =
+      col("p_brand") === b && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val b1 = branch("Brand#2", 15, 1, 20)
+    val b2 = branch("Brand#15", 25, 10, 30)
+    val b3 = branch("Brand#19", 35, 20, 40)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(
+        sum(when(b1, 1L).otherwise(0L)).as("n1"),
+        sum(when(b1, col("rev")).otherwise(0L)).as("r1"),
+        sum(when(b2, 1L).otherwise(0L)).as("n2"),
+        sum(when(b2, col("rev")).otherwise(0L)).as("r2"),
+        sum(when(b3, 1L).otherwise(0L)).as("n3"),
+        sum(when(b3, col("rev")).otherwise(0L)).as("r3"))
+      .select(expr(
+        """stack(3,
+          |  'Brand#2',  n1, r1,
+          |  'Brand#15', n2, r2,
+          |  'Brand#19', n3, r3) AS (branch, n_lines, rev_x10000)""".stripMargin))
+      .orderBy("branch")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q18_large_orders" -> qLargeOrders _,
+    "q19_disjunctive_revenue" -> qDisjunctiveRevenue _,
     "q21_waiting_supplier" -> qWaitingSupplier _,
     "q15_top_supplier" -> qTopSupplier _,
     "q22_sales_opportunity" -> qSalesOpportunity _,
@@ -603,6 +669,47 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Q18 replayed in its CLASSIC IN-(GROUP BY ... HAVING) form — the
+    // Spark plan expressed the subquery as a direct aggregate join.
+    "q18_large_orders" ->
+      """SELECT c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |   FROM lineitem WHERE l_orderkey = o_orderkey) AS qty_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """WITH j AS (
+        |  SELECT p_brand, p_size, l_quantity,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |f AS (SELECT *,
+        |    (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+        |     AND l_quantity BETWEEN 1 AND 20) AS b1,
+        |    (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+        |     AND l_quantity BETWEEN 10 AND 30) AS b2,
+        |    (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+        |     AND l_quantity BETWEEN 20 AND 40) AS b3
+        |  FROM j),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN b1 THEN rev ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN b2 THEN rev ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN b3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN b3 THEN rev ELSE 0 END) AS BIGINT) AS r3
+        |  FROM f WHERE b1 OR b2 OR b3)
+        |SELECT branch, n_lines, rev_x10000 FROM (
+        |  SELECT 'Brand#2' AS branch, n1 AS n_lines, r1 AS rev_x10000 FROM a
+        |  UNION ALL SELECT 'Brand#15', n2, r2 FROM a
+        |  UNION ALL SELECT 'Brand#19', n3, r3 FROM a)
+        |ORDER BY branch""".stripMargin,
     // Q21 replayed in its CLASSIC exists/not-exists form — the oracle
     // deliberately takes the self-join road the Spark plan collapsed
     // into per-order aggregation, so the two derivations cross-check.

@@ -60,6 +60,48 @@ class Round12kOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "S#1", 2000000L)), s"got ${out.toSeq}")
   }
 
+  test("q18: strict >250 threshold; price-desc order with orderkey ties") {
+    val d = dir()
+    Seq(
+      (1L, ts("1996-01-01"), 500.00, 7L),
+      (2L, ts("1996-01-01"), 700.00, 7L), // qty exactly 250 -> excluded
+      (3L, ts("1996-01-01"), 900.00, 8L))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice", "o_custkey")
+      .write.parquet(s"$d/orders.parquet")
+    Seq((1L, 200.0), (1L, 100.0), (2L, 250.0), (3L, 260.0))
+      .toDF("l_orderkey", "l_quantity").write.parquet(s"$d/lineitem.parquet")
+    Seq((7L, "c7"), (8L, "c8")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$d/customer.parquet")
+    val out = SparkEntry.queries("q18_large_orders")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (8L, 3L, "1996-01-01", 90000L, 260L),
+      (7L, 1L, "1996-01-01", 50000L, 300L)), s"got ${out.toSeq}")
+  }
+
+  test("q19: each disjunct must bite on its own envelope") {
+    val d = dir()
+    Seq(
+      (1L, "Brand#2", 10),  // b1 envelope
+      (2L, "Brand#15", 30), // size 30 > 25 -> b2 never matches
+      (3L, "Brand#19", 35)) // b3 envelope
+      .toDF("p_partkey", "p_brand", "p_size").write.parquet(s"$d/part.parquet")
+    Seq(
+      (1L, 10.0, 100.0, 0.0),  // b1: rev 10000*100 = 1,000,000
+      (1L, 30.0, 999.0, 0.0),  // qty 30 > 20 -> no branch
+      (2L, 20.0, 999.0, 0.0),  // b2 blocked by size
+      (3L, 20.0, 50.0, 0.5))   // b3: rev 5000*50 = 250,000
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .write.parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("q19_disjunctive_revenue")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("Brand#15", 0L, 0L),
+      ("Brand#19", 1L, 250000L),
+      ("Brand#2", 1L, 1000000L)), s"got ${out.toSeq}")
+  }
+
   test("q22: above-average balance AND lapsed — both predicates must bite") {
     val d = dir()
     // positive balances: 100 + 50 + 80 -> avg 76.67; c1 and c4 clear it
