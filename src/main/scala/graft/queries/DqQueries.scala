@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -265,7 +266,73 @@ object DqQueries {
       .orderBy("qi_level", "l")
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 — the
+    * third privacy rung after [[qPrivKanon]] and [[qPrivLdiv]]): a
+    * class can be k-anonymous AND l-diverse yet still leak when its
+    * sensitive DISTRIBUTION skews from the corpus — t measures that
+    * skew as the Earth-Mover's Distance over the ordered $1000 balance
+    * buckets (the ordinal-attribute EMD of the paper, =
+    * Σ|F_class − F_global| / (m−1) over the m-bucket grid — the same
+    * W1 machinery as q_evt_wasserstein). Everything is exact by
+    * cross-multiplication — per bucket, |cum_c·N − cum_g·n_c| is
+    * integer — divided once per class at ppm emission. The census
+    * reports, per QI generalization rung, the class count, the worst
+    * t, and how many classes (and rows) sit above the classic t = 0.2.
+    *
+    * Scale shape: classes × buckets is dimension-sized (QI categories
+    * × the bounded bucket grid); the class ECDFs use a cumulative
+    * window PARTITIONED by class; the global ECDF (≤ m rows) joins by
+    * broadcast; classes, never rows, cross every shuffle.
+    */
+  private def qPrivTclose(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(round(col("c_acctbal") * 100).cast("long") / lit(100000.0))
+          .cast("long").as("bal_bucket"))
+    def level(name: String, keys: Seq[String]): DataFrame = {
+      val cls = cust.groupBy((keys.map(col) :+ col("bal_bucket")): _*)
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cls", concat_ws("|", keys.map(col): _*))
+      val glob = cust.groupBy(col("bal_bucket")).agg(count(lit(1)).as("g"))
+      val grid = glob.agg(count(lit(1)).as("m"), sum(col("g")).as("n_tot"))
+      // every class needs every bucket of the global grid (absent
+      // buckets carry c = 0 but still accumulate ECDF distance)
+      val full = cls.select(col("cls")).distinct()
+        .join(glob, lit(true))
+        .join(cls.select(col("cls"), col("bal_bucket"), col("c")),
+          Seq("cls", "bal_bucket"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val w = Window.partitionBy("cls").orderBy("bal_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t0 = full
+        .withColumn("cum_c", sum(col("c")).over(w))
+        .withColumn("cum_g", sum(col("g")).over(w))
+        .withColumn("n_c", sum(col("c")).over(Window.partitionBy("cls")))
+        .crossJoin(broadcast(grid))
+        .groupBy(col("cls"))
+        .agg(first(col("n_c")).as("n_c"), first(col("m")).as("m"),
+          first(col("n_tot")).as("n_tot"),
+          sum(abs(col("cum_c") * col("n_tot") - col("cum_g") * col("n_c")))
+            .as("emd_num"))
+        .withColumn("t_ppm",
+          round(lit(1000000.0) * (col("emd_num").cast("double") /
+            (col("n_c").cast("double") * col("n_tot"))) / (col("m") - 1L))
+            .cast("long"))
+      t0.agg(count(lit(1)).as("n_classes"), max(col("t_ppm")).as("max_t_ppm"),
+          count(when(col("t_ppm") > 200000L, 1)).as("classes_above_t02"),
+          sum(when(col("t_ppm") > 200000L, col("n_c")).otherwise(0L))
+            .as("rows_above_t02"))
+        .withColumn("qi_level", lit(name))
+    }
+    level("nation_segment", Seq("c_nationkey", "c_mktsegment"))
+      .unionByName(level("nation", Seq("c_nationkey")))
+      .select("qi_level", "n_classes", "max_t_ppm",
+        "classes_above_t02", "rows_above_t02")
+      .orderBy("qi_level")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_priv_tclose" -> qPrivTclose _,
     "q_priv_ldiv" -> qPrivLdiv _,
     "q_priv_kanon" -> qPrivKanon _,
     "q_dq_profile" -> qDqProfile _,
@@ -282,6 +349,49 @@ object DqQueries {
        |FROM (SELECT count(*) AS c FROM $tbl GROUP BY $key)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_priv_tclose" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)
+        |              AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |gtab AS (SELECT bal_bucket, count(*) AS g FROM cust GROUP BY 1),
+        |grid AS (SELECT count(*) AS m, CAST(sum(g) AS BIGINT) AS n_tot FROM gtab),
+        |lv AS (
+        |  SELECT * FROM (
+        |    SELECT 'nation_segment' AS qi_level,
+        |      c_nationkey || '|' || c_mktsegment AS cls, bal_bucket FROM cust
+        |    UNION ALL
+        |    SELECT 'nation', CAST(c_nationkey AS VARCHAR), bal_bucket FROM cust)),
+        |cl AS (SELECT qi_level, cls, bal_bucket, count(*) AS c
+        |       FROM lv GROUP BY 1, 2, 3),
+        |ids AS (SELECT DISTINCT qi_level, cls FROM cl),
+        |full_g AS (
+        |  SELECT ids.qi_level, ids.cls, gtab.bal_bucket, gtab.g,
+        |         coalesce(cl.c, 0) AS c
+        |  FROM ids CROSS JOIN gtab
+        |  LEFT JOIN cl ON cl.qi_level = ids.qi_level AND cl.cls = ids.cls
+        |              AND cl.bal_bucket = gtab.bal_bucket),
+        |ec AS (
+        |  SELECT qi_level, cls,
+        |    sum(c) OVER w AS cum_c, sum(g) OVER w AS cum_g,
+        |    sum(c) OVER (PARTITION BY qi_level, cls) AS n_c
+        |  FROM full_g
+        |  WINDOW w AS (PARTITION BY qi_level, cls ORDER BY bal_bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tt AS (
+        |  SELECT qi_level, cls, min(n_c) AS n_c,
+        |    CAST(round(1000000.0 *
+        |      (CAST(sum(abs(cum_c * n_tot - cum_g * n_c)) AS DOUBLE)
+        |       / (CAST(min(n_c) AS DOUBLE) * min(n_tot))) / (min(m) - 1))
+        |      AS BIGINT) AS t_ppm
+        |  FROM ec, grid GROUP BY 1, 2)
+        |SELECT qi_level, count(*) AS n_classes,
+        |  CAST(max(t_ppm) AS BIGINT) AS max_t_ppm,
+        |  count(CASE WHEN t_ppm > 200000 THEN 1 END) AS classes_above_t02,
+        |  CAST(sum(CASE WHEN t_ppm > 200000 THEN n_c ELSE 0 END) AS BIGINT)
+        |    AS rows_above_t02
+        |FROM tt GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_priv_ldiv" ->
       """WITH cust AS (
         |  SELECT c_nationkey, c_mktsegment,

@@ -63,7 +63,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ds_class_weights", // crossJoin of the 1-row class-totals aggregate
     "q_evt_psi",        // crossJoin of the 1-row reference histogram
     "q_evt_wasserstein", // crossJoin of the 1-row cohort totals
-    "q_evt_kruskal"     // crossJoins of the 1-row totals/ties/H aggregates
+    "q_evt_kruskal",    // crossJoins of the 1-row totals/ties/H aggregates
+    "q_priv_tclose"     // class-ids x bucket-grid cross join (dimension-sized)
   )
 
   // streaming queries execute a real stream per call; keep them out of

@@ -41,6 +41,23 @@ class Round12jOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("1-URGENT", 1L), ("5-LOW", 1L)), s"got ${out.toSeq}")
   }
 
+  test("tclose: uniform vs concentrated class both sit at EMD 0.25; merged rung at 0") {
+    val d = dir()
+    // seg A uniform over 4 buckets, seg B all in bucket 0: both ECDFs
+    // deviate from the pooled global by sum 24 -> t = 24/(4·8·3) = 0.25;
+    // the nation rung pools them into the global itself -> t = 0
+    (Seq(0.0, 1000.0, 2000.0, 3000.0).map(b => (0, "A", b)) ++
+      Seq.fill(4)((0, "B", 0.0)))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$d/customer.parquet")
+    val out = SparkEntry.queries("q_priv_tclose")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("nation", 1L, 0L, 0L, 0L),
+      ("nation_segment", 2L, 250000L, 2L, 8L)), s"got ${out.toSeq}")
+  }
+
   test("ldiv: a 5-bucket class clears l=5, a 2-bucket one fails; nation rung merges them") {
     val d = dir()
     // nation 0 / seg A: balances land in buckets 0..4 (l=5, sz=5);
