@@ -331,13 +331,19 @@ object AdvancedQueries {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val s = df.sparkSession
-    val prev = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.queryExecution.executedPlan
-      .collectFirst { case j: SortMergeJoinExec => j }
-      .exists(_.children.forall(
-        _.collect { case e: ShuffleExchangeExec => e }.isEmpty))
-    finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    // the conf flip is session-global: serialize verdict computation on
+    // the session so a concurrent caller can't plan with AQE off or
+    // restore it mid-inspection (Verify/Bench run queries sequentially;
+    // this guards parallel spec suites)
+    s.synchronized {
+      val prev = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }
+        .exists(_.children.forall(
+          _.collect { case e: ShuffleExchangeExec => e }.isEmpty))
+      finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    }
   }
 
   /** Bucketed co-located join — the third panel of the data-layout
@@ -356,7 +362,11 @@ object AdvancedQueries {
     */
   private def qLayoutBucketJoin(s: SparkSession, dir: String): DataFrame = {
     val tag = math.abs(dir.hashCode).toString
-    val base = java.nio.file.Files.createTempDirectory(s"bktjoin$tag")
+    // one FIXED path per source dir, overwritten on re-run — a fresh
+    // temp dir per invocation would leak a fact-table copy every
+    // bench/verify pass
+    val base = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), s"graft_bktjoin_$tag")
       .toFile.getAbsolutePath
     val oT = s"t_orders_bkt_$tag"
     val lT = s"t_lineitem_bkt_$tag"

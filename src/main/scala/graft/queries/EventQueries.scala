@@ -1336,13 +1336,19 @@ object EventQueries {
     * DecimalType; the division-first form keeps it in range for any
     * realistic cohort.)
     */
-  private def qEvalAuc(s: SparkSession, dir: String): DataFrame = {
-    val perUser = t(s, dir, "events")
+  /** Per-user propensity rollup shared by [[qEvalAuc]] and
+    * [[qEvalLift]]: activity features + the $200 big-spender label.
+    */
+  private def bigSpenderPerUser(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(to_date(col("ts"))).as("active_days"),
         max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
           .otherwise(0L)).as("pos"))
+
+  private def qEvalAuc(s: SparkSession, dir: String): DataFrame = {
+    val perUser = bigSpenderPerUser(s, dir)
     def auc(feature: String): DataFrame = {
       val grp = perUser.groupBy(col(feature).as("score"))
         .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("q"))
@@ -1416,21 +1422,39 @@ object EventQueries {
     * cumulative window; cohort totals and the arg-max resolve through
     * 1-row broadcast cross joins.
     */
+  /** Shared two-cohort ECDF scaffold for [[qEvtKs]] and
+    * [[qEvtWasserstein]]: the cents-support relation with per-cohort
+    * cumulative counts and the 1-row broadcast totals. Columns:
+    * v_c, ca, cb, cum_a, cum_b, n_a, n_b.
+    */
+  private def cohortEcdf(s: SparkSession, dir: String,
+                         a: String, b: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin(a, b))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
+    val grp = e.groupBy("v_c")
+      .agg(sum(when(col("event_type") === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === b, 1L).otherwise(0L)).as("cb"))
+    val tot = grp.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val w = Window.orderBy("v_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+  }
+
+  /** NULL-guarded ppm emission: an EMPTY cohort must report NULL, not
+    * the silent 0 that 0/0 → NaN → cast produces (and the oracle's
+    * CAST(NaN) would crash on instead of mismatching).
+    */
+  private def cohortGuard(out: Column): Column =
+    when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("long"))
+      .otherwise(out)
+
   private def qEvtKs(s: SparkSession, dir: String): DataFrame = {
     def ks(a: String, b: String): DataFrame = {
-      val e = t(s, dir, "events")
-        .filter(col("event_type").isin(a, b))
-        .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
-      val grp = e.groupBy("v_c")
-        .agg(sum(when(col("event_type") === a, 1L).otherwise(0L)).as("ca"),
-          sum(when(col("event_type") === b, 1L).otherwise(0L)).as("cb"))
-      val tot = grp.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
-      val w = Window.orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ecdf = grp
-        .withColumn("cum_a", sum(col("ca")).over(w))
-        .withColumn("cum_b", sum(col("cb")).over(w))
-        .crossJoin(broadcast(tot))
+      val ecdf = cohortEcdf(s, dir, a, b)
         .withColumn("d_num", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
       val dmax = ecdf.agg(max("d_num").as("d_max"))
       ecdf.crossJoin(broadcast(dmax))
@@ -1439,8 +1463,8 @@ object EventQueries {
           first(col("d_max")).as("dm"), min(col("v_c")).as("at_value_cents"))
         .select(lit(a).as("cohort_a"), lit(b).as("cohort_b"),
           col("n_a"), col("n_b"),
-          round(lit(1000000.0) * (col("dm").cast("double") /
-            (col("n_a").cast("double") * col("n_b")))).cast("long").as("d_ppm"),
+          cohortGuard(round(lit(1000000.0) * (col("dm").cast("double") /
+            (col("n_a").cast("double") * col("n_b")))).cast("long")).as("d_ppm"),
           col("at_value_cents"))
     }
     ks("view", "click").unionByName(ks("purchase", "error"))
@@ -1462,11 +1486,7 @@ object EventQueries {
     * window then runs over the 10-row decile census.
     */
   private def qEvalLift(s: SparkSession, dir: String): DataFrame = {
-    val perUser = t(s, dir, "events")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
-          .otherwise(0L)).as("pos"))
+    val perUser = bigSpenderPerUser(s, dir)
     val ranked = perUser.withColumn("decile",
       ntile(10).over(Window.orderBy(desc("n_events"), col("user_id"))))
     val bins = ranked.groupBy("decile")
@@ -1685,11 +1705,10 @@ object EventQueries {
     val e = t(s, dir, "events")
       .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
         .as("hour"), col("value"))
-    val hourly = e.groupBy("hour")
-      .agg(psiBucketSums(col("value"), "b_").head,
-        psiBucketSums(col("value"), "b_").tail: _*)
-    val ref = e.agg(psiBucketSums(col("value"), "r_").head,
-      psiBucketSums(col("value"), "r_").tail: _*)
+    val bSums = psiBucketSums(col("value"), "b_")
+    val rSums = psiBucketSums(col("value"), "r_")
+    val hourly = e.groupBy("hour").agg(bSums.head, bSums.tail: _*)
+    val ref = e.agg(rSums.head, rSums.tail: _*)
     psiTotals(hourly.crossJoin(broadcast(ref)))
       .select(col("hour"), col("n_events"), psiMicro.as("psi_micro"))
       .withColumn("drifted", col("psi_micro") > 200000L)
@@ -1763,21 +1782,25 @@ object EventQueries {
         .as(s"n_$suffix"),
       sum(when(col("treat") === t0 && col("post") === p0, col("cents"))
         .otherwise(0L)).as(s"s_$suffix"))
-    val agg = e.agg(
-      (cell(0, 0, "pre_ctl") ++ cell(0, 1, "post_ctl") ++
-        cell(1, 0, "pre_trt") ++ cell(1, 1, "post_trt")).head,
-      (cell(0, 0, "pre_ctl") ++ cell(0, 1, "post_ctl") ++
-        cell(1, 0, "pre_trt") ++ cell(1, 1, "post_trt")).tail: _*)
+    val cells = cell(0, 0, "pre_ctl") ++ cell(0, 1, "post_ctl") ++
+      cell(1, 0, "pre_trt") ++ cell(1, 1, "post_trt")
+    val agg = e.agg(cells.head, cells.tail: _*)
     def mean(sfx: String): Column =
       col(s"s_$sfx").cast("double") / col(s"n_$sfx")
+    // an empty 2x2 cell means the design is undefined: emit NULL, not
+    // the silent 0 that 0/0 NaN->cast would produce
+    val anyEmpty = Seq("pre_ctl", "post_ctl", "pre_trt", "post_trt")
+      .map(sfx => col(s"n_$sfx") === 0L).reduce(_ || _)
+    def guarded(c: Column): Column =
+      when(anyEmpty, lit(null).cast("long")).otherwise(c)
     agg.select(
       col("n_pre_ctl"), col("n_post_ctl"), col("n_pre_trt"), col("n_post_trt"),
-      round(lit(1000.0) * mean("pre_ctl")).cast("long").as("m_pre_ctl_milli"),
-      round(lit(1000.0) * mean("post_ctl")).cast("long").as("m_post_ctl_milli"),
-      round(lit(1000.0) * mean("pre_trt")).cast("long").as("m_pre_trt_milli"),
-      round(lit(1000.0) * mean("post_trt")).cast("long").as("m_post_trt_milli"),
-      round(lit(1000.0) * ((mean("post_trt") - mean("pre_trt")) -
-        (mean("post_ctl") - mean("pre_ctl")))).cast("long").as("did_milli"))
+      guarded(round(lit(1000.0) * mean("pre_ctl")).cast("long")).as("m_pre_ctl_milli"),
+      guarded(round(lit(1000.0) * mean("post_ctl")).cast("long")).as("m_post_ctl_milli"),
+      guarded(round(lit(1000.0) * mean("pre_trt")).cast("long")).as("m_pre_trt_milli"),
+      guarded(round(lit(1000.0) * mean("post_trt")).cast("long")).as("m_post_trt_milli"),
+      guarded(round(lit(1000.0) * ((mean("post_trt") - mean("pre_trt")) -
+        (mean("post_ctl") - mean("pre_ctl")))).cast("long")).as("did_milli"))
   }
 
   /** Winsorized robust means (the metric-hygiene census every
@@ -1830,38 +1853,27 @@ object EventQueries {
     * do the ECDFs get"; W₁ asks "how much value must move" — the drift
     * monitor pair every distribution gate wants side by side.
     *
-    * Scale shape: identical to [[qEvtKs]] — the support relation
-    * (bounded by the price range) carries the ordered cumulative and
-    * lead windows; totals ride a 1-row broadcast cross join.
+    * Scale shape: identical to [[qEvtKs]] (shared [[cohortEcdf]]
+    * scaffold) — the support relation (bounded by the price range)
+    * carries the ordered cumulative and lead windows; totals ride a
+    * 1-row broadcast cross join.
     */
   private def qEvtWasserstein(s: SparkSession, dir: String): DataFrame = {
     def w1(a: String, b: String): DataFrame = {
-      val e = t(s, dir, "events")
-        .filter(col("event_type").isin(a, b))
-        .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
-      val grp = e.groupBy("v_c")
-        .agg(sum(when(col("event_type") === a, 1L).otherwise(0L)).as("ca"),
-          sum(when(col("event_type") === b, 1L).otherwise(0L)).as("cb"))
-      val tot = grp.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
-      val wc = Window.orderBy("v_c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wl = Window.orderBy("v_c")
-      grp
-        .withColumn("cum_a", sum(col("ca")).over(wc))
-        .withColumn("cum_b", sum(col("cb")).over(wc))
+      cohortEcdf(s, dir, a, b)
         // last support point gets gap 0 (its |F_a−F_b| is 0 anyway —
         // both ECDFs are 1 there), which also keeps a single-point
         // support from emptying the relation
         .withColumn("gap",
           coalesce(lead(col("v_c"), 1).over(wl) - col("v_c"), lit(0L)))
-        .crossJoin(broadcast(tot))
         .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
           sum(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")) *
             col("gap")).as("mass"))
         .select(lit(a).as("cohort_a"), lit(b).as("cohort_b"),
           col("n_a"), col("n_b"),
-          round(lit(1000.0) * (col("mass").cast("double") /
-            (col("n_a").cast("double") * col("n_b")))).cast("long")
+          cohortGuard(round(lit(1000.0) * (col("mass").cast("double") /
+            (col("n_a").cast("double") * col("n_b")))).cast("long"))
             .as("w1_millicents"))
     }
     w1("view", "click").unionByName(w1("purchase", "error"))
@@ -1899,7 +1911,12 @@ object EventQueries {
     val groups = grpVal.join(broadcast(ranks.select(col("v_c"), col("r2"))), "v_c")
       .groupBy("event_type")
       .agg(sum(col("cnt")).as("n_i"), sum(col("cnt") * col("r2")).as("r2_i"))
-    val ties = byVal.agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+    // t³ overflows int64 once a single cent value carries >2^21 events
+    // — accumulate the tie sum in DECIMAL(38,0) (the oracle uses
+    // HUGEINT), exact to 1e38, cast to double only inside corrFactor
+    val ties = byVal.agg(
+      sum(col("t").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        col("t") * col("t") - col("t")).as("tie_sum"))
     val tot = groups.agg(sum(col("n_i")).as("n"), count(lit(1)).as("k"))
     val terms = groups.crossJoin(broadcast(tot))
       .withColumn("d", col("r2_i") - col("n_i") * (col("n") + 1L))
@@ -2199,7 +2216,7 @@ object EventQueries {
         |g AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_i,
         |        CAST(sum(cnt * r2) AS BIGINT) AS r2_i
         |      FROM gv JOIN rk USING (v_c) GROUP BY 1),
-        |ties AS (SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tie_sum FROM bv),
+        |ties AS (SELECT sum(CAST(t AS HUGEINT)*t*t - t) AS tie_sum FROM bv),
         |tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, count(*) AS k FROM g),
         |terms AS (
         |  SELECT g.*, n, k,
@@ -2243,8 +2260,10 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT cohort_a, cohort_b,
         |  CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
-        |  CAST(round(1000.0 * (CAST(sum(abs(cum_a * n_b - cum_b * n_a) * gap) AS DOUBLE)
-        |    / (CAST(min(n_a) AS DOUBLE) * min(n_b)))) AS BIGINT) AS w1_millicents
+        |  CASE WHEN min(n_a) = 0 OR min(n_b) = 0 THEN NULL
+        |       ELSE CAST(round(1000.0 * (CAST(sum(abs(cum_a * n_b - cum_b * n_a) * gap) AS DOUBLE)
+        |         / (CAST(min(n_a) AS DOUBLE) * min(n_b)))) AS BIGINT)
+        |  END AS w1_millicents
         |FROM ecdf
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_evt_did" ->
@@ -2265,13 +2284,18 @@ object EventQueries {
         |    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_post_trt
         |  FROM e)
         |SELECT n_pre_ctl, n_post_ctl, n_pre_trt, n_post_trt,
-        |  CAST(round(1000.0 * (CAST(s_pre_ctl AS DOUBLE) / n_pre_ctl)) AS BIGINT) AS m_pre_ctl_milli,
-        |  CAST(round(1000.0 * (CAST(s_post_ctl AS DOUBLE) / n_post_ctl)) AS BIGINT) AS m_post_ctl_milli,
-        |  CAST(round(1000.0 * (CAST(s_pre_trt AS DOUBLE) / n_pre_trt)) AS BIGINT) AS m_pre_trt_milli,
-        |  CAST(round(1000.0 * (CAST(s_post_trt AS DOUBLE) / n_post_trt)) AS BIGINT) AS m_post_trt_milli,
-        |  CAST(round(1000.0 * ((CAST(s_post_trt AS DOUBLE) / n_post_trt - CAST(s_pre_trt AS DOUBLE) / n_pre_trt)
-        |    - (CAST(s_post_ctl AS DOUBLE) / n_post_ctl - CAST(s_pre_ctl AS DOUBLE) / n_pre_ctl)))
-        |    AS BIGINT) AS did_milli
+        |  CASE WHEN n_pre_ctl = 0 OR n_post_ctl = 0 OR n_pre_trt = 0 OR n_post_trt = 0 THEN NULL
+        |    ELSE CAST(round(1000.0 * (CAST(s_pre_ctl AS DOUBLE) / n_pre_ctl)) AS BIGINT) END AS m_pre_ctl_milli,
+        |  CASE WHEN n_pre_ctl = 0 OR n_post_ctl = 0 OR n_pre_trt = 0 OR n_post_trt = 0 THEN NULL
+        |    ELSE CAST(round(1000.0 * (CAST(s_post_ctl AS DOUBLE) / n_post_ctl)) AS BIGINT) END AS m_post_ctl_milli,
+        |  CASE WHEN n_pre_ctl = 0 OR n_post_ctl = 0 OR n_pre_trt = 0 OR n_post_trt = 0 THEN NULL
+        |    ELSE CAST(round(1000.0 * (CAST(s_pre_trt AS DOUBLE) / n_pre_trt)) AS BIGINT) END AS m_pre_trt_milli,
+        |  CASE WHEN n_pre_ctl = 0 OR n_post_ctl = 0 OR n_pre_trt = 0 OR n_post_trt = 0 THEN NULL
+        |    ELSE CAST(round(1000.0 * (CAST(s_post_trt AS DOUBLE) / n_post_trt)) AS BIGINT) END AS m_post_trt_milli,
+        |  CASE WHEN n_pre_ctl = 0 OR n_post_ctl = 0 OR n_pre_trt = 0 OR n_post_trt = 0 THEN NULL
+        |    ELSE CAST(round(1000.0 * ((CAST(s_post_trt AS DOUBLE) / n_post_trt - CAST(s_pre_trt AS DOUBLE) / n_pre_trt)
+        |      - (CAST(s_post_ctl AS DOUBLE) / n_post_ctl - CAST(s_pre_ctl AS DOUBLE) / n_pre_ctl)))
+        |      AS BIGINT) END AS did_milli
         |FROM a""".stripMargin,
     "q_evt_winsor" ->
       """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
@@ -2442,8 +2466,10 @@ object EventQueries {
         |       FROM d GROUP BY 1, 2)
         |SELECT d.cohort_a, d.cohort_b,
         |  CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
-        |  CAST(round(1000000.0 * (CAST(min(d_max) AS DOUBLE)
-        |    / (CAST(min(n_a) AS DOUBLE) * min(n_b)))) AS BIGINT) AS d_ppm,
+        |  CASE WHEN min(n_a) = 0 OR min(n_b) = 0 THEN NULL
+        |       ELSE CAST(round(1000000.0 * (CAST(min(d_max) AS DOUBLE)
+        |         / (CAST(min(n_a) AS DOUBLE) * min(n_b)))) AS BIGINT)
+        |  END AS d_ppm,
         |  min(v_c) AS at_value_cents
         |FROM d JOIN dm ON d.cohort_a = dm.cohort_a AND d.cohort_b = dm.cohort_b
         |WHERE d_num = d_max

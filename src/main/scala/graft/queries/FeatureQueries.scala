@@ -50,10 +50,14 @@ object FeatureQueries {
     val prior = lab.agg(count(lit(1)).as("n_tot"), sum(col("late")).as("p_tot"))
     cat.crossJoin(broadcast(prior))
       .select(col("o_orderpriority"), col("n"), col("n_pos"),
-        floor(lit(1000000L) * (col("n_pos") - 1L) / (col("n") - 1L))
-          .cast("long").as("loo_pos_ppm"),
-        floor(lit(1000000L) * col("n_pos") / (col("n") - 1L))
-          .cast("long").as("loo_neg_ppm"),
+        // a singleton category has NO leave-one-out peers: NULL, never
+        // the Infinity->Long.MaxValue sentinel a raw /0 would emit
+        when(col("n") > 1L,
+          floor(lit(1000000L) * (col("n_pos") - 1L) / (col("n") - 1L))
+            .cast("long")).as("loo_pos_ppm"),
+        when(col("n") > 1L,
+          floor(lit(1000000L) * col("n_pos") / (col("n") - 1L))
+            .cast("long")).as("loo_neg_ppm"),
         round(lit(1000000.0) *
           (col("n_pos") + lit(10.0) * col("p_tot") / col("n_tot")) /
           (col("n") + lit(10.0))).cast("long").as("smoothed_ppm"))
@@ -116,8 +120,10 @@ object FeatureQueries {
          |        FROM lab GROUP BY 1),
          |prior AS (SELECT count(*) AS n_tot, sum(late) AS p_tot FROM lab)
          |SELECT o_orderpriority, n, CAST(n_pos AS BIGINT) AS n_pos,
-         |  CAST(floor(1000000 * (n_pos - 1) / (n - 1)) AS BIGINT) AS loo_pos_ppm,
-         |  CAST(floor(1000000 * n_pos / (n - 1)) AS BIGINT) AS loo_neg_ppm,
+         |  CASE WHEN n > 1 THEN CAST(floor(1000000 * (n_pos - 1) / (n - 1)) AS BIGINT)
+         |  END AS loo_pos_ppm,
+         |  CASE WHEN n > 1 THEN CAST(floor(1000000 * n_pos / (n - 1)) AS BIGINT)
+         |  END AS loo_neg_ppm,
          |  CAST(round(1000000.0 * (n_pos + 10.0 * p_tot / n_tot) / (n + 10.0))
          |       AS BIGINT) AS smoothed_ppm
          |FROM cat, prior ORDER BY o_orderpriority""".stripMargin,

@@ -268,18 +268,18 @@ object StreamOps {
     import graft.queries.EventQueries.{psiBucketSums, psiMicro, psiTotals}
     val path = glob.map(g => s"$eventsDir/$g").getOrElse(eventsDir)
     val batch = spark.read.parquet(path)
-    val ref = batch.agg(psiBucketSums(col("value"), "r_").head,
-      psiBucketSums(col("value"), "r_").tail: _*).withColumn("j", lit(1))
+    val rSums = psiBucketSums(col("value"), "r_")
+    val ref = batch.agg(rSums.head, rSums.tail: _*).withColumn("j", lit(1))
     var reader = spark.readStream
       .schema(batch.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
     glob.foreach(g => reader = reader.option("pathGlobFilter", g))
     val stream = graft.core.EventTime.normalize(reader.parquet(eventsDir))
+    val bSums = psiBucketSums(col("value"), "b_")
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(psiBucketSums(col("value"), "b_").head,
-        psiBucketSums(col("value"), "b_").tail: _*)
+      .agg(bSums.head, bSums.tail: _*)
       .select((date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour") +:
         (0 until graft.queries.EventQueries.psiNBuckets).map(b => col(s"b_$b"))): _*)
       .withColumn("j", lit(1))
