@@ -633,7 +633,101 @@ object RelationalQueries {
       .orderBy("branch")
   }
 
+  /** TPC-H Q8 shape (national market share): within region AMERICA's
+    * market, the share of revenue supplied by nation 5, per order
+    * year. Two independent dimension legs hang off the fact row — the
+    * customer→nation→region leg FILTERS the market, the
+    * supplier→nation leg only FLAGS the share numerator — and every
+    * leg resolves through BROADCASTs (nation/region constant-size,
+    * supplier/customer dimension-sized), so the fact table is scanned
+    * once and never shuffles for a dimension. The share is an exact
+    * integer ratio of x10000 revenues, floored to ppm.
+    */
+  private def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val america = nation
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "AMERICA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("mkt_nation"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(america), col("c_nationkey") === col("mkt_nation"))
+      .select(col("c_custkey"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), (col("s_nationkey") === 5).as("is_target"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), revX10000.as("rev"))
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("is_target"), col("rev")).otherwise(0L)).as("target_x10000"),
+        sum(col("rev")).as("total_x10000"))
+      .withColumn("mkt_share_ppm",
+        floor(lit(1000000L) * col("target_x10000") / col("total_x10000"))
+          .cast("long"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10 shape (returned-item losses): the quarter's top-20
+    * customers by revenue on RETURNED lines. The returnflag + date
+    * predicates prune at the scans; one orderkey join, a customer-key
+    * groupBy, and a TakeOrdered top-20 with custkey tie-breaks.
+    */
+  private def qReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revX10000.as("rev"))
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("lost_x10000"))
+      .orderBy(desc("lost_x10000"), col("o_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): Brand#2 lines
+    * whose quantity falls below 20% of that part's average quantity —
+    * the correlated-average subquery, expressed as the per-part
+    * (Σqty, count) aggregate joined back with the predicate
+    * CROSS-MULTIPLIED to exact integers (5·qty·cnt < Σqty — the
+    * generator's quantities are integral, so no float average enters
+    * the filter). One row: the would-be weekly revenue loss.
+    *
+    * Scale shape: the brand filter rides a BROADCAST of the part
+    * dimension into both the aggregate and probe passes; the per-part
+    * aggregate joins back on partkey (dimension-sized build side), and
+    * the final census is a single conditional aggregate.
+    */
+  private def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = broadcast(t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#2").select(col("p_partkey")))
+    val li = t(s, dir, "lineitem")
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty")).as("qty_sum"), count(lit(1)).as("cnt"))
+    li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("qty") * 5L * col("cnt") < col("qty_sum"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("n_small_lines"), col("total_cents"),
+        floor(col("total_cents") / 7L).cast("long").as("avg_weekly_cents"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q08_market_share" -> qMarketShare _,
+    "q10_returned_items" -> qReturnedItems _,
+    "q17_small_qty_revenue" -> qSmallQtyRevenue _,
     "q18_large_orders" -> qLargeOrders _,
     "q19_disjunctive_revenue" -> qDisjunctiveRevenue _,
     "q21_waiting_supplier" -> qWaitingSupplier _,
@@ -669,6 +763,53 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q08_market_share" ->
+      """WITH rev AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+        |    s_nationkey = 5 AS is_target
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND EXISTS (
+        |      SELECT 1 FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      JOIN region ON n_regionkey = r_regionkey
+        |      WHERE c_custkey = o_custkey AND r_name = 'AMERICA'))
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN is_target THEN rev ELSE 0 END) AS BIGINT)
+        |    AS target_x10000,
+        |  CAST(sum(rev) AS BIGINT) AS total_x10000,
+        |  CAST(floor(1000000 * sum(CASE WHEN is_target THEN rev ELSE 0 END)
+        |       / sum(rev)) AS BIGINT) AS mkt_share_ppm
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT o_custkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS lost_x10000
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1 ORDER BY lost_x10000 DESC, o_custkey LIMIT 20""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#2'),
+        |pp AS (SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS qty_sum,
+        |              count(*) AS cnt
+        |       FROM li GROUP BY 1)
+        |SELECT count(*) AS n_small_lines,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(floor(sum(cents) / 7) AS BIGINT) AS avg_weekly_cents
+        |FROM li JOIN pp ON l_partkey = pk
+        |WHERE qty * 5 * cnt < qty_sum""".stripMargin,
     // Q18 replayed in its CLASSIC IN-(GROUP BY ... HAVING) form — the
     // Spark plan expressed the subquery as a direct aggregate join.
     "q18_large_orders" ->

@@ -60,6 +60,59 @@ class Round12kOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "S#1", 2000000L)), s"got ${out.toSeq}")
   }
 
+  test("q08: only market-region revenue counts; target nation flags the numerator") {
+    val d = dir()
+    Seq((1, "AMERICA")).toDF("r_regionkey", "r_name").write.parquet(s"$d/region.parquet")
+    Seq((5, "T", 0), (9, "M", 1)) // target nation 5 outside AMERICA; market nation 9 inside
+      .toDF("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$d/nation.parquet")
+    Seq((1L, 9), (2L, 5)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$d/customer.parquet")
+    Seq((100L, 5), (200L, 9)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$d/supplier.parquet")
+    Seq((1L, 1L, ts("1996-05-01")), (2L, 2L, ts("1996-06-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate").write.parquet(s"$d/orders.parquet")
+    Seq(
+      (1L, 100L, 100.0, 0.0), // market order, target supplier: 1,000,000
+      (1L, 200L, 300.0, 0.0), // market order, other supplier: 3,000,000
+      (2L, 100L, 999.0, 0.0)) // customer outside AMERICA -> excluded
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .write.parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("q08_market_share")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1996, 1000000L, 4000000L, 250000L)), s"got ${out.toSeq}")
+  }
+
+  test("q10: only returned lines in the quarter count") {
+    val d = dir()
+    Seq((1L, 1L, ts("1996-02-01")), (2L, 2L, ts("1996-03-01")),
+      (3L, 3L, ts("1996-07-01"))) // outside the quarter
+      .toDF("o_orderkey", "o_custkey", "o_orderdate").write.parquet(s"$d/orders.parquet")
+    Seq(
+      (1L, "R", 100.0, 0.0), // counts: 1,000,000
+      (1L, "N", 999.0, 0.0), // not returned
+      (2L, "R", 50.0, 0.0),  // counts: 500,000
+      (3L, "R", 999.0, 0.0)) // order outside quarter
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .write.parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("q10_returned_items")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 1000000L), (2L, 1L, 500000L)), s"got ${out.toSeq}")
+  }
+
+  test("q17: cross-multiplied 20%-of-average predicate; brand filter prunes") {
+    val d = dir()
+    Seq((1L, "Brand#2"), (2L, "Brand#9"))
+      .toDF("p_partkey", "p_brand").write.parquet(s"$d/part.parquet")
+    // p1: five qty-10 lines + one qty-1 line -> avg 8.5, 0.2*avg = 1.7:
+    // only the qty-1 line (price $7.00) qualifies (1*5*6 = 30 < 51)
+    (Seq.fill(5)((1L, 10.0, 99.0)) ++ Seq((1L, 1.0, 7.0), (2L, 1.0, 999.0)))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+      .write.parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("q17_small_qty_revenue")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 700L, 100L)), s"got ${out.toSeq}")
+  }
+
   test("q18: strict >250 threshold; price-desc order with orderkey ties") {
     val d = dir()
     Seq(
