@@ -546,6 +546,15 @@ object ScaleQueries {
     StreamOps.hourlyCountsAppend(s, dir, glob = Some("events.parquet"),
       queryName = s"stream_hourly_append_${math.abs(dir.hashCode)}").result
 
+  /** Native session_window sessionization (StreamOps
+    * .sessionWindowAppend): the engine-managed twin of the custom
+    * sessionizers, with the >= gap-boundary split rule and its own
+    * emission law.
+    */
+  private def qStreamSessionNative(s: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionWindowAppend(s, dir,
+      queryName = s"stream_session_native_${math.abs(dir.hashCode)}").result
+
   /** Append-mode PSI drift monitor (StreamOps.psiDriftAppend): one row
     * per watermark-closed hour; the oracle replays the batch PSI under
     * the window-finality emission law.
@@ -730,6 +739,7 @@ object ScaleQueries {
     "q_mm_phash" -> qMmPhash _,
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_psi" -> qStreamPsi _,
+    "q_stream_session_native" -> qStreamSessionNative _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_ewma" -> qStreamEwma _,
     "q_stream_attribution" -> qStreamAttribution _,
@@ -948,6 +958,35 @@ object ScaleQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // Native-session emission law: a session window [start, last+gap)
+    // is final iff the watermark (max event ms − 10 min) has passed
+    // its END (last event + the 30-min gap). The gap boundary is
+    // INCLUSIVE — an exactly-gap-spaced event MERGES (verified
+    // empirically in SessionWindowSpec) — so the split rule is the
+    // same strict > the custom sessionizers use.
+    "q_stream_session_native" ->
+      """WITH wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 600000 AS wm_ms
+        |           FROM events),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sids AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess_id
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        |         count(*) AS n_events
+        |  FROM sids GROUP BY user_id, sess_id)
+        |SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+        |FROM sess, wm
+        |WHERE CAST(floor((end_us + 1800000000) / 1000) AS BIGINT) <= wm_ms
+        |ORDER BY user_id, start_us""".stripMargin,
     // Append-mode PSI: the batch PSI replay under the same
     // window-finality law (generated beside the q_evt_psi oracle).
     "q_stream_psi" -> EventQueries.psiOracle(emissionLaw = true),

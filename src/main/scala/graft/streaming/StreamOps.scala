@@ -301,6 +301,51 @@ object StreamOps {
     AppendRun(spark.table(queryName).orderBy("hour"), maxState, progress.length)
   }
 
+  /** NATIVE session windows (`session_window(ts, gap)` — Spark's
+    * built-in dynamic-gap sessionization, state merged and
+    * watermark-evicted by the engine itself) beside the
+    * flatMapGroups/lag-based sessionizers this file already carries.
+    * The gap boundary is INCLUSIVE: an event exactly `gap` after its
+    * predecessor MERGES into the session (SessionWindowSpec pins this
+    * empirically), so the split rule matches the custom sessionizers'
+    * strict `>`. Emits (user, session start/end in event-time micros,
+    * event count) per watermark-finalized session; `end_us` subtracts
+    * the gap back off the window end so the report is the LAST EVENT
+    * time, the custom sessionizers' convention.
+    */
+  def sessionWindowAppend(spark: SparkSession, sfDir: String,
+                          gapMinutes: Int = 30,
+                          queryName: String = "stream_session_native"): AppendRun = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = graft.core.EventTime.normalize(spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
+        col("n_events"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_session_native") = maxState
+    AppendRun(spark.table(queryName).orderBy("user_id", "start_us"),
+      maxState, progress.length)
+  }
+
   /** The 100 TB form of [[incrementalDedup]]: the static-store
     * anti-join stays stateless (unchanged — the store side never
     * enters state), and the within-batch keep-first becomes
