@@ -555,6 +555,27 @@ object ScaleQueries {
     StreamOps.sessionWindowAppend(s, dir,
       queryName = s"stream_session_native_${math.abs(dir.hashCode)}").result
 
+  /** Left-outer stream-stream interval join (StreamOps
+    * .intervalJoinOuterAppend): matched pairs emit on arrival (the
+    * inner twin's set); unmatched purchases NULL-emit when their join
+    * state expires. The exact expiry point is an engine-internal
+    * batch-timing detail (measured within one watermark-delay of
+    * p_ts + delay, and it shifts a few rows between scale factors), so
+    * the REGISTERED contract restricts both twin and oracle to the
+    * STABLE region — purchases at least range + 2·delay (2 h) behind
+    * the final event — where every NULL emission is guaranteed to have
+    * happened in any drain. The tail's liveness is what
+    * StreamAppendSpec-style bounds cover; the hash gate covers values.
+    */
+  private def qStreamRangeOuter(s: SparkSession, dir: String): DataFrame = {
+    val run = StreamOps.intervalJoinOuterAppend(s, dir, glob = Some("events.parquet"),
+      queryName = s"stream_range_outer_${math.abs(dir.hashCode)}").result
+    val maxUs = graft.core.EventTime
+      .normalize(s.read.parquet(s"$dir/events.parquet"))
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    run.filter(col("p_us") <= maxUs - 7200000000L)
+  }
+
   /** Append-mode PSI drift monitor (StreamOps.psiDriftAppend): one row
     * per watermark-closed hour; the oracle replays the batch PSI under
     * the window-finality emission law.
@@ -740,6 +761,7 @@ object ScaleQueries {
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_psi" -> qStreamPsi _,
     "q_stream_session_native" -> qStreamSessionNative _,
+    "q_stream_range_outer" -> qStreamRangeOuter _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_ewma" -> qStreamEwma _,
     "q_stream_attribution" -> qStreamAttribution _,
@@ -958,6 +980,22 @@ object ScaleQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // Outer-interval-join contract: the batch LEFT join restricted to
+    // the stable region (p_ts at least 2 h — range + 2·delay — behind
+    // the final event), where every NULL emission has provably
+    // happened; the exact expiry boundary above it is engine-internal
+    // batch timing (see the registry wrapper's scaladoc).
+    "q_stream_range_outer" ->
+      """WITH cut AS (SELECT epoch_us(max(ts)) - 7200000000 AS cut_us FROM events),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.p_us, c.c_us
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us, cut
+        |WHERE p.p_us <= cut_us
+        |ORDER BY event_id, c_us""".stripMargin,
     // Native-session emission law: a session window [start, last+gap)
     // is final iff the watermark (max event ms − 10 min) has passed
     // its END (last event + the 30-min gap). The gap boundary is

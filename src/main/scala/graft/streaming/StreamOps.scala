@@ -1161,4 +1161,59 @@ object StreamOps {
     AppendRun(spark.table(queryName).orderBy("event_id", "c_us"),
       maxState, progress.length)
   }
+
+  /** LEFT OUTER stream-stream interval join — [[intervalJoinAppend]]'s
+    * completeness twin: a purchase with NO click in its preceding
+    * hour must still emit (c_us NULL), and in a stream that answer
+    * can only be given once the watermark PROVES no matching click
+    * can arrive (c_ts ≤ p_ts, so once the watermark passes the
+    * purchase time the left row's fate is sealed). Matched pairs
+    * emit on arrival exactly like the inner twin; only the
+    * NULL-padded rows wait on state expiry — which is why the oracle
+    * law applies only to the unmatched branch.
+    */
+  def intervalJoinOuterAppend(spark: SparkSession, eventsDir: String,
+                              rangeMinutes: Int = 60,
+                              watermarkDelay: String = "30 minutes",
+                              maxFilesPerTrigger: Int = 1,
+                              queryName: String = "stream_range_outer",
+                              glob: Option[String] = None): AppendRun = {
+    val batchSchema = spark.read
+      .parquet(glob.map(g => s"$eventsDir/$g").getOrElse(eventsDir)).schema
+    def src(): DataFrame = {
+      var reader = spark.readStream
+        .schema(batchSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+      graft.core.EventTime.normalize(reader.parquet(eventsDir))
+    }
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    val pairs = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $rangeMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("p_event_id").as("event_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_range_outer") = maxState
+    AppendRun(spark.table(queryName).orderBy("event_id", "c_us"),
+      maxState, progress.length)
+  }
 }
