@@ -1945,7 +1945,45 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** One-way ANOVA F across event types — [[qEvtKruskal]]'s PARAMETRIC
+    * sibling on the raw cents (KW asks about rank shift; F about mean
+    * variance). All moments are exact integer sums (n_g, Σx, Σx² per
+    * group); the only inexact quantity, s_g²/n_g, is computed by the
+    * IDENTICAL double expression in both engines and quantized to a
+    * unit long PER GROUP before any cross-group sum, so
+    * SSB = Σ_g round(s_g²/n_g) − round(S²/N) and
+    * SSW = Σx²_total − Σ_g round(s_g²/n_g) are order-invariant integer
+    * arithmetic end to end; F and η² divide once at emission.
+    *
+    * Scale shape: one partial-aggregatable groupBy(type) carrying
+    * three sums; everything after is |types|-row arithmetic plus a
+    * 1-row broadcast total.
+    */
+  private def qEvtAnova(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("x"))
+    val g = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x") * col("x")).as("ssq_g"))
+      .withColumn("q_g",
+        round(col("s_g").cast("double") * col("s_g") / col("n_g")).cast("long"))
+    val tot = g.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+      sum("s_g").as("s"), sum("ssq_g").as("ssq"), sum("q_g").as("qs"))
+    tot.select(col("k"), col("n"),
+        (col("qs") - round(col("s").cast("double") * col("s") / col("n"))
+          .cast("long")).as("ssb"),
+        (col("ssq") - col("qs")).as("ssw"))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        round(lit(1000.0) *
+          (col("ssb").cast("double") / (col("k") - 1L)) /
+          (col("ssw").cast("double") / (col("n") - col("k"))))
+          .cast("long").as("f_milli"),
+        round(lit(1000000.0) * col("ssb").cast("double") /
+          (col("ssb") + col("ssw")).cast("double")).cast("long").as("eta2_ppm"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_evt_anova" -> qEvtAnova _,
     "q_evt_kruskal" -> qEvtKruskal _,
     "q_evt_wasserstein" -> qEvtWasserstein _,
     "q_evt_did" -> qEvtDid _,
@@ -2204,6 +2242,31 @@ object EventQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_evt_anova" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+        |           FROM events),
+        |g AS (
+        |  SELECT event_type, count(*) AS n_g, CAST(sum(x) AS BIGINT) AS s_g,
+        |         CAST(sum(x * x) AS BIGINT) AS ssq_g
+        |  FROM e GROUP BY 1),
+        |g2 AS (SELECT *, CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g) AS BIGINT) AS q_g
+        |       FROM g),
+        |tot AS (
+        |  SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+        |         CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(ssq_g) AS BIGINT) AS ssq,
+        |         CAST(sum(q_g) AS BIGINT) AS qs
+        |  FROM g2),
+        |d AS (
+        |  SELECT k, n,
+        |    qs - CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS ssb,
+        |    ssq - qs AS ssw
+        |  FROM tot)
+        |SELECT k, n, ssb, ssw,
+        |  CAST(round(1000.0 * (CAST(ssb AS DOUBLE) / (k - 1))
+        |    / (CAST(ssw AS DOUBLE) / (n - k))) AS BIGINT) AS f_milli,
+        |  CAST(round(1000000.0 * CAST(ssb AS DOUBLE)
+        |    / CAST(ssb + ssw AS DOUBLE)) AS BIGINT) AS eta2_ppm
+        |FROM d""".stripMargin,
     "q_evt_kruskal" ->
       """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
         |           FROM events),

@@ -73,6 +73,20 @@ class EvalStatsSpec extends SparkSpec {
       ("B", 3L, 2L, 346573590L, 3000000L)), s"got ${dep.toSeq}")
   }
 
+  test("anova: two 2-element groups give F = 8 and eta-squared = 0.8 exactly") {
+    val d = dir()
+    // A {100, 300} cents, B {500, 700}: SSB = 160000, SSW = 40000 ->
+    // F = (160000/1)/(40000/2) = 8; eta2 = 160000/200000 = 0.8
+    Seq(("A", 1.0), ("A", 3.0), ("B", 5.0), ("B", 7.0))
+      .toDF("event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(ts("2024-01-01 00:00:00")))
+      .write.parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("q_evt_anova")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(out == (2L, 4L, 160000L, 40000L, 8000L, 800000L), s"got $out")
+  }
+
   test("kruskal-wallis: textbook separated groups give H = 32/7; all-tied gives NULL correction") {
     val d = dir()
     // A {1,2} B {3,4} C {5,6} dollars: ranks 1..6, no ties ->
