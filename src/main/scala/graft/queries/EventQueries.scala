@@ -1974,12 +1974,19 @@ object EventQueries {
           .cast("long")).as("ssb"),
         (col("ssq") - col("qs")).as("ssw"))
       .select(col("k"), col("n"), col("ssb"), col("ssw"),
-        round(lit(1000.0) *
-          (col("ssb").cast("double") / (col("k") - 1L)) /
-          (col("ssw").cast("double") / (col("n") - col("k"))))
-          .cast("long").as("f_milli"),
-        round(lit(1000000.0) * col("ssb").cast("double") /
-          (col("ssb") + col("ssw")).cast("double")).cast("long").as("eta2_ppm"))
+        // degenerate corpora (k=1, or every group internally constant so
+        // ssw=0) make F a 0-division -> Infinity -> Long.MaxValue on cast;
+        // emit NULL instead, mirroring the Kruskal all-tied guard
+        when(col("ssw") > 0L && col("k") > 1L,
+          round(lit(1000.0) *
+            (col("ssb").cast("double") / (col("k") - 1L)) /
+            (col("ssw").cast("double") / (col("n") - col("k"))))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("f_milli"),
+        when(col("ssb") + col("ssw") > 0L,
+          round(lit(1000000.0) * col("ssb").cast("double") /
+            (col("ssb") + col("ssw")).cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("eta2_ppm"))
   }
 
   val defs: Map[String, QueryFn] = Map(
@@ -2262,10 +2269,12 @@ object EventQueries {
         |    ssq - qs AS ssw
         |  FROM tot)
         |SELECT k, n, ssb, ssw,
-        |  CAST(round(1000.0 * (CAST(ssb AS DOUBLE) / (k - 1))
-        |    / (CAST(ssw AS DOUBLE) / (n - k))) AS BIGINT) AS f_milli,
-        |  CAST(round(1000000.0 * CAST(ssb AS DOUBLE)
-        |    / CAST(ssb + ssw AS DOUBLE)) AS BIGINT) AS eta2_ppm
+        |  CASE WHEN ssw > 0 AND k > 1 THEN
+        |    CAST(round(1000.0 * (CAST(ssb AS DOUBLE) / (k - 1))
+        |      / (CAST(ssw AS DOUBLE) / (n - k))) AS BIGINT) END AS f_milli,
+        |  CASE WHEN ssb + ssw > 0 THEN
+        |    CAST(round(1000000.0 * CAST(ssb AS DOUBLE)
+        |      / CAST(ssb + ssw AS DOUBLE)) AS BIGINT) END AS eta2_ppm
         |FROM d""".stripMargin,
     "q_evt_kruskal" ->
       """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c

@@ -439,7 +439,12 @@ object GraphQueries {
         frontier = next.select("node")
       }
     }
-    val unreachedCnt = edges.select(col("src").as("node")).distinct()
+    // node universe = src ∪ dst: on the symmetrized co-purchase graph the
+    // two sides coincide, but the helper is package-visible for arbitrary
+    // directed relations, where sink-only nodes (dst-only) must still be
+    // counted in the d=-1 row
+    val unreachedCnt = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
       .join(dist, Seq("node"), "left_anti").count()
     dist.groupBy("d").agg(count(lit(1)).as("n_nodes"))
       .union(Seq((-1, unreachedCnt)).toDF("d", "n_nodes"))
@@ -469,7 +474,7 @@ object GraphQueries {
     sb.append(s""",
       |lv AS ($levels),
       |unreached AS (SELECT -1 AS d, count(*) AS n_nodes FROM (
-      |  SELECT DISTINCT src AS node FROM edges) n
+      |  SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
       |  WHERE n.node NOT IN (SELECT node FROM dist$bfsMaxHops))
       |SELECT d, n_nodes FROM lv WHERE n_nodes > 0
       |UNION ALL SELECT d, n_nodes FROM unreached

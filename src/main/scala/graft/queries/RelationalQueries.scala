@@ -669,7 +669,12 @@ object RelationalQueries {
       .agg(sum(when(col("is_target"), col("rev")).otherwise(0L)).as("target_x10000"),
         sum(col("rev")).as("total_x10000"))
       .withColumn("mkt_share_ppm",
-        floor(lit(1000000L) * col("target_x10000") / col("total_x10000"))
+        // decimal(38,0) multiply: int64 would wrap past ~9.2e18 (target_x10000
+        // is ~2.4e18 at sf1), and double loses ULPs at that magnitude; the
+        // DuckDB oracle promotes to HUGEINT, so exact decimal arithmetic is
+        // the only encoding that matches at every scale factor.
+        floor(col("target_x10000").cast("decimal(38,0)") * lit(1000000L) /
+            col("total_x10000"))
           .cast("long"))
       .orderBy("o_year")
   }
