@@ -8,9 +8,9 @@ import graft.queries._
   * `queries` is the engine's declared operator inventory (one entry per
   * implemented operator family from SURVEY.md §2 plus the
   * training-data-pipeline extensions); `oracleSql` carries the DuckDB
-  * replay of every SQL-expressible entry. Queries without an oracle
-  * (image-domain round trips, LSH pipelines) get the driver's
-  * rows-only check and are covered by ScalaTest specs instead.
+  * replay of EVERY registered entry (since round 13 the ANN/recall
+  * family replays through pinned hyperplane/centroid/signature
+  * fixtures — see tools.FixtureGen — so no query is rows-only).
   */
 object SparkEntry {
 

@@ -75,9 +75,13 @@ object Ivf {
     math.min(maxK.toLong, math.max(1L, math.round(math.sqrt(n.toDouble)))).toInt
 
   /** Train a spherical k-means codebook with `iters` Lloyd rounds.
-    * Deterministic: initial centroids are the k corpus vectors with the
-    * smallest `xxhash64(id, seed)` (a seeded uniform draw both engines
-    * can replay), updates are exact means. Returns k x dim centroids,
+    * BIT-DETERMINISTIC under any partitioning: initial centroids are
+    * the k corpus vectors with the smallest `xxhash64(id, seed)` (a
+    * seeded uniform draw both engines can replay), and update sums are
+    * quantized to micro-longs (exact, order-invariant addition), so the
+    * same corpus trains the same codebook at any parallelism — the
+    * property the pinned centroid fixture (tools.FixtureGen) and the
+    * IVF DuckDB oracles rely on. Returns k x dim centroids,
     * cosine-normalized.
     *
     * Each Lloyd round is ONE narrow pass: every partition folds its
@@ -122,11 +126,19 @@ object Ivf {
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(centroids)
+      // Per-cell sums accumulate QUANTIZED components (micros as longs),
+      // not doubles: long addition is exact and order-invariant, so the
+      // trained codebook is bit-identical under ANY partitioning /
+      // parallelism — which is what lets the DuckDB oracle replay IVF
+      // probes from a pinned centroid fixture. The 5e-7 quantization of
+      // a training MEAN is noise to a heuristic quantizer; sums stay
+      // far from Long range (|v| ~ 1 => 1e6/row, ~1e12 per cell at the
+      // 1M-vector sample cap).
       val partials = vecs.mapPartitions { rows =>
         val cents = bc.value
         val dim = cents(0).length
         val counts = new Array[Long](cents.length)
-        val sums = Array.fill(cents.length)(new Array[Double](dim))
+        val sums = Array.fill(cents.length)(new Array[Long](dim))
         rows.foreach { row =>
           val v = toArr(row)
           val c = bestCellArr(v, cents)
@@ -134,12 +146,12 @@ object Ivf {
           val s = sums(c)
           val n = math.min(dim, v.length)
           var i = 0
-          while (i < n) { s(i) += v(i); i += 1 }
+          while (i < n) { s(i) += math.rint(v(i) * 1e6).toLong; i += 1 }
         }
         Iterator.single((counts, sums))
       }.collect()
       val counts = new Array[Long](kEff)
-      val sums = Array.fill(kEff)(new Array[Double](centroids(0).length))
+      val sums = Array.fill(kEff)(new Array[Long](centroids(0).length))
       partials.foreach { case (pc, ps) =>
         var c = 0
         while (c < kEff) {
@@ -151,7 +163,7 @@ object Ivf {
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
-        else normalize(sums(c).map(_ / counts(c)))
+        else normalize(sums(c).map(m => m.toDouble / counts(c) / 1e6))
       }.toArray
       it += 1
     }

@@ -929,6 +929,214 @@ object ScaleQueries {
         |  WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs
         |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
+    // LSH recall gate: BOTH sides replay — the exact-Jaccard denominator
+    // via the q_dedup_jaccard_pairs CTE chain over the (possibly sampled)
+    // subcorpus, the LSH numerator via the pinned signature fixture — so
+    // the recall number itself is oracle-checked, not just pinned TRUE.
+    "q_dedup_lsh_recall" ->
+      """WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
+        |smp AS (SELECT n, nc, greatest(1, (n + 4999) // 5000) AS m FROM nd),
+        |docs AS (SELECT d.doc_id, d.text FROM documents d, smp
+        |         WHERE d.doc_id % smp.m = 0),
+        |base0 AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM docs),
+        |base AS (
+        |  SELECT doc_id, CAST(floor(n_tokens / 4) AS BIGINT) AS bucket, shingles
+        |  FROM base0),
+        |bexp AS (
+        |  SELECT doc_id, unnest([bucket - 1, bucket, bucket + 1]) AS bucket, shingles
+        |  FROM base),
+        |jp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.shingles AS sh_a, b.shingles AS sh_b
+        |  FROM base a JOIN bexp b
+        |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |ex AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM jp
+        |  WHERE len(list_distinct(list_concat(sh_a, sh_b))) > 0
+        |    AND CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5),
+        |sig AS (SELECT s.doc_id, minhash
+        |        FROM read_parquet('/root/repo/fixtures/signatures/*.parquet') s, smp
+        |        WHERE s.n_docs = smp.n AND s.n_chars_total = smp.nc
+        |          AND s.doc_id % smp.m = 0),
+        |banded AS (
+        |  SELECT doc_id, t.band AS band,
+        |    array_to_string(list_slice(minhash, t.band*4 + 1, t.band*4 + 4), ',') AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0,32)) AS band) t),
+        |cand0 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b USING (band, bucket)
+        |  WHERE a.doc_id < b.doc_id),
+        |cand AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand0 JOIN sig sa ON sa.doc_id = cand0.doc_a
+        |             JOIN sig sb ON sb.doc_id = cand0.doc_b
+        |  WHERE len(list_filter(range(1,129), i -> sa.minhash[i] = sb.minhash[i])) / 128.0 >= 0.05),
+        |cnt AS (
+        |  SELECT (SELECT count(*) FROM ex) AS n_exact,
+        |    (SELECT count(*) FROM cand) AS n_candidates,
+        |    (SELECT count(*) FROM ex SEMI JOIN cand USING (doc_a, doc_b)) AS n_hits)
+        |SELECT n_exact, n_candidates, n_hits,
+        |  CASE WHEN n_exact = 0 THEN 1.0
+        |       ELSE CAST(n_hits AS DOUBLE) / n_exact END AS recall,
+        |  CASE WHEN n_exact = 0 THEN TRUE
+        |       ELSE CAST(n_hits AS DOUBLE) / n_exact >= 0.9 END AS recall_ok,
+        |  smp.m AS sample_mod, smp.n AS n_docs_total
+        |FROM cnt, smp""".stripMargin,
+    // LSH ANN full value replay: bucket assignment from the pinned seeded
+    // hyperplanes (data-independent fixture), multi-probe = hamming <= 2
+    // on the 10-bit signature, cosine by the proven q_sim_knn_join recipe.
+    "q_sim_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |pl AS (SELECT bit, w
+        |       FROM read_parquet('/root/repo/fixtures/hyperplanes/*.parquet')),
+        |bk AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> pl.w[i] * e.vec[i])) >= 0
+        |             THEN 1::BIGINT << pl.bit ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e, pl GROUP BY e.vec_id),
+        |q AS (SELECT vec AS qvec FROM e WHERE vec_id = 0),
+        |qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * q.qvec[i]))
+        |      / (sqrt(list_sum(list_transform(e.vec, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q.qvec, x -> x * x)))) AS cs
+        |  FROM e, q WHERE e.vec_id <> 0),
+        |exact AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS rk
+        |    FROM sims) WHERE rk <= 10),
+        |ann AS (
+        |  SELECT s.vec_id, s.label, s.cs,
+        |    row_number() OVER (ORDER BY s.cs DESC, s.vec_id) AS rk
+        |  FROM sims s JOIN bk ON bk.vec_id = s.vec_id, qb
+        |  WHERE bit_count(xor(bk.bucket, qb.qbucket)) <= 2)
+        |SELECT vec_id, label, round(cs, 6) AS cos_sim,
+        |  vec_id IN (SELECT vec_id FROM exact) AS in_exact_topk
+        |FROM ann WHERE rk <= 10 ORDER BY cos_sim DESC, vec_id""".stripMargin,
+    // IVF ANN full value replay: the codebook is a bit-deterministic
+    // function of the corpus (quantized Lloyd sums), pinned per corpus
+    // in fixtures/ivf_centroids keyed by (count, exact first-component
+    // checksum); DuckDB replays cell assignment (argmax dot, first-wins
+    // ties), the driver-side nprobe cell choice (normalized query), and
+    // the pruned top-k.
+    "q_sim_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |nv AS (SELECT count(*) AS n,
+        |         sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS chk
+        |       FROM embeddings),
+        |prm AS (SELECT n, chk,
+        |    greatest(1, CAST(least(4096, greatest(1, round(sqrt(CAST(n AS DOUBLE))))) AS BIGINT) // 2) AS nprobe
+        |  FROM nv),
+        |cen AS (SELECT c.cell, c.centroid
+        |        FROM read_parquet('/root/repo/fixtures/ivf_centroids/*.parquet') c, prm
+        |        WHERE c.n_vecs = prm.n AND c.chk = prm.chk),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, cen.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> cen.centroid[i] * e.vec[i])) DESC,
+        |        cen.cell) AS rk
+        |    FROM e, cen) WHERE rk = 1),
+        |q AS (SELECT vec AS qvec FROM e WHERE vec_id = 0),
+        |qn AS (SELECT list_transform(qvec,
+        |         x -> x / sqrt(list_sum(list_transform(qvec, y -> y * y)))) AS nvec
+        |       FROM q),
+        |pc AS (
+        |  SELECT cell FROM (
+        |    SELECT cen.cell, row_number() OVER (ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> cen.centroid[i] * qn.nvec[i])) DESC,
+        |        cen.cell) AS rk
+        |    FROM cen, qn), prm WHERE rk <= prm.nprobe),
+        |sims AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * q.qvec[i]))
+        |      / (sqrt(list_sum(list_transform(e.vec, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q.qvec, x -> x * x)))) AS cs
+        |  FROM e, q WHERE e.vec_id <> 0),
+        |exact AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS rk
+        |    FROM sims) WHERE rk <= 10),
+        |ann AS (
+        |  SELECT s.vec_id, s.label, s.cs,
+        |    row_number() OVER (ORDER BY s.cs DESC, s.vec_id) AS rk
+        |  FROM sims s JOIN asg USING (vec_id)
+        |  WHERE asg.cell IN (SELECT cell FROM pc))
+        |SELECT vec_id, label, round(cs, 6) AS cos_sim,
+        |  vec_id IN (SELECT vec_id FROM exact) AS in_exact_topk
+        |FROM ann WHERE rk <= 10 ORDER BY cos_sim DESC, vec_id""".stripMargin,
+    // IVF recall gate: exact and pruned sides BOTH replay in SQL (probe
+    // batch, per-probe brute-force top-10, fixture-codebook cell
+    // assignment + nprobe choice, pruned per-probe top-10), so every
+    // count and the recall value itself are oracle-checked.
+    "q_sim_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |nv AS (SELECT count(*) AS n,
+        |         sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS chk
+        |       FROM embeddings),
+        |prm AS (SELECT n, chk,
+        |    greatest(1, CAST(least(4096, greatest(1, round(sqrt(CAST(n AS DOUBLE))))) AS BIGINT) // 2) AS nprobe
+        |  FROM nv),
+        |cen AS (SELECT c.cell, c.centroid
+        |        FROM read_parquet('/root/repo/fixtures/ivf_centroids/*.parquet') c, prm
+        |        WHERE c.n_vecs = prm.n AND c.chk = prm.chk),
+        |probes AS (SELECT vec_id AS probe_id, vec AS qvec FROM e
+        |           WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8),
+        |sims AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * p.qvec[i]))
+        |      / (sqrt(list_sum(list_transform(e.vec, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(p.qvec, x -> x * x)))) AS cs
+        |  FROM e, probes p WHERE e.vec_id <> p.probe_id),
+        |exact AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rk
+        |    FROM sims) WHERE rk <= 10),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, cen.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> cen.centroid[i] * e.vec[i])) DESC,
+        |        cen.cell) AS rk
+        |    FROM e, cen) WHERE rk = 1),
+        |qn AS (SELECT probe_id, list_transform(qvec,
+        |         x -> x / sqrt(list_sum(list_transform(qvec, y -> y * y)))) AS nvec
+        |       FROM probes),
+        |pcells AS (
+        |  SELECT probe_id, cell FROM (
+        |    SELECT qn.probe_id, cen.cell, row_number() OVER (PARTITION BY qn.probe_id
+        |      ORDER BY list_sum(list_transform(range(1, 65), i -> cen.centroid[i] * qn.nvec[i])) DESC,
+        |        cen.cell) AS rk
+        |    FROM cen, qn), prm WHERE rk <= prm.nprobe),
+        |ivf AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT s.probe_id, s.vec_id,
+        |      row_number() OVER (PARTITION BY s.probe_id ORDER BY s.cs DESC, s.vec_id) AS rk
+        |    FROM sims s JOIN asg USING (vec_id)
+        |      SEMI JOIN pcells ON pcells.probe_id = s.probe_id AND pcells.cell = asg.cell)
+        |  WHERE rk <= 10),
+        |cnt AS (
+        |  SELECT (SELECT count(*) FROM exact) AS n_exact,
+        |    (SELECT count(*) FROM ivf) AS n_ivf,
+        |    (SELECT count(*) FROM exact SEMI JOIN ivf USING (probe_id, vec_id)) AS n_hits)
+        |SELECT n_exact, n_ivf, n_hits,
+        |  CASE WHEN n_exact = 0 THEN 1.0
+        |       ELSE CAST(n_hits AS DOUBLE) / n_exact END AS recall,
+        |  CASE WHEN n_exact = 0 THEN TRUE
+        |       ELSE CAST(n_hits AS DOUBLE) / n_exact >= 0.6 END AS recall_ok
+        |FROM cnt""".stripMargin,
     "q_stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us,

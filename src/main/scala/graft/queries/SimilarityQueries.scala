@@ -283,7 +283,8 @@ object SimilarityQueries {
     * compression at 100 TB. The codebook is the DETERMINISTIC seeded
     * variant (subvectors of `vec_id < pqK`), not Lloyd-trained: the
     * whole encode pipeline then replays exactly in the DuckDB oracle
-    * (k-means would make the gate rows-only, as q_sim_ann_ivf is); the
+    * with no fixture dependency (the Lloyd-trained path replays too,
+    * but only via the pinned centroid fixture q_sim_ann_ivf uses); the
     * Lloyd-trained scale path for full vectors is [[graft.functions.Ivf]].
     */
   val pqM = 4

@@ -55,6 +55,52 @@ object FixtureGen {
       .reduce(_ unionByName _)
       .coalesce(1)
       .write.mode("overwrite").parquet(out)
+
+    // ---- ANN replay fixtures (round 13) ----------------------------------
+    // The LSH/IVF ANN oracles replay bucket/cell assignment in DuckDB from
+    // pinned parameters: the seeded hyperplanes (data-independent) and the
+    // trained IVF codebook (a bit-deterministic function of the corpus —
+    // Ivf.trainCentroids quantizes its Lloyd sums — keyed like the
+    // signatures by corpus stats: count + an exact order-invariant
+    // first-component checksum, since sf0.001 and sf0.01 both hold 500
+    // vectors). Regenerate whenever the embeddings testdata or the ANN
+    // parameters (dim 64, nBits 10, seed 13; k ~ sqrt(n), iters 3,
+    // sampleCap 256k, seed 29) change.
+    import spark.implicits._
+    val planesOut =
+      if (out.endsWith("signatures")) out.stripSuffix("signatures") + "hyperplanes"
+      else out + "_hyperplanes"
+    val centsOut =
+      if (out.endsWith("signatures")) out.stripSuffix("signatures") + "ivf_centroids"
+      else out + "_ivf_centroids"
+    graft.functions.Similarity.hyperplanes(dim = 64, nBits = 10)
+      .zipWithIndex
+      .map { case (w, b) => (b, w.toSeq) }
+      .toSeq.toDF("bit", "w")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(planesOut)
+    dirs
+      .map { dir =>
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val Array(n, chk) = e
+          .agg(count(lit(1)),
+            sum(floor(element_at(col("embedding"), 1).cast("double") * 1000000L)
+              .cast("long")))
+          .head().toSeq.toArray
+        val nVecs = n.asInstanceOf[Long]
+        val k = graft.functions.Ivf.codebookSize(nVecs)
+        graft.functions.Ivf
+          .trainCentroids(e, "vec_id", "embedding", k = k, iters = 3,
+            sampleCap = 256L * k)
+          .zipWithIndex
+          .map { case (c, i) =>
+            (nVecs, chk.asInstanceOf[Long], i, c.toSeq)
+          }
+          .toSeq.toDF("n_vecs", "chk", "cell", "centroid")
+      }
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centsOut)
     spark.stop()
   }
 }
