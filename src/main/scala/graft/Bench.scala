@@ -26,7 +26,18 @@ object Bench {
     // BENCH_r11 timed 8 construction-crashed queries at 0.00 s, which
     // reads as "fast" when it meant "dead".
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // 1-minute loadavg snapshot: co-tenant load has inflated recorded
+    // timings before (BENCH_r12's q_graph_triangles read 4x its clean
+    // record); with per-query load + start-time context in the JSON, a
+    // noisy recording self-documents instead of reading as a regression
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val ctx = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      ctx(name) = (System.currentTimeMillis() / 1000L, loadavg())
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -52,8 +63,12 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
+    // per-query [start_epoch_sec, loadavg_1min_at_start]
+    val ctxJson = ctx.toSeq.sortBy(_._1)
+      .map { case (k, (t, l)) => s"\"" + k + s"\":[$t,$l]" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errJson,"state_rows":$sw,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errJson,"state_rows":$sw,"query_ctx":$ctxJson,"load_end":${loadavg()},"sf":"$sfDir"}"""
     println(line)
     // also persist the full line: stdout tail-grabs truncate on long
     // logs, and per-query numbers must survive intact

@@ -551,9 +551,34 @@ object ScaleQueries {
     * sessionizers, with the >= gap-boundary split rule and its own
     * emission law.
     */
-  private def qStreamSessionNative(s: SparkSession, dir: String): DataFrame =
-    StreamOps.sessionWindowAppend(s, dir,
-      queryName = s"stream_session_native_${math.abs(dir.hashCode)}").result
+  private def qStreamSessionNative(s: SparkSession, dir: String): DataFrame = {
+    // time-sliced replay: 6 ascending event-time files, one micro-batch
+    // each, so the recorded state high-water shows WATERMARK EVICTION
+    // (open sessions inside the horizon) instead of a single-batch
+    // drain's "everything" artifact. The emitted session set is
+    // arrival-invariant (final watermark depends only on max ts), so
+    // the oracle's emission law is unchanged.
+    val streamDir = StreamOps.timeSliceParquet(
+      graft.core.EventTime.normalize(s.read.parquet(s"$dir/events.parquet")),
+      col("ts"), 6, "q_stream_sesswin")
+    withFewShufflePartitions(s) {
+      StreamOps.sessionWindowAppend(s, streamDir, glob = None,
+        queryName = s"stream_session_native_${math.abs(dir.hashCode)}").result
+    }
+  }
+
+  /** Stateful multi-batch drains commit state stores per shuffle
+    * partition per micro-batch; at the session's 32 partitions a
+    * 6-batch replay spends its wall on state-store commits, not on the
+    * operator. 8 partitions carry the slice volumes comfortably — a
+    * deployment sizes this to its micro-batch volume. Restored after
+    * the drain so batch queries keep their plan.
+    */
+  private def withFewShufflePartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   /** Left-outer stream-stream interval join (StreamOps
     * .intervalJoinOuterAppend): matched pairs emit on arrival (the
@@ -568,11 +593,20 @@ object ScaleQueries {
     * StreamAppendSpec-style bounds cover; the hash gate covers values.
     */
   private def qStreamRangeOuter(s: SparkSession, dir: String): DataFrame = {
-    val run = StreamOps.intervalJoinOuterAppend(s, dir, glob = Some("events.parquet"),
-      queryName = s"stream_range_outer_${math.abs(dir.hashCode)}").result
-    val maxUs = graft.core.EventTime
+    // time-sliced replay (see qStreamSessionNative): join state evicts
+    // as the watermark advances between micro-batches, so state_rows
+    // records the horizon bound, not the corpus. Matched pairs are
+    // arrival-invariant; the registered result is already restricted
+    // to the stable region where NULL emission is drain-invariant.
+    val events = graft.core.EventTime
       .normalize(s.read.parquet(s"$dir/events.parquet"))
-      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val streamDir = StreamOps.timeSliceParquet(
+      events, col("ts"), 6, "q_stream_range_outer")
+    val run = withFewShufflePartitions(s) {
+      StreamOps.intervalJoinOuterAppend(s, streamDir, glob = None,
+        queryName = s"stream_range_outer_${math.abs(dir.hashCode)}").result
+    }
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head.getLong(0)
     run.filter(col("p_us") <= maxUs - 7200000000L)
   }
 
@@ -580,9 +614,17 @@ object ScaleQueries {
     * per watermark-closed hour; the oracle replays the batch PSI under
     * the window-finality emission law.
     */
-  private def qStreamPsi(s: SparkSession, dir: String): DataFrame =
-    StreamOps.psiDriftAppend(s, dir, glob = Some("events.parquet"),
-      queryName = s"stream_psi_${math.abs(dir.hashCode)}").result
+  private def qStreamPsi(s: SparkSession, dir: String): DataFrame = {
+    // time-sliced replay (see qStreamSessionNative): hourly PSI windows
+    // close and evict as the watermark advances mid-stream.
+    val streamDir = StreamOps.timeSliceParquet(
+      graft.core.EventTime.normalize(s.read.parquet(s"$dir/events.parquet")),
+      col("ts"), 6, "q_stream_psi")
+    withFewShufflePartitions(s) {
+      StreamOps.psiDriftAppend(s, streamDir, glob = None,
+        queryName = s"stream_psi_${math.abs(dir.hashCode)}").result
+    }
+  }
 
   /** The bounded-state incremental dedup, driver-visible:
     * `dropDuplicatesWithinWatermark` evicts fingerprint keys once the
@@ -663,40 +705,13 @@ object ScaleQueries {
     * watermark delay of buffered rows, not the corpus).
     */
   private def qStreamRangeAppend(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val raw = graft.core.EventTime.normalize(
-      s.read.parquet(s"$dir/events.parquet"))
-    val tsUs = unix_micros(col("ts"))
-    val b = raw.agg(min(tsUs).as("lo"), max(tsUs).as("hi")).head()
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val nSlices = 6
-    val width = math.max(1L, (hi - lo) / nSlices + 1)
-    val streamDir = Files.createTempDirectory("q_stream_range")
-      .toFile.getAbsolutePath
-    (0 until nSlices).foreach { i =>
-      val tmp = Files.createTempDirectory(s"range_slice$i").toFile.getAbsolutePath
-      raw.filter(tsUs >= lit(lo + i * width) && tsUs < lit(lo + (i + 1) * width))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .foreach { part =>
-          val dest = Paths.get(streamDir, f"slice_$i%03d.parquet")
-          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
-          dest.toFile.setLastModified(1700000000000L + i * 10000L)
-        }
+    val streamDir = StreamOps.timeSliceParquet(
+      graft.core.EventTime.normalize(s.read.parquet(s"$dir/events.parquet")),
+      col("ts"), 6, "q_stream_range")
+    withFewShufflePartitions(s) {
+      StreamOps.intervalJoinAppend(s, streamDir,
+        queryName = s"stream_range_append_${math.abs(dir.hashCode)}").result
     }
-    // a stateful stream-stream join commits 4 state stores (left/right
-    // keyed + watermark) PER SHUFFLE PARTITION PER MICRO-BATCH; at the
-    // session's 32 partitions the 6-batch replay spends its wall on
-    // state-store commits, not on the join. 8 partitions carry the
-    // slice sizes comfortably and cut the commit count 4x — a
-    // deployment sizes this to its micro-batch volume, exactly as done
-    // here. Restored after the drain so batch queries keep their plan.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try StreamOps.intervalJoinAppend(s, streamDir,
-      queryName = s"stream_range_append_${math.abs(dir.hashCode)}").result
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Streaming twin of q_evt_countmin: the native CMS aggregate runs

@@ -161,6 +161,38 @@ object StreamOps {
     streamDir
   }
 
+  /** [[sliceParquet]]'s TIME-ORDERED twin: `nSlices` equal event-time
+    * spans written as single-part files with ascending mtimes, so an
+    * oldest-first file replay advances the WATERMARK monotonically
+    * between micro-batches. Use this (not the id-mod slicer) to drive
+    * watermark-evicting operators: id-mod slices all span the full
+    * time range, so the watermark jumps to the end after batch one and
+    * the recorded state high-water proves nothing about mid-stream
+    * eviction.
+    */
+  def timeSliceParquet(df: DataFrame, tsCol: org.apache.spark.sql.Column,
+                       nSlices: Int, prefix: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tsUs = unix_micros(tsCol)
+    val b = df.agg(min(tsUs).as("lo"), max(tsUs).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val width = math.max(1L, (hi - lo) / nSlices + 1)
+    val streamDir = Files.createTempDirectory(prefix).toFile.getAbsolutePath
+    (0 until nSlices).foreach { i =>
+      val tmp = Files.createTempDirectory(s"${prefix}_ts$i").toFile.getAbsolutePath
+      df.filter(tsUs >= lit(lo + i * width) && tsUs < lit(lo + (i + 1) * width))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach { part =>
+          val dest = Paths.get(streamDir, f"slice_$i%03d.parquet")
+          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+          dest.toFile.setLastModified(1700000000000L + i * 10000L)
+        }
+    }
+    streamDir
+  }
+
   /** Drain a complete-mode aggregation over a sliced file stream and
     * return (final result table, state-store high water). The generic
     * harness behind the sketch twins (q_stream_countmin /
@@ -315,12 +347,16 @@ object StreamOps {
     */
   def sessionWindowAppend(spark: SparkSession, sfDir: String,
                           gapMinutes: Int = 30,
-                          queryName: String = "stream_session_native"): AppendRun = {
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = graft.core.EventTime.normalize(spark.readStream
+                          queryName: String = "stream_session_native",
+                          glob: Option[String] = Some("events.parquet"),
+                          maxFilesPerTrigger: Int = 1): AppendRun = {
+    val batchSchema = spark.read
+      .parquet(glob.map(g => s"$sfDir/$g").getOrElse(sfDir)).schema
+    var reader = spark.readStream
       .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+    val stream = graft.core.EventTime.normalize(reader.parquet(sfDir))
     val gapUs = gapMinutes * 60L * 1000000L
     val agg = stream
       .withWatermark("ts", "10 minutes")
