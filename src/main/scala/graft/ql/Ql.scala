@@ -55,7 +55,8 @@ object Ql {
     "q_stream_pattern", "q_stream_ewma_tws", "q_stream_attribution",
     "q_evt_pipeline",
     "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank",
-    "q_graph_kcore", "q_graph_bfs", "q_sim_maxsim", "q_emb_meanpool_nn",
+    "q_graph_kcore", "q_graph_bfs", "q_graph_triangles", // edge-list checkpoint + count
+    "q_sim_maxsim", "q_emb_meanpool_nn",
     "q_stream_countmin", "q_stream_topk",
     "q_stream_psi",        // append-mode drain at construction
     "q_stream_session_native", // append-mode drain at construction

@@ -168,12 +168,24 @@ object GraphQueries {
   private def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // Every relation consumed more than once is localCheckpoint'd, so
+    // each is computed exactly once: the projected pair list feeds both
+    // the degree count and the keying join (round-13 profile: its
+    // lineage was 8.7 s of a 20 s wall and ran TWICE via the final
+    // degree join), the degree relation feeds keying and the final
+    // report, and the oriented edge list feeds both wedge legs plus the
+    // closing join.
     val pairs = li.as("a")
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .localCheckpoint()
     val deg = pairs.select(col("u").as("node"))
       .union(pairs.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // deg is checkpointed so its size statistic is exact: AQE broadcasts
+    // it here when node-dimension-sized and falls back to a shuffle on a
+    // billion-node graph — no hand-placed hint needed.
     val keyed = pairs
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
@@ -184,21 +196,29 @@ object GraphQueries {
       when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
       when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
       greatest(col("ku"), col("kv")).as("kdst"))
+      .localCheckpoint()
+    val nEdges = e.count()
     val wedges = e.select(col("src").as("apex"), col("dst").as("lo"), col("kdst").as("klo"))
       .join(e.select(col("src").as("apex"), col("dst").as("hi"), col("kdst").as("khi")),
         Seq("apex"))
       .filter(col("klo") < col("khi"))
       .select(col("apex"), col("lo"), col("hi"))
-    // close the wedge against the edge list with a SHUFFLE_HASH hint:
-    // the edge side builds a hash table per partition while the
-    // ~100x-larger wedge stream probes WITHOUT being sorted — at
-    // sf0.1 this removes a 149M-row sort from the plan (measured
-    // 21.8 s as SMJ vs 11.4 s as hash join; packing (lo,hi) into one
-    // long bought nothing further). The shuffle itself — the honest
-    // O(m^1.5) cost — is unchanged and still partitions by (lo, hi)
-    val tri = wedges
-      .join(e.select(col("src").as("lo"), col("dst").as("hi")).hint("shuffle_hash"),
-        Seq("lo", "hi"))
+    // Close the wedge against the edge list. The wedge stream is the
+    // O(m^1.5) side (~149M rows at sf0.1, ~100x the edges), so HOW the
+    // closing join executes dominates the query:
+    //  - edges dimension-sized (<= 5M ~ a few hundred MB hashed):
+    //    BROADCAST them — the wedge stream is filtered map-side where
+    //    it is produced and never shuffles at all (24->9 s at sf0.1).
+    //  - bigger corpora: SHUFFLE_HASH — the honest O(m^1.5) shuffle,
+    //    partitioned by (lo, hi), with the edge side hashed per
+    //    partition rather than both sides sorted (21.8 s as SMJ vs
+    //    11.4 s as hash join at sf0.1 when measured in round 12).
+    // The same size-aware routing an optimizer with statistics would
+    // pick; the localCheckpoint above is what makes the count cheap.
+    val closing = e.select(col("src").as("lo"), col("dst").as("hi"))
+    val tri = wedges.join(
+      if (nEdges <= 5000000L) broadcast(closing) else closing.hint("shuffle_hash"),
+      Seq("lo", "hi"))
     val perNode = tri.select(col("apex").as("node"))
       .union(tri.select(col("lo").as("node")))
       .union(tri.select(col("hi").as("node")))
