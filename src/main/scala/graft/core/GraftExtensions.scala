@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom-operator ladder step (c): the as-of join as a real
     // logical node + planner strategy + physical operator
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // the bucketed range join as a logical node + optimizer rewrite;
+    // also (opt-in via spark.graft.rangeJoin.rewriteNaive) rebuckets
+    // any naive inequality join in any plan
+    e.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

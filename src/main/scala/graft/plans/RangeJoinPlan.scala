@@ -1,0 +1,248 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+/** The bucketed range join as a first-class Catalyst operator — the
+  * second rung of the custom-operator ladder next to [[AsOfJoinPlan]].
+  *
+  * [[graft.ops.RangeJoin.joinPointsInInterval]] implements the same
+  * public bucketed-range-join rewrite as a hand-applied DataFrame
+  * composition; this node makes the rewrite a PLANNER-LEVEL fact:
+  *
+  *   - [[RangeJoinPlan]] declares the semantics (left intervals
+  *     `[lo, hi]`, right points, equi keys, inner or left-outer);
+  *   - [[RangeJoinRewrite]] — injected via
+  *     `SparkSessionExtensions.injectOptimizerRule` in
+  *     [[graft.core.GraftExtensions]] — expands the node into the
+  *     bucket-explode composition (bounded `sequence` fan-out guarded
+  *     by `raise_error`, bucket-stamped right side, ONE shuffle on
+  *     (key, bucket), exact interval predicate re-applied);
+  *   - the SAME rule also recognizes a user's NAIVE inequality join —
+  *     `l JOIN r ON l.k = r.k AND r.t BETWEEN l.lo AND l.hi`, which
+  *     Spark would otherwise execute as a per-key cartesian (or a
+  *     BroadcastNestedLoopJoin when keyless) — and applies the
+  *     rewrite to it, so ANY inequality join in ANY plan (including
+  *     `spark.sql` text) gets the bucketed plan. That rewrite changes
+  *     plan shape for every join in the session, so it is opt-in:
+  *     `spark.graft.rangeJoin.rewriteNaive=true`, with
+  *     `spark.graft.rangeJoin.bucketWidthUs` (default 1 h) and
+  *     `spark.graft.rangeJoin.maxBucketsPerRow` (default 64) sizing
+  *     the buckets. The explicit node needs no flag — constructing it
+  *     IS the opt-in.
+  *
+  * Semantics are identical to the ops composition (both interval ends
+  * inclusive, integer-microsecond times, left-outer emits null-payload
+  * rows per unmatched bucket copy for null-ignoring aggregation);
+  * RangeJoinPlanSpec asserts bit-equality between the two paths and
+  * q_evt_range_join registers through this node against the unchanged
+  * DuckDB oracle.
+  */
+case class RangeJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftLo: Attribute,
+    leftHi: Attribute,
+    rightTime: Attribute,
+    bucketWidth: Long,
+    maxBucketsPerRow: Int,
+    isLeftOuter: Boolean) extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length)
+  require(bucketWidth > 0, "bucketWidth must be positive")
+  require(maxBucketsPerRow > 0, "maxBucketsPerRow must be positive")
+  require(leftLo.dataType == LongType && leftHi.dataType == LongType &&
+    rightTime.dataType == LongType,
+    "range join bound/time columns must be integer (LongType) — pass unix_micros")
+
+  override def output: Seq[Attribute] =
+    left.output ++
+      (if (isLeftOuter) right.output.map(_.withNullability(true))
+       else right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object RangeJoinPlan {
+
+  /** Column-level entry with the same signature and semantics as
+    * [[graft.ops.RangeJoin.joinPointsInInterval]]; returns `left.*`
+    * plus `payloadCols`.
+    */
+  def joinPointsInInterval(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftLo: String, leftHi: String,
+      rightTime: String, bucketWidth: Long, payloadCols: Seq[String],
+      maxBucketsPerRow: Int = 64, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
+    val collide = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"payload columns collide with left: $collide")
+    val rightPruned = right.select(
+      (keys ++ Seq(rightTime) ++ payloadCols).distinct.map(col): _*)
+    val lPlan = GraftSqlBridge.analyzedPlan(left)
+    // fresh exprIds on the right side: both sides routinely derive from
+    // the same cached relation (same re-alias trick as AsOfJoinPlan)
+    val rPlan0 = GraftSqlBridge.analyzedPlan(rightPruned)
+    val rPlan: LogicalPlan =
+      Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(sys.error(s"no column $n"))
+    val node = RangeJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftLo), attr(lPlan, leftHi), attr(rPlan, rightTime),
+      bucketWidth, maxBucketsPerRow, joinType == "left_outer")
+    val rightOut = node.output.drop(lPlan.output.length)
+    val keep = lPlan.output ++
+      payloadCols.map(n => rightOut.find(_.name == n).get)
+    GraftSqlBridge.ofRows(left.sparkSession, Project(keep, node))
+  }
+}
+
+/** Expands [[RangeJoinPlan]] into the bucket-explode composition, and
+  * (opt-in) rewrites naive inequality joins into the same shape. Runs
+  * inside the operator-optimization fixed point; both rewrites emit
+  * only equality join conditions, so neither re-matches its own
+  * output.
+  */
+class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case rj: RangeJoinPlan =>
+      val rangePred = And(
+        GreaterThanOrEqual(rj.rightTime, rj.leftLo),
+        LessThanOrEqual(rj.rightTime, rj.leftHi))
+      expand(rj.left, rj.right, rj.leftKeys.zip(rj.rightKeys),
+        rj.leftLo, rj.leftHi, rj.rightTime, rangePred,
+        rj.bucketWidth, rj.maxBucketsPerRow, rj.isLeftOuter, rj.output)
+    case j @ Join(_, _, Inner, Some(_), _) if naiveEnabled =>
+      rewriteNaive(j).getOrElse(j)
+  }
+
+  private def naiveEnabled: Boolean =
+    conf.getConfString("spark.graft.rangeJoin.rewriteNaive", "false").toBoolean
+
+  /** Floor bucket of an integer-microsecond time: exact for negative
+    * epochs too (the pmod subtraction makes the dividend exactly
+    * divisible, so truncating division IS floor division).
+    */
+  private def bkt(t: Expression, w: Long): Expression =
+    new IntegralDivide(new Subtract(t, new Pmod(t, Literal(w))), Literal(w))
+
+  /** The shared expansion. `exactPred` re-applies the ORIGINAL range
+    * conjuncts (plus any residual predicates from a naive match), so
+    * strict bounds keep their strictness — the buckets only ever admit
+    * a superset of candidates.
+    */
+  private def expand(left: LogicalPlan, right: LogicalPlan,
+      keyPairs: Seq[(Attribute, Attribute)], lo: Attribute, hi: Attribute,
+      rt: Attribute, exactPred: Expression, width: Long, maxBuckets: Int,
+      isLeftOuter: Boolean, outAttrs: Seq[Attribute]): LogicalPlan = {
+    val loB = bkt(lo, width)
+    val hiB = bkt(hi, width)
+    val guard = And(GreaterThanOrEqual(hi, lo),
+      LessThan(new Subtract(hiB, loB), Literal(maxBuckets.toLong)))
+    val msg = Concat(Seq(
+      Literal(s"range join interval exceeds $maxBuckets buckets of " +
+        s"$width us (or hi < lo): lo="),
+      Cast(lo, StringType), Literal(" hi="), Cast(hi, StringType)))
+    // RaiseError typed as the branch's array type so CaseWhen stays
+    // resolved without analyzer coercion (this rule runs post-analysis)
+    val err = new RaiseError(Literal("USER_RAISED_EXCEPTION"),
+      CreateMap(Seq(Literal("errorMessage"), msg)),
+      ArrayType(LongType, containsNull = false))
+    // Sequence is TimeZoneAwareExpression: without a timeZoneId it stays
+    // unresolved, which post-analysis plan validation rejects (the tz is
+    // irrelevant for integral sequences but must be present)
+    val seq = new Sequence(loB, hiB, None, Option(conf.sessionLocalTimeZone))
+    val buckets = CaseWhen(Seq((guard, seq)), Option(err))
+    val bktAttr = AttributeReference("__graft_bkt", LongType, nullable = false)()
+    val lExp = Generate(Explode(buckets), Nil, outer = false, None,
+      Seq(bktAttr), left)
+    val rbktAlias = Alias(bkt(rt, width), "__graft_rbkt")()
+    val rPrj = Project(right.output :+ rbktAlias, right)
+    val equi = keyPairs.map { case (lk, rk) => EqualTo(lk, rk) } :+
+      EqualTo(bktAttr, rbktAlias.toAttribute)
+    val cond = equi.reduce[Expression](And(_, _))
+    val joined =
+      if (isLeftOuter)
+        // the exact range check must sit in the join CONDITION: as a
+        // post-filter it would also drop the null rows that make the
+        // join left-outer (same construction as the ops composition)
+        Join(lExp, rPrj, LeftOuter, Some(And(cond, exactPred)), JoinHint.NONE)
+      else
+        Filter(exactPred, Join(lExp, rPrj, Inner, Some(cond), JoinHint.NONE))
+    Project(outAttrs, joined)
+  }
+
+  /** Recognize `Join(l, r, Inner, equiKeys && rt >= lo && rt <= hi)`
+    * (any mix of strict/inclusive bounds, either operand order, keys
+    * optional, extra conjuncts allowed) where rt is a right LongType
+    * attribute and lo/hi are left LongType attributes. Exactly one
+    * bounded right time column must emerge, else the join is left
+    * alone.
+    */
+  private def rewriteNaive(j: Join): Option[LogicalPlan] = {
+    val Join(l, r, _, Some(cond), _) = j: @unchecked
+    if (l.isStreaming || r.isStreaming) return None
+    // fixed-point guard: PushPredicateThroughJoin hoists our exact-range
+    // post-filter back into the join condition on the next iteration,
+    // which would re-match this rule forever. A join whose left side
+    // already carries the generated bucket column IS our own output.
+    if (l.output.exists(_.name == "__graft_bkt")) return None
+    val lSet = l.outputSet
+    val rSet = r.outputSet
+    def isL(a: Attribute) = lSet.contains(a) && a.dataType == LongType
+    def isR(a: Attribute) = rSet.contains(a) && a.dataType == LongType
+    var keyPairs = Vector.empty[(Attribute, Attribute)]
+    // (rt, bound, original conjunct)
+    var lowers = Vector.empty[(Attribute, Attribute, Expression)]
+    var uppers = Vector.empty[(Attribute, Attribute, Expression)]
+    var leftover = Vector.empty[Expression]
+    splitConjunctivePredicates(cond).foreach {
+      case eq @ EqualTo(a: Attribute, b: Attribute)
+          if lSet.contains(a) && rSet.contains(b) => keyPairs :+= ((a, b))
+      case eq @ EqualTo(a: Attribute, b: Attribute)
+          if rSet.contains(a) && lSet.contains(b) => keyPairs :+= ((b, a))
+      case c @ GreaterThanOrEqual(t: Attribute, b: Attribute)
+          if isR(t) && isL(b) => lowers :+= ((t, b, c))
+      case c @ GreaterThan(t: Attribute, b: Attribute)
+          if isR(t) && isL(b) => lowers :+= ((t, b, c))
+      case c @ LessThanOrEqual(b: Attribute, t: Attribute)
+          if isR(t) && isL(b) => lowers :+= ((t, b, c))
+      case c @ LessThan(b: Attribute, t: Attribute)
+          if isR(t) && isL(b) => lowers :+= ((t, b, c))
+      case c @ LessThanOrEqual(t: Attribute, b: Attribute)
+          if isR(t) && isL(b) => uppers :+= ((t, b, c))
+      case c @ LessThan(t: Attribute, b: Attribute)
+          if isR(t) && isL(b) => uppers :+= ((t, b, c))
+      case c @ GreaterThanOrEqual(b: Attribute, t: Attribute)
+          if isR(t) && isL(b) => uppers :+= ((t, b, c))
+      case c @ GreaterThan(b: Attribute, t: Attribute)
+          if isR(t) && isL(b) => uppers :+= ((t, b, c))
+      case other => leftover :+= other
+    }
+    (lowers, uppers) match {
+      case (Vector((rt1, lo, cLo)), Vector((rt2, hi, cHi))) if rt1 == rt2 =>
+        val width =
+          conf.getConfString("spark.graft.rangeJoin.bucketWidthUs",
+            "3600000000").toLong
+        val maxBuckets =
+          conf.getConfString("spark.graft.rangeJoin.maxBucketsPerRow",
+            "64").toInt
+        val exact = (Seq(cLo, cHi) ++ leftover).reduce[Expression](And(_, _))
+        Some(expand(l, r, keyPairs, lo, hi, rt1, exact, width, maxBuckets,
+          isLeftOuter = false, j.output))
+      case _ => None
+    }
+  }
+}

@@ -172,7 +172,11 @@ object EventQueries {
       .withColumn("lo_us", col("p_us") - lit(3600000000L))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
-    graft.ops.RangeJoin.joinPointsInInterval(
+    // registered through the NATIVE logical node (plans.RangeJoinPlan +
+    // the RangeJoinRewrite optimizer expansion) since round 13; the
+    // hand-applied composition it replaced lives on in ops.RangeJoin
+    // (RangeJoinPlanSpec pins bit-equality between the two paths)
+    graft.plans.RangeJoinPlan.joinPointsInInterval(
         purchases, clicks, Seq("user_id"),
         leftLo = "lo_us", leftHi = "p_us", rightTime = "c_us",
         bucketWidth = 1800000000L, payloadCols = Seq("c_us"),

@@ -1,0 +1,136 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contract of the native bucketed range join (logical node +
+  * optimizer rewrite) against the hand-applied DataFrame composition
+  * in graft.ops.RangeJoin, plus the plan shape and the opt-in
+  * naive-join rewrite.
+  */
+class RangeJoinPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left intervals: key, id, [lo, hi]; one inverted-interval-free mix
+  // of matched / unmatched / multi-bucket rows
+  private def leftDf: DataFrame = Seq(
+    (1L, 10L, 100L, 250L),   // spans 3 buckets of 100
+    (1L, 11L, 400L, 450L),   // no clicks inside
+    (2L, 20L, 0L, 99L),      // single bucket
+    (3L, 30L, 500L, 700L)    // key with no right rows
+  ).toDF("k", "id", "lo", "hi")
+
+  private def rightDf: DataFrame = Seq(
+    (1L, 120L, "a"), (1L, 250L, "b"), (1L, 260L, "c"), (1L, 399L, "d"),
+    (2L, 50L, "e"), (2L, 100L, "f"),
+    (4L, 600L, "g")
+  ).toDF("k", "t", "payload")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("native node equals the ops composition (inner and left_outer)") {
+    for (jt <- Seq("inner", "left_outer")) {
+      val ops = graft.ops.RangeJoin.joinPointsInInterval(
+        leftDf, rightDf, Seq("k"), "lo", "hi", "t",
+        bucketWidth = 100L, payloadCols = Seq("t", "payload"), joinType = jt)
+      val native = RangeJoinPlan.joinPointsInInterval(
+        leftDf, rightDf, Seq("k"), "lo", "hi", "t",
+        bucketWidth = 100L, payloadCols = Seq("t", "payload"), joinType = jt)
+      assert(sortedRows(native) == sortedRows(ops), s"joinType=$jt")
+    }
+    // value sanity on the inner pair set, independent of both impls
+    val inner = RangeJoinPlan.joinPointsInInterval(
+      leftDf, rightDf, Seq("k"), "lo", "hi", "t",
+      bucketWidth = 100L, payloadCols = Seq("payload"))
+    val pairs = inner.select("id", "payload").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(pairs == Seq((10L, "a"), (10L, "b"), (20L, "e")))
+  }
+
+  test("expanded plan: generate + single equi join on (key, bucket), no NLJ") {
+    val native = RangeJoinPlan.joinPointsInInterval(
+      leftDf, rightDf, Seq("k"), "lo", "hi", "t",
+      bucketWidth = 100L, payloadCols = Seq("payload"))
+    val physical = native.queryExecution.executedPlan.toString
+    assert(physical.contains("Generate explode"), physical)
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+    // the bucket column is an EQUI key of the join (the rewrite's whole
+    // point: candidates meet on (key, bucket), not via an inequality)
+    val optimized = native.queryExecution.optimizedPlan
+    val joins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    val equiKeyNames = joins.flatMap(_.condition).flatMap { c =>
+      c.collect {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: org.apache.spark.sql.catalyst.expressions.Attribute,
+            b: org.apache.spark.sql.catalyst.expressions.Attribute) =>
+          Seq(a.name, b.name)
+      }.flatten
+    }
+    assert(equiKeyNames.contains("__graft_bkt") &&
+      equiKeyNames.contains("__graft_rbkt"), equiKeyNames.toString)
+  }
+
+  test("inverted or over-wide intervals raise instead of exploding") {
+    val bad = Seq((1L, 99L, 500L, 100L)).toDF("k", "id", "lo", "hi")
+    val native = RangeJoinPlan.joinPointsInInterval(
+      bad, rightDf, Seq("k"), "lo", "hi", "t",
+      bucketWidth = 100L, payloadCols = Seq("payload"))
+    val e = intercept[Exception](native.count())
+    assert(e.getMessage.contains("range join interval"),
+      s"unexpected: ${e.getMessage}")
+  }
+
+  test("opt-in rule rebuckets a naive inequality join written as a plain join") {
+    def naive(): DataFrame = leftDf.as("l").join(rightDf.as("r"),
+      col("l.k") === col("r.k") &&
+        col("r.t") >= col("l.lo") && col("r.t") <= col("l.hi"))
+    val expected = sortedRows(naive())
+    val off = naive().queryExecution.optimizedPlan.toString
+    assert(!off.contains("__graft_bkt"), off)
+    spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidthUs", "100")
+    try {
+      val on = naive()
+      val opt = on.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_bkt"), opt)
+      assert(sortedRows(on) == expected)
+      // strict bounds keep their strictness through the rewrite
+      val strict = leftDf.as("l").join(rightDf.as("r"),
+        col("l.k") === col("r.k") &&
+          col("r.t") > col("l.lo") && col("r.t") < col("l.hi"))
+      assert(strict.queryExecution.optimizedPlan.toString
+        .contains("__graft_bkt"))
+      val strictPairs = strict.select(col("id"), col("payload"))
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(strictPairs == Seq((10L, "a"), (20L, "e"))) // b (t=hi), e? t=50 in (0,99) yes
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.rewriteNaive")
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+    }
+  }
+
+  test("keyless naive inequality join rebuckets away from NLJ") {
+    spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidthUs", "100")
+    try {
+      val keyless = leftDf.join(rightDf,
+        col("t") >= col("lo") && col("t") <= col("hi"))
+      val phys = keyless.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      assert(phys.contains("Generate explode"), phys)
+      // reference: the same join with the rule off
+      spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "false")
+      val ref = sortedRows(leftDf.join(rightDf,
+        col("t") >= col("lo") && col("t") <= col("hi")))
+      assert(sortedRows(keyless) == ref)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.rewriteNaive")
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+    }
+  }
+}
