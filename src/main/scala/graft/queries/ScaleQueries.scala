@@ -977,7 +977,8 @@ object ScaleQueries {
         |    AND CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
         |      / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5),
         |sig AS (SELECT s.doc_id, minhash
-        |        FROM read_parquet('/root/repo/fixtures/signatures/*.parquet') s, smp
+        |        FROM read_parquet(['/root/repo/fixtures/signatures/*.parquet',
+        |                           '/root/repo/fixtures/signatures_sampled/*.parquet']) s, smp
         |        WHERE s.n_docs = smp.n AND s.n_chars_total = smp.nc
         |          AND s.doc_id % smp.m = 0),
         |banded AS (

@@ -79,7 +79,42 @@ object FixtureGen {
       .toSeq.toDF("bit", "w")
       .coalesce(1)
       .write.mode("overwrite").parquet(planesOut)
-    dirs
+    // the builder's sf1 point joins the centroid fixture when present
+    // (141 x 64 doubles — metadata-scale, unlike the 26 MB sf1
+    // signature set that stays uncommitted per the sf1-gate convention)
+    val centDirs = dirs ++
+      Seq("/tmp/graft-sf1").filter(d => new java.io.File(d).exists())
+    // q_dedup_lsh_recall above the 5000-doc cap measures over the
+    // doc_id % m == 0 subcorpus; its oracle needs signatures ONLY for
+    // the sampled docs, which keeps the committed slice small. Driver
+    // SFs have m = 1 (fully covered by the main fixture) and emit no
+    // rows here.
+    val sampledOut =
+      if (out.endsWith("signatures")) out + "_sampled"
+      else out + "_sampled"
+    centDirs
+      .map { dir =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val Array(n, nChars) = docs
+          .agg(count(lit(1)), sum("n_chars")).head().toSeq.toArray
+        val nDocs = n.asInstanceOf[Long]
+        val mod = math.max(1L, (nDocs + 4999L) / 5000L)
+        if (mod <= 1L) spark.emptyDataFrame
+          .select(lit(0L).as("n_docs"), lit(0L).as("n_chars_total"),
+            lit(0L).as("doc_id"), typedLit(Seq.empty[Long]).as("minhash"),
+            lit(0L).as("simhash")).limit(0)
+        else Dedup.withSimhash(
+            Dedup.withMinhash(docs.filter(col("doc_id") % mod === 0),
+              "text", numHashes = 128, shingleWidth = 3), "text")
+          .select(lit(nDocs).as("n_docs"),
+            lit(nChars.asInstanceOf[Long]).as("n_chars_total"),
+            col("doc_id"), col("minhash"), col("simhash"))
+      }
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(sampledOut)
+    centDirs
       .map { dir =>
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
         val Array(n, chk) = e
