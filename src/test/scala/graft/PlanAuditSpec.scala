@@ -64,7 +64,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_evt_psi",        // crossJoin of the 1-row reference histogram
     "q_evt_wasserstein", // crossJoin of the 1-row cohort totals
     "q_evt_kruskal",    // crossJoins of the 1-row totals/ties/H aggregates
-    "q_priv_tclose"     // class-ids x bucket-grid cross join (dimension-sized)
+    "q_priv_tclose",    // class-ids x bucket-grid cross join (dimension-sized)
+    // the partsupp family: the law relation crossJoins the 1-row
+    // supplier-count aggregate (4 rows per part thereafter); q11 also
+    // crossJoins its 1-row total+count
+    "q02_min_cost_supplier", "q09_product_profit", "q11_important_stock",
+    "q16_parts_supplier", "q20_potential_promotion"
   )
 
   // streaming queries execute a real stream per call; keep them out of
