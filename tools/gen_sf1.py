@@ -22,7 +22,9 @@ compared against a 10x-linear expectation:
 - events: event_id/user_id offset, timestamps unchanged (hourly
   rollup keys constant, per-key counts scale).
 
-Usage: python3 tools/gen_sf1.py [OUT_DIR]   (default /tmp/graft-sf1)
+Usage: python3 tools/gen_sf1.py [OUT_DIR] [COPIES]
+       (defaults /tmp/graft-sf1, 10 — COPIES=100 builds the sf10 point,
+        the second genuine scale decade for the growth-exponent table)
 """
 import os
 import sys
@@ -32,7 +34,7 @@ import pyarrow.compute as pc
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 
 def round_up(n, base=1000):
