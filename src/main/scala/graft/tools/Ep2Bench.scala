@@ -56,10 +56,18 @@ object Ep2Bench {
           ImagePlane("fov" + (f + 1), 0, 0, 0, 60, 60, Seq("channel1"),
             new Array[Float](3600), new Array[Int](3600)), cellSize = 10)
         CropOps.cropOne(p, plan).map { c =>
+          // each FOV's crops split across TWO adjacent arrival files
+          // (even crops minute g, odd crops minute g+1, clamped at the
+          // final file to avoid a late-wraparound), so every group is
+          // OPEN across a micro-batch boundary and the recorded state
+          // high-water measures genuine cross-batch buffering instead
+          // of groups completing inside one trigger
+          val g = (f % nFiles).toInt
+          val grp = if (c.crop % 2 == 0) g else math.min(g + 1, nFiles - 1)
           (c.fov, c.stack, c.crop, c.slice, c.nRows, c.nCols, c.channels,
             c.pixels, c.labels,
-            new java.sql.Timestamp(1700000000000L + (f % nFiles) * 60000L),
-            f % nFiles)
+            new java.sql.Timestamp(1700000000000L + grp * 60000L),
+            grp)
         }
       }
       .toDF("fov", "stack", "crop", "slice", "nRows", "nCols", "channels",
