@@ -144,7 +144,7 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * a superset of candidates.
     */
   private def expand(left: LogicalPlan, right: LogicalPlan,
-      keyPairs: Seq[(Attribute, Attribute)], lo: Attribute, hi: Attribute,
+      keyPairs: Seq[(Attribute, Attribute)], lo: Expression, hi: Expression,
       rt: Attribute, exactPred: Expression, width: Long, maxBuckets: Int,
       isLeftOuter: Boolean, outAttrs: Seq[Attribute]): LogicalPlan = {
     val loB = bkt(lo, width)
@@ -185,64 +185,107 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Recognize `Join(l, r, Inner, equiKeys && rt >= lo && rt <= hi)`
-    * (any mix of strict/inclusive bounds, either operand order, keys
-    * optional, extra conjuncts allowed) where rt is a right LongType
-    * attribute and lo/hi are left LongType attributes. Exactly one
-    * bounded right time column must emerge, else the join is left
-    * alone.
+    * (any mix of strict/inclusive bounds, either operand order, either
+    * table order — the interval side may be the join's left OR right —
+    * keys optional, extra conjuncts allowed) where rt is one side's
+    * LongType attribute and lo/hi are LongType EXPRESSIONS over the
+    * other side (`c_us >= p_us - 3600000000` matches without a
+    * precomputed bound column). Exactly one bounded time column must
+    * emerge, else the join is left alone.
     */
   private def rewriteNaive(j: Join): Option[LogicalPlan] = {
     val Join(l, r, _, Some(cond), _) = j: @unchecked
     if (l.isStreaming || r.isStreaming) return None
     // fixed-point guard: PushPredicateThroughJoin hoists our exact-range
     // post-filter back into the join condition on the next iteration,
-    // which would re-match this rule forever. A join whose left side
-    // already carries the generated bucket column IS our own output.
-    if (l.output.exists(_.name == "__graft_bkt")) return None
+    // which would re-match this rule forever. A join with the generated
+    // bucket column on either side IS our own output.
+    if ((l.output ++ r.output).exists(_.name == "__graft_bkt")) return None
     val lSet = l.outputSet
     val rSet = r.outputSet
-    def isL(a: Attribute) = lSet.contains(a) && a.dataType == LongType
-    def isR(a: Attribute) = rSet.contains(a) && a.dataType == LongType
-    var keyPairs = Vector.empty[(Attribute, Attribute)]
-    // (rt, bound, original conjunct)
-    var lowers = Vector.empty[(Attribute, Attribute, Expression)]
-    var uppers = Vector.empty[(Attribute, Attribute, Expression)]
+    // side of an arbitrary expression: 'l', 'r', or neither
+    def sideOf(e: Expression): Option[Char] =
+      if (e.references.isEmpty) None
+      else if (e.references.subsetOf(lSet)) Some('l')
+      else if (e.references.subsetOf(rSet)) Some('r')
+      else None
+    def opposite(s: Char): Char = if (s == 'l') 'r' else 'l'
+    var keyPairs = Vector.empty[(Attribute, Attribute)] // (left, right)
+    // a comparison with attributes on both sides admits TWO readings
+    // (either attribute may be the point, bounded by the other side's
+    // expression); enumerate all, resolve globally per candidate side
+    final case class Reading(point: Attribute, pside: Char,
+        bound: Expression, isLower: Boolean)
+    var rangeConjs = Vector.empty[(Expression, Seq[Reading])]
     var leftover = Vector.empty[Expression]
+    def readingsOf(hiSide: Expression, loSide: Expression): Seq[Reading] = {
+      // normalized to hiSide >= loSide
+      def mk(point: Expression, bound: Expression, isLower: Boolean) =
+        point match {
+          case a: Attribute if a.dataType == LongType &&
+              bound.dataType == LongType && bound.deterministic =>
+            (sideOf(a), sideOf(bound)) match {
+              case (Some(ps), Some(bs)) if bs == opposite(ps) =>
+                Some(Reading(a, ps, bound, isLower))
+              case _ => None
+            }
+          case _ => None
+        }
+      // point = hiSide bounded below by loSide, or point = loSide
+      // bounded above by hiSide
+      mk(hiSide, loSide, isLower = true).toSeq ++
+        mk(loSide, hiSide, isLower = false).toSeq
+    }
     splitConjunctivePredicates(cond).foreach {
       case eq @ EqualTo(a: Attribute, b: Attribute)
           if lSet.contains(a) && rSet.contains(b) => keyPairs :+= ((a, b))
       case eq @ EqualTo(a: Attribute, b: Attribute)
           if rSet.contains(a) && lSet.contains(b) => keyPairs :+= ((b, a))
-      case c @ GreaterThanOrEqual(t: Attribute, b: Attribute)
-          if isR(t) && isL(b) => lowers :+= ((t, b, c))
-      case c @ GreaterThan(t: Attribute, b: Attribute)
-          if isR(t) && isL(b) => lowers :+= ((t, b, c))
-      case c @ LessThanOrEqual(b: Attribute, t: Attribute)
-          if isR(t) && isL(b) => lowers :+= ((t, b, c))
-      case c @ LessThan(b: Attribute, t: Attribute)
-          if isR(t) && isL(b) => lowers :+= ((t, b, c))
-      case c @ LessThanOrEqual(t: Attribute, b: Attribute)
-          if isR(t) && isL(b) => uppers :+= ((t, b, c))
-      case c @ LessThan(t: Attribute, b: Attribute)
-          if isR(t) && isL(b) => uppers :+= ((t, b, c))
-      case c @ GreaterThanOrEqual(b: Attribute, t: Attribute)
-          if isR(t) && isL(b) => uppers :+= ((t, b, c))
-      case c @ GreaterThan(b: Attribute, t: Attribute)
-          if isR(t) && isL(b) => uppers :+= ((t, b, c))
+      case c @ GreaterThanOrEqual(x, y) if readingsOf(x, y).nonEmpty =>
+        rangeConjs :+= ((c, readingsOf(x, y)))
+      case c @ GreaterThan(x, y) if readingsOf(x, y).nonEmpty =>
+        rangeConjs :+= ((c, readingsOf(x, y)))
+      case c @ LessThanOrEqual(x, y) if readingsOf(y, x).nonEmpty =>
+        rangeConjs :+= ((c, readingsOf(y, x)))
+      case c @ LessThan(x, y) if readingsOf(y, x).nonEmpty =>
+        rangeConjs :+= ((c, readingsOf(y, x)))
       case other => leftover :+= other
     }
-    (lowers, uppers) match {
-      case (Vector((rt1, lo, cLo)), Vector((rt2, hi, cHi))) if rt1 == rt2 =>
-        val width =
-          conf.getConfString("spark.graft.rangeJoin.bucketWidthUs",
-            "3600000000").toLong
-        val maxBuckets =
-          conf.getConfString("spark.graft.rangeJoin.maxBucketsPerRow",
-            "64").toInt
-        val exact = (Seq(cLo, cHi) ++ leftover).reduce[Expression](And(_, _))
-        Some(expand(l, r, keyPairs, lo, hi, rt1, exact, width, maxBuckets,
-          isLeftOuter = false, j.output))
-      case _ => None
+    // resolve: try the point on the right first, then on the left; a
+    // match needs exactly one lower and one upper reading of the SAME
+    // point attribute on that side, with unchosen range conjuncts
+    // falling into the exact post-filter
+    def resolve(side: Char): Option[LogicalPlan] = {
+      val chosen = rangeConjs.map { case (c, rs) =>
+        (c, rs.filter(_.pside == side))
+      }
+      val bounds = chosen.flatMap { case (c, rs) => rs.map(r => (c, r)) }
+      val lowers = bounds.filter(_._2.isLower)
+      val uppers = bounds.filterNot(_._2.isLower)
+      (lowers, uppers) match {
+        case (Vector((cLo, rLo)), Vector((cHi, rHi)))
+            if rLo.point == rHi.point =>
+          val width =
+            conf.getConfString("spark.graft.rangeJoin.bucketWidthUs",
+              "3600000000").toLong
+          val maxBuckets =
+            conf.getConfString("spark.graft.rangeJoin.maxBucketsPerRow",
+              "64").toInt
+          val unchosen = rangeConjs.map(_._1).filterNot(c => c == cLo || c == cHi)
+          val exact = (Seq(cLo, cHi) ++ unchosen ++ leftover)
+            .reduce[Expression](And(_, _))
+          // orient: the interval side (carrying lo/hi) becomes expand's
+          // "left" (it gets the bucket Generate), the point side its
+          // "right"; the top Project restores j.output order either way
+          val (intervalSide, pointPlan, orientedKeys) =
+            if (side == 'r') (l, r, keyPairs)
+            else (r, l, keyPairs.map(_.swap))
+          Some(expand(intervalSide, pointPlan, orientedKeys,
+            rLo.bound, rHi.bound, rLo.point, exact, width, maxBuckets,
+            isLeftOuter = false, j.output))
+        case _ => None
+      }
     }
+    resolve('r').orElse(resolve('l'))
   }
 }

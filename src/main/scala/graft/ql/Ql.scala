@@ -54,6 +54,7 @@ object Ql {
     "q_stream_stitch", "q_stream_range_append", "q_stream_ewma",
     "q_stream_pattern", "q_stream_ewma_tws", "q_stream_attribution",
     "q_evt_pipeline",
+    "q_evt_range_sql", // rewrite-conf-scoped localCheckpoint at construction
     "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank",
     "q_graph_kcore", "q_graph_bfs", "q_graph_triangles", // edge-list checkpoint + count
     "q_sim_maxsim", "q_emb_meanpool_nn",

@@ -186,6 +186,51 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** The naive-inequality-join REWRITE, driver-visible through the SQL
+    * surface: the purchase→click window join written as PLAIN ANSI SQL
+    * (`JOIN ... ON user_id match AND c_us BETWEEN p_us-1h AND p_us`) —
+    * the shape Spark would execute as a per-key cartesian — run with
+    * `spark.graft.rangeJoin.rewriteNaive` on, so
+    * [[graft.plans.RangeJoinRewrite]] rebuckets it into the
+    * (key, bucket) equi join. A construction-time `require` pins that
+    * the rewrite actually fired (the optimized plan must carry the
+    * generated bucket column); the result is materialized under the
+    * conf (localCheckpoint — the flag is restored before return) and
+    * the oracle replays the same SQL in DuckDB. Complements
+    * q_evt_range_join (the explicit native node) and
+    * RangeJoinPlanSpec (bit-equality + keyless path).
+    */
+  private def qEvtRangeSql(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode)
+    val ev = t(s, dir, "events")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .createOrReplaceTempView(s"__rsql_p_$tag")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+      .createOrReplaceTempView(s"__rsql_c_$tag")
+    val prev = s.conf.getOption("spark.graft.rangeJoin.rewriteNaive")
+    s.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
+    s.conf.set("spark.graft.rangeJoin.bucketWidthUs", "1800000000")
+    try {
+      val df = s.sql(
+        s"""SELECT p.event_id, p.user_id, p.p_us, c.c_us
+           |FROM __rsql_p_$tag p JOIN __rsql_c_$tag c
+           |  ON p.user_id = c.c_user
+           | AND c.c_us >= p.p_us - 3600000000
+           | AND c.c_us <= p.p_us""".stripMargin)
+      require(df.queryExecution.optimizedPlan.toString.contains("__graft_bkt"),
+        "naive-join rewrite did not fire on the SQL-surface inequality join")
+      df.localCheckpoint().orderBy("event_id", "c_us")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.graft.rangeJoin.rewriteNaive", v)
+        case None    => s.conf.unset("spark.graft.rangeJoin.rewriteNaive")
+      }
+      s.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+    }
+  }
+
   /** Interval-overlap join (window-vs-window attribution): click
     * sessions that fall within an hour of the same user's error
     * bursts — both interval sets derived by gap-based sessionization
@@ -2047,6 +2092,7 @@ object EventQueries {
     "q_evt_asof_native" -> qEvtAsofNative _,
     "q_evt_asof_tol" -> qEvtAsofTol _,
     "q_evt_range_join" -> qEvtRangeJoin _,
+    "q_evt_range_sql" -> qEvtRangeSql _,
     "q_evt_overlap_join" -> qEvtOverlapJoin _,
     "q_evt_transitions" -> qEvtTransitions _,
     "q_evt_scd2" -> qEvtScd2 _,
@@ -3160,6 +3206,17 @@ object EventQueries {
         |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.c_us <= p.p_us
         |GROUP BY p.event_id, p.user_id, p.p_us, p.value
         |ORDER BY p.event_id""".stripMargin,
+    "q_evt_range_sql" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_user, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.p_us, c.c_us
+        |FROM p JOIN c ON p.user_id = c.c_user
+        |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us
+        |ORDER BY event_id, c_us""".stripMargin,
     "q_evt_asof_native" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS p_us, value
