@@ -35,7 +35,11 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
   *     `spark.graft.rangeJoin.bucketWidthUs` (default 1 h) and
   *     `spark.graft.rangeJoin.maxBucketsPerRow` (default 64) sizing
   *     the buckets. The explicit node needs no flag — constructing it
-  *     IS the opt-in.
+  *     IS the opt-in. The naive rewrite is semantics-preserving for
+  *     malformed rows: a NULL or inverted interval emits no match
+  *     (exactly what the original inner join did), and only the
+  *     fan-out cap raises; the explicit node keeps its documented
+  *     raise-on-malformed contract.
   *
   * Semantics are identical to the ops composition (both interval ends
   * inclusive, integer-microsecond times, left-outer emits null-payload
@@ -123,7 +127,8 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         LessThanOrEqual(rj.rightTime, rj.leftHi))
       expand(rj.left, rj.right, rj.leftKeys.zip(rj.rightKeys),
         rj.leftLo, rj.leftHi, rj.rightTime, rangePred,
-        rj.bucketWidth, rj.maxBucketsPerRow, rj.isLeftOuter, rj.output)
+        rj.bucketWidth, rj.maxBucketsPerRow, rj.isLeftOuter, rj.output,
+        strict = true)
     case j @ Join(_, _, Inner, Some(_), _) if naiveEnabled =>
       rewriteNaive(j).getOrElse(j)
   }
@@ -142,18 +147,28 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * conjuncts (plus any residual predicates from a naive match), so
     * strict bounds keep their strictness — the buckets only ever admit
     * a superset of candidates.
+    *
+    * `strict` selects the malformed-interval contract. The explicit
+    * [[RangeJoinPlan]] node documents raise-on-malformed (NULL bound,
+    * hi < lo, or over-wide interval all fail loudly). The NAIVE
+    * rewrite must preserve the semantics of the join it replaces: an
+    * inner join simply emits no match for a NULL or inverted interval
+    * row, so those map to a null bucket array (explode of null emits
+    * zero rows) and only the fan-out cap — where silence would mean an
+    * unbounded bucket explosion — still raises.
     */
   private def expand(left: LogicalPlan, right: LogicalPlan,
       keyPairs: Seq[(Attribute, Attribute)], lo: Expression, hi: Expression,
       rt: Attribute, exactPred: Expression, width: Long, maxBuckets: Int,
-      isLeftOuter: Boolean, outAttrs: Seq[Attribute]): LogicalPlan = {
+      isLeftOuter: Boolean, outAttrs: Seq[Attribute],
+      strict: Boolean): LogicalPlan = {
     val loB = bkt(lo, width)
     val hiB = bkt(hi, width)
-    val guard = And(GreaterThanOrEqual(hi, lo),
-      LessThan(new Subtract(hiB, loB), Literal(maxBuckets.toLong)))
+    val narrowEnough =
+      LessThan(new Subtract(hiB, loB), Literal(maxBuckets.toLong))
     val msg = Concat(Seq(
       Literal(s"range join interval exceeds $maxBuckets buckets of " +
-        s"$width us (or hi < lo): lo="),
+        s"$width us" + (if (strict) " (or hi < lo)" else "") + ": lo="),
       Cast(lo, StringType), Literal(" hi="), Cast(hi, StringType)))
     // RaiseError typed as the branch's array type so CaseWhen stays
     // resolved without analyzer coercion (this rule runs post-analysis)
@@ -164,7 +179,17 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // unresolved, which post-analysis plan validation rejects (the tz is
     // irrelevant for integral sequences but must be present)
     val seq = new Sequence(loB, hiB, None, Option(conf.sessionLocalTimeZone))
-    val buckets = CaseWhen(Seq((guard, seq)), Option(err))
+    val buckets =
+      if (strict)
+        CaseWhen(Seq(
+          (And(GreaterThanOrEqual(hi, lo), narrowEnough), seq)), Option(err))
+      else
+        // branch order matters: IsNull/inverted must win before the
+        // width check (whose NULL would otherwise fall through to err)
+        CaseWhen(Seq(
+          (Or(Or(IsNull(lo), IsNull(hi)), LessThan(hi, lo)),
+            Literal.create(null, ArrayType(LongType, containsNull = false))),
+          (narrowEnough, seq)), Option(err))
     val bktAttr = AttributeReference("__graft_bkt", LongType, nullable = false)()
     val lExp = Generate(Explode(buckets), Nil, outer = false, None,
       Seq(bktAttr), left)
@@ -282,7 +307,7 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             else (r, l, keyPairs.map(_.swap))
           Some(expand(intervalSide, pointPlan, orientedKeys,
             rLo.bound, rHi.bound, rLo.point, exact, width, maxBuckets,
-            isLeftOuter = false, j.output))
+            isLeftOuter = false, j.output, strict = false))
         case _ => None
       }
     }

@@ -210,6 +210,7 @@ object EventQueries {
       .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
       .createOrReplaceTempView(s"__rsql_c_$tag")
     val prev = s.conf.getOption("spark.graft.rangeJoin.rewriteNaive")
+    val prevWidth = s.conf.getOption("spark.graft.rangeJoin.bucketWidthUs")
     s.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
     s.conf.set("spark.graft.rangeJoin.bucketWidthUs", "1800000000")
     try {
@@ -227,7 +228,10 @@ object EventQueries {
         case Some(v) => s.conf.set("spark.graft.rangeJoin.rewriteNaive", v)
         case None    => s.conf.unset("spark.graft.rangeJoin.rewriteNaive")
       }
-      s.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+      prevWidth match {
+        case Some(v) => s.conf.set("spark.graft.rangeJoin.bucketWidthUs", v)
+        case None    => s.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+      }
     }
   }
 

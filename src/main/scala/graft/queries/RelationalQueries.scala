@@ -927,8 +927,11 @@ object RelationalQueries {
       lit("1970-01-01").cast("date")).cast("long")
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"),
+        // multiplier coprime to 7: mode genuinely depends on BOTH
+        // orderkey and linenumber (a multiple of the modulus would
+        // cancel and make mode a pure function of linenumber)
         element_at(modes,
-          (pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(7)) + 1)
+          (pmod(col("l_orderkey") * 11 + col("l_linenumber"), lit(7)) + 1)
             .cast("int")).as("l_shipmode"),
         // l_shipdate is TIMESTAMP_NTZ; the session tz is pinned UTC, so
         // the cast reads it as the same instant DuckDB's epoch_us sees
@@ -1059,7 +1062,7 @@ object RelationalQueries {
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber,
         |    (['AIR','MAIL','SHIP','TRUCK','RAIL','FOB','REG AIR'])
-        |      [CAST((l_orderkey * 7 + l_linenumber) % 7 + 1 AS INT)] AS l_shipmode,
+        |      [CAST((l_orderkey * 11 + l_linenumber) % 7 + 1 AS INT)] AS l_shipmode,
         |    epoch_us(l_shipdate) // 86400000000 AS ship_day
         |  FROM lineitem),
         |li2 AS (

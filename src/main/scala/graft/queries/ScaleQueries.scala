@@ -790,6 +790,16 @@ object ScaleQueries {
     "q_stream_range_append" -> qStreamRangeAppend _,
   )
 
+  /** Fixture-parquet root for the signature/ANN oracles, resolved when
+    * the SQL is built rather than hard-coded to a checkout path:
+    * `-Dgraft.fixtures.dir=...` overrides; default is the `fixtures/`
+    * directory under the process working directory (the repo root for
+    * Verify/Bench and the driver's replay).
+    */
+  private val fixturesDir: String =
+    sys.props.getOrElse("graft.fixtures.dir",
+      new java.io.File("fixtures").getAbsolutePath)
+
   val oracles: Map[String, String] = Map(
     // Shared batch oracles: CMS commits a bit-identical matrix under
     // any slicing (value replay); MG's verdict columns are
@@ -911,9 +921,9 @@ object ScaleQueries {
     // admitting an extra engine candidate would fail this gate, which
     // is the point).
     "q_dedup_minhash_pairs" ->
-      """WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
+      s"""WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
         |sig AS (SELECT doc_id, minhash
-        |        FROM read_parquet('/root/repo/fixtures/signatures/*.parquet') s, nd
+        |        FROM read_parquet('$fixturesDir/signatures/*.parquet') s, nd
         |        WHERE s.n_docs = nd.n AND s.n_chars_total = nd.nc),
         |banded AS (
         |  SELECT doc_id, t.band AS band,
@@ -930,9 +940,9 @@ object ScaleQueries {
         |SELECT id_a, id_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.05 ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_simhash_pairs" ->
-      """WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
+      s"""WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
         |sig AS (SELECT doc_id, simhash
-        |        FROM read_parquet('/root/repo/fixtures/signatures/*.parquet') s, nd
+        |        FROM read_parquet('$fixturesDir/signatures/*.parquet') s, nd
         |        WHERE s.n_docs = nd.n AND s.n_chars_total = nd.nc),
         |chunked AS (
         |  SELECT doc_id, simhash, t.ci AS ci, (simhash >> (t.ci*16)) & 65535 AS chunk
@@ -949,7 +959,7 @@ object ScaleQueries {
     // subcorpus, the LSH numerator via the pinned signature fixture — so
     // the recall number itself is oracle-checked, not just pinned TRUE.
     "q_dedup_lsh_recall" ->
-      """WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
+      s"""WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
         |smp AS (SELECT n, nc, greatest(1, (n + 4999) // 5000) AS m FROM nd),
         |docs AS (SELECT d.doc_id, d.text FROM documents d, smp
         |         WHERE d.doc_id % smp.m = 0),
@@ -977,8 +987,8 @@ object ScaleQueries {
         |    AND CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
         |      / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5),
         |sig AS (SELECT s.doc_id, minhash
-        |        FROM read_parquet(['/root/repo/fixtures/signatures/*.parquet',
-        |                           '/root/repo/fixtures/signatures_sampled/*.parquet']) s, smp
+        |        FROM read_parquet(['$fixturesDir/signatures/*.parquet',
+        |                           '$fixturesDir/signatures_sampled/*.parquet']) s, smp
         |        WHERE s.n_docs = smp.n AND s.n_chars_total = smp.nc
         |          AND s.doc_id % smp.m = 0),
         |banded AS (
@@ -1009,10 +1019,10 @@ object ScaleQueries {
     // hyperplanes (data-independent fixture), multi-probe = hamming <= 2
     // on the 10-bit signature, cosine by the proven q_sim_knn_join recipe.
     "q_sim_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
         |           FROM embeddings),
         |pl AS (SELECT bit, w
-        |       FROM read_parquet('/root/repo/fixtures/hyperplanes/*.parquet')),
+        |       FROM read_parquet('$fixturesDir/hyperplanes/*.parquet')),
         |bk AS (
         |  SELECT e.vec_id,
         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> pl.w[i] * e.vec[i])) >= 0
@@ -1045,7 +1055,7 @@ object ScaleQueries {
     // ties), the driver-side nprobe cell choice (normalized query), and
     // the pruned top-k.
     "q_sim_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
         |           FROM embeddings),
         |nv AS (SELECT count(*) AS n,
         |         sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS chk
@@ -1054,7 +1064,7 @@ object ScaleQueries {
         |    greatest(1, CAST(least(4096, greatest(1, round(sqrt(CAST(n AS DOUBLE))))) AS BIGINT) // 2) AS nprobe
         |  FROM nv),
         |cen AS (SELECT c.cell, c.centroid
-        |        FROM read_parquet('/root/repo/fixtures/ivf_centroids/*.parquet') c, prm
+        |        FROM read_parquet('$fixturesDir/ivf_centroids/*.parquet') c, prm
         |        WHERE c.n_vecs = prm.n AND c.chk = prm.chk),
         |asg AS (
         |  SELECT vec_id, cell FROM (
@@ -1096,7 +1106,7 @@ object ScaleQueries {
     // assignment + nprobe choice, pruned per-probe top-10), so every
     // count and the recall value itself are oracle-checked.
     "q_sim_ivf_recall" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
         |           FROM embeddings),
         |nv AS (SELECT count(*) AS n,
         |         sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS chk
@@ -1105,7 +1115,7 @@ object ScaleQueries {
         |    greatest(1, CAST(least(4096, greatest(1, round(sqrt(CAST(n AS DOUBLE))))) AS BIGINT) // 2) AS nprobe
         |  FROM nv),
         |cen AS (SELECT c.cell, c.centroid
-        |        FROM read_parquet('/root/repo/fixtures/ivf_centroids/*.parquet') c, prm
+        |        FROM read_parquet('$fixturesDir/ivf_centroids/*.parquet') c, prm
         |        WHERE c.n_vecs = prm.n AND c.chk = prm.chk),
         |probes AS (SELECT vec_id AS probe_id, vec AS qvec FROM e
         |           WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8),

@@ -114,6 +114,38 @@ class RangeJoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("naive rewrite preserves inner-join semantics for NULL and inverted intervals") {
+    // the ORIGINAL join emits no match for a NULL or inverted interval
+    // row; the rewrite must do the same instead of raising (raise is
+    // reserved for the explicit node and the fan-out cap)
+    val messy = Seq(
+      (1L, Some(10L), Some(100L), Some(250L)), // normal: matches a, b
+      (1L, Some(12L), None, Some(300L)),       // NULL lo
+      (1L, Some(13L), Some(100L), None),       // NULL hi
+      (2L, Some(21L), Some(99L), Some(50L))    // inverted hi < lo
+    ).toDF("k", "id", "lo", "hi")
+    def naive(): DataFrame = messy.as("l").join(rightDf.as("r"),
+      col("l.k") === col("r.k") &&
+        col("r.t") >= col("l.lo") && col("r.t") <= col("l.hi"))
+    val expected = sortedRows(naive())
+    spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidthUs", "100")
+    try {
+      val on = naive()
+      assert(on.queryExecution.optimizedPlan.toString.contains("__graft_bkt"))
+      assert(sortedRows(on) == expected) // no crash, identical rows
+      // the fan-out cap still raises loudly (not a silent drop)
+      spark.conf.set("spark.graft.rangeJoin.maxBucketsPerRow", "1")
+      val e = intercept[Exception](naive().count())
+      assert(e.getMessage.contains("range join interval exceeds"),
+        s"unexpected: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.rewriteNaive")
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+      spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerRow")
+    }
+  }
+
   test("keyless naive inequality join rebuckets away from NLJ") {
     spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
     spark.conf.set("spark.graft.rangeJoin.bucketWidthUs", "100")
