@@ -31,7 +31,8 @@ object SparkEntry {
       AdvancedQueries.defs ++
       GraphQueries.defs ++
       DqQueries.defs ++
-      FeatureQueries.defs
+      FeatureQueries.defs ++
+      IoQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -48,5 +49,6 @@ object SparkEntry {
       AdvancedQueries.oracles ++
       GraphQueries.oracles ++
       DqQueries.oracles ++
-      FeatureQueries.oracles
+      FeatureQueries.oracles ++
+      IoQueries.oracles
 }
