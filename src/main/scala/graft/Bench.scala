@@ -67,16 +67,33 @@ object Bench {
     val ctxJson = ctx.toSeq.sortBy(_._1)
       .map { case (k, (t, l)) => s"\"" + k + s"\":[$t,$l]" }
       .mkString("{", ",", "}")
+    // The driver's per-round artifact keeps only the LAST 2000 chars of
+    // stdout, so a ~6 KB named walls map can never survive the tail
+    // capture (BENCH_r12/r13 both lost it; parsed:null). Two lines fix
+    // it: the FULL record first (also persisted to a repo-root file the
+    // next round commits), then a COMPACT line sized to fit the tail —
+    // walls as a centisecond array in sorted-query-name order (the same
+    // order `queries`/CORRECTNESS use, so names zip back on), plus the
+    // slowest 10 by name for at-a-glance regression checks.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errJson,"state_rows":$sw,"query_ctx":$ctxJson,"load_end":${loadavg()},"sf":"$sfDir"}"""
+      s"""{"detail":"full","value":$total,"unit":"sec","queries":$qs,"err":$errJson,"state_rows":$sw,"query_ctx":$ctxJson,"load_end":${loadavg()},"sf":"$sfDir"}"""
+    def r2(d: Double): Double = math.rint(d * 100) / 100
+    val slowJson = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val wallsCs = ok.map { case (_, v) => math.rint(v * 100).toLong }
+      .mkString("[", ",", "]")
+    val compact =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${ok.size},"slowest":$slowJson,"walls_cs":$wallsCs,"walls_order":"sorted_query_names","n_err":${errors.size},"load_end":${loadavg()},"sf":"$sfDir"}"""
     println(line)
-    // also persist the full line: stdout tail-grabs truncate on long
-    // logs, and per-query numbers must survive intact
-    // default under target/ so a bench run leaves the checkout clean
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
-    new java.io.File(out).getAbsoluteFile.getParentFile.mkdirs()
-    val w = new java.io.PrintWriter(out)
-    try w.println(line) finally w.close()
+    println(compact)
+    // persist the full line where the NEXT round's commit picks it up
+    // (target/ is gitignored; this artifact is the per-query record)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_WALLS_LATEST.json")
+    val outFile = new java.io.File(out).getAbsoluteFile
+    Option(outFile.getParentFile).foreach(_.mkdirs())
+    val w = new java.io.PrintWriter(outFile)
+    try { w.println(line); w.println(compact) } finally w.close()
     spark.stop()
   }
 }

@@ -463,6 +463,36 @@ object StreamOps {
     * within-batch sort handles intra-batch disorder); spec-asserted
     * with a two-file time-sliced replay.
     */
+  /** Bounded drain for the update-mode parity harnesses: every
+    * micro-batch's update rows append to a temp parquet sink
+    * (executor-side writes — driver memory stays O(1) no matter the
+    * key cardinality), read back once the stream drains. Replaces the
+    * collect-into-ArrayBuffer pattern, whose driver buffer — not the
+    * state store — became the ceiling at 100x users. Returns the
+    * drained updates (columns renamed to `cols`) plus the state-store
+    * high-water across batches.
+    */
+  private def drainUpdates[T](updates: org.apache.spark.sql.Dataset[T],
+      cols: Seq[String]): (DataFrame, Long) = {
+    val spark = updates.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain")
+      .toFile.getAbsolutePath
+    val q = updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
+        batch.write.mode("append").parquet(dir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    (spark.read.schema(updates.schema).parquet(dir).toDF(cols: _*), maxState)
+  }
+
   def ewmaState(spark: SparkSession, sfDir: String,
                 glob: String = "events.parquet",
                 maxFilesPerTrigger: Int = 0): (DataFrame, Long) = {
@@ -490,24 +520,10 @@ object StreamOps {
           state.update(st)
           (uid, st.n, st.ewma)
         })
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-    var maxState = 0L
-    val q = updates.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
-        val rows = batch.collect()
-        buf.synchronized { buf ++= rows }
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    val (drained, maxState) =
+      drainUpdates(updates, Seq("user_id", "n_events", "ewma"))
     stateHighWater("q_stream_ewma") = maxState
-    val out = buf.synchronized(buf.toSeq).toDF("user_id", "n_events", "ewma")
+    val out = drained
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("ewma"))).as("last"))
       .select(col("user_id"), col("last.n_events").as("n_events"),
@@ -583,27 +599,11 @@ object StreamOps {
           (uid, st.seq, st.nltC, st.ltcC, st.linC, st.lincC,
             st.nltV, st.ltcV, st.linV, st.lincV)
         })
-    val buf = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
-    val q = updates.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)], _: Long) =>
-        val rows = batch.collect()
-        buf.synchronized { buf ++= rows }
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    val (drained, maxState) = drainUpdates(updates,
+      Seq("user_id", "seq", "nlt_c", "ltc_c", "lin_c", "linc_c",
+        "nlt_v", "ltc_v", "lin_v", "linc_v"))
     stateHighWater("q_stream_attribution") = maxState
-    val out = buf.synchronized(buf.toSeq)
-      .toDF("user_id", "seq", "nlt_c", "ltc_c", "lin_c", "linc_c",
-        "nlt_v", "ltc_v", "lin_v", "linc_v")
+    val out = drained
       .groupBy("user_id")
       .agg(max(struct(col("seq"), col("nlt_c"), col("ltc_c"), col("lin_c"),
         col("linc_c"), col("nlt_v"), col("ltc_v"), col("lin_v"),
@@ -673,24 +673,10 @@ object StreamOps {
         .transformWithState(new EwmaProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      val q = updates.writeStream
-        .outputMode("update")
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
-            val rows = batch.collect()
-            buf.synchronized { buf ++= rows }
-            ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable()
-      val progress = q.recentProgress
-      q.stop()
-      val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-        .foldLeft(0L)(math.max)
+      val (drained, maxState) =
+        drainUpdates(updates, Seq("user_id", "n_events", "ewma"))
       stateHighWater("q_stream_ewma_tws") = maxState
-      val out = buf.synchronized(buf.toSeq).toDF("user_id", "n_events", "ewma")
+      val out = drained
         .groupBy("user_id")
         .agg(max(struct(col("n_events"), col("ewma"))).as("last"))
         .select(col("user_id"), col("last.n_events").as("n_events"),
@@ -789,28 +775,11 @@ object StreamOps {
           val (n, conv, err, conv2) = cepEmit(st)
           (uid, n, conv, err, conv2)
         })
-    val buf = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Long, Boolean)]
-    val q = updates.writeStream
-      .outputMode("update")
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Boolean)],
-         _: Long) =>
-          val rows = batch.collect()
-          buf.synchronized { buf ++= rows }
-          ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    val (drained, maxState) = drainUpdates(updates,
+      Seq("user_id", "n_events", "n_conv", "n_err_runs", "signup_converted"))
     stateHighWater("q_stream_pattern") = maxState
     // last update per user wins: nEvents is strictly monotone per touch
-    val out = buf.synchronized(buf.toSeq)
-      .toDF("user_id", "n_events", "n_conv", "n_err_runs", "signup_converted")
+    val out = drained
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("n_conv"), col("n_err_runs"),
         col("signup_converted"))).as("last"))
