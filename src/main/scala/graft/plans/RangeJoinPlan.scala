@@ -77,6 +77,47 @@ case class RangeJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Interval-interval overlap join as a first-class Catalyst node —
+  * the window-vs-window member of the temporal-join family
+  * ([[AsOfJoinPlan]] = latest-before, [[RangeJoinPlan]] =
+  * point-in-window). Declares the semantics of
+  * [[graft.ops.RangeJoin.joinIntervalsOverlap]]: left rows carry
+  * `[leftLo, leftHi]`, right rows `[rightLo, rightHi]` (integer
+  * microseconds, both ends inclusive), a pair matches when
+  * `max(lo) <= min(hi)`. [[RangeJoinRewrite]] expands it to the
+  * double-bucket-explode composition with the canonical-bucket dedup
+  * (a pair survives only in the bucket of `greatest(leftLo,
+  * rightLo)` — the first shared bucket — so the equi-join needs no
+  * distinct pass). Inner join only; both fan-outs capped by
+  * `maxBucketsPerRow` with the explicit node's raise-on-malformed
+  * contract.
+  */
+case class OverlapJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftLo: Attribute,
+    leftHi: Attribute,
+    rightLo: Attribute,
+    rightHi: Attribute,
+    bucketWidth: Long,
+    maxBucketsPerRow: Int) extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "overlap join needs at least one equi key")
+  require(bucketWidth > 0, "bucketWidth must be positive")
+  require(maxBucketsPerRow > 0, "maxBucketsPerRow must be positive")
+  require(Seq(leftLo, leftHi, rightLo, rightHi).forall(_.dataType == LongType),
+    "overlap join bound columns must be integer (LongType) — pass unix_micros")
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): OverlapJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
 object RangeJoinPlan {
 
   /** Column-level entry with the same signature and semantics as
@@ -110,6 +151,35 @@ object RangeJoinPlan {
       payloadCols.map(n => rightOut.find(_.name == n).get)
     GraftSqlBridge.ofRows(left.sparkSession, Project(keep, node))
   }
+
+  /** Column-level entry with the same signature and semantics as
+    * [[graft.ops.RangeJoin.joinIntervalsOverlap]]; returns `left.*`
+    * plus `payloadCols`.
+    */
+  def joinIntervalsOverlap(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftLo: String, leftHi: String,
+      rightLo: String, rightHi: String, bucketWidth: Long,
+      payloadCols: Seq[String], maxBucketsPerRow: Int = 64): DataFrame = {
+    val collide = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"payload columns collide with left: $collide")
+    val rightPruned = right.select(
+      (keys ++ Seq(rightLo, rightHi) ++ payloadCols).distinct.map(col): _*)
+    val lPlan = GraftSqlBridge.analyzedPlan(left)
+    val rPlan0 = GraftSqlBridge.analyzedPlan(rightPruned)
+    val rPlan: LogicalPlan =
+      Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(sys.error(s"no column $n"))
+    val node = OverlapJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftLo), attr(lPlan, leftHi),
+      attr(rPlan, rightLo), attr(rPlan, rightHi),
+      bucketWidth, maxBucketsPerRow)
+    val rightOut = node.output.drop(lPlan.output.length)
+    val keep = lPlan.output ++
+      payloadCols.map(n => rightOut.find(_.name == n).get)
+    GraftSqlBridge.ofRows(left.sparkSession, Project(keep, node))
+  }
 }
 
 /** Expands [[RangeJoinPlan]] into the bucket-explode composition, and
@@ -129,6 +199,7 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         rj.leftLo, rj.leftHi, rj.rightTime, rangePred,
         rj.bucketWidth, rj.maxBucketsPerRow, rj.isLeftOuter, rj.output,
         strict = true)
+    case oj: OverlapJoinPlan => expandOverlap(oj)
     case j @ Join(_, _, Inner, Some(_), _) if naiveEnabled =>
       rewriteNaive(j).getOrElse(j)
   }
@@ -162,34 +233,36 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       rt: Attribute, exactPred: Expression, width: Long, maxBuckets: Int,
       isLeftOuter: Boolean, outAttrs: Seq[Attribute],
       strict: Boolean): LogicalPlan = {
-    val loB = bkt(lo, width)
-    val hiB = bkt(hi, width)
-    val narrowEnough =
-      LessThan(new Subtract(hiB, loB), Literal(maxBuckets.toLong))
-    val msg = Concat(Seq(
-      Literal(s"range join interval exceeds $maxBuckets buckets of " +
-        s"$width us" + (if (strict) " (or hi < lo)" else "") + ": lo="),
-      Cast(lo, StringType), Literal(" hi="), Cast(hi, StringType)))
-    // RaiseError typed as the branch's array type so CaseWhen stays
-    // resolved without analyzer coercion (this rule runs post-analysis)
-    val err = new RaiseError(Literal("USER_RAISED_EXCEPTION"),
-      CreateMap(Seq(Literal("errorMessage"), msg)),
-      ArrayType(LongType, containsNull = false))
-    // Sequence is TimeZoneAwareExpression: without a timeZoneId it stays
-    // unresolved, which post-analysis plan validation rejects (the tz is
-    // irrelevant for integral sequences but must be present)
-    val seq = new Sequence(loB, hiB, None, Option(conf.sessionLocalTimeZone))
     val buckets =
-      if (strict)
-        CaseWhen(Seq(
-          (And(GreaterThanOrEqual(hi, lo), narrowEnough), seq)), Option(err))
-      else
+      if (strict) cappedSeq(lo, hi, width, maxBuckets, "range join")
+      else {
+        val loB = bkt(lo, width)
+        val hiB = bkt(hi, width)
+        val narrowEnough =
+          LessThan(new Subtract(hiB, loB), Literal(maxBuckets.toLong))
+        val msg = Concat(Seq(
+          Literal(s"range join interval exceeds $maxBuckets buckets of " +
+            s"$width us: lo="),
+          Cast(lo, StringType), Literal(" hi="), Cast(hi, StringType)))
+        // RaiseError typed as the branch's array type so CaseWhen stays
+        // resolved without analyzer coercion (this rule runs
+        // post-analysis)
+        val err = new RaiseError(Literal("USER_RAISED_EXCEPTION"),
+          CreateMap(Seq(Literal("errorMessage"), msg)),
+          ArrayType(LongType, containsNull = false))
+        // Sequence is TimeZoneAwareExpression: without a timeZoneId it
+        // stays unresolved, which post-analysis plan validation rejects
+        // (the tz is irrelevant for integral sequences but must be
+        // present)
+        val seq =
+          new Sequence(loB, hiB, None, Option(conf.sessionLocalTimeZone))
         // branch order matters: IsNull/inverted must win before the
         // width check (whose NULL would otherwise fall through to err)
         CaseWhen(Seq(
           (Or(Or(IsNull(lo), IsNull(hi)), LessThan(hi, lo)),
             Literal.create(null, ArrayType(LongType, containsNull = false))),
           (narrowEnough, seq)), Option(err))
+      }
     val bktAttr = AttributeReference("__graft_bkt", LongType, nullable = false)()
     val lExp = Generate(Explode(buckets), Nil, outer = false, None,
       Seq(bktAttr), left)
@@ -207,6 +280,60 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       else
         Filter(exactPred, Join(lExp, rPrj, Inner, Some(cond), JoinHint.NONE))
     Project(outAttrs, joined)
+  }
+
+  /** Strict capped bucket sequence for one interval — the explicit
+    * nodes' shared raise-on-malformed contract (NULL bound, hi < lo,
+    * or span over `maxBuckets` all fall to the raise branch).
+    */
+  private def cappedSeq(lo: Expression, hi: Expression, width: Long,
+      maxBuckets: Int, what: String): Expression = {
+    val loB = bkt(lo, width)
+    val hiB = bkt(hi, width)
+    val guard = And(GreaterThanOrEqual(hi, lo),
+      LessThan(new Subtract(hiB, loB), Literal(maxBuckets.toLong)))
+    val msg = Concat(Seq(
+      Literal(s"$what interval exceeds $maxBuckets buckets of " +
+        s"$width us (or hi < lo): lo="),
+      Cast(lo, StringType), Literal(" hi="), Cast(hi, StringType)))
+    val err = new RaiseError(Literal("USER_RAISED_EXCEPTION"),
+      CreateMap(Seq(Literal("errorMessage"), msg)),
+      ArrayType(LongType, containsNull = false))
+    val seq = new Sequence(loB, hiB, None, Option(conf.sessionLocalTimeZone))
+    CaseWhen(Seq((guard, seq)), Option(err))
+  }
+
+  /** Expand [[OverlapJoinPlan]]: explode BOTH sides' intervals into
+    * bucket copies, equi-join on (keys, bucket), keep a pair only if
+    * the exact overlap predicate holds AND the met bucket is the one
+    * containing `greatest(leftLo, rightLo)` — the first shared
+    * bucket, covered by both sides exactly when the intervals
+    * overlap — so each pair survives exactly once with no distinct
+    * pass (same construction as the ops composition;
+    * RangeJoinPlanSpec pins bit-equality).
+    */
+  private def expandOverlap(oj: OverlapJoinPlan): LogicalPlan = {
+    val w = oj.bucketWidth
+    val lBkt = AttributeReference("__graft_bkt", LongType, nullable = false)()
+    val lExp = Generate(
+      Explode(cappedSeq(oj.leftLo, oj.leftHi, w, oj.maxBucketsPerRow,
+        "overlap join left")),
+      Nil, outer = false, None, Seq(lBkt), oj.left)
+    val rBkt = AttributeReference("__graft_rbkt", LongType, nullable = false)()
+    val rExp = Generate(
+      Explode(cappedSeq(oj.rightLo, oj.rightHi, w, oj.maxBucketsPerRow,
+        "overlap join right")),
+      Nil, outer = false, None, Seq(rBkt), oj.right)
+    val equi = (oj.leftKeys.zip(oj.rightKeys)
+      .map { case (lk, rk) => EqualTo(lk, rk) } :+ EqualTo(lBkt, rBkt))
+      .reduce[Expression](And(_, _))
+    val maxLo = Greatest(Seq(oj.leftLo, oj.rightLo))
+    val overlapPred = LessThanOrEqual(maxLo,
+      Least(Seq(oj.leftHi, oj.rightHi)))
+    val canonical = EqualTo(lBkt, bkt(maxLo, w))
+    val joined = Filter(And(overlapPred, canonical),
+      Join(lExp, rExp, Inner, Some(equi), JoinHint.NONE))
+    Project(oj.output, joined)
   }
 
   /** Recognize `Join(l, r, Inner, equiKeys && rt >= lo && rt <= hi)`

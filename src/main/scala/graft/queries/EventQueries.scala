@@ -267,7 +267,10 @@ object EventQueries {
     val errors = sessions("error", 600000000L)
       .select(col("user_id"), (col("lo") - 3600000000L).as("w_lo"),
         (col("hi") + 3600000000L).as("w_hi"), col("n").as("n_errors"))
-    graft.ops.RangeJoin.joinIntervalsOverlap(clicks, errors, Seq("user_id"),
+    // registered through the NATIVE OverlapJoinPlan node since round 14
+    // (the ops composition is the spec-pinned bit-equal twin)
+    graft.plans.RangeJoinPlan.joinIntervalsOverlap(clicks, errors,
+        Seq("user_id"),
         leftLo = "s_lo", leftHi = "s_hi", rightLo = "w_lo", rightHi = "w_hi",
         bucketWidth = 3600000000L, payloadCols = Seq("w_lo", "w_hi", "n_errors"))
       .withColumn("overlap_us",

@@ -114,6 +114,49 @@ class RangeJoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("native overlap node equals the ops composition, dedups, and rejects malformed") {
+    // left sessions and right windows with touching, nested, disjoint
+    // and multi-shared-bucket overlaps
+    val lIv = Seq(
+      (1L, 10L, 100L, 250L),  // overlaps w1 (shares 2 buckets) + touches w2
+      (1L, 11L, 400L, 450L),  // disjoint from all
+      (2L, 20L, 0L, 320L),    // nests w3
+      (3L, 30L, 500L, 700L)   // key with no right rows
+    ).toDF("k", "id", "s_lo", "s_hi")
+    val rIv = Seq(
+      (1L, 150L, 260L, "w1"), (1L, 250L, 300L, "w2"), (1L, 460L, 470L, "w3x"),
+      (2L, 100L, 150L, "w3"),
+      (4L, 600L, 650L, "w4")
+    ).toDF("k", "w_lo", "w_hi", "wname")
+    val ops = graft.ops.RangeJoin.joinIntervalsOverlap(
+      lIv, rIv, Seq("k"), "s_lo", "s_hi", "w_lo", "w_hi",
+      bucketWidth = 100L, payloadCols = Seq("w_lo", "w_hi", "wname"))
+    val native = RangeJoinPlan.joinIntervalsOverlap(
+      lIv, rIv, Seq("k"), "s_lo", "s_hi", "w_lo", "w_hi",
+      bucketWidth = 100L, payloadCols = Seq("w_lo", "w_hi", "wname"))
+    assert(sortedRows(native) == sortedRows(ops))
+    // each overlapping pair exactly once (canonical-bucket dedup), and
+    // the expected pair set: (10,w1) shares buckets 1 and 2, (10,w2)
+    // touches at 250, (20,w3) nested
+    val pairs = native.select("id", "wname").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(pairs == Seq((10L, "w1"), (10L, "w2"), (20L, "w3")))
+    // plan shape: two Generates, equi join on the bucket attrs, no NLJ
+    val phys = native.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"), phys)
+    assert(phys.contains("Generate explode"), phys)
+    val opt = native.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_bkt") && opt.contains("__graft_rbkt"), opt)
+    // malformed (inverted) intervals keep the explicit-node raise
+    val bad = Seq((1L, 99L, 500L, 100L)).toDF("k", "id", "s_lo", "s_hi")
+    val e = intercept[Exception](RangeJoinPlan.joinIntervalsOverlap(
+      bad, rIv, Seq("k"), "s_lo", "s_hi", "w_lo", "w_hi",
+      bucketWidth = 100L, payloadCols = Seq("wname")).count())
+    assert(e.getMessage.contains("overlap join left interval"),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("naive rewrite preserves inner-join semantics for NULL and inverted intervals") {
     // the ORIGINAL join emits no match for a NULL or inverted interval
     // row; the rewrite must do the same instead of raising (raise is
