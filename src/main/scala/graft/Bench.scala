@@ -8,6 +8,14 @@ object Bench {
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B trials (e.g. the naive-range-join rewrite) set session confs
+    // without a code change: "k1=v1;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(';').map(_.trim).filter(_.contains('=')).foreach { kv =>
+        val i = kv.indexOf('=')
+        spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    }
     // warm up executor threads, codegen and the parquet reader so the
     // first measured query doesn't absorb JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -55,6 +55,14 @@ object Verify {
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B trials (e.g. the naive-range-join rewrite) set session confs
+    // without a code change: "k1=v1;k2=v2" — same hook as Bench
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(';').map(_.trim).filter(_.contains('=')).foreach { kv =>
+        val i = kv.indexOf('=')
+        spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    }
     // Optional comma-separated allowlist for targeted replays (e.g. the
     // sf1 dedup spot-pass); unset ⇒ full dump, the driver's contract.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

@@ -179,6 +179,31 @@ object GraphQueries {
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
       .localCheckpoint()
+    val cap = s.conf.getOption("spark.graft.triangles.broadcastEdgeCap")
+      .map(_.toLong).getOrElse(5000000L)
+    val (tri, deg) = trianglesFromPairs(pairs, cap)
+    val perNode = tri.select(col("apex").as("node"))
+      .union(tri.select(col("lo").as("node")))
+      .union(tri.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .select(coalesce(col("tri_count"), lit(0L)).as("tri_count"))
+      .groupBy("tri_count").agg(count(lit(1)).as("n_parts"))
+      .orderBy("tri_count")
+  }
+
+  /** Degree-ordered triangle enumeration from an undirected pair list
+    * `(u, v)` (u < v, deduplicated): returns the triangle relation
+    * `(apex, lo, hi)` — each triangle exactly once — and the degree
+    * relation `(node, deg)`. Extracted from [[qGraphTriangles]] so the
+    * closing-join routing (broadcast under `broadcastEdgeCap` edges,
+    * shuffle_hash above — the >5M-edge path a 100 TB corpus takes) is
+    * testable on planted fixtures: the skew spec forces cap=0 on a
+    * graph with one hot closing pair and asserts AQE splits the
+    * skewed partition.
+    */
+  private[graft] def trianglesFromPairs(pairs: DataFrame,
+      broadcastEdgeCap: Long = 5000000L): (DataFrame, DataFrame) = {
     val deg = pairs.select(col("u").as("node"))
       .union(pairs.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -192,10 +217,23 @@ object GraphQueries {
       .select(col("u"), col("v"),
         (col("du") * 4294967296L + col("u")).as("ku"),
         (col("dv") * 4294967296L + col("v")).as("kv"))
+    // Checkpoint the oriented edges REPARTITIONED BY (src, dst), not on
+    // whatever single-endpoint hash the degree join left behind. This
+    // is skew armor for the shuffle_hash closing path: AQE's local
+    // shuffle read keeps the wedge-producing side on e's stored
+    // partitioning, so a hub endpoint's edges concentrated in one map
+    // would make every hot (lo, hi) reduce partition a SINGLE map
+    // chunk — and AQE's skew-join split works at map-chunk granularity,
+    // so single-map partitions are unsplittable. Two-key diversity
+    // spreads any node's edges across maps, keeping hot closing pairs
+    // splittable (spec-pinned in GraphSpec's planted-skew case). One
+    // extra shuffle of the edge list — the side ~100x smaller than the
+    // wedge stream it protects.
     val e = keyed.select(
       when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
       when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
       greatest(col("ku"), col("kv")).as("kdst"))
+      .repartition(col("src"), col("dst"))
       .localCheckpoint()
     val nEdges = e.count()
     val wedges = e.select(col("src").as("apex"), col("dst").as("lo"), col("kdst").as("klo"))
@@ -217,16 +255,10 @@ object GraphQueries {
     // pick; the localCheckpoint above is what makes the count cheap.
     val closing = e.select(col("src").as("lo"), col("dst").as("hi"))
     val tri = wedges.join(
-      if (nEdges <= 5000000L) broadcast(closing) else closing.hint("shuffle_hash"),
+      if (nEdges <= broadcastEdgeCap) broadcast(closing)
+      else closing.hint("shuffle_hash"),
       Seq("lo", "hi"))
-    val perNode = tri.select(col("apex").as("node"))
-      .union(tri.select(col("lo").as("node")))
-      .union(tri.select(col("hi").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("tri_count"))
-    deg.join(perNode, Seq("node"), "left_outer")
-      .select(coalesce(col("tri_count"), lit(0L)).as("tri_count"))
-      .groupBy("tri_count").agg(count(lit(1)).as("n_parts"))
-      .orderBy("tri_count")
+    (tri, deg)
   }
 
   /** Probe-batch size for [[qGraphLinkpred]] — the construction-time

@@ -513,6 +513,14 @@ object ScaleQueries {
   private def qStreamPattern(s: SparkSession, dir: String): DataFrame =
     StreamOps.patternState(s, dir)._1
 
+  /** The same CEP DFA on Spark 4's transformWithState (RocksDB-backed
+    * named state) — API-surface twin of q_stream_pattern, must
+    * hash-match its journey oracle exactly. See
+    * StreamOps.patternStateTws.
+    */
+  private def qStreamPatternTws(s: SparkSession, dir: String): DataFrame =
+    StreamOps.patternStateTws(s, dir)._1
+
   /** Stateful streaming sessionization (flatMapGroupsWithState) —
     * must equal the batch window-algebra sessionization, so it shares
     * q_evt_sessionize's oracle.
@@ -782,6 +790,7 @@ object ScaleQueries {
     "q_stream_attribution" -> qStreamAttribution _,
     "q_stream_ewma_tws" -> qStreamEwmaTws _,
     "q_stream_pattern" -> qStreamPattern _,
+    "q_stream_pattern_tws" -> qStreamPatternTws _,
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_hourly_append" -> qStreamHourlyAppend _,
     "q_stream_sessionize_append" -> qStreamSessionizeAppend _,
@@ -1178,6 +1187,16 @@ object ScaleQueries {
     // the full-history fold the O(1) streaming state replaces: the
     // list_reduce IS the e' = v/2 + e/2 recursion, element 1 seeding
     "q_stream_pattern" ->
+      """WITH j AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(journey, 'vc*p')) AS BIGINT) AS n_conv,
+        |  CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT) AS n_err_runs,
+        |  len(regexp_extract_all(journey, 's[^p]*p')) > 0 AS signup_converted
+        |FROM j ORDER BY user_id""".stripMargin,
+    "q_stream_pattern_tws" ->
       """WITH j AS (
         |  SELECT user_id, count(*) AS n_events,
         |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey

@@ -691,6 +691,78 @@ object StreamOps {
     }
   }
 
+  /** [[patternState]] on the Spark 4 `transformWithState` API: the
+    * same DFA simulation ([[cepStep]]/[[cepEmit]]) held in a
+    * `ValueState[CepState]`, so it must reproduce q_stream_pattern's
+    * table bit-for-bit and shares its DuckDB journey oracle. Like
+    * [[EwmaProcessor]] this exercises the arbitrary-state surface
+    * that replaces mapGroupsWithState at scale (named state
+    * variables, RocksDB-backed, TTL/timers available) — here the
+    * payload is the three-machine CEP state rather than a scalar
+    * recursion, proving the port pattern generalizes beyond EWMA.
+    */
+  private class PatternProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvtT, (Long, Long, Long, Long, Boolean)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[CepState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CepState]("cep",
+        org.apache.spark.sql.Encoders.product[CepState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[EvtT],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Boolean)] = {
+      var s = if (st.exists()) st.get() else cepInit
+      rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        s = cepStep(s, e.letter.charAt(0))
+      }
+      st.update(s)
+      val (n, conv, err, matched) = cepEmit(s)
+      Iterator.single((uid, n, conv, err, matched))
+    }
+  }
+
+  def patternStateTws(spark: SparkSession, sfDir: String): (DataFrame, Long) = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val stream = graft.core.EventTime.normalize(
+        spark.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      val events = stream
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("letter"))
+        .as[EvtT]
+      val updates = events.groupByKey(_.user_id)
+        .transformWithState(new PatternProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val (drained, maxState) = drainUpdates(updates,
+        Seq("user_id", "n_events", "n_conv", "n_err_runs", "signup_converted"))
+      stateHighWater("q_stream_pattern_tws") = maxState
+      val out = drained
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_conv"), col("n_err_runs"),
+          col("signup_converted"))).as("last"))
+        .select(col("user_id"), col("last.n_events").as("n_events"),
+          col("last.n_conv").as("n_conv"),
+          col("last.n_err_runs").as("n_err_runs"),
+          col("last.signup_converted").as("signup_converted"))
+        .orderBy("user_id")
+      (out, maxState)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   case class EvtT(user_id: Long, us: Long, event_id: Long, letter: String)
   case class CepState(nEvents: Long, inMatch: Boolean, runLen: Int,
                       pending: Boolean, matched: Boolean,

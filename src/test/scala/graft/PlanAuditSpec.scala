@@ -78,6 +78,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_stream_incremental", "q_stream_hourly_append", "q_stream_incremental_append",
     "q_stream_sessionize_append", "q_stream_stitch", "q_stream_range_append",
     "q_stream_ewma", "q_stream_pattern", "q_stream_ewma_tws",
+    "q_stream_pattern_tws",
     "q_stream_attribution", "q_stream_countmin", "q_stream_topk",
     "q_stream_psi", "q_stream_session_native", "q_stream_range_outer")
 

@@ -30,6 +30,69 @@ class GraphSpec extends SparkSpec {
     assert(hi > lo, s"mean rank of top degree quartile $hi <= bottom $lo")
   }
 
+  test("triangle close above the broadcast cap: shuffle_hash path, AQE skew split") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    // One hot closing pair: K apexes each adjacent to both 1 and 2,
+    // plus the closing edge (1,2). Every apex has degree 2 < deg(1) =
+    // deg(2) = K+1, so orientation sends apex->1 and apex->2 and all K
+    // wedges carry the SAME (lo,hi) = (1,2) key — one pathological
+    // shuffle partition in the closing join, the shape AQE's skew
+    // split exists for.
+    val k = 100000
+    val pairs = ((1L, 2L) +: (0 until k).flatMap { i =>
+      val a = 100L + i; Seq((1L, a), (2L, a))
+    }).toDF("u", "v").localCheckpoint()
+    // thresholds sized to the fixture: the hot partition carries 100k
+    // rows (a few hundred KB shuffled), the rest are ~empty, so any
+    // sub-100KB threshold flags exactly one partition as skewed
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      // Spark 4 clamps the skew-split target to minPartitionSize (1 MB
+      // default) — lower it so the fixture-sized hot partition splits
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16384")
+    val prior = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      // cap 0 forces the >5M-edge routing regardless of fixture size
+      val (tri, _) = GraphQueries.trianglesFromPairs(pairs, broadcastEdgeCap = 0L)
+      val rows = tri.collect()
+      assert(rows.length == k, s"${rows.length} triangles != $k")
+      assert(rows.forall(r =>
+        r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == 2L))
+      val finalPlan = tri.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      // query stages are leaf nodes to collect(); descend explicitly
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(allNodes)
+      }
+      val closes = allNodes(finalPlan).collect { case j: ShuffledHashJoinExec => j }
+      assert(closes.nonEmpty, s"no shuffle_hash closing join in:\n$finalPlan")
+      assert(closes.exists(_.isSkewJoin),
+        s"AQE did not mark the closing join skew-split:\n$finalPlan")
+      // the routing is a physical choice only: both paths must agree
+      val (triB, _) =
+        GraphQueries.trianglesFromPairs(pairs, broadcastEdgeCap = Long.MaxValue)
+      assert(triB.count() == k.toLong)
+    } finally prior.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None)    => spark.conf.unset(key)
+    }
+  }
+
   test("bfs census: planted path, disconnected island, and hop-cap truncation") {
     import spark.implicits._
     // path 0-1-2-3 (undirected) plus island 10-11: distances 0..3,

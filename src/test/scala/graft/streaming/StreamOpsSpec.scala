@@ -151,6 +151,21 @@ class StreamOpsSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("transformWithState CEP equals the mapGroupsWithState twin bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val (mgws, _) = StreamOps.patternState(spark, dir)
+    val (tws, maxState) = StreamOps.patternStateTws(spark, dir)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val a = toMap(mgws)
+    val b = toMap(tws)
+    assert(a == b, "the Spark 4 state API must reproduce the classic CEP exactly")
+    assert(maxState == a.size.toLong, "RocksDB state rows == users (O(1)/user)")
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("streaming CEP: DFA state equals the batch regex counts, O(1) state per user") {
     val dir = "/root/testdata/sf0.001"
     val (oneShot, maxState) = StreamOps.patternState(spark, dir)
