@@ -29,17 +29,26 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
   *     Spark would otherwise execute as a per-key cartesian (or a
   *     BroadcastNestedLoopJoin when keyless) — and applies the
   *     rewrite to it, so ANY inequality join in ANY plan (including
-  *     `spark.sql` text) gets the bucketed plan. That rewrite changes
-  *     plan shape for every join in the session, so it is opt-in:
-  *     `spark.graft.rangeJoin.rewriteNaive=true`, with
+  *     `spark.sql` text) gets the bucketed plan. The rewrite is ON by
+  *     default since round 14 (`spark.graft.rangeJoin.rewriteNaive`,
+  *     set false to disable), with
   *     `spark.graft.rangeJoin.bucketWidthUs` (default 1 h) and
   *     `spark.graft.rangeJoin.maxBucketsPerRow` (default 64) sizing
-  *     the buckets. The explicit node needs no flag — constructing it
-  *     IS the opt-in. The naive rewrite is semantics-preserving for
-  *     malformed rows: a NULL or inverted interval emits no match
-  *     (exactly what the original inner join did), and only the
-  *     fan-out cap raises; the explicit node keeps its documented
-  *     raise-on-malformed contract.
+  *     the buckets. Default-on was measured, not assumed: a normalized
+  *     plan sweep of the full 221-query batch inventory
+  *     (tools.RewriteTrial) shows ZERO plan changes with the flag on —
+  *     the match conditions (a LongType point attribute bounded on
+  *     both sides by the opposite relation) fire only on the naive
+  *     shape the rule exists for — and the sf0.1 bench totals are
+  *     equal within load noise (BASELINE.md round-14 trial). The
+  *     explicit node needs no flag — constructing it IS the opt-in.
+  *     The naive rewrite is semantics-preserving for malformed rows: a
+  *     NULL or inverted interval emits no match (exactly what the
+  *     original inner join did), and only the fan-out cap raises, with
+  *     a remediation message (widen bucketWidthUs / raise
+  *     maxBucketsPerRow / unset the flag) — the one behavior change a
+  *     user with >64-bucket-wide intervals can observe; the explicit
+  *     node keeps its documented raise-on-malformed contract.
   *
   * Semantics are identical to the ops composition (both interval ends
   * inclusive, integer-microsecond times, left-outer emits null-payload
@@ -205,7 +214,7 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def naiveEnabled: Boolean =
-    conf.getConfString("spark.graft.rangeJoin.rewriteNaive", "false").toBoolean
+    conf.getConfString("spark.graft.rangeJoin.rewriteNaive", "true").toBoolean
 
   /** Floor bucket of an integer-microsecond time: exact for negative
     * epochs too (the pmod subtraction makes the dividend exactly
@@ -243,7 +252,10 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val msg = Concat(Seq(
           Literal(s"range join interval exceeds $maxBuckets buckets of " +
             s"$width us: lo="),
-          Cast(lo, StringType), Literal(" hi="), Cast(hi, StringType)))
+          Cast(lo, StringType), Literal(" hi="), Cast(hi, StringType),
+          Literal(" — widen spark.graft.rangeJoin.bucketWidthUs, raise " +
+            "spark.graft.rangeJoin.maxBucketsPerRow, or set " +
+            "spark.graft.rangeJoin.rewriteNaive=false")))
         // RaiseError typed as the branch's array type so CaseWhen stays
         // resolved without analyzer coercion (this rule runs
         // post-analysis)

@@ -217,25 +217,31 @@ object GraphQueries {
       .select(col("u"), col("v"),
         (col("du") * 4294967296L + col("u")).as("ku"),
         (col("dv") * 4294967296L + col("v")).as("kv"))
-    // Checkpoint the oriented edges REPARTITIONED BY (src, dst), not on
-    // whatever single-endpoint hash the degree join left behind. This
-    // is skew armor for the shuffle_hash closing path: AQE's local
-    // shuffle read keeps the wedge-producing side on e's stored
-    // partitioning, so a hub endpoint's edges concentrated in one map
-    // would make every hot (lo, hi) reduce partition a SINGLE map
-    // chunk — and AQE's skew-join split works at map-chunk granularity,
-    // so single-map partitions are unsplittable. Two-key diversity
-    // spreads any node's edges across maps, keeping hot closing pairs
-    // splittable (spec-pinned in GraphSpec's planted-skew case). One
-    // extra shuffle of the edge list — the side ~100x smaller than the
-    // wedge stream it protects.
-    val e = keyed.select(
+    // pairs ARE the distinct undirected edges, and pairs is already
+    // checkpointed — so the edge count (the broadcast-vs-shuffle_hash
+    // routing input) is known before e is built.
+    val nEdges = pairs.count()
+    val oriented = keyed.select(
       when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
       when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
       greatest(col("ku"), col("kv")).as("kdst"))
-      .repartition(col("src"), col("dst"))
+    // Above the broadcast cap, checkpoint the oriented edges
+    // REPARTITIONED BY (src, dst), not on whatever single-endpoint hash
+    // the degree join left behind. This is skew armor for the
+    // shuffle_hash closing path: AQE's local shuffle read keeps the
+    // wedge-producing side on e's stored partitioning, so a hub
+    // endpoint's edges concentrated in one map would make every hot
+    // (lo, hi) reduce partition a SINGLE map chunk — and AQE's
+    // skew-join split works at map-chunk granularity, so single-map
+    // partitions are unsplittable. Two-key diversity spreads any
+    // node's edges across maps, keeping hot closing pairs splittable
+    // (spec-pinned in GraphSpec's planted-skew case). One extra
+    // shuffle of the edge list — the side ~100x smaller than the wedge
+    // stream it protects — and skipped entirely on the broadcast path,
+    // where wedges are filtered map-side and never shuffle at all.
+    val e = (if (nEdges <= broadcastEdgeCap) oriented
+             else oriented.repartition(col("src"), col("dst")))
       .localCheckpoint()
-    val nEdges = e.count()
     val wedges = e.select(col("src").as("apex"), col("dst").as("lo"), col("kdst").as("klo"))
       .join(e.select(col("src").as("apex"), col("dst").as("hi"), col("kdst").as("khi")),
         Seq("apex"))

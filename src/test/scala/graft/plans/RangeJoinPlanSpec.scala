@@ -85,16 +85,23 @@ class RangeJoinPlanSpec extends SparkSpec {
       s"unexpected: ${e.getMessage}")
   }
 
-  test("opt-in rule rebuckets a naive inequality join written as a plain join") {
+  test("default-on rule rebuckets a naive inequality join written as a plain join") {
     def naive(): DataFrame = leftDf.as("l").join(rightDf.as("r"),
       col("l.k") === col("r.k") &&
         col("r.t") >= col("l.lo") && col("r.t") <= col("l.hi"))
+    // the flag can turn the rewrite OFF (the reference plan)...
+    spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "false")
     val expected = sortedRows(naive())
     val off = naive().queryExecution.optimizedPlan.toString
     assert(!off.contains("__graft_bkt"), off)
-    spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
+    // ...and UNSET means ON (round-14 default, measured plan-neutral
+    // on the registered inventory — see BASELINE.md trial)
+    spark.conf.unset("spark.graft.rangeJoin.rewriteNaive")
     spark.conf.set("spark.graft.rangeJoin.bucketWidthUs", "100")
     try {
+      assert(naive().queryExecution.optimizedPlan.toString
+        .contains("__graft_bkt"), "unset flag must default to rewrite-on")
+      spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
       val on = naive()
       val opt = on.queryExecution.optimizedPlan.toString
       assert(opt.contains("__graft_bkt"), opt)
