@@ -52,7 +52,8 @@ object Ql {
     "q_stream_incremental", "q_stream_hourly_append",
     "q_stream_incremental_append", "q_stream_sessionize_append",
     "q_stream_stitch", "q_stream_range_append", "q_stream_ewma",
-    "q_stream_pattern", "q_stream_ewma_tws", "q_stream_attribution",
+    "q_stream_pattern", "q_stream_ewma_tws", "q_stream_pattern_tws",
+    "q_stream_attribution",
     "q_evt_pipeline",
     "q_evt_range_sql", // rewrite-conf-scoped localCheckpoint at construction
     "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank",
@@ -62,7 +63,8 @@ object Ql {
     "q_stream_psi",        // append-mode drain at construction
     "q_stream_session_native", // append-mode drain at construction
     "q_stream_range_outer",    // append-mode drain at construction
-    "q_layout_bucket_join" // writes the bucketed tables + plan verdict
+    "q_layout_bucket_join", // writes the bucketed tables + plan verdict
+    "q_npz_roundtrip" // writes the NPZ fixture at construction (S10 sink)
   )
 
   /** Register inventory queries as temp views named after their registry
