@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Generate, Join, JoinHint, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.GraftSqlBridge
@@ -42,13 +42,14 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
   *     shape the rule exists for — and the sf0.1 bench totals are
   *     equal within load noise (BASELINE.md round-14 trial). The
   *     explicit node needs no flag — constructing it IS the opt-in.
-  *     The naive rewrite is semantics-preserving for malformed rows: a
-  *     NULL or inverted interval emits no match (exactly what the
-  *     original inner join did), and only the fan-out cap raises, with
-  *     a remediation message (widen bucketWidthUs / raise
-  *     maxBucketsPerRow / unset the flag) — the one behavior change a
-  *     user with >64-bucket-wide intervals can observe; the explicit
-  *     node keeps its documented raise-on-malformed contract.
+  *     The naive rewrite is FULLY semantics-preserving: a NULL or
+  *     inverted interval emits no match (exactly what the original
+  *     inner join did), and rows whose interval spans >=
+  *     maxBucketsPerRow buckets take a WIDE-ROW FALLBACK — the
+  *     original join shape restricted to exactly those rows, unioned
+  *     with the bucketed branch — so the heavy tail degrades to the
+  *     plan the user wrote instead of raising or exploding. Only the
+  *     explicit node keeps its documented raise-on-malformed contract.
   *
   * Semantics are identical to the ops composition (both interval ends
   * inclusive, integer-microsecond times, left-outer emits null-payload
@@ -234,8 +235,9 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * rewrite must preserve the semantics of the join it replaces: an
     * inner join simply emits no match for a NULL or inverted interval
     * row, so those map to a null bucket array (explode of null emits
-    * zero rows) and only the fan-out cap — where silence would mean an
-    * unbounded bucket explosion — still raises.
+    * zero rows); over-wide intervals also map to null here because the
+    * naive caller re-routes them through its wide-row fallback join —
+    * nothing in the naive path ever raises.
     */
   private def expand(left: LogicalPlan, right: LogicalPlan,
       keyPairs: Seq[(Attribute, Attribute)], lo: Expression, hi: Expression,
@@ -249,31 +251,24 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val hiB = bkt(hi, width)
         val narrowEnough =
           LessThan(new Subtract(hiB, loB), Literal(maxBuckets.toLong))
-        val msg = Concat(Seq(
-          Literal(s"range join interval exceeds $maxBuckets buckets of " +
-            s"$width us: lo="),
-          Cast(lo, StringType), Literal(" hi="), Cast(hi, StringType),
-          Literal(" — widen spark.graft.rangeJoin.bucketWidthUs, raise " +
-            "spark.graft.rangeJoin.maxBucketsPerRow, or set " +
-            "spark.graft.rangeJoin.rewriteNaive=false")))
-        // RaiseError typed as the branch's array type so CaseWhen stays
-        // resolved without analyzer coercion (this rule runs
-        // post-analysis)
-        val err = new RaiseError(Literal("USER_RAISED_EXCEPTION"),
-          CreateMap(Seq(Literal("errorMessage"), msg)),
-          ArrayType(LongType, containsNull = false))
         // Sequence is TimeZoneAwareExpression: without a timeZoneId it
         // stays unresolved, which post-analysis plan validation rejects
         // (the tz is irrelevant for integral sequences but must be
         // present)
         val seq =
           new Sequence(loB, hiB, None, Option(conf.sessionLocalTimeZone))
-        // branch order matters: IsNull/inverted must win before the
-        // width check (whose NULL would otherwise fall through to err)
+        // the naive path NEVER raises: malformed (NULL/inverted) rows
+        // emit no match, matching the join this rewrite replaces, and
+        // rows wider than the cap are dropped HERE because the caller
+        // routes them through the original join shape instead (the
+        // wide-row fallback Union in rewriteNaive) — branch order
+        // matters: IsNull/inverted must win before the width check,
+        // whose NULL comparison would otherwise be indeterminate
         CaseWhen(Seq(
           (Or(Or(IsNull(lo), IsNull(hi)), LessThan(hi, lo)),
             Literal.create(null, ArrayType(LongType, containsNull = false))),
-          (narrowEnough, seq)), Option(err))
+          (narrowEnough, seq)),
+          Option(Literal.create(null, ArrayType(LongType, containsNull = false))))
       }
     val bktAttr = AttributeReference("__graft_bkt", LongType, nullable = false)()
     val lExp = Generate(Explode(buckets), Nil, outer = false, None,
@@ -444,9 +439,31 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val (intervalSide, pointPlan, orientedKeys) =
             if (side == 'r') (l, r, keyPairs)
             else (r, l, keyPairs.map(_.swap))
-          Some(expand(intervalSide, pointPlan, orientedKeys,
+          val bucketed = expand(intervalSide, pointPlan, orientedKeys,
             rLo.bound, rHi.bound, rLo.point, exact, width, maxBuckets,
-            isLeftOuter = false, j.output, strict = false))
+            isLeftOuter = false, j.output, strict = false)
+          // Wide-row fallback: intervals spanning >= maxBucketsPerRow
+          // buckets are DROPPED by the bucketed branch (their explode
+          // would be unbounded) and instead take the ORIGINAL join
+          // shape, restricted to exactly those rows — so the rewrite
+          // has zero observable behavior change: the heavy tail
+          // degrades to the plan the user wrote rather than raising.
+          // The marker column reuses the __graft_bkt guard name so the
+          // fixed-point guard skips this inner join on the next
+          // optimizer pass; the top Project drops it.
+          val loB = bkt(rLo.bound, width)
+          val hiB = bkt(rHi.bound, width)
+          val widePred = And(
+            And(IsNotNull(rLo.bound), IsNotNull(rHi.bound)),
+            And(GreaterThanOrEqual(rHi.bound, rLo.bound),
+              GreaterThanOrEqual(new Subtract(hiB, loB),
+                Literal(maxBuckets.toLong))))
+          val markedWide = Project(
+            intervalSide.output :+ Alias(Literal(1L), "__graft_bkt")(),
+            Filter(widePred, intervalSide))
+          val wideJoin = Project(j.output,
+            Join(markedWide, pointPlan, Inner, Some(cond), JoinHint.NONE))
+          Some(Union(Seq(bucketed, wideJoin)))
         case _ => None
       }
     }

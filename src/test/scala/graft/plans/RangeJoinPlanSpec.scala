@@ -184,11 +184,40 @@ class RangeJoinPlanSpec extends SparkSpec {
       val on = naive()
       assert(on.queryExecution.optimizedPlan.toString.contains("__graft_bkt"))
       assert(sortedRows(on) == expected) // no crash, identical rows
-      // the fan-out cap still raises loudly (not a silent drop)
+      // over-wide intervals take the wide-row fallback (the original
+      // join restricted to those rows) instead of raising: with the
+      // cap at 1 bucket EVERY normal row is "wide", so the whole
+      // result flows through the fallback branch of the Union and must
+      // still equal the original join
       spark.conf.set("spark.graft.rangeJoin.maxBucketsPerRow", "1")
-      val e = intercept[Exception](naive().count())
-      assert(e.getMessage.contains("range join interval exceeds"),
-        s"unexpected: ${e.getMessage}")
+      val capped = naive()
+      assert(capped.queryExecution.optimizedPlan.toString.contains("Union"),
+        capped.queryExecution.optimizedPlan.toString)
+      assert(sortedRows(capped) == expected)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.rewriteNaive")
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+      spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerRow")
+    }
+  }
+
+  test("wide-row fallback: narrow and wide intervals split across the Union, no dupes") {
+    def naive(): DataFrame = leftDf.as("l").join(rightDf.as("r"),
+      col("l.k") === col("r.k") &&
+        col("r.t") >= col("l.lo") && col("r.t") <= col("l.hi"))
+    spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "false")
+    val expected = sortedRows(naive())
+    spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidthUs", "100")
+    // cap 2: the 3-bucket interval (id=10) goes wide-fallback, the
+    // single-bucket ones (id=20, id=11) stay bucketed — every expected
+    // row must arrive exactly once through exactly one branch
+    spark.conf.set("spark.graft.rangeJoin.maxBucketsPerRow", "2")
+    try {
+      val mixed = naive()
+      val opt = mixed.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Union") && opt.contains("__graft_bkt"), opt)
+      assert(sortedRows(mixed) == expected)
     } finally {
       spark.conf.unset("spark.graft.rangeJoin.rewriteNaive")
       spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
