@@ -504,6 +504,15 @@ object ScaleQueries {
   private def qStreamEwmaTws(s: SparkSession, dir: String): DataFrame =
     StreamOps.ewmaStateTws(s, dir)._1
 
+  /** The append-mode sessionizer on Spark 4's transformWithState with
+    * EVENT-TIME TIMERS — watermark-evicted open-session state on the
+    * new API, bit-equal to the flatMapGroupsWithState twin, so it
+    * shares q_stream_sessionize_append's emission-law oracle. See
+    * StreamOps.sessionCountsAppendTws.
+    */
+  private def qStreamSessionizeTws(s: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionCountsAppendTws(s, dir).result
+
   /** Streaming CEP — q_evt_pattern's stateful twin with O(1) DFA
     * state per user instead of the batch journey string; must produce
     * the identical pattern counts, so it replays the same journey
@@ -794,6 +803,7 @@ object ScaleQueries {
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_hourly_append" -> qStreamHourlyAppend _,
     "q_stream_sessionize_append" -> qStreamSessionizeAppend _,
+    "q_stream_sessionize_tws" -> qStreamSessionizeTws _,
     "q_stream_incremental_append" -> qStreamIncrementalAppend _,
     "q_stream_stitch" -> qStreamStitch _,
     "q_stream_range_append" -> qStreamRangeAppend _,
@@ -1297,8 +1307,35 @@ object ScaleQueries {
     // iff a later session exists for its user, or the final watermark
     // (max event ms - 10 min delay) strictly passed its end + 30 min
     // gap (Spark fires event-time timeouts when wm > the set
-    // timestamp, set at floor(end_us/1000) + gap_ms).
+    // timestamp, set at floor(end_us/1000) + gap_ms). The
+    // transformWithState timer twin (q_stream_sessionize_tws, below)
+    // is spec-pinned bit-equal, so it replays the identical law.
     "q_stream_sessionize_append" ->
+      """WITH wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 600000 AS wm_ms
+        |           FROM events),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sids AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess_id
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sess_id, min(us) AS start_us, max(us) AS end_us,
+        |         count(*) AS n_events
+        |  FROM sids GROUP BY user_id, sess_id),
+        |last AS (SELECT user_id, max(sess_id) AS last_id FROM sess GROUP BY user_id)
+        |SELECT sess.user_id AS user_id, start_us, end_us, n_events
+        |FROM sess JOIN last ON sess.user_id = last.user_id, wm
+        |WHERE sess.sess_id < last.last_id
+        |   OR CAST(floor(end_us / 1000) AS BIGINT) + 1800000 < wm_ms
+        |ORDER BY sess.user_id, start_us""".stripMargin,
+    "q_stream_sessionize_tws" ->
       """WITH wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 600000 AS wm_ms
         |           FROM events),
         |e AS (

@@ -952,6 +952,116 @@ object StreamOps {
       maxState, progress.length)
   }
 
+  /** [[sessionCountsAppend]] on the Spark 4 `transformWithState` API
+    * with EVENT-TIME TIMERS — the full production shape on the new
+    * state surface: the open session lives in a RocksDB-backed
+    * `ValueState`, and eviction is a registered timer at
+    * `last_ms + gap` that fires when the watermark passes it
+    * (`handleExpiredTimer` emits the final session and clears state),
+    * exactly the law `setTimeoutTimestamp` encodes in the
+    * flatMapGroupsWithState twin. Sessions closed mid-batch by a
+    * later event emit immediately from `handleInputRows`, and the
+    * stale timer is re-registered whenever new events extend the open
+    * session. Must reproduce [[sessionCountsAppend]]'s drained table
+    * bit-for-bit, so it shares q_stream_sessionize_append's
+    * emission-law oracle.
+    */
+  private class SessionProcessor(gapUs: Long, gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvtW, (Long, Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[OpenSess] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[OpenSess]("open",
+        org.apache.spark.sql.Encoders.product[OpenSess],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[EvtW],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+      val emitted =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var open = if (st.exists()) Some(st.get()) else None
+      val oldTimer = open.map(_.lastUs / 1000 + gapMs)
+      sorted.foreach { e =>
+        open = open match {
+          case Some(s) if e.us - s.lastUs <= gapUs =>
+            Some(OpenSess(s.startUs, e.us, s.nEvents + 1))
+          case Some(s) =>
+            emitted += ((uid, s.startUs, s.lastUs, s.nEvents))
+            Some(OpenSess(e.us, e.us, 1L))
+          case None =>
+            Some(OpenSess(e.us, e.us, 1L))
+        }
+      }
+      open.foreach(st.update)
+      val newTimer = open.map(_.lastUs / 1000 + gapMs)
+      if (newTimer != oldTimer) {
+        oldTimer.foreach(getHandle.deleteTimer)
+        newTimer.foreach(getHandle.registerTimer)
+      }
+      emitted.iterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] =
+      if (st.exists()) {
+        val s = st.get(); st.clear()
+        Iterator.single((uid, s.startUs, s.lastUs, s.nEvents))
+      } else Iterator.empty
+  }
+
+  def sessionCountsAppendTws(spark: SparkSession, sfDir: String,
+                             gapMinutes: Int = 30,
+                             watermarkDelay: String = "10 minutes",
+                             queryName: String = "stream_sessions_tws"): AppendRun = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val stream = graft.core.EventTime.normalize(spark.readStream
+        .schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+      val gapUs = gapMinutes * 60L * 1000000L
+      val gapMs = gapMinutes * 60L * 1000L
+      val events = stream
+        .withWatermark("ts", watermarkDelay)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("ts"))
+        .as[EvtW]
+      val closed = events
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor(gapUs, gapMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "start_us", "end_us", "n_events")
+      val q = closed.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val progress = q.recentProgress
+      q.stop()
+      val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      stateHighWater("q_stream_sessionize_tws") = maxState
+      AppendRun(spark.table(queryName).orderBy("user_id", "start_us"),
+        maxState, progress.length)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Streaming EP2: incremental crop-stitching. Annotated work units
     * arrive as a file stream (the post-annotation download of
     * figure_eight_functions.py:362, incremental instead of batch);

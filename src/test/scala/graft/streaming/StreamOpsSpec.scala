@@ -166,6 +166,22 @@ class StreamOpsSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("transformWithState timer sessionizer equals the flatMapGroups append twin") {
+    val dir = "/root/testdata/sf0.001"
+    val classic = StreamOps.sessionCountsAppend(spark, dir,
+      queryName = "sess_append_ref")
+    val tws = StreamOps.sessionCountsAppendTws(spark, dir)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = toSet(classic.result)
+    val b = toSet(tws.result)
+    assert(b == a, s"timer eviction law must match setTimeoutTimestamp: " +
+      s"only-classic=${(a -- b).take(3)} only-tws=${(b -- a).take(3)}")
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("streaming CEP: DFA state equals the batch regex counts, O(1) state per user") {
     val dir = "/root/testdata/sf0.001"
     val (oneShot, maxState) = StreamOps.patternState(spark, dir)
