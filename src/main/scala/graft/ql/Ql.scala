@@ -52,7 +52,8 @@ object Ql {
     "q_stream_incremental", "q_stream_hourly_append",
     "q_stream_incremental_append", "q_stream_sessionize_append",
     "q_stream_sessionize_tws",
-    "q_stream_stitch", "q_stream_range_append", "q_stream_ewma",
+    "q_stream_stitch", "q_stream_stitch_tws",
+    "q_stream_range_append", "q_stream_ewma",
     "q_stream_pattern", "q_stream_ewma_tws", "q_stream_pattern_tws",
     "q_stream_attribution",
     "q_evt_pipeline",

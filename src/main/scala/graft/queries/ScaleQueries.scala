@@ -666,7 +666,13 @@ object ScaleQueries {
     * (quarantine iff final watermark passed last arrival + 3 min)
     * replays exactly in the oracle.
     */
-  private def qStreamStitch(s: SparkSession, dir: String): DataFrame = {
+  /** Shared arrival-ordered crop-stream fixture for the two stitch
+    * twins: one file per (fov, stack) work unit, ascending mtimes so
+    * the file source replays arrival order; group 0 (fov1, stack 0)
+    * is missing its last crop and must quarantine, never stitch.
+    */
+  private def stitchStreamFixture(s: SparkSession)
+      : (String, graft.ops.CropOps.CropPlan) = {
     import s.implicits._
     import graft.core.ImagePlane
     import graft.ops.CropOps
@@ -676,9 +682,6 @@ object ScaleQueries {
     val plan = CropOps.planCrops(60, 60, 24, 24, 0.5)
     val streamDir = Files.createTempDirectory("q_stream_stitch")
       .toFile.getAbsolutePath
-    // one file per (fov, stack) work unit, ascending mtimes => the
-    // file source replays arrival order; group 0 (fov1, stack 0) is
-    // missing its last crop and must quarantine, never stitch
     orig.zipWithIndex.foreach { case (p, k) =>
       val crops = CropOps.cropOne(p, plan)
         .filter(c => !(k == 0 && c.crop == plan.numCrops - 1))
@@ -695,9 +698,26 @@ object ScaleQueries {
       Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
       dest.toFile.setLastModified(1700000000000L + k * 10000L)
     }
+    (streamDir, plan)
+  }
+
+  private def qStreamStitch(s: SparkSession, dir: String): DataFrame = {
+    val (streamDir, plan) = stitchStreamFixture(s)
     StreamOps.incrementalStitchAppend(s, streamDir, plan,
       quarantineMinutes = 3, watermarkDelay = "2 minutes",
       queryName = s"stream_stitch_${math.abs(dir.hashCode)}").result
+  }
+
+  /** The same bounded incremental stitch on Spark 4's
+    * transformWithState (ListState crop accumulation + quarantine
+    * timer) — bit-equal to the flatMapGroupsWithState twin, same
+    * emission-law oracle. See StreamOps.incrementalStitchAppendTws.
+    */
+  private def qStreamStitchTws(s: SparkSession, dir: String): DataFrame = {
+    val (streamDir, plan) = stitchStreamFixture(s)
+    StreamOps.incrementalStitchAppendTws(s, streamDir, plan,
+      quarantineMinutes = 3, watermarkDelay = "2 minutes",
+      queryName = s"stream_stitch_tws_${math.abs(dir.hashCode)}").result
   }
 
   private def qStreamIncrementalAppend(s: SparkSession, dir: String): DataFrame =
@@ -806,6 +826,7 @@ object ScaleQueries {
     "q_stream_sessionize_tws" -> qStreamSessionizeTws _,
     "q_stream_incremental_append" -> qStreamIncrementalAppend _,
     "q_stream_stitch" -> qStreamStitch _,
+    "q_stream_stitch_tws" -> qStreamStitchTws _,
     "q_stream_range_append" -> qStreamRangeAppend _,
   )
 
@@ -894,6 +915,14 @@ object ScaleQueries {
     // quarantine that fabricates a canvas all diverge from this
     // relation and fail the hash.
     "q_stream_stitch" ->
+      """SELECT 'fov' || CAST(f AS VARCHAR) AS fov, s AS stack, 0 AS slice,
+        |  CASE WHEN f = 1 AND s = 0 THEN 24 ELSE 25 END AS n_crops,
+        |  CASE WHEN f = 1 AND s = 0 THEN -1 ELSE 36 END AS n_cells,
+        |  CASE WHEN f = 1 AND s = 0 THEN -1 ELSE 2916 END AS n_nonzero,
+        |  CASE WHEN f = 1 AND s = 0 THEN 'quarantined' ELSE 'stitched' END AS status
+        |FROM generate_series(1, 4) t(f), generate_series(0, 1) u(s)
+        |ORDER BY fov, stack, slice""".stripMargin,
+    "q_stream_stitch_tws" ->
       """SELECT 'fov' || CAST(f AS VARCHAR) AS fov, s AS stack, 0 AS slice,
         |  CASE WHEN f = 1 AND s = 0 THEN 24 ELSE 25 END AS n_crops,
         |  CASE WHEN f = 1 AND s = 0 THEN -1 ELSE 36 END AS n_cells,

@@ -1234,6 +1234,127 @@ object StreamOps {
       maxState, progress.length)
   }
 
+  /** [[incrementalStitchAppend]] on the Spark 4 `transformWithState`
+    * API — the fourth family on the new state surface and the one
+    * that needs its FULL breadth: crops accumulate in a `ListState`
+    * (append-only: each batch serializes only its own arrivals,
+    * where the flatMapGroupsWithState twin rewrites the ENTIRE
+    * accumulated Seq every batch — O(arrivals) vs O(canvas) per
+    * touch, the difference between constant and quadratic total state
+    * I/O for a canvas filled one crop per batch), the crop count and
+    * last-arrival ms live in a tiny `ValueState` so the stitch
+    * decision never reads the list, and the quarantine eviction is an
+    * event-time timer re-registered as arrivals advance. Must
+    * reproduce the twin's drained table bit-for-bit (same emission
+    * law), so it shares q_stream_stitch's oracle.
+    */
+  private class StitchProcessor(plan: graft.ops.CropOps.CropPlan, gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Int, Int), CropArrival,
+        (String, Int, Int, Long, Long, Long, String)] {
+    @transient private var crops:
+      org.apache.spark.sql.streaming.ListState[graft.core.ImagePlane] = _
+    @transient private var meta:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      crops = getHandle.getListState[graft.core.ImagePlane]("crops",
+        org.apache.spark.sql.Encoders.product[graft.core.ImagePlane],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      meta = getHandle.getValueState[(Long, Long)]("meta",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: (String, Int, Int),
+        rows: Iterator[CropArrival],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Int, Int, Long, Long, Long, String)] = {
+      val arrivals = rows.toSeq
+      val (n0, last0) = if (meta.exists()) meta.get() else (0L, Long.MinValue)
+      val n = n0 + arrivals.length
+      if (n >= plan.numCrops) {
+        // the ONLY full list read: the canvas is complete
+        val acc = crops.get().toSeq ++ arrivals.map(_.plane)
+        crops.clear(); meta.clear()
+        if (last0 != Long.MinValue) getHandle.deleteTimer(last0 + gapMs)
+        val full = graft.ops.CropOps.stitchGroup(key._1, key._2, key._3,
+          acc.sortBy(_.crop), plan)
+        Iterator.single((full.fov, full.stack, full.slice, n,
+          full.labels.filter(_ != 0).distinct.length.toLong,
+          full.labels.count(_ != 0).toLong, "stitched"))
+      } else {
+        crops.appendList(arrivals.map(_.plane).toArray)
+        val lastMs = (last0 +: arrivals.map(_.ts.getTime)).max
+        meta.update((n, lastMs))
+        if (lastMs != last0) {
+          if (last0 != Long.MinValue) getHandle.deleteTimer(last0 + gapMs)
+          getHandle.registerTimer(lastMs + gapMs)
+        }
+        Iterator.empty
+      }
+    }
+    override def handleExpiredTimer(key: (String, Int, Int),
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(String, Int, Int, Long, Long, Long, String)] =
+      if (meta.exists()) {
+        val (n, _) = meta.get()
+        crops.clear(); meta.clear()
+        Iterator.single((key._1, key._2, key._3, n, -1L, -1L, "quarantined"))
+      } else Iterator.empty
+  }
+
+  def incrementalStitchAppendTws(spark: SparkSession, planesDir: String,
+                                 plan: graft.ops.CropOps.CropPlan,
+                                 quarantineMinutes: Int = 5,
+                                 watermarkDelay: String = "2 minutes",
+                                 maxFilesPerTrigger: Int = 1,
+                                 queryName: String = "stream_stitch_tws"): AppendRun = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(planesDir).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(planesDir)
+        .withWatermark("ts", watermarkDelay)
+        .select("fov", "stack", "crop", "slice", "nRows", "nCols",
+          "channels", "pixels", "labels", "ts")
+        .as[CropArrival]
+      val gapMs = quarantineMinutes * 60L * 1000L
+      val stitched = stream
+        .groupByKey(p => (p.fov, p.stack, p.slice))
+        .transformWithState(new StitchProcessor(plan, gapMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("fov", "stack", "slice", "n_crops", "n_cells", "n_nonzero",
+          "status")
+      val q = stitched.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val progress = q.recentProgress
+      q.stop()
+      val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      stateHighWater("q_stream_stitch_tws") = maxState
+      AppendRun(spark.table(queryName).orderBy("fov", "stack", "slice"),
+        maxState, progress.length)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Stateful streaming sessionization via flatMapGroupsWithState
     * (the W2-style sequential dependency as managed per-key state):
     * per user, events extend the current session unless the gap

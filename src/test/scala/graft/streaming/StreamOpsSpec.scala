@@ -182,6 +182,19 @@ class StreamOpsSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("transformWithState ListState stitch equals the flatMapGroups append twin") {
+    val tws = graft.queries.ScaleQueries.defs("q_stream_stitch_tws")(
+      spark, "twsfix").collect().map(_.toString).sorted.toSeq
+    val classic = graft.queries.ScaleQueries.defs("q_stream_stitch")(
+      spark, "classicfix").collect().map(_.toString).sorted.toSeq
+    assert(tws == classic,
+      "ListState + timer stitch must reproduce the classic twin exactly")
+    // the quarantine row is present (group 0 misses its last crop)
+    assert(tws.exists(_.contains("quarantined")))
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("streaming CEP: DFA state equals the batch regex counts, O(1) state per user") {
     val dir = "/root/testdata/sf0.001"
     val (oneShot, maxState) = StreamOps.patternState(spark, dir)
