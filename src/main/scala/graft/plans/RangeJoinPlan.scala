@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Generate, Join, JoinHint, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Generate, HintInfo, Join, JoinHint, LogicalPlan, Project, SHUFFLE_MERGE, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.GraftSqlBridge
@@ -355,6 +355,13 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def rewriteNaive(j: Join): Option[LogicalPlan] = {
     val Join(l, r, _, Some(cond), _) = j: @unchecked
     if (l.isStreaming || r.isStreaming) return None
+    // hinted joins are never rewritten: an explicit hint means the
+    // user (or this rule's own wide-row fallback, which carries a
+    // SHUFFLE_MERGE hint precisely for this guard) already chose the
+    // strategy — JoinHint survives every optimizer rule, unlike a
+    // marker column, which ColumnPruning strips the moment nothing
+    // consumes it
+    if (j.hint != JoinHint.NONE) return None
     // fixed-point guard: PushPredicateThroughJoin hoists our exact-range
     // post-filter back into the join condition on the next iteration,
     // which would re-match this rule forever. A join with the generated
@@ -448,9 +455,14 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // shape, restricted to exactly those rows — so the rewrite
           // has zero observable behavior change: the heavy tail
           // degrades to the plan the user wrote rather than raising.
-          // The marker column reuses the __graft_bkt guard name so the
-          // fixed-point guard skips this inner join on the next
-          // optimizer pass; the top Project drops it.
+          // The fallback join carries a SHUFFLE_MERGE JoinHint, which
+          // survives every optimizer rule (a marker COLUMN would be
+          // stripped by ColumnPruning the moment nothing consumes it —
+          // measured as the optimizer thrashing to its 100-iteration
+          // cap) and doubles as the fixed-point guard: this rule skips
+          // any hinted join, both its own fallback and user-hinted
+          // joins, where an explicit hint signals the user already
+          // chose a strategy.
           val loB = bkt(rLo.bound, width)
           val hiB = bkt(rHi.bound, width)
           val widePred = And(
@@ -458,11 +470,11 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             And(GreaterThanOrEqual(rHi.bound, rLo.bound),
               GreaterThanOrEqual(new Subtract(hiB, loB),
                 Literal(maxBuckets.toLong))))
-          val markedWide = Project(
-            intervalSide.output :+ Alias(Literal(1L), "__graft_bkt")(),
-            Filter(widePred, intervalSide))
+          val wideHint = JoinHint(
+            Some(HintInfo(strategy = Some(SHUFFLE_MERGE))), None)
           val wideJoin = Project(j.output,
-            Join(markedWide, pointPlan, Inner, Some(cond), JoinHint.NONE))
+            Join(Filter(widePred, intervalSide), pointPlan, Inner,
+              Some(cond), wideHint))
           Some(Union(Seq(bucketed, wideJoin)))
         case _ => None
       }

@@ -231,14 +231,38 @@ class RangeJoinPlanSpec extends SparkSpec {
     try {
       val keyless = leftDf.join(rightDf,
         col("t") >= col("lo") && col("t") <= col("hi"))
-      val phys = keyless.queryExecution.executedPlan.toString
-      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
-      assert(phys.contains("Generate explode"), phys)
       // reference: the same join with the rule off
       spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "false")
       val ref = sortedRows(leftDf.join(rightDf,
         col("t") >= col("lo") && col("t") <= col("hi")))
+      spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
       assert(sortedRows(keyless) == ref)
+      // the data path is the bucket explode; a nested-loop join may
+      // exist ONLY as the wide-row fallback branch, which must process
+      // zero rows on this all-narrow fixture
+      val phys = keyless.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(allNodes)
+      }
+      val nodes = allNodes(phys)
+      assert(nodes.exists(_.toString.startsWith("Generate explode")) ||
+        phys.toString.contains("Generate explode"), phys.toString)
+      val nljRows = nodes.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          b.metrics("numOutputRows").value
+      }
+      assert(nljRows.forall(_ == 0L),
+        s"wide-row fallback NLJ must see no rows here: $nljRows\n$phys")
     } finally {
       spark.conf.unset("spark.graft.rangeJoin.rewriteNaive")
       spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
