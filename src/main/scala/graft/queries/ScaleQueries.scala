@@ -720,6 +720,15 @@ object ScaleQueries {
       queryName = s"stream_stitch_tws_${math.abs(dir.hashCode)}").result
   }
 
+  /** Streaming near-dup gate: arriving docs banded-MinHash-checked
+    * against the static store index, stateless stream-static join +
+    * per-doc collapse; novel iff best signature estimate < 0.5. See
+    * StreamOps.neardupStatic.
+    */
+  private def qStreamNeardup(s: SparkSession, dir: String): DataFrame =
+    StreamOps.neardupStatic(s, dir,
+      queryName = s"stream_neardup_${math.abs(dir.hashCode)}")._1
+
   private def qStreamIncrementalAppend(s: SparkSession, dir: String): DataFrame =
     StreamOps.incrementalDedupAppend(s, dir, dir, glob = Some("documents.parquet"),
       queryName = s"stream_inc_append_${math.abs(dir.hashCode)}")
@@ -824,6 +833,7 @@ object ScaleQueries {
     "q_stream_hourly_append" -> qStreamHourlyAppend _,
     "q_stream_sessionize_append" -> qStreamSessionizeAppend _,
     "q_stream_sessionize_tws" -> qStreamSessionizeTws _,
+    "q_stream_neardup" -> qStreamNeardup _,
     "q_stream_incremental_append" -> qStreamIncrementalAppend _,
     "q_stream_stitch" -> qStreamStitch _,
     "q_stream_stitch_tws" -> qStreamStitchTws _,
@@ -987,6 +997,42 @@ object ScaleQueries {
         |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a JOIN sig sb ON sb.doc_id = cand.id_b)
         |SELECT id_a, id_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.05 ORDER BY id_a, id_b""".stripMargin,
+    // Streaming near-dup gate: replay the stream/store split over the
+    // pinned signature fixture — candidates share any of the 32 raw
+    // band slices (engine buckets are xxhash64 of the same slice), the
+    // estimate is matches*10000//128 (exact integer permyriads both
+    // engines), novel iff best < 5000.
+    "q_stream_neardup" ->
+      s"""WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
+        |sig AS (SELECT doc_id, minhash
+        |        FROM read_parquet('$fixturesDir/signatures/*.parquet') s, nd
+        |        WHERE s.n_docs = nd.n AND s.n_chars_total = nd.nc),
+        |str AS (SELECT doc_id, minhash FROM sig WHERE doc_id % 10 = 9),
+        |sto AS (SELECT doc_id, minhash FROM sig WHERE doc_id % 10 <> 9),
+        |sb AS (
+        |  SELECT doc_id, minhash, t.band AS band,
+        |    array_to_string(list_slice(minhash, t.band*4 + 1, t.band*4 + 4), ',') AS bucket
+        |  FROM str CROSS JOIN (SELECT unnest(range(0,32)) AS band) t),
+        |ob AS (
+        |  SELECT doc_id, minhash, t.band AS band,
+        |    array_to_string(list_slice(minhash, t.band*4 + 1, t.band*4 + 4), ',') AS bucket
+        |  FROM sto CROSS JOIN (SELECT unnest(range(0,32)) AS band) t),
+        |cand AS (
+        |  SELECT DISTINCT s.doc_id AS doc_id, o.doc_id AS store_id,
+        |    s.minhash AS mh_s, o.minhash AS mh_o
+        |  FROM sb s JOIN ob o USING (band, bucket)),
+        |est AS (
+        |  SELECT doc_id, store_id,
+        |    len(list_filter(range(1,129), i -> mh_s[i] = mh_o[i])) * 10000 // 128 AS est_pm
+        |  FROM cand),
+        |agg AS (
+        |  SELECT doc_id, count(DISTINCT store_id) AS n_cand, max(est_pm) AS best
+        |  FROM est GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_cand, 0) AS n_cand,
+        |  coalesce(a.best, -1) AS best_est_pm,
+        |  coalesce(a.best, -1) < 5000 AS novel
+        |FROM str d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_simhash_pairs" ->
       s"""WITH nd AS (SELECT count(*) AS n, sum(n_chars) AS nc FROM documents),
         |sig AS (SELECT doc_id, simhash

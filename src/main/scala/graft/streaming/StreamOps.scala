@@ -1355,6 +1355,83 @@ object StreamOps {
     }
   }
 
+  /** Streaming NEAR-duplicate gate — the ingest-time complement of
+    * [[incrementalDedup]]'s exact-fingerprint check: new documents
+    * (the `doc_id % 10 == 9` slice, same stream/store split as
+    * q_stream_incremental) are checked against a STATIC banded
+    * MinHash index of the store (32 bands x 4 rows, the exact layout
+    * q_dedup_minhash_pairs gates) by a stateless stream-static join:
+    * each arriving doc explodes to its 32 (band, bucket) keys, LEFT
+    * OUTER joins the store index (candidates = store docs sharing any
+    * band), and the full-signature estimate scores every candidate —
+    * a doc is NOVEL iff its best estimate stays under 0.5. At 100 TB
+    * this is the shape that matters: the store index is built once
+    * offline (here localCheckpoint'd at construction), the stream
+    * side never shuffles the corpus, and the only stateful operator
+    * is the 32-row-per-doc collapse (per-doc aggregation state, which
+    * a timestamped deployment bounds with a watermark; this
+    * oracle-parity harness drains it). Scores are integer permyriads
+    * (matches/128 x 10000, exact in binary) so the DuckDB replay —
+    * via the pinned signature fixture, like the batch LSH family —
+    * hash-gates every value.
+    */
+  def neardupStatic(spark: SparkSession, sfDir: String,
+                    queryName: String = "stream_neardup"): (DataFrame, Long) = {
+    import graft.functions.{Dedup, MinhashEstimate}
+    val bands = 32
+    val r = 4
+    def banded(df: DataFrame, idAs: String, mhAs: String): DataFrame =
+      df.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+        .withColumn("bucket",
+          xxhash64(slice(col("minhash"), col("band") * r + 1, lit(r))))
+        .select(col("doc_id").as(idAs), col("band"), col("bucket"),
+          col("minhash").as(mhAs))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val store = banded(Dedup.withMinhash(
+        docs.filter(col("doc_id") % 10 =!= 9), "text",
+        numHashes = 128, shingleWidth = 3), "store_id", "store_mh")
+      .localCheckpoint()
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(col("doc_id") % 10 === 9)
+    val sb = banded(Dedup.withMinhash(stream, "text",
+      numHashes = 128, shingleWidth = 3), "doc_id", "mh")
+    val scored = sb.join(store, Seq("band", "bucket"), "left_outer")
+      .withColumn("est_pm", when(col("store_mh").isNull, lit(-1L))
+        .otherwise(floor(MinhashEstimate.minhashEst(col("mh"),
+          col("store_mh")) * 10000).cast("long")))
+      .groupBy("doc_id")
+      // count(DISTINCT) is unsupported in streaming aggregation; the
+      // distinct-candidate count rides a set aggregate instead
+      .agg(size(collect_set(col("store_id"))).cast("long").as("n_cand"),
+        max(col("est_pm")).as("best_est_pm"))
+      .select(col("doc_id"), col("n_cand"), col("best_est_pm"),
+        (col("best_est_pm") < 5000L).as("novel"))
+    val q = scored.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    stateHighWater("q_stream_neardup") = maxState
+    // last update per doc wins (a doc's 32 band rows arrive in one
+    // batch, so there is exactly one)
+    val out = spark.table(queryName)
+      .groupBy("doc_id")
+      .agg(max(struct(col("n_cand"), col("best_est_pm"), col("novel")))
+        .as("last"))
+      .select(col("doc_id"), col("last.n_cand").as("n_cand"),
+        col("last.best_est_pm").as("best_est_pm"),
+        col("last.novel").as("novel"))
+      .orderBy("doc_id")
+    (out, maxState)
+  }
+
   /** Stateful streaming sessionization via flatMapGroupsWithState
     * (the W2-style sequential dependency as managed per-key state):
     * per user, events extend the current session unless the gap

@@ -195,6 +195,43 @@ class StreamOpsSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("streaming near-dup gate equals the batch band-check, stateless join") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Dedup, MinhashEstimate}
+    val dir = "/root/testdata/sf0.001"
+    val (streamed, maxState) = StreamOps.neardupStatic(spark, dir)
+    val got = streamed.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // batch reference: identical expressions, no stream
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def banded(df: org.apache.spark.sql.DataFrame, idAs: String, mhAs: String) =
+      df.withColumn("band", explode(sequence(lit(0), lit(31))))
+        .withColumn("bucket",
+          xxhash64(slice(col("minhash"), col("band") * 4 + 1, lit(4))))
+        .select(col("doc_id").as(idAs), col("band"), col("bucket"),
+          col("minhash").as(mhAs))
+    val store = banded(Dedup.withMinhash(
+      docs.filter(col("doc_id") % 10 =!= 9), "text", 128, 3), "store_id", "store_mh")
+    val arrivals = banded(Dedup.withMinhash(
+      docs.filter(col("doc_id") % 10 === 9), "text", 128, 3), "doc_id", "mh")
+    val ref = arrivals.join(store, Seq("band", "bucket"), "left_outer")
+      .withColumn("est_pm", when(col("store_mh").isNull, lit(-1L))
+        .otherwise(floor(MinhashEstimate.minhashEst(col("mh"),
+          col("store_mh")) * 10000).cast("long")))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("store_id")).as("n_cand"),
+        max(col("est_pm")).as("best_est_pm"))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(2) < 5000L)).toMap
+    assert(got == ref, "drained stream gate == batch band-check")
+    // every arriving doc is scored exactly once; state = per-doc agg rows
+    val nArrivals = docs.filter(col("doc_id") % 10 === 9).count()
+    assert(got.size.toLong == nArrivals)
+    assert(maxState == nArrivals, s"state $maxState != $nArrivals per-doc rows")
+    // the law is live: the fixture corpus contains both verdicts
+    assert(got.values.exists(_._3) , "no novel docs — fixture degenerate")
+  }
+
   test("streaming CEP: DFA state equals the batch regex counts, O(1) state per user") {
     val dir = "/root/testdata/sf0.001"
     val (oneShot, maxState) = StreamOps.patternState(spark, dir)

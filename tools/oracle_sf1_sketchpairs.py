@@ -42,6 +42,36 @@ SELECT id_a, id_b, est_jaccard FROM est
 WHERE est_jaccard >= 0.05 ORDER BY id_a, id_b
 """
 
+NEARDUP_SQL = """
+WITH sig AS (SELECT doc_id, minhash FROM fixture),
+str AS (SELECT doc_id, minhash FROM sig WHERE doc_id % 10 = 9),
+sto AS (SELECT doc_id, minhash FROM sig WHERE doc_id % 10 <> 9),
+sb AS (
+  SELECT doc_id, minhash, t.band AS band,
+    array_to_string(list_slice(minhash, t.band*4 + 1, t.band*4 + 4), ',') AS bucket
+  FROM str CROSS JOIN (SELECT unnest(range(0,32)) AS band) t),
+ob AS (
+  SELECT doc_id, minhash, t.band AS band,
+    array_to_string(list_slice(minhash, t.band*4 + 1, t.band*4 + 4), ',') AS bucket
+  FROM sto CROSS JOIN (SELECT unnest(range(0,32)) AS band) t),
+cand AS (
+  SELECT DISTINCT s.doc_id AS doc_id, o.doc_id AS store_id,
+    s.minhash AS mh_s, o.minhash AS mh_o
+  FROM sb s JOIN ob o USING (band, bucket)),
+est AS (
+  SELECT doc_id, store_id,
+    len(list_filter(range(1,129), i -> mh_s[i] = mh_o[i])) * 10000 // 128 AS est_pm
+  FROM cand),
+agg AS (
+  SELECT doc_id, count(DISTINCT store_id) AS n_cand, max(est_pm) AS best
+  FROM est GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_cand, 0) AS n_cand,
+  coalesce(a.best, -1) AS best_est_pm,
+  coalesce(a.best, -1) < 5000 AS novel
+FROM str d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
 SIMHASH_SQL = """
 WITH sig AS (SELECT doc_id, simhash FROM fixture),
 chunked AS (
@@ -78,8 +108,13 @@ def main():
     method = ("sf1 signature fixture (FixtureGen, uncommitted, ~26 MB) + "
               "DuckDB replay of the banding/pair pipeline downstream of "
               "the spec-verified signature step")
+    import os
     for name, sql in [("q_dedup_minhash_pairs", MINHASH_SQL),
-                      ("q_dedup_simhash_pairs", SIMHASH_SQL)]:
+                      ("q_dedup_simhash_pairs", SIMHASH_SQL),
+                      ("q_stream_neardup", NEARDUP_SQL)]:
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"SKIP {name} (not in {out_dir})")
+            continue
         s_cols, s_rows = table_of(
             con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         o_cols, o_rows = table_of(con, sql)
