@@ -1387,16 +1387,33 @@ object StreamOps {
         .select(col("doc_id").as(idAs), col("band"), col("bucket"),
           col("minhash").as(mhAs))
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val store = banded(Dedup.withMinhash(
+    // The STORE is the corpus-sized side, so its banded index carries
+    // IDS ONLY — (store_id, band, bucket), 24 bytes — never the
+    // 128-long signature (1 KB per banded row; carrying it made the
+    // index join shuffle 32x the signature payload and measured 19x
+    // for 10x data at sf10 — the same anti-pattern
+    // Dedup.lshCandidatePairs documents). Signatures checkpoint ONCE
+    // by id and join back per CANDIDATE, not per banded row. The
+    // stream side keeps its signature inline: arriving batches are
+    // small by definition, and a stream cannot self-join to recover
+    // its own payload later.
+    val sigs = Dedup.withMinhash(
         docs.filter(col("doc_id") % 10 =!= 9), "text",
-        numHashes = 128, shingleWidth = 3), "store_id", "store_mh")
+        numHashes = 128, shingleWidth = 3)
+      .select(col("doc_id").as("store_id"), col("minhash").as("store_mh"))
       .localCheckpoint()
+    val index = sigs
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket",
+        xxhash64(slice(col("store_mh"), col("band") * r + 1, lit(r))))
+      .select(col("store_id"), col("band"), col("bucket"))
     val stream = spark.readStream.schema(docs.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
       .filter(col("doc_id") % 10 === 9)
     val sb = banded(Dedup.withMinhash(stream, "text",
       numHashes = 128, shingleWidth = 3), "doc_id", "mh")
-    val scored = sb.join(store, Seq("band", "bucket"), "left_outer")
+    val scored = sb.join(index, Seq("band", "bucket"), "left_outer")
+      .join(sigs, Seq("store_id"), "left_outer")
       .withColumn("est_pm", when(col("store_mh").isNull, lit(-1L))
         .otherwise(floor(MinhashEstimate.minhashEst(col("mh"),
           col("store_mh")) * 10000).cast("long")))
