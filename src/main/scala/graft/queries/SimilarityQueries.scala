@@ -437,7 +437,7 @@ object SimilarityQueries {
     * [[semdedupCells]] is the blocking key computation, factored out so
     * the spec can bound cell occupancy.
     */
-  private[queries] def semdedupCells(s: SparkSession, dir: String): DataFrame =
+  private[graft] def semdedupCells(s: SparkSession, dir: String): DataFrame =
     pqAssign(s, dir, m = 2)
       .groupBy("vec_id")
       .agg((max(when(col("sub") === 0, col("code"))) * pqK +
@@ -460,6 +460,70 @@ object SimilarityQueries {
       .groupBy("label_a", "label_b")
       .agg(count(lit(1)).as("n_pairs"), round(max("sim"), 6).as("max_sim"))
       .orderBy("label_a", "label_b")
+  }
+
+  /** Streaming SEMANTIC near-dup gate — the third ingest-time dedup
+    * tier beside the exact-fingerprint (q_stream_incremental) and
+    * lexical-MinHash (q_stream_neardup) gates: arriving vectors
+    * (`vec_id % 10 == 9`, the same stream/store split) are scored
+    * against the static store restricted to their SemDeDup cell
+    * (the [[semdedupCells]] PQ coding q_dedup_semdedup prunes with),
+    * novel iff the best in-cell cosine stays under the batch
+    * operator's 0.2 threshold. Plan shape follows q_stream_neardup's
+    * payload discipline: the cell index carries (cl, store_id) only,
+    * store vectors checkpoint once by id and join back per CANDIDATE,
+    * the arriving batch keeps its vector inline (small by definition;
+    * a stream cannot self-join to recover its payload). Stateless
+    * stream-static joins + the per-vector collapse; cosines are
+    * rounded to 6 places before any threshold or max (the semdedup
+    * oracle convention), so the DuckDB replay hash-gates every value.
+    */
+  private def qStreamSemgate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val coded = semdedupCells(s, dir).localCheckpoint()
+    val storeVecs = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 10 =!= 9)
+      .select(col("vec_id").as("store_id"), dvec(col("embedding")).as("store_vec"))
+      .localCheckpoint()
+    val index = storeVecs.select(col("store_id"))
+      .join(coded.select(col("vec_id").as("store_id"), col("cl")), Seq("store_id"))
+    val batchSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), dvec(col("embedding")).as("vec"))
+      .join(coded, Seq("vec_id"))
+    val queryName = s"stream_semgate_${math.abs(dir.hashCode)}"
+    val scored = stream
+      .join(index, Seq("cl"), "left_outer")
+      .join(storeVecs, Seq("store_id"), "left_outer")
+      .withColumn("sim", when(col("store_vec").isNull, lit(null).cast("double"))
+        .otherwise(round(graft.functions.CosineSimilarity.cosineSim(
+          col("vec"), col("store_vec")), 6)))
+      .groupBy("vec_id")
+      .agg(size(collect_set(col("store_id"))).cast("long").as("n_cand"),
+        round(max(col("sim")), 6).as("best0"))
+      .select(col("vec_id"), col("n_cand"),
+        coalesce(col("best0"), lit(-1.0)).as("best_sim"),
+        (coalesce(col("best0"), lit(-1.0)) < 0.2).as("novel"))
+    val q = scored.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    graft.streaming.StreamOps.stateHighWater("q_stream_semgate") = maxState
+    s.table(queryName)
+      .groupBy("vec_id")
+      .agg(max(struct(col("n_cand"), col("best_sim"), col("novel"))).as("last"))
+      .select(col("vec_id"), col("last.n_cand").as("n_cand"),
+        col("last.best_sim").as("best_sim"), col("last.novel").as("novel"))
+      .orderBy("vec_id")
   }
 
   /** Power-iteration rounds for [[qEmbPca]] (shared with the unrolled
@@ -891,6 +955,7 @@ object SimilarityQueries {
     "q_emb_pq" -> qEmbPq _,
     "q_emb_pq_recall" -> qEmbPqRecall _,
     "q_dedup_semdedup" -> qDedupSemdedup _,
+    "q_stream_semgate" -> qStreamSemgate _,
     "q_emb_dim_stats" -> qEmbDimStats _,
     "q_emb_outliers" -> qEmbOutliers _,
     "q_sim_knn_join" -> qSimKnnJoin _,
@@ -1184,6 +1249,34 @@ object SimilarityQueries {
         |  FROM v a JOIN v b ON a.cl = b.cl AND a.vec_id < b.vec_id)
         |SELECT label_a, label_b, count(*) AS n_pairs, round(max(sim), 6) AS max_sim
         |FROM pairs WHERE sim >= 0.2 GROUP BY label_a, label_b ORDER BY label_a, label_b""".stripMargin,
+    // Streaming semantic gate: replay the cell coding (same PQ CTEs as
+    // q_dedup_semdedup), split stream/store on vec_id % 10, score each
+    // arriving vector against its cell's store members, novel iff best
+    // 6-dp cosine < 0.2.
+    "q_stream_semgate" ->
+      s"""${pqOracleCtes(2)},
+        |coded AS (SELECT vec_id,
+        |        max(CASE WHEN sub = 0 THEN code END) * $pqK +
+        |        max(CASE WHEN sub = 1 THEN code END) AS cl
+        |      FROM enc GROUP BY vec_id),
+        |v AS (SELECT c.vec_id, c.cl, e.vec FROM coded c JOIN e ON c.vec_id = e.vec_id),
+        |str AS (SELECT * FROM v WHERE vec_id % 10 = 9),
+        |sto AS (SELECT * FROM v WHERE vec_id % 10 <> 9),
+        |pairs AS (
+        |  SELECT s.vec_id AS vec_id, o.vec_id AS store_id,
+        |    round(list_sum(list_transform(range(1, len(s.vec) + 1), i -> s.vec[i] * o.vec[i]))
+        |      / (sqrt(list_sum(list_transform(s.vec, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(o.vec, x -> x * x)))), 6) AS sim
+        |  FROM str s JOIN sto o ON s.cl = o.cl),
+        |agg AS (
+        |  SELECT vec_id, count(DISTINCT store_id) AS n_cand,
+        |         round(max(sim), 6) AS best
+        |  FROM pairs GROUP BY vec_id)
+        |SELECT s.vec_id, coalesce(a.n_cand, 0) AS n_cand,
+        |  coalesce(a.best, -1.0) AS best_sim,
+        |  coalesce(a.best, -1.0) < 0.2 AS novel
+        |FROM str s LEFT JOIN agg a USING (vec_id)
+        |ORDER BY s.vec_id""".stripMargin,
     "q_emb_outliers" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |x AS (SELECT label, CAST(generate_subscripts(vec, 1) AS BIGINT) AS pos,

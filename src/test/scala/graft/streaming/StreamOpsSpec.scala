@@ -232,6 +232,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.values.exists(_._3) , "no novel docs — fixture degenerate")
   }
 
+  test("streaming semantic gate equals the batch in-cell cosine check") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.SimilarityQueries.defs("q_stream_semgate")(
+      spark, dir)
+    val got = streamed.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // batch reference over the same cell coding and split
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nArrivals = emb.filter(col("vec_id") % 10 === 9).count()
+    assert(got.size.toLong == nArrivals, "one verdict per arriving vector")
+    // novelty verdicts agree with a driver-side exact recompute for a
+    // deterministic sample of arriving vectors
+    val vecs = emb.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    }.toMap
+    val cells = graft.queries.SimilarityQueries.semdedupCells(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.rint(dot / (na * nb) * 1e6) / 1e6
+    }
+    got.keys.toSeq.sorted.take(10).foreach { vid =>
+      val mates = cells.collect {
+        case (sid, cl) if sid % 10 != 9 && cl == cells(vid) => sid
+      }.toSeq
+      val best =
+        if (mates.isEmpty) -1.0 else mates.map(s => cos(vecs(vid), vecs(s))).max
+      val (nCand, bestSim, novel) = got(vid)
+      assert(nCand == mates.size.toLong, s"vec $vid n_cand")
+      assert(math.abs(bestSim - best) < 1e-9, s"vec $vid best $bestSim != $best")
+      assert(novel == (best < 0.2), s"vec $vid novelty")
+    }
+    // the law is live on the fixture corpus
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "fixture must contain both novel and near-dup vectors")
+  }
+
   test("streaming CEP: DFA state equals the batch regex counts, O(1) state per user") {
     val dir = "/root/testdata/sf0.001"
     val (oneShot, maxState) = StreamOps.patternState(spark, dir)
