@@ -412,8 +412,18 @@ object GraphQueries {
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
       .localCheckpoint()
+    // Ascending thresholds peel NESTED cores (k' > k ⇒ the k'-core is a
+    // subgraph of the k-core), so each k starts from the PREVIOUS k's
+    // converged core instead of the full edge list — identical results
+    // by containment. Measured NEUTRAL at sf0.1 (k=30 keeps the whole
+    // graph and per-round fixed costs dominate there); the reuse pays
+    // where it must — corpora whose successive cores actually shrink,
+    // where re-peeling from the full edge list is the wasted work.
+    // kcoreKs is sorted ascending; a require pins the assumption.
+    require(kcoreKs == kcoreKs.sorted, "k-core reuse needs ascending ks")
+    var startEdges = edges0
     val rows = kcoreKs.map { k =>
-      var edges = edges0
+      var edges = startEdges
       var prev = edges.count()
       var converged = prev == 0L
       var rounds = 0
@@ -434,6 +444,7 @@ object GraphQueries {
       }
       val nCore = edges.select(col("u").as("node"))
         .union(edges.select(col("v").as("node"))).distinct().count()
+      startEdges = edges
       (k, nCore, prev, converged)
     }
     rows.toDF("k", "n_core", "core_edges", "converged").orderBy("k")
