@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Generate, HintInfo, Join, JoinHint, LogicalPlan, Project, SHUFFLE_MERGE, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Generate, GlobalLimit, HintInfo, Join, JoinHint, LocalLimit, LogicalPlan, Offset, Project, SHUFFLE_MERGE, Sample, Tail, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.GraftSqlBridge
@@ -50,6 +50,13 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
   *     with the bucketed branch — so the heavy tail degrades to the
   *     plan the user wrote instead of raising or exploding. Only the
   *     explicit node keeps its documented raise-on-malformed contract.
+  *     Two caveats of the Union shape: (1) both child subtrees are
+  *     evaluated once per branch, so joins whose children contain
+  *     nondeterministic expressions or Sample/Limit/Offset/Tail are
+  *     NOT rewritten (each branch would see a different row set);
+  *     (2) the fallback branch re-scans both inputs even when zero
+  *     rows are wide — the extra scan is the price of zero behavior
+  *     change, bounded by one pass over each input.
   *
   * Semantics are identical to the ops composition (both interval ends
   * inclusive, integer-microsecond times, left-outer emits null-payload
@@ -355,6 +362,23 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def rewriteNaive(j: Join): Option[LogicalPlan] = {
     val Join(l, r, _, Some(cond), _) = j: @unchecked
     if (l.isStreaming || r.isStreaming) return None
+    // The rewrite evaluates BOTH child subtrees in two Union branches
+    // (the bucketed plan and the wide-row fallback). That is sound
+    // only when each branch re-derives the SAME relation: a child
+    // containing a nondeterministic expression (rand() projections) or
+    // a sampling/limit operator (Sample/TABLESAMPLE, Limit, Offset,
+    // Tail) yields a DIFFERENT row set per evaluation, so rows could
+    // be dropped or duplicated relative to a single execution of the
+    // join the user wrote. Leave such joins alone. (Cost note for
+    // eligible joins: the fallback branch re-scans both inputs even
+    // when zero rows are wide — the extra scan+shuffle is the price of
+    // zero behavior change on the heavy tail; AQE prunes neither.)
+    def unsafeToDuplicate(p: LogicalPlan): Boolean = p.exists {
+      case _: Sample | _: GlobalLimit | _: LocalLimit | _: Offset | _: Tail =>
+        true
+      case node => node.expressions.exists(!_.deterministic)
+    }
+    if (unsafeToDuplicate(l) || unsafeToDuplicate(r)) return None
     // hinted joins are never rewritten: an explicit hint means the
     // user (or this rule's own wide-row fallback, which carries a
     // SHUFFLE_MERGE hint precisely for this guard) already chose the

@@ -29,13 +29,13 @@ object GraphQueries {
     * equi-join on the 8-byte node id) + one partial-aggregatable
     * groupBy(dst) — the standard message-passing round, all shuffles
     * on node id, nothing driver-side and no per-round collect. The
-    * degree-joined edge list is MATERIALIZED once to a parquet
-    * checkpoint before iterating (the Pregel-superstep discipline):
-    * left in the lazy plan, the orders⋈lineitem→distinct lineage is
-    * textually repeated per round and AQE's stage reuse does not
-    * unify all of them — measured 29 s at sf1 recomputing a 6M-row
-    * join ~5×, vs one build + cheap per-round scans of the ~10 MB
-    * edge table. Same move as graft.functions.Ivf's cell store.
+    * degree-joined edge list is MATERIALIZED once via localCheckpoint
+    * before iterating (the Pregel-superstep discipline): left in the
+    * lazy plan, the orders⋈lineitem→distinct lineage is textually
+    * repeated per round and AQE's stage reuse does not unify all of
+    * them — measured 29 s at sf1 recomputing a 6M-row join ~5×, vs
+    * one build + cheap per-round scans of the ~10 MB edge table.
+    * Same move as triangles/kcore below.
     *
     * Determinism (hash-gate contract): ranks live as integer
     * micro-units (r0 = 1e6). A round sends floor(r/deg) along each
@@ -54,9 +54,13 @@ object GraphQueries {
     val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
       .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
     val degPlan = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ckpt = java.nio.file.Files.createTempDirectory("q_graph_edges").toString
-    edges.join(degPlan, Seq("src")).write.mode("overwrite").parquet(ckpt)
-    val edgesD = s.read.parquet(ckpt)
+    // Materialize ONCE via localCheckpoint (the triangles/kcore
+    // pattern): executor-resident blocks, no filesystem path. The
+    // earlier parquet spill went through a driver-local
+    // Files.createTempDirectory — a schemeless /tmp path that resolves
+    // against the default FS on a real cluster, where a dir created on
+    // the driver means nothing to executors.
+    val edgesD = edges.join(degPlan, Seq("src")).localCheckpoint()
     val deg = edgesD.select(col("src"), col("deg")).distinct()
 
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rq"))

@@ -268,4 +268,37 @@ class RangeJoinPlanSpec extends SparkSpec {
       spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
     }
   }
+  test("naive rewrite skips joins whose children can't be safely duplicated") {
+    // The rewrite's Union shape evaluates both child subtrees once per
+    // branch; children with nondeterministic expressions or
+    // Sample/Limit operators would yield a different row set per
+    // evaluation, so such joins must be left exactly as written.
+    spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
+    try {
+      def cond = col("l.k") === col("r.k") &&
+        col("r.t") >= col("l.lo") && col("r.t") <= col("l.hi")
+      def planOf(df: DataFrame): String =
+        df.queryExecution.optimizedPlan.toString
+      // control: plain deterministic children ARE rewritten
+      val ctl = leftDf.as("l").join(rightDf.as("r"), cond)
+      assert(planOf(ctl).contains("__graft_bkt"), planOf(ctl))
+      // ConvertToLocalRelation eagerly folds Project/Filter/Limit over
+      // a LocalRelation (even nondeterministic ones — they become
+      // materialized literals, at which point duplication IS safe), so
+      // each hazard sits above a repartition, the shape it takes over
+      // any real source.
+      // nondeterministic filter (the rand()-sampling idiom): left alone
+      val nd = leftDf.repartition(2).filter(rand(seed = 7L) < lit(0.9))
+        .as("l").join(rightDf.as("r"), cond)
+      assert(!planOf(nd).contains("__graft_bkt"), planOf(nd))
+      // Sample on the interval side: left alone
+      val samp = leftDf.repartition(2).sample(0.9, seed = 7L).as("l")
+        .join(rightDf.as("r"), cond)
+      assert(!planOf(samp).contains("__graft_bkt"), planOf(samp))
+      // Limit on the point side: left alone
+      val lim = leftDf.as("l")
+        .join(rightDf.repartition(2).limit(5).as("r"), cond)
+      assert(!planOf(lim).contains("__graft_bkt"), planOf(lim))
+    } finally spark.conf.unset("spark.graft.rangeJoin.rewriteNaive")
+  }
 }
