@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.ImagePlane
+import graft.ops.{ImageResize, Reconstruct, Relabel}
 import graft.sources.{Npz, Tiff}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import Q._
@@ -143,9 +144,210 @@ object IoQueries {
     main.union(sep).orderBy("mode", "fov", "crop", "slice", "stack")
   }
 
+  // ===================================================================
+  // EP2-composition digest (C9, reshape_data.py:194-234 composed with
+  // C1-C8 and S10/S12): crop -> slice -> NPZ save (+ log_data.json
+  // sidecar) -> grid read -> stitch slices -> stitch crops -> dense
+  // relabel, verified per reconstructed plane against the A-PRIORI
+  // fixture law (never against the written files):
+  //   - pixels round-trip bit-exactly (overlapping crops agree on raw
+  //     values; padding is trimmed), so the pixel census must equal
+  //     the law's;
+  //   - stitched labels are a BIJECTIVE renaming of the law's labels
+  //     (majority-vote stitching reassigns ids but, for connected
+  //     blobs, never merges distinct cells — overlap pixels carry the
+  //     placed id to every later crop — and never splits one);
+  //   - after W4 dense relabel the id set is exactly 1..n_labels.
+  // The fixture law places 3x3 blobs on a 6-px grid offset so blobs
+  // straddle BOTH crop boundaries (rows 10-12 cross the row-crop seam
+  // at 12; cols 15-17 and 27-29 cross both col seams), exercising the
+  // J3 vote, and slices overlap by 1 stack so C8's highest-slice-wins
+  // path runs on every interior stack.
+  // ===================================================================
+
+  private val RcRows = 24; private val RcCols = 36; private val RcStacks = 4
+  private val RcChans = Seq("ch0", "ch1")
+  private val RcFovs = Seq("fovA", "fovB")
+
+  /** Strictly positive small-int pixel law, exact through float32. */
+  private def rcPixel(fi: Int, st: Int, ch: Int, r: Int, c: Int): Float =
+    (((r * RcCols + c) + st * 7 + ch * 11 + fi * 19) % 101 + 1).toFloat
+
+  /** 3x3 blobs on a 6-px grid, rows offset 4 / cols offset 9 — ids
+    * 1..20, identical geometry on every plane (pixels vary per plane,
+    * catching any unit mix-up the label check can't see).
+    */
+  private def rcLabel(r: Int, c: Int): Int =
+    if (r >= 4 && (r - 4) % 6 < 3 && c >= 9 && (c - 9) % 6 < 3)
+      ((r - 4) / 6) * 5 + ((c - 9) / 6) + 1
+    else 0
+
+  private def rcLawPlane(fov: String, fi: Int, st: Int): ImagePlane =
+    ImagePlane(fov, st, 0, 0, RcRows, RcCols, RcChans,
+      Array.tabulate(RcChans.length * RcRows * RcCols) { i =>
+        val ch = i / (RcRows * RcCols); val rc = i % (RcRows * RcCols)
+        rcPixel(fi, st, ch, rc / RcCols, rc % RcCols)
+      },
+      Array.tabulate(RcRows * RcCols)(i => rcLabel(i / RcCols, i % RcCols)))
+
+  /** Bijection check: `got` is a renaming of `want` — identical zero
+    * sets, and the id mapping is a function in both directions.
+    */
+  private def labelsBijective(want: Array[Int], got: Array[Int]): Boolean = {
+    if (want.length != got.length) return false
+    // boxed maps: putIfAbsent's null "was absent" sentinel must stay
+    // distinguishable from a real id (an unboxed Int would turn null
+    // into 0 and poison the comparison)
+    val fwd = new java.util.HashMap[Integer, Integer]
+    val bwd = new java.util.HashMap[Integer, Integer]
+    var i = 0
+    while (i < want.length) {
+      val a = want(i); val b = got(i)
+      if ((a == 0) != (b == 0)) return false
+      if (a != 0) {
+        val f = fwd.putIfAbsent(a, b)
+        if (f != null && f.intValue != b) return false
+        val g = bwd.putIfAbsent(b, a)
+        if (g != null && g.intValue != a) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  private def qImgReconstructDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planes = for {
+      (fov, fi) <- RcFovs.zipWithIndex; st <- 0 until RcStacks
+    } yield rcLawPlane(fov, fi, st)
+    val tmp = java.nio.file.Files.createTempDirectory("ep2_digest")
+      .toFile.getAbsolutePath
+    val (units, plan) = Reconstruct.cropAndSlice(
+      ImagePlane.toDataset(s, planes), RcRows, RcCols, RcStacks,
+      cropSize = Some((16, 16, 0.25)), sliceLen = Some((2, 1)),
+      fovs = RcFovs, channels = RcChans)
+    Npz.saveNpzsForCaliban(units, tmp)
+    Reconstruct.savePlan(s, tmp, plan)
+    // reconstruct in the sidecar-driven form — the plan travels through
+    // log_data.json, as in the reference's multi-day annotation flow
+    val recon = Relabel.allFrames(Reconstruct.reconstructFromNpzDir(s, tmp))
+    val nBlobs = (0 until RcRows * RcCols)
+      .map(i => rcLabel(i / RcCols, i % RcCols)).filter(_ != 0).distinct.size
+    recon.map { p =>
+      val fi = RcFovs.indexOf(p.fov)
+      val law = rcLawPlane(p.fov, fi, p.stack)
+      val pxOk = fi >= 0 && p.nRows == RcRows && p.nCols == RcCols &&
+        census(p.pixels) == census(law.pixels)
+      val labOk = labelsBijective(law.labels, p.labels)
+      val ids = p.labels.filter(_ != 0).distinct.sorted
+      val denseOk = ids.sameElements(1 to ids.length)
+      (p.fov, p.stack, p.nRows, p.nCols, ids.length, pxOk, labOk, denseOk)
+    }.toDF("fov", "stack", "n_rows", "n_cols", "n_labels", "px_ok",
+      "labels_ok", "dense_ok")
+      .orderBy("fov", "stack")
+  }
+
+  // ===================================================================
+  // C10-C12 digest (pad_image_stack build.py:144-176, resize build.py:
+  // 101-143, tile dataset_builder.py:292-395 via reshapeForTraining):
+  // constant-per-(fov,stack,channel) pixels and a 2x2-blob-on-4-grid
+  // label law make EVERY census integer-exact and SQL-expressible:
+  //   - bilinear resize of a constant is exactly that constant (the 4
+  //     dyadic weights sum to 1 in double arithmetic);
+  //   - nearest-neighbor 2x upscale is index-halving: out(r,c) =
+  //     law(r/2, c/2) — so the oracle REPLAYS the whole resize+pad+
+  //     tile geometry in DuckDB from generate_series, pinning real
+  //     numbers, not verdict booleans.
+  // 25x31 planes force both the resize (ratio 2 > tolerance 1.5) and
+  // a non-trivial pad (50x62 -> 64x64) before the 4x4 tiling.
+  // ===================================================================
+
+  private val RsRows = 25; private val RsCols = 31
+
+  private def rsConst(fi: Int, st: Int, ch: Int): Float =
+    (1 + fi * 4 + st * 2 + ch).toFloat
+
+  private def rsLabel(r: Int, c: Int): Int =
+    if (r % 4 < 2 && c % 4 < 2) (r / 4) * 8 + (c / 4) + 1 else 0
+
+  private def qImgReshapeDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planes = for {
+      (fov, fi) <- RcFovs.zipWithIndex; st <- 0 until 2
+    } yield ImagePlane(fov, st, 0, 0, RsRows, RsCols, RcChans,
+      Array.tabulate(RcChans.length * RsRows * RsCols) { i =>
+        rsConst(fi, st, i / (RsRows * RsCols))
+      },
+      Array.tabulate(RsRows * RsCols)(i => rsLabel(i / RsCols, i % RsCols)))
+    val tiles = ImageResize.reshapeForTraining(
+      ImagePlane.toDataset(s, planes), 16, 16, resizeRatio = 2.0)
+    tiles.map { p =>
+      val (labNnz, labSum, labMax, _) = census(p.labels.map(_.toFloat))
+      val (pxNnz, pxSum, _, _) = census(p.pixels)
+      (p.fov, p.stack, p.crop, p.nRows, p.nCols, labNnz, labSum, labMax,
+        pxNnz, pxSum)
+    }.toDF("fov", "stack", "crop", "n_rows", "n_cols", "lab_nnz",
+      "lab_sum", "lab_max", "px_nnz", "px_sum")
+      .orderBy("fov", "stack", "crop")
+  }
+
+  // ===================================================================
+  // S13/S14 digest (save_stitched_npzs pipeline.py:54-67,
+  // create_combined_npz pipeline.py:70-110): write BOTH single-file
+  // sinks from the same law fixture, read each back through the NPZ
+  // source, and emit full per-plane censuses. The law is pure
+  // arithmetic, so the oracle replays every census (including the
+  // position-weighted checksum — order-sensitive, catching channel-
+  // last repack or row-order slips) in DuckDB from generate_series.
+  // Combined rows are mapped back to (fov, stack) through the sink's
+  // documented (fov, crop, slice, stack) sort order.
+  // ===================================================================
+
+  private val SkRows = 12; private val SkCols = 17; private val SkStacks = 3
+
+  private def skPixel(fi: Int, st: Int, i: Int): Float =
+    ((i + st * 7 + fi * 19) % 101).toFloat
+
+  private def skLabel(fi: Int, st: Int, i: Int): Int =
+    if ((i + st + fi) % 5 == 0) i % 7 + 1 else 0
+
+  private def qNpzSinksDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planes = for {
+      (fov, fi) <- RcFovs.zipWithIndex; st <- 0 until SkStacks
+    } yield ImagePlane(fov, st, 0, 0, SkRows, SkCols, Seq("channel0"),
+      Array.tabulate(SkRows * SkCols)(skPixel(fi, st, _)),
+      Array.tabulate(SkRows * SkCols)(skLabel(fi, st, _)))
+    val ds = ImagePlane.toDataset(s, planes)
+    val tmp = java.nio.file.Files.createTempDirectory("npz_sinks")
+      .toFile.getAbsolutePath
+    graft.ops.Pipeline.saveStitchedNpzs(ds, s"$tmp/stitched")
+    Npz.createCombinedNpz(ds, s"$tmp/combined/combined.npz")
+    def rows(ds2: org.apache.spark.sql.Dataset[ImagePlane], mode: String,
+             remap: ImagePlane => (String, Int)): DataFrame =
+      ds2.map { p =>
+        val (fov, stack) = remap(p)
+        val (pxN, pxS, pxM, pxC) = census(p.pixels)
+        val (lbN, lbS, lbM, lbC) = census(p.labels.map(_.toFloat))
+        (mode, fov, stack, p.nRows, p.nCols, pxN, pxS, pxM, pxC,
+          lbN, lbS, lbM, lbC)
+      }.toDF("mode", "fov", "stack", "n_rows", "n_cols", "px_nnz",
+        "px_sum", "px_max", "px_chk", "lab_nnz", "lab_sum", "lab_max",
+        "lab_chk")
+    val stitched = rows(Npz.readTrainingNpzDir(s, s"$tmp/stitched"),
+      "stitched", p => (p.fov, p.stack))
+    // combined row b -> (fov, stack) through the sink's sort order
+    val combined = rows(Npz.readTrainingNpzDir(s, s"$tmp/combined"),
+      "combined", p => (RcFovs(p.stack / SkStacks), p.stack % SkStacks))
+    stitched.union(combined).orderBy("mode", "fov", "stack")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_src_tiff_digest" -> qSrcTiffDigest _,
     "q_npz_roundtrip" -> qNpzRoundtrip _,
+    "q_img_reconstruct_digest" -> qImgReconstructDigest _,
+    "q_img_reshape_digest" -> qImgReshapeDigest _,
+    "q_npz_sinks_digest" -> qNpzSinksDigest _,
   )
 
   /** The TIFF oracle rows are INDEPENDENTLY derived: a raw IFD walk
@@ -185,5 +387,78 @@ object IoQueries {
         |       mode, TRUE AS digest_ok
         |FROM rows_all
         |ORDER BY mode, fov, crop, slice, stack""".stripMargin,
+    // The reconstruct digest's oracle pins the a-priori inversion
+    // grid: 8 reconstructed planes, every verdict TRUE, exactly the
+    // law's 20 blob ids after dense relabel. The verdicts themselves
+    // compare against the pure fixture law (never the written files).
+    "q_img_reconstruct_digest" ->
+      """SELECT fov, stack, 24 AS n_rows, 36 AS n_cols, 20 AS n_labels,
+        |       TRUE AS px_ok, TRUE AS labels_ok, TRUE AS dense_ok
+        |FROM (VALUES ('fovA'), ('fovB')) f(fov),
+        |     generate_series(0, 3) s(stack)
+        |ORDER BY fov, stack""".stripMargin,
+    // Full DuckDB replay of the resize+pad+tile geometry: constant
+    // pixels survive bilinear resize exactly, nearest 2x upscale is
+    // index halving (out(r,c) = law(r//2, c//2)), pad is zeros, tiles
+    // are 16x16 windows of the 64x64 padded canvas.
+    "q_img_reshape_digest" ->
+      """WITH cell AS (
+        |  SELECT f.fi, f.fov, st.stack, t.ti * 4 + t.tj AS crop,
+        |         t.ti * 16 + r.r AS gr, t.tj * 16 + c.c AS gc
+        |  FROM (VALUES (0, 'fovA'), (1, 'fovB')) f(fi, fov),
+        |       generate_series(0, 1) st(stack),
+        |       (SELECT a.ti, b.tj FROM generate_series(0, 3) a(ti),
+        |                               generate_series(0, 3) b(tj)) t,
+        |       generate_series(0, 15) r(r), generate_series(0, 15) c(c)),
+        |px AS (
+        |  SELECT fi, fov, stack, crop,
+        |    CASE WHEN gr < 50 AND gc < 62 THEN 1 ELSE 0 END AS inside,
+        |    CASE WHEN gr < 50 AND gc < 62
+        |           AND (gr // 2) % 4 < 2 AND (gc // 2) % 4 < 2
+        |         THEN ((gr // 2) // 4) * 8 + ((gc // 2) // 4) + 1
+        |         ELSE 0 END AS lab
+        |  FROM cell)
+        |SELECT fov, stack, crop, 16 AS n_rows, 16 AS n_cols,
+        |       CAST(sum(CASE WHEN lab != 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS lab_nnz,
+        |       CAST(sum(lab) AS BIGINT) AS lab_sum,
+        |       CAST(max(lab) AS BIGINT) AS lab_max,
+        |       CAST(2 * sum(inside) AS BIGINT) AS px_nnz,
+        |       CAST(sum(inside) * (2 * (1 + fi * 4 + stack * 2) + 1)
+        |         AS BIGINT) AS px_sum
+        |FROM px
+        |GROUP BY fi, fov, stack, crop
+        |ORDER BY fov, stack, crop""".stripMargin,
+    // Full DuckDB replay of both single-file sinks' censuses from the
+    // arithmetic law (12x17 planes, i = r*17+c), including the
+    // position-weighted checksum — order-sensitive, so a channel-last
+    // repack or row-order slip in encode/decode fails the hash.
+    "q_npz_sinks_digest" ->
+      """WITH grid AS (
+        |  SELECT f.fi, f.fov, st.stack, i.i,
+        |         (i.i + st.stack * 7 + f.fi * 19) % 101 AS px,
+        |         CASE WHEN (i.i + st.stack + f.fi) % 5 = 0
+        |              THEN i.i % 7 + 1 ELSE 0 END AS lab
+        |  FROM (VALUES (0, 'fovA'), (1, 'fovB')) f(fi, fov),
+        |       generate_series(0, 2) st(stack),
+        |       generate_series(0, 203) i(i)),
+        |cens AS (
+        |  SELECT fov, stack,
+        |    CAST(sum(CASE WHEN px != 0 THEN 1 ELSE 0 END) AS BIGINT) AS px_nnz,
+        |    CAST(sum(px) AS BIGINT) AS px_sum,
+        |    CAST(max(px) AS BIGINT) AS px_max,
+        |    CAST(sum(((i + 1) * px) % 1000000007) % 1000000007 AS BIGINT)
+        |      AS px_chk,
+        |    CAST(sum(CASE WHEN lab != 0 THEN 1 ELSE 0 END) AS BIGINT) AS lab_nnz,
+        |    CAST(sum(lab) AS BIGINT) AS lab_sum,
+        |    CAST(max(lab) AS BIGINT) AS lab_max,
+        |    CAST(sum(((i + 1) * lab) % 1000000007) % 1000000007 AS BIGINT)
+        |      AS lab_chk
+        |  FROM grid GROUP BY fov, stack)
+        |SELECT m.mode, c.fov, c.stack, 12 AS n_rows, 17 AS n_cols,
+        |       px_nnz, px_sum, px_max, px_chk,
+        |       lab_nnz, lab_sum, lab_max, lab_chk
+        |FROM cens c, (VALUES ('stitched'), ('combined')) m(mode)
+        |ORDER BY mode, fov, stack""".stripMargin,
   )
 }
