@@ -68,15 +68,8 @@ object StreamOps {
       .withWatermark("ts", "24 hours")
       .dropDuplicates("user_id", "event_type")
       .select("user_id", "event_type")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName)
+    val (drained, _, _) = drainAppend(deduped, queryName)
+    drained
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
@@ -366,20 +359,9 @@ object StreamOps {
         unix_micros(col("session_window.start")).as("start_us"),
         (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
         col("n_events"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    val (drained, maxState, nBatches) = drainAppend(agg, queryName)
     stateHighWater("q_stream_session_native") = maxState
-    AppendRun(spark.table(queryName).orderBy("user_id", "start_us"),
-      maxState, progress.length)
+    AppendRun(drained.orderBy("user_id", "start_us"), maxState, nBatches)
   }
 
   /** The 100 TB form of [[incrementalDedup]]: the static-store
@@ -419,19 +401,9 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("fp")
       .join(store, Seq("fp"), "left_anti")
       .select("doc_id", "fp")
-    val q = novel.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    val (drained, maxState, nBatches) = drainAppend(novel, queryName)
     stateHighWater("q_stream_incremental_append") = maxState
-    AppendRun(spark.table(queryName).orderBy("doc_id"), maxState, progress.length)
+    AppendRun(drained.orderBy("doc_id"), maxState, nBatches)
   }
 
   case class Evt(user_id: Long, us: Long, event_id: Long)
@@ -491,6 +463,39 @@ object StreamOps {
     val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
     (spark.read.schema(updates.schema).parquet(dir).toDF(cols: _*), maxState)
+  }
+
+  /** [[drainUpdates]]' append-mode sibling, for harnesses whose
+    * EMITTED-row volume grows with the data (finalized sessions, join
+    * pairs): each micro-batch appends to a temp parquet sink
+    * executor-side and the result is read back once the stream drains,
+    * so driver memory stays O(1) regardless of emission volume — the
+    * memory sink accumulates every emitted row on the driver, which
+    * made the harness (not the state store) the scale ceiling. Returns
+    * (drained rows, state-store high-water, batch count).
+    */
+  private def drainAppend(out: DataFrame, queryName: String)
+      : (DataFrame, Long, Int) = {
+    val spark = out.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain")
+      .toFile.getAbsolutePath
+    val q = out.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          batch.write.mode("append").parquet(dir)
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress
+    q.stop()
+    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    (spark.read.schema(out.schema).parquet(dir), maxState, progress.length)
   }
 
   def ewmaState(spark: SparkSession, sfDir: String,
@@ -936,20 +941,9 @@ object StreamOps {
           }
         })
       .toDF("user_id", "start_us", "end_us", "n_events")
-    val q = closed.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    val (drained, maxState, nBatches) = drainAppend(closed, queryName)
     stateHighWater("q_stream_sessionize_append") = maxState
-    AppendRun(spark.table(queryName).orderBy("user_id", "start_us"),
-      maxState, progress.length)
+    AppendRun(drained.orderBy("user_id", "start_us"), maxState, nBatches)
   }
 
   /** [[sessionCountsAppend]] on the Spark 4 `transformWithState` API
@@ -1040,20 +1034,9 @@ object StreamOps {
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           OutputMode.Append())
         .toDF("user_id", "start_us", "end_us", "n_events")
-      val q = closed.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable()
-      val progress = q.recentProgress
-      q.stop()
-      val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-        .foldLeft(0L)(math.max)
+      val (drained, maxState, nBatches) = drainAppend(closed, queryName)
       stateHighWater("q_stream_sessionize_tws") = maxState
-      AppendRun(spark.table(queryName).orderBy("user_id", "start_us"),
-        maxState, progress.length)
+      AppendRun(drained.orderBy("user_id", "start_us"), maxState, nBatches)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(providerKey, v)
@@ -1116,15 +1099,8 @@ object StreamOps {
           }
         })
       .toDF("fov", "stack", "slice", "n_cells", "n_nonzero")
-    val q = stitched.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName).orderBy("fov", "stack", "slice")
+    val (drained, _, _) = drainAppend(stitched, queryName)
+    drained.orderBy("fov", "stack", "slice")
   }
 
   /** One streamed work unit for [[incrementalStitchAppend]]: an
@@ -1218,20 +1194,9 @@ object StreamOps {
           }
         })
       .toDF("fov", "stack", "slice", "n_crops", "n_cells", "n_nonzero", "status")
-    val q = stitched.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    val (drained, maxState, nBatches) = drainAppend(stitched, queryName)
     stateHighWater("q_stream_stitch") = maxState
-    AppendRun(spark.table(queryName).orderBy("fov", "stack", "slice"),
-      maxState, progress.length)
+    AppendRun(drained.orderBy("fov", "stack", "slice"), maxState, nBatches)
   }
 
   /** [[incrementalStitchAppend]] on the Spark 4 `transformWithState`
@@ -1333,20 +1298,9 @@ object StreamOps {
           OutputMode.Append())
         .toDF("fov", "stack", "slice", "n_crops", "n_cells", "n_nonzero",
           "status")
-      val q = stitched.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable()
-      val progress = q.recentProgress
-      q.stop()
-      val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-        .foldLeft(0L)(math.max)
+      val (drained, maxState, nBatches) = drainAppend(stitched, queryName)
       stateHighWater("q_stream_stitch_tws") = maxState
-      AppendRun(spark.table(queryName).orderBy("fov", "stack", "slice"),
-        maxState, progress.length)
+      AppendRun(drained.orderBy("fov", "stack", "slice"), maxState, nBatches)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(providerKey, v)
@@ -1424,21 +1378,11 @@ object StreamOps {
         max(col("est_pm")).as("best_est_pm"))
       .select(col("doc_id"), col("n_cand"), col("best_est_pm"),
         (col("best_est_pm") < 5000L).as("novel"))
-    val q = scored.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    val (drained, maxState) = drainUpdates(scored, scored.columns.toSeq)
     stateHighWater("q_stream_neardup") = maxState
     // last update per doc wins (a doc's 32 band rows arrive in one
     // batch, so there is exactly one)
-    val out = spark.table(queryName)
+    val out = drained
       .groupBy("doc_id")
       .agg(max(struct(col("n_cand"), col("best_est_pm"), col("novel")))
         .as("last"))
@@ -1488,17 +1432,10 @@ object StreamOps {
           Iterator((uid, s.nSessions, s.nEvents))
         })
       .toDF("user_id", "n_sessions", "n_events")
-    val q = updated.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    // update-mode memory sink appends per-batch emissions; keep each
-    // user's final totals (single-batch local runs emit exactly once)
-    spark.table(queryName)
+    val (drained, _) = drainUpdates(updated, updated.columns.toSeq)
+    // the update drain appends per-batch emissions; keep each user's
+    // final totals (single-batch local runs emit exactly once)
+    drained
       .groupBy("user_id")
       .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
       .orderBy("user_id")
@@ -1548,20 +1485,9 @@ object StreamOps {
         col("c_ts") <= col("p_ts"))
       .select(col("p_event_id").as("event_id"), col("p_user").as("user_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
-    val q = pairs.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    val (drained, maxState, nBatches) = drainAppend(pairs, queryName)
     stateHighWater("q_stream_range_append") = maxState
-    AppendRun(spark.table(queryName).orderBy("event_id", "c_us"),
-      maxState, progress.length)
+    AppendRun(drained.orderBy("event_id", "c_us"), maxState, nBatches)
   }
 
   /** LEFT OUTER stream-stream interval join — [[intervalJoinAppend]]'s
@@ -1603,19 +1529,8 @@ object StreamOps {
         "left_outer")
       .select(col("p_event_id").as("event_id"), col("p_user").as("user_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
-    val q = pairs.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    val (drained, maxState, nBatches) = drainAppend(pairs, queryName)
     stateHighWater("q_stream_range_outer") = maxState
-    AppendRun(spark.table(queryName).orderBy("event_id", "c_us"),
-      maxState, progress.length)
+    AppendRun(drained.orderBy("event_id", "c_us"), maxState, nBatches)
   }
 }
