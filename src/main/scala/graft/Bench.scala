@@ -9,13 +9,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A/B trials (e.g. the naive-range-join rewrite) set session confs
-    // without a code change: "k1=v1;k2=v2"
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
-      _.split(';').map(_.trim).filter(_.contains('=')).foreach { kv =>
-        val i = kv.indexOf('=')
-        spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
-      }
-    }
+    // without a code change: "k1=v1;k2=v2". Applied overrides are
+    // echoed to stderr and recorded in both emitted JSON lines, so a
+    // bench artifact can never silently claim default config.
+    val extraConf = graft.core.GraftSession.applyExtraConf(spark)
     // warm up executor threads, codegen and the parquet reader so the
     // first measured query doesn't absorb JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -83,8 +80,10 @@ object Bench {
     // walls as a centisecond array in sorted-query-name order (the same
     // order `queries`/CORRECTNESS use, so names zip back on), plus the
     // slowest 10 by name for at-a-glance regression checks.
+    val extraJson = extraConf
+      .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"detail":"full","value":$total,"unit":"sec","queries":$qs,"err":$errJson,"state_rows":$sw,"query_ctx":$ctxJson,"load_end":${loadavg()},"sf":"$sfDir"}"""
+      s"""{"detail":"full","value":$total,"unit":"sec","queries":$qs,"err":$errJson,"state_rows":$sw,"query_ctx":$ctxJson,"extra_conf":$extraJson,"load_end":${loadavg()},"sf":"$sfDir"}"""
     def r2(d: Double): Double = math.rint(d * 100) / 100
     val slowJson = ok.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r2(v) }
@@ -92,7 +91,7 @@ object Bench {
     val wallsCs = ok.map { case (_, v) => math.rint(v * 100).toLong }
       .mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${ok.size},"slowest":$slowJson,"walls_cs":$wallsCs,"walls_order":"sorted_query_names","n_err":${errors.size},"load_end":${loadavg()},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${ok.size},"slowest":$slowJson,"walls_cs":$wallsCs,"walls_order":"sorted_query_names","n_err":${errors.size},"extra_conf":$extraJson,"load_end":${loadavg()},"sf":"$sfDir"}"""
     println(line)
     println(compact)
     // persist the full line where the NEXT round's commit picks it up

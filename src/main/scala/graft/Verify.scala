@@ -56,13 +56,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A/B trials (e.g. the naive-range-join rewrite) set session confs
-    // without a code change: "k1=v1;k2=v2" — same hook as Bench
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
-      _.split(';').map(_.trim).filter(_.contains('=')).foreach { kv =>
-        val i = kv.indexOf('=')
-        spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
-      }
-    }
+    // without a code change: "k1=v1;k2=v2" — same hook as Bench. Every
+    // applied override is echoed to stderr AND recorded in the output
+    // dir (_extra_conf.json, written even when empty), so a gate
+    // artifact is self-describing about non-default config.
+    val extraConf = graft.core.GraftSession.applyExtraConf(spark)
     // Optional comma-separated allowlist for targeted replays (e.g. the
     // sf1 dedup spot-pass); unset ⇒ full dump, the driver's contract.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
@@ -72,6 +70,9 @@ object Verify {
       case None        => SparkEntry.queries
     }
     val failures = dump(spark, sfDir, outDir, selected.toSeq)
+    Files.writeString(Paths.get(s"$outDir/_extra_conf.json"),
+      extraConf.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+        .mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -503,6 +503,93 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }
     }
-    resolve('r').orElse(resolve('l'))
+
+    /** Overlap shape: two conjuncts bounding two DIFFERENT left
+      * attributes against right-side expressions — `l.lo <= r.hi AND
+      * r.lo <= l.hi`, the window-vs-window join, which Spark would
+      * otherwise plan as a per-key cartesian. Tried only after both
+      * point-in-interval resolutions fail (a doubly-bounded single
+      * point never reaches here). Needs at least one equi key (a
+      * keyless overlap NLJ is left as written). Role assignment is
+      * correctness-irrelevant: the exact predicate re-applies the
+      * original conjuncts, and the canonical first-shared-bucket
+      * filter emits each matching pair exactly once whenever both
+      * sides' [lo, hi] are valid and narrow — rows inverted, NULL-
+      * bounded, or wider than the cap on EITHER side route through
+      * the original join restricted to exactly those pairs
+      * (`bad(l) OR bad(r)`), so behavior is unchanged on the tails.
+      */
+    def resolveOverlap(): Option[LogicalPlan] = {
+      if (keyPairs.isEmpty) return None
+      val uppersL = rangeConjs.flatMap { case (c, rs) =>
+        rs.filter(rd => rd.pside == 'l' && !rd.isLower).map((c, _)) }
+      val lowersL = rangeConjs.flatMap { case (c, rs) =>
+        rs.filter(rd => rd.pside == 'l' && rd.isLower).map((c, _)) }
+      (uppersL, lowersL) match {
+        case (Vector((cUp, rUp)), Vector((cDn, rDn)))
+            if rUp.point != rDn.point =>
+          val width =
+            conf.getConfString("spark.graft.rangeJoin.bucketWidthUs",
+              "3600000000").toLong
+          val maxBuckets =
+            conf.getConfString("spark.graft.rangeJoin.maxBucketsPerRow",
+              "64").toInt
+          // lLo is the left attr upper-bounded by the right (so the
+          // right bound is rHi); lHi the one lower-bounded (bound rLo)
+          val (lLo, lHi) = (rUp.point, rDn.point)
+          val (rHi, rLo) = (rUp.bound, rDn.bound)
+          val unchosen = rangeConjs.map(_._1)
+            .filterNot(c => c == cUp || c == cDn)
+          val exact = (Seq(cUp, cDn) ++ unchosen ++ leftover)
+            .reduce[Expression](And(_, _))
+          def looseSeq(lo: Expression, hi: Expression): Expression = {
+            val loB = bkt(lo, width)
+            val hiB = bkt(hi, width)
+            val nullArr =
+              Literal.create(null, ArrayType(LongType, containsNull = false))
+            // NULL/inverted first (their width comparison would be
+            // indeterminate), then the width cap; anything else
+            // explodes into its bucket cover
+            CaseWhen(Seq(
+              (Or(Or(IsNull(lo), IsNull(hi)), LessThan(hi, lo)), nullArr),
+              (LessThan(new Subtract(hiB, loB), Literal(maxBuckets.toLong)),
+                new Sequence(loB, hiB, None,
+                  Option(conf.sessionLocalTimeZone)))),
+              Option(nullArr))
+          }
+          val lBkt =
+            AttributeReference("__graft_bkt", LongType, nullable = false)()
+          val lExp = Generate(Explode(looseSeq(lLo, lHi)), Nil,
+            outer = false, None, Seq(lBkt), l)
+          val rBkt =
+            AttributeReference("__graft_rbkt", LongType, nullable = false)()
+          val rExp = Generate(Explode(looseSeq(rLo, rHi)), Nil,
+            outer = false, None, Seq(rBkt), r)
+          val equi = (keyPairs.map { case (lk, rk) => EqualTo(lk, rk) } :+
+            EqualTo(lBkt, rBkt)).reduce[Expression](And(_, _))
+          val canonical = EqualTo(lBkt, bkt(Greatest(Seq(lLo, rLo)), width))
+          val bucketed = Project(j.output,
+            Filter(And(exact, canonical),
+              Join(lExp, rExp, Inner, Some(equi), JoinHint.NONE)))
+          // a row is routed to the fallback when its interval is
+          // non-null but inverted or spans >= maxBuckets buckets;
+          // NULL-bounded rows can never satisfy the original
+          // conjunction, so they may drop from both branches
+          def bad(lo: Expression, hi: Expression): Expression =
+            And(And(IsNotNull(lo), IsNotNull(hi)),
+              Or(GreaterThan(lo, hi),
+                GreaterThanOrEqual(
+                  new Subtract(bkt(hi, width), bkt(lo, width)),
+                  Literal(maxBuckets.toLong))))
+          val wideHint = JoinHint(
+            Some(HintInfo(strategy = Some(SHUFFLE_MERGE))), None)
+          val fallback = Project(j.output,
+            Join(l, r, Inner,
+              Some(And(cond, Or(bad(lLo, lHi), bad(rLo, rHi)))), wideHint))
+          Some(Union(Seq(bucketed, fallback)))
+        case _ => None
+      }
+    }
+    resolve('r').orElse(resolve('l')).orElse(resolveOverlap())
   }
 }

@@ -246,7 +246,12 @@ object EventQueries {
     * (point-in-window), overlap (window-vs-window). The oracle
     * replays sessionization + the quadratic inequality join.
     */
-  private def qEvtOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+  /** Shared interval derivation for the overlap-join family: click
+    * sessions (30-min gap) and ±1 h-padded error-burst windows
+    * (10-min gap), both as [lo, hi] integer-microsecond intervals.
+    */
+  private def overlapIntervals(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val ev = t(s, dir, "events")
     def sessions(typ: String, gapUs: Long): DataFrame = {
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -267,6 +272,11 @@ object EventQueries {
     val errors = sessions("error", 600000000L)
       .select(col("user_id"), (col("lo") - 3600000000L).as("w_lo"),
         (col("hi") + 3600000000L).as("w_hi"), col("n").as("n_errors"))
+    (clicks, errors)
+  }
+
+  private def qEvtOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, errors) = overlapIntervals(s, dir)
     // registered through the NATIVE OverlapJoinPlan node since round 14
     // (the ops composition is the spec-pinned bit-equal twin)
     graft.plans.RangeJoinPlan.joinIntervalsOverlap(clicks, errors,
@@ -276,6 +286,48 @@ object EventQueries {
       .withColumn("overlap_us",
         least(col("s_hi"), col("w_hi")) - greatest(col("s_lo"), col("w_lo")))
       .orderBy("user_id", "s_lo", "w_lo")
+  }
+
+  /** The naive OVERLAP-join rewrite, driver-visible through the SQL
+    * surface — q_evt_range_sql's window-vs-window sibling: the same
+    * session-interval overlap as q_evt_overlap_join written as PLAIN
+    * ANSI SQL (`ON user match AND s_lo <= w_hi AND w_lo <= s_hi`),
+    * the shape Spark plans as a per-key cartesian, run with the
+    * default-on rewrite so [[graft.plans.RangeJoinRewrite]] rebuckets
+    * BOTH interval sides into the canonical-first-shared-bucket equi
+    * join (inverted/over-wide rows take the wide-row fallback union
+    * branch). A construction-time `require` pins that the double
+    * explode actually fired; the oracle replays the same SQL in
+    * DuckDB.
+    */
+  private def qEvtOverlapSql(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode)
+    val (clicks, errors) = overlapIntervals(s, dir)
+    clicks.createOrReplaceTempView(s"__osql_c_$tag")
+    errors.withColumnRenamed("user_id", "e_user")
+      .createOrReplaceTempView(s"__osql_e_$tag")
+    val prev = s.conf.getOption("spark.graft.rangeJoin.rewriteNaive")
+    s.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
+    try {
+      val df = s.sql(
+        s"""SELECT c.user_id, c.s_lo, c.s_hi, c.n_clicks,
+           |       e.w_lo, e.w_hi, e.n_errors,
+           |       least(c.s_hi, e.w_hi) - greatest(c.s_lo, e.w_lo)
+           |         AS overlap_us
+           |FROM __osql_c_$tag c JOIN __osql_e_$tag e
+           |  ON c.user_id = e.e_user
+           | AND c.s_lo <= e.w_hi
+           | AND e.w_lo <= c.s_hi""".stripMargin)
+      val opt = df.queryExecution.optimizedPlan.toString
+      require(opt.contains("__graft_bkt") && opt.contains("__graft_rbkt"),
+        "naive overlap rewrite did not fire on the SQL-surface join")
+      df.localCheckpoint().orderBy("user_id", "s_lo", "w_lo")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.graft.rangeJoin.rewriteNaive", v)
+        case None    => s.conf.unset("spark.graft.rangeJoin.rewriteNaive")
+      }
+    }
   }
 
   /** Event-type transition counts: lag over the per-user ordered
@@ -2101,6 +2153,7 @@ object EventQueries {
     "q_evt_range_join" -> qEvtRangeJoin _,
     "q_evt_range_sql" -> qEvtRangeSql _,
     "q_evt_overlap_join" -> qEvtOverlapJoin _,
+    "q_evt_overlap_sql" -> qEvtOverlapSql _,
     "q_evt_transitions" -> qEvtTransitions _,
     "q_evt_scd2" -> qEvtScd2 _,
     "q_evt_concurrency" -> qEvtConcurrency _,
@@ -3293,6 +3346,38 @@ object EventQueries {
         |FROM sess c JOIN sess e ON c.user_id = e.user_id
         |  AND c.event_type = 'click' AND e.event_type = 'error'
         |  AND greatest(c.lo, e.lo - 3600000000) <= least(c.hi, e.hi + 3600000000)
+        |ORDER BY c.user_id, s_lo, w_lo""".stripMargin,
+    // identical relation through the SQL-surface naive overlap join —
+    // the rewrite must not change a single row
+    "q_evt_overlap_sql" ->
+      """WITH mk AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |f AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    CASE WHEN prev IS NULL OR us - prev >
+        |      CASE event_type WHEN 'click' THEN 1800000000 ELSE 600000000 END
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM mk),
+        |g AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(ns) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, event_type, sid, min(us) AS lo, max(us) AS hi,
+        |    count(*) AS n
+        |  FROM g GROUP BY 1, 2, 3)
+        |SELECT c.user_id, c.lo AS s_lo, c.hi AS s_hi, c.n AS n_clicks,
+        |  e.lo - 3600000000 AS w_lo, e.hi + 3600000000 AS w_hi,
+        |  e.n AS n_errors,
+        |  least(c.hi, e.hi + 3600000000) - greatest(c.lo, e.lo - 3600000000) AS overlap_us
+        |FROM sess c JOIN sess e ON c.user_id = e.user_id
+        |  AND c.event_type = 'click' AND e.event_type = 'error'
+        |  AND c.lo <= e.hi + 3600000000
+        |  AND e.lo - 3600000000 <= c.hi
         |ORDER BY c.user_id, s_lo, w_lo""".stripMargin,
     // The running-min funnel cascade is order-equivalent to global mins:
     // a click qualifies iff SOME view is strictly earlier, i.e. iff

@@ -301,4 +301,55 @@ class RangeJoinPlanSpec extends SparkSpec {
       assert(!planOf(lim).contains("__graft_bkt"), planOf(lim))
     } finally spark.conf.unset("spark.graft.rangeJoin.rewriteNaive")
   }
+
+  test("naive OVERLAP rewrite: bucketed + fallback union equals the plain join") {
+    // intervals covering every routing class: normal overlap
+    // (bucketed), inverted lo>hi (still matches naively when the
+    // bounds straddle the partner — MUST take the fallback, the
+    // bucketed branch would wrongly drop it), NULL bound (matches
+    // nothing), and over-wide spans (>= maxBucketsPerRow buckets,
+    // fallback)
+    val lhs = Seq(
+      (1L, 10L, Option(100L), Option(250L)),   // normal
+      (1L, 11L, Option(500L), Option(400L)),   // inverted, can match
+      (1L, 12L, Option.empty[Long], Option(300L)), // NULL lo
+      (2L, 20L, Option(0L), Option(2000L)),    // wide at width=100/cap=4
+      (2L, 21L, Option(150L), Option(160L))    // normal
+    ).toDF("k", "id", "lo", "hi")
+    val rhs = Seq(
+      (1L, 90L, Option(200L), Option(300L)),   // overlaps 10
+      (1L, 91L, Option(300L), Option(600L)),   // straddles inverted 11
+      (1L, 92L, Option(260L), Option(270L)),   // overlaps nothing valid
+      (2L, 93L, Option(100L), Option(180L)),   // overlaps 20 (wide) + 21
+      (2L, 94L, Option(5000L), Option(90L))    // inverted right side
+    ).toDF("k", "rid", "rlo", "rhi")
+    lhs.createOrReplaceTempView("ovl_l")
+    rhs.createOrReplaceTempView("ovl_r")
+    def run(): DataFrame = spark.sql(
+      """SELECT l.k, l.id, r.rid FROM ovl_l l JOIN ovl_r r
+        |  ON l.k = r.k AND l.lo <= r.rhi AND r.rlo <= l.hi""".stripMargin)
+    spark.conf.set("spark.graft.rangeJoin.bucketWidthUs", "100")
+    spark.conf.set("spark.graft.rangeJoin.maxBucketsPerRow", "4")
+    try {
+      spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "false")
+      val expected = sortedRows(run())
+      assert(!run().queryExecution.optimizedPlan.toString
+        .contains("__graft_bkt"))
+      spark.conf.set("spark.graft.rangeJoin.rewriteNaive", "true")
+      val on = run()
+      val opt = on.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_bkt") && opt.contains("__graft_rbkt"), opt)
+      assert(opt.contains("Union"), opt)
+      assert(sortedRows(on) == expected,
+        s"on=${sortedRows(on)}\nexpected=$expected")
+      // the inverted-but-matching pair (11, 91) must be present — it
+      // can only come through the fallback branch
+      assert(expected.exists(r => r.contains("11") && r.contains("91")),
+        expected.toString)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.rewriteNaive")
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidthUs")
+      spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerRow")
+    }
+  }
 }

@@ -109,11 +109,17 @@ def main():
               "DuckDB replay of the banding/pair pipeline downstream of "
               "the spec-verified signature step")
     import os
+    allow_missing = "--allow-missing" in sys.argv
+    skipped = []
     for name, sql in [("q_dedup_minhash_pairs", MINHASH_SQL),
                       ("q_dedup_simhash_pairs", SIMHASH_SQL),
                       ("q_stream_neardup", NEARDUP_SQL)]:
         if not os.path.isdir(f"{out_dir}/{name}"):
+            # a missing dump means the engine never produced the table
+            # this gate was asked to certify — that must FAIL the run
+            # unless the caller explicitly allowed a partial gate
             print(f"SKIP {name} (not in {out_dir})")
+            skipped.append(name)
             continue
         s_cols, s_rows = table_of(
             con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -131,10 +137,18 @@ def main():
         ok = entry["hash_match"] and entry["schema_match"]
         print(f"{'PASS' if ok else 'FAIL'} {name} "
               f"spark_rows={entry['spark_rows']} oracle_rows={entry['oracle_rows']}")
+    if skipped:
+        results["_skipped"] = skipped
     with open(result_path, "w") as f:
         json.dump(results, f, indent=2)
-    sys.exit(0 if all(r["hash_match"] and r["schema_match"]
-                      for r in results.values()) else 1)
+    checked = [r for k, r in results.items() if k != "_skipped"]
+    ok = all(r["hash_match"] and r["schema_match"] for r in checked)
+    if skipped and not allow_missing:
+        print(f"FAIL: {len(skipped)} expected dump(s) missing "
+              f"({', '.join(skipped)}); pass --allow-missing for a "
+              f"deliberately partial gate")
+        sys.exit(2)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
