@@ -49,7 +49,7 @@ object Ql {
     "q_ds_split_contract", "q_ds_nested_prefix", "q_ds_build",
     "q_txt_heavy_hitters", "q_w3_dense_relabel",
     "q_stream_hourly", "q_stream_dedup", "q_stream_sessionize",
-    "q_stream_incremental", "q_stream_hourly_append",
+    "q_stream_incremental", "q_stream_hourly_append", "q_stream_hourly_tws",
     "q_stream_incremental_append", "q_stream_sessionize_append",
     "q_stream_sessionize_tws", "q_stream_neardup", "q_stream_semgate",
     "q_stream_stitch", "q_stream_stitch_tws",
@@ -58,6 +58,9 @@ object Ql {
     "q_stream_attribution",
     "q_evt_pipeline",
     "q_evt_range_sql", // rewrite-conf-scoped localCheckpoint at construction
+    "q_evt_overlap_sql", // rewrite-conf-scoped localCheckpoint at construction
+    "q_img_reconstruct_digest", // writes+reconstructs the NPZ law fixture
+    "q_npz_sinks_digest", // writes the stitched/combined NPZ sinks (S13/S14)
     "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank",
     "q_graph_kcore", "q_graph_bfs", "q_graph_triangles", // edge-list checkpoint + count
     "q_sim_maxsim", "q_emb_meanpool_nn",

@@ -563,6 +563,17 @@ object ScaleQueries {
     StreamOps.hourlyCountsAppend(s, dir, glob = Some("events.parquet"),
       queryName = s"stream_hourly_append_${math.abs(dir.hashCode)}").result
 
+  /** The watermark-evicted hourly rollup on Spark 4's
+    * transformWithState — MapState + one event-time timer per open
+    * window encode the built-in windowed aggregation's append law
+    * (emit iff wm >= window end), bit-equal to q_stream_hourly_append,
+    * so it shares its emission-law oracle. See
+    * StreamOps.hourlyCountsAppendTws.
+    */
+  private def qStreamHourlyTws(s: SparkSession, dir: String): DataFrame =
+    StreamOps.hourlyCountsAppendTws(s, dir,
+      queryName = s"stream_hourly_tws_${math.abs(dir.hashCode)}").result
+
   /** Native session_window sessionization (StreamOps
     * .sessionWindowAppend): the engine-managed twin of the custom
     * sessionizers, with the >= gap-boundary split rule and its own
@@ -831,6 +842,7 @@ object ScaleQueries {
     "q_stream_pattern_tws" -> qStreamPatternTws _,
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_hourly_append" -> qStreamHourlyAppend _,
+    "q_stream_hourly_tws" -> qStreamHourlyTws _,
     "q_stream_sessionize_append" -> qStreamSessionizeAppend _,
     "q_stream_sessionize_tws" -> qStreamSessionizeTws _,
     "q_stream_neardup" -> qStreamNeardup _,
@@ -1370,6 +1382,18 @@ object ScaleQueries {
     // (max event time in MILLISECONDS minus the 2 h delay — Spark
     // tracks watermarks at ms precision) has passed its END.
     "q_stream_hourly_append" ->
+      """WITH wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 7200000 AS wm_ms
+        |           FROM events),
+        |h AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, sum_value
+        |FROM h, wm WHERE CAST(floor(epoch_us(hr + INTERVAL 1 HOUR) / 1000) AS BIGINT) <= wm_ms
+        |ORDER BY hour, event_type""".stripMargin,
+    // transformWithState twin (MapState + per-window event-time timer)
+    // is spec-pinned bit-equal to the built-in windowed aggregation, so
+    // it replays the identical emission law.
+    "q_stream_hourly_tws" ->
       """WITH wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 7200000 AS wm_ms
         |           FROM events),
         |h AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,

@@ -326,6 +326,109 @@ object StreamOps {
     AppendRun(spark.table(queryName).orderBy("hour"), maxState, progress.length)
   }
 
+  case class EvtH(event_type: String, us: Long, cents: Long,
+                  ts: java.sql.Timestamp)
+  case class HourAgg(n: Long, cents: Long)
+
+  /** [[hourlyCountsAppend]] on the Spark 4 `transformWithState` API —
+    * the WINDOWED-AGGREGATION shape on the arbitrary-state surface
+    * (the ewma/pattern twins cover ValueState, sessionize covers
+    * ValueState+timers, stitch covers ListState; this one exercises
+    * `MapState` + one event-time timer PER OPEN WINDOW): per
+    * event-type key, a RocksDB-backed map from hour-window start (ms)
+    * to its running (count, cent-sum), each window registering a
+    * timer at `end - 1` ms. Event-time timers fire when the watermark
+    * STRICTLY passes them, so `end - 1` encodes the built-in windowed
+    * aggregation's append law exactly — emit iff `wm >= window end` —
+    * and the twin shares q_stream_hourly_append's emission-law oracle
+    * bit-for-bit.
+    *
+    * The per-row value is carried as exact decimal(18,2) CENTS (the
+    * cast is done by Spark itself before the processor, so the
+    * rounding law is the engine's own); the final `cents / 100.0` is
+    * one correctly-rounded IEEE division, identical to the built-in
+    * aggregation's `sum(decimal) cast double`.
+    */
+  private class HourlyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, EvtH, (String, Long, Long, Long)] {
+    @transient private var st
+        : org.apache.spark.sql.streaming.MapState[Long, HourAgg] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getMapState[Long, HourAgg]("hours",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[HourAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(typ: String, rows: Iterator[EvtH],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+      rows.foreach { e =>
+        val hourMs = Math.floorDiv(e.us, 3600000000L) * 3600000L
+        val cur = if (st.containsKey(hourMs)) st.getValue(hourMs)
+                  else HourAgg(0L, 0L)
+        st.updateValue(hourMs, HourAgg(cur.n + 1L, cur.cents + e.cents))
+        touched += hourMs
+      }
+      touched.foreach(h => getHandle.registerTimer(h + 3599999L))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(typ: String,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(String, Long, Long, Long)] = {
+      val hourMs = info.getExpiryTimeInMs - 3599999L
+      if (st.containsKey(hourMs)) {
+        val a = st.getValue(hourMs)
+        st.removeKey(hourMs)
+        Iterator.single((typ, hourMs, a.n, a.cents))
+      } else Iterator.empty
+    }
+  }
+
+  def hourlyCountsAppendTws(spark: SparkSession, sfDir: String,
+                            queryName: String = "stream_hourly_tws"): AppendRun = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val stream = graft.core.EventTime.normalize(spark.readStream
+        .schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+      val events = stream
+        .withWatermark("ts", "2 hours")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          col("ts"))
+        .as[EvtH]
+      val closed = events
+        .groupByKey(_.event_type)
+        .transformWithState(new HourlyProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("event_type", "hour_ms", "n", "cents")
+      val (drained, maxState, nBatches) = drainAppend(closed, queryName)
+      stateHighWater("q_stream_hourly_tws") = maxState
+      val out = drained.select(
+        date_format(timestamp_millis(col("hour_ms")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"),
+        (col("cents") / 100.0).as("sum_value"))
+        .orderBy("hour", "event_type")
+      AppendRun(out, maxState, nBatches)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** NATIVE session windows (`session_window(ts, gap)` — Spark's
     * built-in dynamic-gap sessionization, state merged and
     * watermark-evicted by the engine itself) beside the

@@ -182,6 +182,28 @@ class StreamOpsSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("transformWithState MapState hourly rollup equals the windowed-agg append twin") {
+    val dir = "/root/testdata/sf0.001"
+    val classic = StreamOps.hourlyCountsAppend(spark, dir,
+      glob = Some("events.parquet"), queryName = "hourly_append_ref")
+    val tws = StreamOps.hourlyCountsAppendTws(spark, dir)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val a = toMap(classic.result)
+    val b = toMap(tws.result)
+    assert(b == a, s"per-window timer law must match the built-in append " +
+      s"eviction: only-classic=${(a.toSet -- b.toSet).take(3)} " +
+      s"only-tws=${(b.toSet -- a.toSet).take(3)}")
+    assert(a.nonEmpty, "fixture degenerate: no finalized windows emitted")
+    // MapState rows == open (type, hour) windows; the single-batch
+    // drain holds every window at its high-water, like the classic's
+    // single-batch shape — the bound is the WINDOW count, never rows
+    assert(tws.maxStateRows > 0)
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("transformWithState ListState stitch equals the flatMapGroups append twin") {
     val tws = graft.queries.ScaleQueries.defs("q_stream_stitch_tws")(
       spark, "twsfix").collect().map(_.toString).sorted.toSeq
