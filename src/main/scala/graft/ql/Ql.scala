@@ -66,6 +66,7 @@ object Ql {
     "q_sim_maxsim", "q_emb_meanpool_nn",
     "q_stream_countmin", "q_stream_topk",
     "q_stream_psi",        // append-mode drain at construction
+    "q_stream_psi_tws",    // append-mode drain at construction
     "q_stream_session_native", // append-mode drain at construction
     "q_stream_range_outer",    // append-mode drain at construction
     "q_layout_bucket_join", // writes the bucketed tables + plan verdict

@@ -654,6 +654,22 @@ object ScaleQueries {
     }
   }
 
+  /** [[qStreamPsi]] on Spark 4's transformWithState — ValueState
+    * bucket vectors keyed BY THE WINDOW, one event-time timer per
+    * window; same time-sliced replay, bit-equal to the classic
+    * windowed aggregation, so it shares its emission-law oracle. See
+    * StreamOps.psiDriftAppendTws.
+    */
+  private def qStreamPsiTws(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = StreamOps.timeSliceParquet(
+      graft.core.EventTime.normalize(s.read.parquet(s"$dir/events.parquet")),
+      col("ts"), 6, "q_stream_psi_tws")
+    withFewShufflePartitions(s) {
+      StreamOps.psiDriftAppendTws(s, streamDir, glob = None,
+        queryName = s"stream_psi_tws_${math.abs(dir.hashCode)}").result
+    }
+  }
+
   /** The bounded-state incremental dedup, driver-visible:
     * `dropDuplicatesWithinWatermark` evicts fingerprint keys once the
     * watermark passes their event time + horizon (StreamOps
@@ -832,6 +848,7 @@ object ScaleQueries {
     "q_mm_phash" -> qMmPhash _,
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_psi" -> qStreamPsi _,
+    "q_stream_psi_tws" -> qStreamPsiTws _,
     "q_stream_session_native" -> qStreamSessionNative _,
     "q_stream_range_outer" -> qStreamRangeOuter _,
     "q_stream_dedup" -> qStreamDedup _,
@@ -1378,6 +1395,9 @@ object ScaleQueries {
     // Append-mode PSI: the batch PSI replay under the same
     // window-finality law (generated beside the q_evt_psi oracle).
     "q_stream_psi" -> EventQueries.psiOracle(emissionLaw = true),
+    // transformWithState twin (window-keyed ValueState + timers) is
+    // spec-pinned bit-equal to the classic, so it replays the same law.
+    "q_stream_psi_tws" -> EventQueries.psiOracle(emissionLaw = true),
     // Append-mode emission law: a window is final iff the watermark
     // (max event time in MILLISECONDS minus the 2 h delay — Spark
     // tracks watermarks at ms precision) has passed its END.

@@ -329,6 +329,105 @@ object StreamOps {
   case class EvtH(event_type: String, us: Long, cents: Long,
                   ts: java.sql.Timestamp)
   case class HourAgg(n: Long, cents: Long)
+  case class EvtP(hourMs: Long, bkt: Int, ts: java.sql.Timestamp)
+  case class PsiAgg(counts: Seq[Long])
+
+  /** [[psiDriftAppend]]'s window state on the Spark 4
+    * `transformWithState` API — the KEY IS THE WINDOW itself (hour
+    * start ms), so parallelism matches the built-in aggregation's
+    * window-hash distribution; state per key is the 20-bucket count
+    * vector in a ValueState, evicted by one event-time timer at
+    * `end - 1` ms (strict-fire encodes "emit iff wm >= window end").
+    * The $25 value bucket is computed by the ENGINE before the
+    * processor (the same `psiBucket` expression the batch and classic
+    * stream use), so the rounding law is shared; the finalized bucket
+    * vectors rejoin the static reference histogram and the PSI
+    * arithmetic IN-STREAM, exactly the classic plan's shape.
+    */
+  private class PsiProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvtP, (Long, Seq[Long])] {
+    @transient private var st
+        : org.apache.spark.sql.streaming.ValueState[PsiAgg] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[PsiAgg]("buckets",
+        org.apache.spark.sql.Encoders.product[PsiAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(hourMs: Long, rows: Iterator[EvtP],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Seq[Long])] = {
+      val counts =
+        (if (st.exists()) st.get().counts else Seq.fill(20)(0L)).toArray
+      rows.foreach(e => counts(e.bkt) += 1L)
+      st.update(PsiAgg(counts.toSeq))
+      getHandle.registerTimer(hourMs + 3599999L)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(hourMs: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Seq[Long])] =
+      if (st.exists()) {
+        val a = st.get(); st.clear()
+        Iterator.single((hourMs, a.counts))
+      } else Iterator.empty
+  }
+
+  def psiDriftAppendTws(spark: SparkSession, eventsDir: String,
+                        glob: Option[String] = Some("events.parquet"),
+                        maxFilesPerTrigger: Int = 1,
+                        queryName: String = "stream_psi_tws"): AppendRun = {
+    import spark.implicits._
+    import graft.queries.EventQueries.{psiBucket, psiBucketSums, psiMicro,
+      psiTotals, psiNBuckets}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val path = glob.map(g => s"$eventsDir/$g").getOrElse(eventsDir)
+      val batch = spark.read.parquet(path)
+      val rSums = psiBucketSums(col("value"), "r_")
+      val ref = batch.agg(rSums.head, rSums.tail: _*).withColumn("j", lit(1))
+      var reader = spark.readStream
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+      val stream = graft.core.EventTime.normalize(reader.parquet(eventsDir))
+      val events = stream
+        .withWatermark("ts", "2 hours")
+        .select(
+          (floor(unix_micros(col("ts")) / 3600000000L) * 3600000L)
+            .as("hourMs"),
+          psiBucket(col("value")).cast("int").as("bkt"), col("ts"))
+        .as[EvtP]
+      val closed = events
+        .groupByKey(_.hourMs)
+        .transformWithState(new PsiProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("hour_ms", "counts")
+      val buckets = closed.select(
+        (col("hour_ms") +:
+          (0 until psiNBuckets).map(b => col("counts")(b).as(s"b_$b"))): _*)
+        .withColumn("j", lit(1))
+      val out = psiTotals(buckets.join(ref, "j"))
+        .select(
+          date_format(timestamp_millis(col("hour_ms")),
+            "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_events"), psiMicro.as("psi_micro"))
+        .withColumn("drifted", col("psi_micro") > 200000L)
+      val (drained, maxState, nBatches) = drainAppend(out, queryName)
+      stateHighWater("q_stream_psi_tws") = maxState
+      AppendRun(drained.orderBy("hour"), maxState, nBatches)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 
   /** [[hourlyCountsAppend]] on the Spark 4 `transformWithState` API —
     * the WINDOWED-AGGREGATION shape on the arbitrary-state surface

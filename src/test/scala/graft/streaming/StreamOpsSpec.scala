@@ -204,6 +204,19 @@ class StreamOpsSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("transformWithState window-keyed PSI equals the classic windowed-agg twin") {
+    val dir = "/root/testdata/sf0.001"
+    val classic = graft.queries.ScaleQueries.defs("q_stream_psi")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val tws = graft.queries.ScaleQueries.defs("q_stream_psi_tws")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(tws == classic,
+      "window-keyed ValueState + timers must reproduce the classic PSI exactly")
+    assert(tws.nonEmpty, "fixture degenerate: no finalized PSI windows")
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("transformWithState ListState stitch equals the flatMapGroups append twin") {
     val tws = graft.queries.ScaleQueries.defs("q_stream_stitch_tws")(
       spark, "twsfix").collect().map(_.toString).sorted.toSeq
