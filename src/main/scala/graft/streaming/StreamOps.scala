@@ -486,7 +486,18 @@ object StreamOps {
     }
   }
 
-  def hourlyCountsAppendTws(spark: SparkSession, sfDir: String,
+  /** `maxFilesPerTrigger = 0` (the registry shape) drains everything
+    * in ONE batch; a positive value replays the directory one-or-more
+    * files per micro-batch. Multi-batch replays must be TIME-ORDERED
+    * slices: transformWithState's late-row filter drops rows with
+    * `ts < wm`, which is stricter than the built-in windowed
+    * aggregation's `window end <= wm` — on ordered slices no row is
+    * ever late, so the emitted set stays equal to the final-watermark
+    * law (spec-pinned in StreamAppendSpec).
+    */
+  def hourlyCountsAppendTws(spark: SparkSession, eventsDir: String,
+                            glob: Option[String] = Some("events.parquet"),
+                            maxFilesPerTrigger: Int = 0,
                             queryName: String = "stream_hourly_tws"): AppendRun = {
     import spark.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -494,11 +505,13 @@ object StreamOps {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val stream = graft.core.EventTime.normalize(spark.readStream
-        .schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
+      val path = glob.map(g => s"$eventsDir/$g").getOrElse(eventsDir)
+      val batchSchema = spark.read.parquet(path).schema
+      var reader = spark.readStream.schema(batchSchema)
+      if (maxFilesPerTrigger > 0)
+        reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+      val stream = graft.core.EventTime.normalize(reader.parquet(eventsDir))
       val events = stream
         .withWatermark("ts", "2 hours")
         .select(col("event_type"), unix_micros(col("ts")).as("us"),
