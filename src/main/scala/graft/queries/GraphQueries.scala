@@ -183,9 +183,21 @@ object GraphQueries {
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
       .localCheckpoint()
-    val cap = s.conf.getOption("spark.graft.triangles.broadcastEdgeCap")
-      .map(_.toLong).getOrElse(5000000L)
-    val (tri, deg) = trianglesFromPairs(pairs, cap)
+    // Registered path since round 15: the ADJACENCY-INTERSECT twin
+    // ([[trianglesFromPairsAdj]]) — same census, measured 3.2x faster
+    // than the wedge+closing-join form at sf0.1 AND sf1 (tools
+    // .TriBench, walls in BASELINE.md), with O(m) shuffle instead of
+    // the O(m^1.5) wedge stream and no skew armor needed (the hottest
+    // adjacency list is bounded by the degree orientation). Set
+    // spark.graft.triangles.useWedgePath=true to route through the
+    // wedge form (kept spec'd + raced per round as the baseline).
+    val (tri, deg) =
+      if (s.conf.getOption("spark.graft.triangles.useWedgePath")
+            .contains("true")) {
+        val cap = s.conf.getOption("spark.graft.triangles.broadcastEdgeCap")
+          .map(_.toLong).getOrElse(5000000L)
+        trianglesFromPairs(pairs, cap)
+      } else trianglesFromPairsAdj(pairs)
     val perNode = tri.select(col("apex").as("node"))
       .union(tri.select(col("lo").as("node")))
       .union(tri.select(col("hi").as("node")))
@@ -268,6 +280,54 @@ object GraphQueries {
       if (nEdges <= broadcastEdgeCap) broadcast(closing)
       else closing.hint("shuffle_hash"),
       Seq("lo", "hi"))
+    (tri, deg)
+  }
+
+  /** [[trianglesFromPairs]]' ADJACENCY-INTERSECT twin (the
+    * "compact-forward" variant of the same degree-ordered method):
+    * instead of materializing the O(m^1.5) wedge stream and closing
+    * it against the edge list, build each node's out-neighbor KEY
+    * list once (`collect_list` over the oriented edges — list length
+    * bounded O(sqrt m) by the degree orientation) and intersect the
+    * two endpoint lists per edge; every common out-neighbor IS a
+    * closed triangle, so only triangle rows ever materialize. Shuffle
+    * volume is O(m) — edges plus adjacency lists totaling m keys —
+    * against the wedge path's O(m^1.5) closing shuffle on the
+    * >broadcast-cap route; skew needs no armor because the hottest
+    * adjacency list is already capped by the orientation bound.
+    * Same (apex, lo, hi) triangle relation, each exactly once
+    * (spec-pinned equal to the wedge path on planted fixtures;
+    * measured in BASELINE.md round 15 — the wedge path stays the
+    * registered one at driver SFs where the broadcast route's
+    * map-side filter wins).
+    */
+  private[graft] def trianglesFromPairsAdj(pairs: DataFrame): (DataFrame, DataFrame) = {
+    val deg = pairs.select(col("u").as("node"))
+      .union(pairs.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val keyed = pairs
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"),
+        (col("du") * 4294967296L + col("u")).as("ku"),
+        (col("dv") * 4294967296L + col("v")).as("kv"))
+    val e = keyed.select(
+      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+      greatest(col("ku"), col("kv")).as("kdst"))
+      .localCheckpoint()
+    val adj = e.groupBy("src").agg(collect_list(col("kdst")).as("nbrs"))
+      .localCheckpoint()
+    val tri = e.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("un")), Seq("src"))
+      // an edge whose dst has NO out-list closes nothing — inner join
+      // dropping it is exactly the empty intersection
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("vn")), Seq("dst"))
+      .select(col("src").as("apex"), col("dst").as("lo"),
+        explode(array_intersect(col("un"), col("vn"))).as("khi"))
+      .select(col("apex"), col("lo"),
+        pmod(col("khi"), lit(4294967296L)).as("hi"))
     (tri, deg)
   }
 

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Race the two degree-ordered triangle enumerations — the wedge
+  * stream + closing join (the registered path, broadcast vs
+  * shuffle_hash routed) against the adjacency-intersect twin (O(m)
+  * shuffle, only triangle rows materialize) — on the co-purchase
+  * graph at a given SF, asserting the per-node census is identical
+  * before printing walls. `capZero = 1` additionally times the wedge
+  * path with broadcastEdgeCap = 0 (the shuffle_hash big-graph route)
+  * for the comparison that matters at 100 TB.
+  *
+  * Usage: runMain graft.tools.TriBench <sfDir> [capZero 0|1]
+  */
+object TriBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val capZero = args.drop(1).headOption.contains("1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .localCheckpoint()
+    val nEdges = pairs.count()
+
+    def census(tri: org.apache.spark.sql.DataFrame,
+               deg: org.apache.spark.sql.DataFrame): Array[(Long, Long)] = {
+      val perNode = tri.select(col("apex").as("node"))
+        .union(tri.select(col("lo").as("node")))
+        .union(tri.select(col("hi").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("tri_count"))
+      deg.join(perNode, Seq("node"), "left_outer")
+        .select(coalesce(col("tri_count"), lit(0L)).as("tri_count"))
+        .groupBy("tri_count").agg(count(lit(1)).as("n_parts"))
+        .orderBy("tri_count")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (cWedge, sWedge) = timed {
+      val (t, d) = graft.queries.GraphQueries.trianglesFromPairs(pairs)
+      census(t, d)
+    }
+    val (cAdj, sAdj) = timed {
+      val (t, d) = graft.queries.GraphQueries.trianglesFromPairsAdj(pairs)
+      census(t, d)
+    }
+    require(cWedge.sameElements(cAdj),
+      s"census mismatch: wedge=${cWedge.take(5).toSeq} adj=${cAdj.take(5).toSeq}")
+    val shuffleLine = if (capZero) {
+      val (cW0, sW0) = timed {
+        val (t, d) = graft.queries.GraphQueries.trianglesFromPairs(pairs, 0L)
+        census(t, d)
+      }
+      require(cWedge.sameElements(cW0), "cap-0 census mismatch")
+      s""","wedge_shuffle_sec":${math.rint(sW0 * 100) / 100}"""
+    } else ""
+    def r2(d: Double) = math.rint(d * 100) / 100
+    println(
+      s"""{"metric":"tri_race","sf":"$sfDir","n_edges":$nEdges,""" +
+      s""""census_rows":${cWedge.length},"census_equal":true,""" +
+      s""""wedge_broadcast_sec":${r2(sWedge)},"adj_intersect_sec":${r2(sAdj)}""" +
+      shuffleLine + "}")
+    spark.stop()
+  }
+}

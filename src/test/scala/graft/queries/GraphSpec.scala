@@ -93,6 +93,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("adjacency-intersect triangles equal the wedge path: planted hot pair + random graph") {
+    import spark.implicits._
+    def triSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("apex"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"))).toSet
+    // the skew fixture: K wedges all closing on the same (1,2) pair
+    val k = 5000
+    val hot = ((1L, 2L) +: (0 until k).flatMap { i =>
+      val a = 100L + i; Seq((1L, a), (2L, a))
+    }).toDF("u", "v").localCheckpoint()
+    val (wHot, dHot) = GraphQueries.trianglesFromPairs(hot)
+    val (aHot, dHot2) = GraphQueries.trianglesFromPairsAdj(hot)
+    assert(triSet(aHot) == triSet(wHot), "hot-pair triangle sets differ")
+    assert(triSet(aHot).size == k)
+    assert(dHot2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      dHot.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // a seeded random graph: 300 nodes, ~2000 distinct edges
+    val rnd = new scala.util.Random(7)
+    val rand = Seq.fill(2500) {
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("u", "v").localCheckpoint()
+    val (wR, _) = GraphQueries.trianglesFromPairs(rand)
+    val (aR, _) = GraphQueries.trianglesFromPairsAdj(rand)
+    val ws = triSet(wR); val as = triSet(aR)
+    assert(as == ws, s"random-graph sets differ: only-wedge=${(ws -- as).take(3)} " +
+      s"only-adj=${(as -- ws).take(3)}")
+    assert(ws.nonEmpty, "fixture degenerate: no triangles in the random graph")
+  }
+
   test("bfs census: planted path, disconnected island, and hop-cap truncation") {
     import spark.implicits._
     // path 0-1-2-3 (undirected) plus island 10-11: distances 0..3,
