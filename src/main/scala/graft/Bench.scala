@@ -95,8 +95,14 @@ object Bench {
     println(line)
     println(compact)
     // persist the full line where the NEXT round's commit picks it up
-    // (target/ is gitignored; this artifact is the per-query record)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_WALLS_LATEST.json")
+    // (target/ is gitignored; this artifact is the per-query record).
+    // A BENCH_ONLY subset run must NOT clobber the committed full-run
+    // record (learned the hard way: a one-query decade probe replaced
+    // the 250-query walls) — subset walls go to a suffixed file unless
+    // SPARK_GRAFT_BENCH_OUT overrides explicitly.
+    val defaultOut =
+      if (only.isDefined) "BENCH_WALLS_SUBSET.json" else "BENCH_WALLS_LATEST.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val outFile = new java.io.File(out).getAbsoluteFile
     Option(outFile.getParentFile).foreach(_.mkdirs())
     val w = new java.io.PrintWriter(outFile)
