@@ -331,6 +331,41 @@ object GraphQueries {
     (tri, deg)
   }
 
+  /** Local clustering-coefficient distribution over the co-purchase
+    * graph — cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2, the
+    * standard transitivity readout (Watts–Strogatz 1998): high-cc
+    * parts sit in tight co-purchase cliques, cc≈0 parts bridge
+    * unrelated baskets — a curation/recommendation signal derived for
+    * free from the triangle relation. Exact integer arithmetic
+    * end-to-end: cc in ppm via BIGINT floor-division, banded into 101
+    * one-percent buckets so the result is a bounded census at any
+    * corpus size. Reuses [[trianglesFromPairsAdj]] (O(m) shuffle, no
+    * skew armor needed — see q_graph_triangles).
+    */
+  private def qGraphClustering(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .localCheckpoint()
+    val (tri, deg) = trianglesFromPairsAdj(pairs)
+    val perNode = tri.select(col("apex").as("node"))
+      .union(tri.select(col("lo").as("node")))
+      .union(tri.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("node"), "left_outer")
+      .select(col("deg"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"))
+      .withColumn("cc_ppm",
+        expr("(2000000 * tri_count) DIV (deg * (deg - 1))"))
+      .groupBy(expr("cc_ppm DIV 10000").as("cc_band"))
+      .agg(count(lit(1)).as("n_parts"), sum("tri_count").as("sum_tri"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .orderBy("cc_band")
+  }
+
   /** Probe-batch size for [[qGraphLinkpred]] — the construction-time
     * bound that keeps the wedge fan-out fixed at any corpus size
     * (shared with the oracle so the cap cannot drift).
@@ -666,6 +701,7 @@ object GraphQueries {
     "q_graph_pagerank" -> qGraphPagerank _,
     "q_graph_degree_dist" -> qGraphDegreeDist _,
     "q_graph_triangles" -> qGraphTriangles _,
+    "q_graph_clustering" -> qGraphClustering _,
     "q_graph_linkpred" -> qGraphLinkpred _,
   )
 
@@ -782,6 +818,32 @@ object GraphQueries {
         |SELECT COALESCE(tc.tri_count, 0) AS tri_count, count(*) AS n_parts
         |FROM deg LEFT JOIN tc USING (node)
         |GROUP BY 1 ORDER BY tri_count""".stripMargin,
+    // local clustering coefficient banded census — same degree-ordered
+    // triangle enumeration, cc in exact BIGINT ppm floor-division
+    "q_graph_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM p UNION ALL SELECT v AS node FROM p) GROUP BY node),
+        |keyed AS (SELECT u, v, d1.deg * 4294967296 + u AS ku, d2.deg * 4294967296 + v AS kv
+        |  FROM p JOIN deg d1 ON d1.node = u JOIN deg d2 ON d2.node = v),
+        |e AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+        |             CASE WHEN ku < kv THEN v ELSE u END AS dst,
+        |             greatest(ku, kv) AS kdst FROM keyed),
+        |tri AS (SELECT w1.src AS apex, w1.dst AS lo, w2.dst AS hi
+        |  FROM e w1 JOIN e w2 ON w1.src = w2.src AND w1.kdst < w2.kdst
+        |  JOIN e c ON c.src = w1.dst AND c.dst = w2.dst),
+        |tc AS (SELECT node, count(*) AS tri_count FROM (
+        |  SELECT apex AS node FROM tri UNION ALL SELECT lo FROM tri
+        |  UNION ALL SELECT hi FROM tri) GROUP BY node),
+        |cc AS (SELECT deg.deg, COALESCE(tc.tri_count, 0) AS tri_count,
+        |  (2000000 * COALESCE(tc.tri_count, 0)) // (deg.deg * (deg.deg - 1)) AS cc_ppm
+        |  FROM deg LEFT JOIN tc USING (node) WHERE deg.deg >= 2)
+        |SELECT cc_ppm // 10000 AS cc_band, count(*) AS n_parts,
+        |  CAST(sum(tri_count) AS BIGINT) AS sum_tri,
+        |  min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM cc GROUP BY 1 ORDER BY cc_band""".stripMargin,
     "q_graph_degree_dist" ->
       """WITH p AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
