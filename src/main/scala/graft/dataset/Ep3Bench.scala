@@ -42,7 +42,11 @@ object Ep3Bench {
   def main(args: Array[String]): Unit = {
     val nFovs = args.headOption.map(_.toInt).getOrElse(1000)
     val nExps = args.drop(1).headOption.map(_.toInt).getOrElse(8)
-    require(nFovs % nExps == 0, "nFovs must divide evenly into nExps")
+    require(nFovs % nExps == 0, "nExps must divide nFovs evenly")
+    // the 50/30/20 tissue-skew formula needs all three tissues to
+    // exist, else stage 5 fails minutes later blaming the balancer
+    require(nExps >= 5,
+      s"nExps=$nExps too small: the 50/30/20 tissue split needs >= 5 experiments")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)

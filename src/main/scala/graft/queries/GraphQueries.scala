@@ -169,20 +169,32 @@ object GraphQueries {
     * (measured: 116k edges / 414k triangles at sf0.01, 1.2M / 1.9M
     * at sf0.1 — both linear in orders).
     */
-  private def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    // Every relation consumed more than once is localCheckpoint'd, so
-    // each is computed exactly once: the projected pair list feeds both
-    // the degree count and the keying join (round-13 profile: its
-    // lineage was 8.7 s of a 20 s wall and ran TWICE via the final
-    // degree join), the degree relation feeds keying and the final
-    // report, and the oriented edge list feeds both wedge legs plus the
-    // closing join.
-    val pairs = li.as("a")
+  /** The distinct co-purchase edge list (u < v), localCheckpoint'd —
+    * every relation consumed more than once is materialized exactly
+    * once (round-13 profile: the lazy pair lineage was 8.7 s of a 20 s
+    * wall and ran TWICE via the final degree join). Shared by the
+    * triangle, clustering and TriBench consumers so they can never
+    * silently measure different graphs.
+    */
+  private[graft] def coPurchasePairs(li: DataFrame): DataFrame =
+    li.as("a")
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
       .localCheckpoint()
+
+  /** Per-node triangle participation over the (apex, lo, hi) relation
+    * — each triangle credits all three corners once.
+    */
+  private[graft] def perNodeTriCensus(tri: DataFrame): DataFrame =
+    tri.select(col("apex").as("node"))
+      .union(tri.select(col("lo").as("node")))
+      .union(tri.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+
+  private def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = coPurchasePairs(li)
     // Registered path since round 15: the ADJACENCY-INTERSECT twin
     // ([[trianglesFromPairsAdj]]) — same census, measured 3.2x faster
     // than the wedge+closing-join form at sf0.1 AND sf1 (tools
@@ -198,10 +210,7 @@ object GraphQueries {
           .map(_.toLong).getOrElse(5000000L)
         trianglesFromPairs(pairs, cap)
       } else trianglesFromPairsAdj(pairs)
-    val perNode = tri.select(col("apex").as("node"))
-      .union(tri.select(col("lo").as("node")))
-      .union(tri.select(col("hi").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+    val perNode = perNodeTriCensus(tri)
     deg.join(perNode, Seq("node"), "left_outer")
       .select(coalesce(col("tri_count"), lit(0L)).as("tri_count"))
       .groupBy("tri_count").agg(count(lit(1)).as("n_parts"))
@@ -345,15 +354,9 @@ object GraphQueries {
   private def qGraphClustering(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val pairs = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-      .localCheckpoint()
+    val pairs = coPurchasePairs(li)
     val (tri, deg) = trianglesFromPairsAdj(pairs)
-    val perNode = tri.select(col("apex").as("node"))
-      .union(tri.select(col("lo").as("node")))
-      .union(tri.select(col("hi").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+    val perNode = perNodeTriCensus(tri)
     deg.filter(col("deg") >= 2)
       .join(perNode, Seq("node"), "left_outer")
       .select(col("deg"),

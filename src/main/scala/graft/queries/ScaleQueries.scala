@@ -559,6 +559,20 @@ object ScaleQueries {
     StreamOps.sessionCountsAppend(s, dir,
       queryName = s"stream_sessions_append_${math.abs(dir.hashCode)}").result
 
+  /** The hourly append-mode emission-law oracle, shared verbatim by
+    * the classic windowed aggregation and its transformWithState twin
+    * (the twin is spec-pinned bit-equal, so ONE string serves both).
+    */
+  private val hourlyAppendOracle: String =
+    """WITH wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 7200000 AS wm_ms
+      |           FROM events),
+      |h AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+      |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |      FROM events GROUP BY 1, 2)
+      |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, sum_value
+      |FROM h, wm WHERE CAST(floor(epoch_us(hr + INTERVAL 1 HOUR) / 1000) AS BIGINT) <= wm_ms
+      |ORDER BY hour, event_type""".stripMargin
+
   private def qStreamHourlyAppend(s: SparkSession, dir: String): DataFrame =
     StreamOps.hourlyCountsAppend(s, dir, glob = Some("events.parquet"),
       queryName = s"stream_hourly_append_${math.abs(dir.hashCode)}").result
@@ -1401,27 +1415,12 @@ object ScaleQueries {
     // Append-mode emission law: a window is final iff the watermark
     // (max event time in MILLISECONDS minus the 2 h delay — Spark
     // tracks watermarks at ms precision) has passed its END.
-    "q_stream_hourly_append" ->
-      """WITH wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 7200000 AS wm_ms
-        |           FROM events),
-        |h AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
-        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |      FROM events GROUP BY 1, 2)
-        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, sum_value
-        |FROM h, wm WHERE CAST(floor(epoch_us(hr + INTERVAL 1 HOUR) / 1000) AS BIGINT) <= wm_ms
-        |ORDER BY hour, event_type""".stripMargin,
+    "q_stream_hourly_append" -> hourlyAppendOracle,
     // transformWithState twin (MapState + per-window event-time timer)
     // is spec-pinned bit-equal to the built-in windowed aggregation, so
-    // it replays the identical emission law.
-    "q_stream_hourly_tws" ->
-      """WITH wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 7200000 AS wm_ms
-        |           FROM events),
-        |h AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
-        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |      FROM events GROUP BY 1, 2)
-        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, sum_value
-        |FROM h, wm WHERE CAST(floor(epoch_us(hr + INTERVAL 1 HOUR) / 1000) AS BIGINT) <= wm_ms
-        |ORDER BY hour, event_type""".stripMargin,
+    // it replays the IDENTICAL emission-law oracle (one shared string —
+    // a fix to the law can never reach one twin and miss the other).
+    "q_stream_hourly_tws" -> hourlyAppendOracle,
     // Append-session emission law: a session is final (and emitted)
     // iff a later session exists for its user, or the final watermark
     // (max event ms - 10 min delay) strictly passed its end + 30 min

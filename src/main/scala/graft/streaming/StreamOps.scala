@@ -358,7 +358,8 @@ object StreamOps {
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(Long, Seq[Long])] = {
       val counts =
-        (if (st.exists()) st.get().counts else Seq.fill(20)(0L)).toArray
+        (if (st.exists()) st.get().counts
+         else Seq.fill(graft.queries.EventQueries.psiNBuckets)(0L)).toArray
       rows.foreach(e => counts(e.bkt) += 1L)
       st.update(PsiAgg(counts.toSeq))
       getHandle.registerTimer(hourMs + 3599999L)

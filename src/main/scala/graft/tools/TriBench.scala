@@ -25,18 +25,14 @@ object TriBench {
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val pairs = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-      .localCheckpoint()
+    // the SAME edge derivation the registered query uses — the race is
+    // meaningless if the contestants measure different graphs
+    val pairs = graft.queries.GraphQueries.coPurchasePairs(li)
     val nEdges = pairs.count()
 
     def census(tri: org.apache.spark.sql.DataFrame,
                deg: org.apache.spark.sql.DataFrame): Array[(Long, Long)] = {
-      val perNode = tri.select(col("apex").as("node"))
-        .union(tri.select(col("lo").as("node")))
-        .union(tri.select(col("hi").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("tri_count"))
+      val perNode = graft.queries.GraphQueries.perNodeTriCensus(tri)
       deg.join(perNode, Seq("node"), "left_outer")
         .select(coalesce(col("tri_count"), lit(0L)).as("tri_count"))
         .groupBy("tri_count").agg(count(lit(1)).as("n_parts"))

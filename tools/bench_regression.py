@@ -34,11 +34,19 @@ def load_walls(spec: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.5
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, thr, i = [], 1.5, 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                thr = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     old, new = load_walls(args[0]), load_walls(args[1])
@@ -60,7 +68,8 @@ def main() -> None:
               f"({sum(nq[q] for q in added):.1f}s)")
     print()
     movers = [(q, nq[q] / oq[q]) for q in shared
-              if oq[q] >= 0.2 and (nq[q] / oq[q] > thr or oq[q] / nq[q] > thr)]
+              if max(oq[q], nq[q]) >= 0.2
+              and (nq[q] / oq[q] > thr or oq[q] / nq[q] > thr)]
     movers.sort(key=lambda kv: -kv[1])
     print(f"| query | old s | new s | ratio | old load | new load |")
     print(f"|---|---|---|---|---|---|")
@@ -69,8 +78,11 @@ def main() -> None:
         nl = nctx.get(q, [None, "?"])[1]
         print(f"| {q} | {oq[q]:.2f} | {nq[q]:.2f} | {r:.2f}x | {ol} | {nl} |")
     if not movers:
-        print(f"| (none over {thr}x among walls >= 0.2s) | | | | | |")
+        print(f"| (none over {thr}x with either wall >= 0.2s) | | | | | |")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # e.g. piped into head
+        pass
