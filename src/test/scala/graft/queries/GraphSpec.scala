@@ -109,18 +109,25 @@ class GraphSpec extends SparkSpec {
     assert(triSet(aHot).size == k)
     assert(dHot2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       dHot.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
-    // a seeded random graph: 300 nodes, ~2000 distinct edges
-    val rnd = new scala.util.Random(7)
-    val rand = Seq.fill(2500) {
-      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
-      (math.min(a, b), math.max(a, b))
-    }.filter(p => p._1 != p._2).distinct.toDF("u", "v").localCheckpoint()
-    val (wR, _) = GraphQueries.trianglesFromPairs(rand)
-    val (aR, _) = GraphQueries.trianglesFromPairsAdj(rand)
-    val ws = triSet(wR); val as = triSet(aR)
-    assert(as == ws, s"random-graph sets differ: only-wedge=${(ws -- as).take(3)} " +
-      s"only-adj=${(as -- ws).take(3)}")
-    assert(ws.nonEmpty, "fixture degenerate: no triangles in the random graph")
+    // seeded random graphs at varying densities — a property sweep,
+    // not one lucky fixture (sparse graphs exercise empty adjacency
+    // lists / zero-triangle nodes, dense ones the orientation bound)
+    var sawTriangles = false
+    for ((seed, nNodes, nDraws) <- Seq((7, 300, 2500), (13, 60, 300),
+        (29, 40, 700), (42, 500, 1200), (99, 25, 280))) {
+      val rnd = new scala.util.Random(seed)
+      val rand = Seq.fill(nDraws) {
+        val a = rnd.nextInt(nNodes).toLong; val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct.toDF("u", "v").localCheckpoint()
+      val (wR, _) = GraphQueries.trianglesFromPairs(rand)
+      val (aR, _) = GraphQueries.trianglesFromPairsAdj(rand)
+      val ws = triSet(wR); val as = triSet(aR)
+      assert(as == ws, s"seed $seed: sets differ: only-wedge=${(ws -- as).take(3)} " +
+        s"only-adj=${(as -- ws).take(3)}")
+      sawTriangles |= ws.nonEmpty
+    }
+    assert(sawTriangles, "fixture degenerate: no triangles in any random graph")
   }
 
   test("bfs census: planted path, disconnected island, and hop-cap truncation") {
