@@ -328,11 +328,18 @@ object GraphQueries {
       .localCheckpoint()
     val adj = e.groupBy("src").agg(collect_list(col("kdst")).as("nbrs"))
       .localCheckpoint()
+    // SHUFFLE_HASH on the adjacency side: a sort-merge join would SORT
+    // the edge rows WITH their array payloads — measured at 120M edges
+    // (sf10) the sort spill is ~m·(|N+(u)|+|N+(v)|) bytes and exhausts
+    // local disk; hash-building the node-sized adjacency side instead
+    // lets the array-carrying stream stay pipelined, never sorted.
     val tri = e.select(col("src"), col("dst"))
-      .join(adj.select(col("src"), col("nbrs").as("un")), Seq("src"))
+      .join(adj.select(col("src"), col("nbrs").as("un")).hint("shuffle_hash"),
+        Seq("src"))
       // an edge whose dst has NO out-list closes nothing — inner join
       // dropping it is exactly the empty intersection
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("vn")), Seq("dst"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("vn"))
+        .hint("shuffle_hash"), Seq("dst"))
       .select(col("src").as("apex"), col("dst").as("lo"),
         explode(array_intersect(col("un"), col("vn"))).as("khi"))
       .select(col("apex"), col("lo"),

@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
   * path with broadcastEdgeCap = 0 (the shuffle_hash big-graph route)
   * for the comparison that matters at 100 TB.
   *
-  * Usage: runMain graft.tools.TriBench <sfDir> [capZero 0|1]
+  * Usage: runMain graft.tools.TriBench <sfDir> [capZero 0|1|adj]
+  *
+  * `adj` times ONLY the adjacency path (for scale points where the
+  * wedge stream is prohibitive — e.g. sf10's 120M edges would put
+  * ~15B wedge rows through the closing join); the census then checks
+  * against the replication law instead of the wedge twin when the
+  * corpus is a gen_sf1-style key-offset replication.
   */
 object TriBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val capZero = args.drop(1).headOption.contains("1")
+    val mode = args.drop(1).headOption.getOrElse("0")
+    val capZero = mode == "1"
+    val adjOnly = mode == "adj"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
@@ -45,12 +53,21 @@ object TriBench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val (cWedge, sWedge) = timed {
-      val (t, d) = graft.queries.GraphQueries.trianglesFromPairs(pairs)
-      census(t, d)
-    }
     val (cAdj, sAdj) = timed {
       val (t, d) = graft.queries.GraphQueries.trianglesFromPairsAdj(pairs)
+      census(t, d)
+    }
+    if (adjOnly) {
+      println(
+        s"""{"metric":"tri_adj_scale","sf":"$sfDir","n_edges":$nEdges,""" +
+        s""""census_rows":${cAdj.length},""" +
+        s""""census":${cAdj.take(8).map(p => s"[${p._1},${p._2}]").mkString("[", ",", "]")},""" +
+        s""""adj_intersect_sec":${math.rint(sAdj * 100) / 100}}""")
+      spark.stop()
+      return
+    }
+    val (cWedge, sWedge) = timed {
+      val (t, d) = graft.queries.GraphQueries.trianglesFromPairs(pairs)
       census(t, d)
     }
     require(cWedge.sameElements(cAdj),
