@@ -310,7 +310,8 @@ object GraphQueries {
     * registered one at driver SFs where the broadcast route's
     * map-side filter wins).
     */
-  private[graft] def trianglesFromPairsAdj(pairs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def trianglesFromPairsAdj(pairs: DataFrame,
+      broadcastEdgeCap: Long = 5000000L): (DataFrame, DataFrame) = {
     val deg = pairs.select(col("u").as("node"))
       .union(pairs.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -328,18 +329,23 @@ object GraphQueries {
       .localCheckpoint()
     val adj = e.groupBy("src").agg(collect_list(col("kdst")).as("nbrs"))
       .localCheckpoint()
-    // SHUFFLE_HASH on the adjacency side: a sort-merge join would SORT
-    // the edge rows WITH their array payloads — measured at 120M edges
-    // (sf10) the sort spill is ~m·(|N+(u)|+|N+(v)|) bytes and exhausts
-    // local disk; hash-building the node-sized adjacency side instead
-    // lets the array-carrying stream stay pipelined, never sorted.
+    // Size-aware routing, NEVER sort-merge: an SMJ would SORT the edge
+    // rows WITH their array payloads — measured at 120M edges (sf10)
+    // that sort spill is ~m·(|N+(u)|+|N+(v)|) bytes and exhausts local
+    // disk. Under the cap the adjacency side (total size ~m keys)
+    // BROADCASTS — the edge stream never shuffles at all; above it,
+    // SHUFFLE_HASH hash-builds the node-sized side per partition and
+    // the array-carrying stream stays pipelined, never sorted. Same
+    // knob and threshold as the wedge path's closing join.
+    val nEdges = pairs.count()
+    def route(d: DataFrame): DataFrame =
+      if (nEdges <= broadcastEdgeCap) broadcast(d) else d.hint("shuffle_hash")
     val tri = e.select(col("src"), col("dst"))
-      .join(adj.select(col("src"), col("nbrs").as("un")).hint("shuffle_hash"),
-        Seq("src"))
+      .join(route(adj.select(col("src"), col("nbrs").as("un"))), Seq("src"))
       // an edge whose dst has NO out-list closes nothing — inner join
       // dropping it is exactly the empty intersection
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("vn"))
-        .hint("shuffle_hash"), Seq("dst"))
+      .join(route(adj.select(col("src").as("dst"), col("nbrs").as("vn"))),
+        Seq("dst"))
       .select(col("src").as("apex"), col("dst").as("lo"),
         explode(array_intersect(col("un"), col("vn"))).as("khi"))
       .select(col("apex"), col("lo"),
