@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{CosineSimilarity, DistinctNonzeroCount, L2Squared, LabelAreas, MinhashEstimate, MinhashSignature, RollingHash, SimhashExpr, SortedLongIntersectCount}
+import graft.functions.{CosineSimilarity, DistinctNonzeroCount, L2Squared, LabelAreas, MinhashEstimate, MinhashSignature, RollingHash, SimhashExpr, SortedLongIntersect, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -85,6 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "sorted_intersect_count takes exactly 2 arguments")
         SortedLongIntersectCount(children.head, children(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[SortedLongIntersect].getName, "sorted_intersect"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sorted_intersect takes exactly 2 arguments")
+        SortedLongIntersect(children.head, children(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("distinct_nonzero_count"),

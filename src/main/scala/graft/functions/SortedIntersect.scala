@@ -95,3 +95,86 @@ object SortedLongIntersectCount {
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
 }
+
+/** [[SortedLongIntersectCount]]'s VALUES sibling: `a ∩ b` itself for
+  * two ASCENDING-SORTED, duplicate-free `array<bigint>` columns, via
+  * the same primitive merge in whole-stage codegen — O(|a|+|b|) with
+  * one right-sized output array, against Spark's `array_intersect`
+  * hash-set build per row (measured 4x slower than even a typed map
+  * on the Jaccard kernel). The triangle/clustering adjacency path is
+  * the consumer: per edge, the two endpoints' out-neighbor key lists
+  * intersect to exactly the closed triangles.
+  *
+  * Inputs MUST be sorted ascending and distinct (the adjacency build
+  * sorts each list once at aggregation time); sortedness is not
+  * re-checked here.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect expects array<bigint>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    val tmp = new Array[Long](math.min(na, nb))
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { tmp(c) = x; c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(tmp, c))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val tmp = ctx.freshName("tmp")
+      s"""
+         |int $na = $a.numElements(), $nb = $b.numElements();
+         |long[] $tmp = new long[$na < $nb ? $na : $nb];
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $tmp[$c++] = $x; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($tmp, $c));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : Expression = copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersect {
+  def sortedIntersect(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sorted_intersect", a, b)
+}

@@ -327,7 +327,10 @@ object GraphQueries {
       when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
       greatest(col("ku"), col("kv")).as("kdst"))
       .localCheckpoint()
-    val adj = e.groupBy("src").agg(collect_list(col("kdst")).as("nbrs"))
+    // lists sorted ONCE at aggregation time so the per-edge intersect
+    // below runs as the codegen'd sorted merge, not a hash-set build
+    val adj = e.groupBy("src")
+      .agg(sort_array(collect_list(col("kdst"))).as("nbrs"))
       .localCheckpoint()
     // Size-aware routing, NEVER sort-merge: an SMJ would SORT the edge
     // rows WITH their array payloads — measured at 120M edges (sf10)
@@ -347,7 +350,8 @@ object GraphQueries {
       .join(route(adj.select(col("src").as("dst"), col("nbrs").as("vn"))),
         Seq("dst"))
       .select(col("src").as("apex"), col("dst").as("lo"),
-        explode(array_intersect(col("un"), col("vn"))).as("khi"))
+        explode(graft.functions.SortedLongIntersect.sortedIntersect(
+          col("un"), col("vn"))).as("khi"))
       .select(col("apex"), col("lo"),
         pmod(col("khi"), lit(4294967296L)).as("hi"))
     (tri, deg)

@@ -40,4 +40,34 @@ class SortedIntersectSpec extends SparkSpec {
     val r = df.select(sortedIntersectCount(col("a"), col("b"))).collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("sorted_intersect (values) matches array_intersect on random sorted arrays") {
+    import SortedLongIntersect.sortedIntersect
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(80).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(80).toLong).distinct.sorted
+      (a, b)
+    }
+    val out = rows.toDF("a", "b")
+      .withColumn("got", sortedIntersect(col("a"), col("b")))
+      // array_intersect preserves left order; on sorted inputs both are
+      // ascending, so direct equality is the right check
+      .withColumn("want", array_intersect(col("a"), col("b")))
+      .filter(not(col("got") <=> col("want")))
+    assert(out.isEmpty, "codegen sorted merge disagrees with array_intersect")
+    // count twin agrees with size(values)
+    val cnt = rows.toDF("a", "b")
+      .withColumn("n1", sortedIntersectCount(col("a"), col("b")))
+      .withColumn("n2", size(sortedIntersect(col("a"), col("b"))))
+      .filter(col("n1") =!= col("n2"))
+    assert(cnt.isEmpty)
+    // nulls propagate; empties intersect to empty (SQL surface)
+    val df = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]]),
+      (Some(Seq.empty[Long]), Some(Seq(1L)))).toDF("a", "b")
+    df.createOrReplaceTempView("si_v")
+    val got = spark.sql("SELECT sorted_intersect(a, b) AS v FROM si_v").collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getSeq[Long](0).isEmpty)
+  }
 }
