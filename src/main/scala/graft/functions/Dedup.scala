@@ -54,8 +54,15 @@ object Dedup {
         transform(zipped, s =>
           xxhash64(concat_ws(" ", (0 until width).map(i => s.getField(i.toString)): _*)))
       }
+    // explicitly containsNull=false cast target: the DDL string
+    // "array<bigint>" (and even lit(Array.empty[Long])) defaults to
+    // containsNull=true and would infect the whole `when` — downstream
+    // the native sorted-intersect kernel (which reads getLong per
+    // element) rejects nullable-element arrays at analysis time
     when(n >= width, shingle)
-      .otherwise(array().cast("array<bigint>"))
+      .otherwise(array().cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)))
   }
 
   /** Containment near-dup pairs — the ASYMMETRIC dedup primitive:

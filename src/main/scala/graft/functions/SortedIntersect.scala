@@ -35,13 +35,16 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   override def nullable: Boolean = left.nullable || right.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull must be FALSE: eval/codegen read getLong on every
+    // element, so a null element would silently decode as garbage.
+    // The sorted/distinct precondition already implies null-free lists.
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count expects array<bigint>, got ${left.dataType} / ${right.dataType}")
+      s"sorted_intersect_count expects array<bigint> (containsNull=false), got ${left.dataType} / ${right.dataType}")
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -116,13 +119,16 @@ case class SortedLongIntersect(left: Expression, right: Expression)
   override def nullable: Boolean = left.nullable || right.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull must be FALSE: eval/codegen read getLong on every
+    // element, so a null element would silently decode as garbage.
+    // The sorted/distinct precondition already implies null-free lists.
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect expects array<bigint>, got ${left.dataType} / ${right.dataType}")
+      s"sorted_intersect expects array<bigint> (containsNull=false), got ${left.dataType} / ${right.dataType}")
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {

@@ -191,6 +191,16 @@ object GraphQueries {
       .union(tri.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("tri_count"))
 
+  /** The broadcast-vs-shuffle_hash routing threshold (edge count) for
+    * BOTH triangle enumerations — read once here so tuning
+    * `spark.graft.triangles.broadcastEdgeCap` affects the registered
+    * adjacency path and the wedge twin identically (round-16 fix: the
+    * conf used to bind only under `useWedgePath=true`).
+    */
+  private[graft] def triBroadcastCap(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.triangles.broadcastEdgeCap")
+      .map(_.toLong).getOrElse(5000000L)
+
   private def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
@@ -203,13 +213,11 @@ object GraphQueries {
     // adjacency list is bounded by the degree orientation). Set
     // spark.graft.triangles.useWedgePath=true to route through the
     // wedge form (kept spec'd + raced per round as the baseline).
+    val cap = triBroadcastCap(s)
     val (tri, deg) =
       if (s.conf.getOption("spark.graft.triangles.useWedgePath")
-            .contains("true")) {
-        val cap = s.conf.getOption("spark.graft.triangles.broadcastEdgeCap")
-          .map(_.toLong).getOrElse(5000000L)
-        trianglesFromPairs(pairs, cap)
-      } else trianglesFromPairsAdj(pairs)
+            .contains("true")) trianglesFromPairs(pairs, cap)
+      else trianglesFromPairsAdj(pairs, cap)
     val perNode = perNodeTriCensus(tri)
     deg.join(perNode, Seq("node"), "left_outer")
       .select(coalesce(col("tri_count"), lit(0L)).as("tri_count"))
@@ -372,7 +380,7 @@ object GraphQueries {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val pairs = coPurchasePairs(li)
-    val (tri, deg) = trianglesFromPairsAdj(pairs)
+    val (tri, deg) = trianglesFromPairsAdj(pairs, triBroadcastCap(s))
     val perNode = perNodeTriCensus(tri)
     deg.filter(col("deg") >= 2)
       .join(perNode, Seq("node"), "left_outer")

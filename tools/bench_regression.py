@@ -67,9 +67,12 @@ def main() -> None:
         print(f"new queries: {', '.join(added)} "
               f"({sum(nq[q] for q in added):.1f}s)")
     print()
-    movers = [(q, nq[q] / oq[q]) for q in shared
+    # walls are rounded to 2dp, so a sub-5ms query can record 0.0 —
+    # floor both sides at 0.01s to keep the ratio finite
+    movers = [(q, max(nq[q], 0.01) / max(oq[q], 0.01)) for q in shared
               if max(oq[q], nq[q]) >= 0.2
-              and (nq[q] / oq[q] > thr or oq[q] / nq[q] > thr)]
+              and (max(nq[q], 0.01) / max(oq[q], 0.01) > thr
+                   or max(oq[q], 0.01) / max(nq[q], 0.01) > thr)]
     movers.sort(key=lambda kv: -kv[1])
     print(f"| query | old s | new s | ratio | old load | new load |")
     print(f"|---|---|---|---|---|---|")
