@@ -109,8 +109,7 @@ object IoQueries {
   private def qNpzRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val planes = rtPlanes
-    val tmp = java.nio.file.Files.createTempDirectory("npz_rt")
-      .toFile.getAbsolutePath
+    val tmp = graft.core.Scratch.dir(s, "npz_rt")
     Npz.saveNpzsForCaliban(ImagePlane.toDataset(s, planes), tmp,
       blankLabels = "separate")
     val expected: Map[(String, Int, Int, Int), (Long, Long)] = planes.map { p =>
@@ -220,8 +219,7 @@ object IoQueries {
     val planes = for {
       (fov, fi) <- RcFovs.zipWithIndex; st <- 0 until RcStacks
     } yield rcLawPlane(fov, fi, st)
-    val tmp = java.nio.file.Files.createTempDirectory("ep2_digest")
-      .toFile.getAbsolutePath
+    val tmp = graft.core.Scratch.dir(s, "ep2_digest")
     val (units, plan) = Reconstruct.cropAndSlice(
       ImagePlane.toDataset(s, planes), RcRows, RcCols, RcStacks,
       cropSize = Some((16, 16, 0.25)), sliceLen = Some((2, 1)),
@@ -319,8 +317,7 @@ object IoQueries {
       Array.tabulate(SkRows * SkCols)(skPixel(fi, st, _)),
       Array.tabulate(SkRows * SkCols)(skLabel(fi, st, _)))
     val ds = ImagePlane.toDataset(s, planes)
-    val tmp = java.nio.file.Files.createTempDirectory("npz_sinks")
-      .toFile.getAbsolutePath
+    val tmp = graft.core.Scratch.dir(s, "npz_sinks")
     graft.ops.Pipeline.saveStitchedNpzs(ds, s"$tmp/stitched")
     Npz.createCombinedNpz(ds, s"$tmp/combined/combined.npz")
     def rows(ds2: org.apache.spark.sql.Dataset[ImagePlane], mode: String,

@@ -479,7 +479,6 @@ object SimilarityQueries {
     * oracle convention), so the DuckDB replay hash-gates every value.
     */
   private def qStreamSemgate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val coded = semdedupCells(s, dir).localCheckpoint()
     val storeVecs = t(s, dir, "embeddings")
       .filter(col("vec_id") % 10 =!= 9)
@@ -493,7 +492,6 @@ object SimilarityQueries {
       .filter(col("vec_id") % 10 === 9)
       .select(col("vec_id"), dvec(col("embedding")).as("vec"))
       .join(coded, Seq("vec_id"))
-    val queryName = s"stream_semgate_${math.abs(dir.hashCode)}"
     val scored = stream
       .join(index, Seq("cl"), "left_outer")
       .join(storeVecs, Seq("store_id"), "left_outer")
@@ -506,19 +504,14 @@ object SimilarityQueries {
       .select(col("vec_id"), col("n_cand"),
         coalesce(col("best0"), lit(-1.0)).as("best_sim"),
         (coalesce(col("best0"), lit(-1.0)) < 0.2).as("novel"))
-    val q = scored.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
-    val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .foldLeft(0L)(math.max)
+    // bounded drain, not an update-mode memory sink: emitted volume is
+    // one scored row per arriving vector (linear in data) — updates go
+    // executor-side to parquet and the driver stays O(1), same contract
+    // as every other drain harness (StreamOps.drainUpdates)
+    val (drained, maxState) = graft.streaming.StreamOps.drainUpdates(
+      scored, Seq("vec_id", "n_cand", "best_sim", "novel"))
     graft.streaming.StreamOps.stateHighWater("q_stream_semgate") = maxState
-    s.table(queryName)
+    drained
       .groupBy("vec_id")
       .agg(max(struct(col("n_cand"), col("best_sim"), col("novel"))).as("last"))
       .select(col("vec_id"), col("last.n_cand").as("n_cand"),

@@ -101,15 +101,16 @@ object StreamOps {
       .select(col("doc_id"), fp.as("fp"))
       .join(store, Seq("fp"), "left_anti")
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val q = novel.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName).select("doc_id", "fp").orderBy("doc_id")
+    // UPDATE-mode bounded drain, not a complete-mode memory sink: the
+    // novel-fingerprint set grows ~n/10 with the corpus, and complete
+    // mode re-emitted ALL of it into driver memory every micro-batch.
+    // Updates land executor-side in parquet (driver O(1)); min(doc_id)
+    // is monotone per key, so re-folding the drained updates with the
+    // same min yields exactly the final table the complete sink held.
+    val (drained, maxState) = drainUpdates(novel, Seq("fp", "doc_id"))
+    stateHighWater("q_stream_incremental") = maxState
+    drained.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fp").orderBy("doc_id")
   }
 
   /** Result of an append-mode run: the emitted table plus the state-
@@ -660,11 +661,10 @@ object StreamOps {
     * drained updates (columns renamed to `cols`) plus the state-store
     * high-water across batches.
     */
-  private def drainUpdates[T](updates: org.apache.spark.sql.Dataset[T],
+  private[graft] def drainUpdates[T](updates: org.apache.spark.sql.Dataset[T],
       cols: Seq[String]): (DataFrame, Long) = {
     val spark = updates.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_drain")
-      .toFile.getAbsolutePath
+    val dir = graft.core.Scratch.dir(spark, "graft_drain")
     val q = updates.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
@@ -693,8 +693,7 @@ object StreamOps {
   private def drainAppend(out: DataFrame, queryName: String)
       : (DataFrame, Long, Int) = {
     val spark = out.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_drain")
-      .toFile.getAbsolutePath
+    val dir = graft.core.Scratch.dir(spark, "graft_drain")
     val q = out.writeStream
       .outputMode("append")
       .queryName(queryName)
