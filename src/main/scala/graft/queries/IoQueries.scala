@@ -339,8 +339,108 @@ object IoQueries {
     stitched.union(combined).orderBy("mode", "fov", "stack")
   }
 
+  // ===================================================================
+  // P4 digest (_clean_labels dataset_builder.py:397-439): connected-
+  // components relabel + remove_small_objects + min-objects image
+  // filter over a law fixture whose CC census DuckDB replays a priori.
+  // Every plane's foreground shares ONE input label id, so the output
+  // census is nonzero only if CC genuinely splits it; blobs are
+  // U-shaped (two scan-order provisional labels merged at the base),
+  // so the union-find path is load-bearing; dense output ids follow
+  // scan order, so lab_sum/lab_max/lab_chk pin the id ASSIGNMENT, not
+  // just the component count; 1-px speckles are dropped by the size
+  // threshold and low-blob planes by the min-objects filter.
+  // ===================================================================
+
+  private val ClN = 16 // clean-digest plane edge
+
+  /** Blobs on plane (fi, st): j-th blob is a 7-px "U" in the 3x3 cell
+    * at rows 4*(j/2)+, cols 4*(j%2)+ — relative offsets below.
+    */
+  private val clBlobOffsets =
+    Seq((0, 0), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1), (2, 2))
+
+  private def clPlanes: Seq[ImagePlane] =
+    for {
+      (fov, fi) <- Seq("fovA", "fovB", "fovC", "fovD").zipWithIndex
+      st <- 0 until 3
+    } yield {
+      val nb = (fi + st) % 5
+      val sp = (fi + st) % 3
+      val labels = new Array[Int](ClN * ClN)
+      for (j <- 0 until nb; (dr, dc) <- clBlobOffsets)
+        labels((4 * (j / 2) + dr) * ClN + (4 * (j % 2) + dc)) = 1
+      for (k <- 0 until sp) labels(14 * ClN + 2 + 4 * k) = 1
+      ImagePlane(fov, st, 0, 0, ClN, ClN, Seq("channel0"),
+        Array.fill(ClN * ClN)(1.0f), labels)
+    }
+
+  private def qImgCleanDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cleaned = graft.ops.LabelClean.cleanLabels(
+      ImagePlane.toDataset(s, clPlanes),
+      relabelCC = true, smallObjectThreshold = 4, minObjects = 2)
+    cleaned.map { p =>
+      val (nnz, sum, mx, chk) = census(p.labels.map(_.toFloat))
+      val nCells = p.labels.filter(_ != 0).distinct.length.toLong
+      (p.fov, p.stack, nCells, nnz, sum, mx, chk)
+    }.toDF("fov", "stack", "n_cells", "lab_nnz", "lab_sum", "lab_max",
+      "lab_chk")
+      .orderBy("fov", "stack")
+  }
+
+  // ===================================================================
+  // S1-S4/S9 digest: the ontology-tree source family (scanOntology's
+  // DSv2 walk + loadMetadata's per-experiment JSON enrichment) over
+  // the COMMITTED copy of the reference's raw_data tree
+  // (fixtures/ontology, verbatim from /root/reference/data/raw_data
+  // like the TIFF fixtures). One row per experiment directory: the
+  // file census (count / byte total / lexical-first name from the
+  // scan) full-outer-joined to the metadata census (space-joined
+  // ontology string, TYPE join, dims, channel-0 marker, facility).
+  // The oracle pins VALUES derived independently from the committed
+  // tree + raw JSON text (tif sizes from the directory listing, JSON
+  // fields read straight from the files), so a walk regression
+  // (missed level, wrong Compartment_Marker split, dropped
+  // metadata-only dir) or an enrichment slip (space-join, unwrap,
+  // per-file dropna) fails the hash. SF-independent, fixture-driven.
+  // ===================================================================
+
+  private def qSrcOntologyDigest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = s"$fixturesRoot/ontology/raw_data"
+    // paths come back scheme-qualified and machine-absolute; key on the
+    // tree-relative dir so the digest is stable anywhere
+    def relDir(p: org.apache.spark.sql.Column) =
+      regexp_extract(p, "raw_data/(.*?)/?$", 1)
+    val files = Tiff.scanOntology(s, base)
+      .withColumn("d", regexp_extract(col("path"), "^(.*)/[^/]+$", 1))
+      .groupBy(relDir(col("d")).as("rel_dir"))
+      .agg(count(lit(1)).as("n_tifs"), sum("length").as("tif_bytes"),
+        min("file_name").as("first_file"))
+    val md = Tiff.loadMetadata(s, base)
+      .select(relDir(col("image_path")).as("rel_dir"),
+        col("EXP_ID").as("exp_id"), col("ONTOLOGY").as("ontology"),
+        col("TYPE").as("type"),
+        col("DIMENSIONS").getField("X").as("dim_x"),
+        col("DIMENSIONS").getField("Y").as("dim_y"),
+        col("CHANNEL_MARKER").getField("0").as("marker0"),
+        col("RAW_DATA_ORIGIN").getField("FACILITY").as("facility"))
+    files.join(md, Seq("rel_dir"), "full_outer")
+      .select(col("rel_dir"),
+        coalesce(col("n_tifs"), lit(0L)).as("n_tifs"),
+        coalesce(col("tif_bytes"), lit(0L)).as("tif_bytes"),
+        coalesce(col("first_file"), lit("")).as("first_file"),
+        col("exp_id").isNotNull.as("has_metadata"),
+        col("exp_id"), col("ontology"), col("type"),
+        col("dim_x"), col("dim_y"), col("marker0"), col("facility"))
+      .orderBy("rel_dir")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_src_tiff_digest" -> qSrcTiffDigest _,
+    "q_img_clean_digest" -> qImgCleanDigest _,
+    "q_src_ontology_digest" -> qSrcOntologyDigest _,
     "q_npz_roundtrip" -> qNpzRoundtrip _,
     "q_img_reconstruct_digest" -> qImgReconstructDigest _,
     "q_img_reshape_digest" -> qImgReshapeDigest _,
@@ -356,6 +456,64 @@ object IoQueries {
     * routed-away blank unit) + 2 separate/ rows.
     */
   val oracles: Map[String, String] = Map(
+    // Full DuckDB replay of the clean-labels law: blob j of plane
+    // (fi, st) gets dense CC id j+1 (scan order), 7 px each at known
+    // positions; speckles (area 1 < 4) vanish; planes with nb < 2
+    // blobs are dropped by the min-objects filter. The checksum pins
+    // exact (position, id) assignment.
+    "q_img_clean_digest" ->
+      """WITH plane AS (
+        |  SELECT f.fi, f.fov, st.stack, (f.fi + st.stack) % 5 AS nb
+        |  FROM (VALUES (0, 'fovA'), (1, 'fovB'), (2, 'fovC'),
+        |               (3, 'fovD')) f(fi, fov),
+        |       generate_series(0, 2) st(stack)),
+        |px AS (
+        |  SELECT p.fov, p.stack, p.nb, j.j + 1 AS lab,
+        |         (4 * (j.j // 2) + o.dr) * 16 + 4 * (j.j % 2) + o.dc AS i
+        |  FROM plane p, generate_series(0, 4) j(j),
+        |       (VALUES (0, 0), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1),
+        |               (2, 2)) o(dr, dc)
+        |  WHERE j.j < p.nb AND p.nb >= 2)
+        |SELECT fov, stack, CAST(nb AS BIGINT) AS n_cells,
+        |       CAST(count(*) AS BIGINT) AS lab_nnz,
+        |       CAST(sum(lab) AS BIGINT) AS lab_sum,
+        |       CAST(max(lab) AS BIGINT) AS lab_max,
+        |       CAST(sum(((i + 1) * lab) % 1000000007) % 1000000007
+        |         AS BIGINT) AS lab_chk
+        |FROM px GROUP BY fov, stack, nb
+        |ORDER BY fov, stack""".stripMargin,
+    // VALUES derived from the committed fixtures/ontology tree itself:
+    // 3 tifs x 524,556 bytes per DCIS marker dir (directory listing),
+    // metadata fields read from the raw JSON text (TYPE/ONTOLOGY
+    // space-joined verbatim, single-element wrappers unwrapped) —
+    // independent of the engine's walk and JSON paths.
+    "q_src_ontology_digest" ->
+      """SELECT * FROM (VALUES
+        |  ('dynamic/2d/fluo/HEK293/Nuclear_H2B-mClover/journal_pcbi_1005177',
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), '', TRUE,
+        |   'journal_pcbi_1005177', 'dynamic 2d fluorescence nuclear',
+        |   'cell HEK293', '1280', '1080', 'H2B-mClover', 'stanford'),
+        |  ('static/2d/fluo/A549/Nuclear_Hoescht33342/20190514_EP01',
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), '', TRUE,
+        |   '20190514_EP01', 'static 2d fluorescence nuclear',
+        |   'cell A549', '1608', '1608', 'Hoescht33342', 'Caltech'),
+        |  ('static/2d/mibi/DCIS/Nuclear_DNA/20200116_DCIS',
+        |   CAST(3 AS BIGINT), CAST(1573668 AS BIGINT),
+        |   '20200116_DCIS_Point2304_crop_0.tif', TRUE,
+        |   '20200116_DCIS', 'static 2d mibi nuclear',
+        |   'cell DCIS', '512', '512', 'H2B-mClover', 'stanford'),
+        |  ('static/2d/mibi/DCIS/WholeCell_NaKATPase/20200116_DCIS',
+        |   CAST(3 AS BIGINT), CAST(1573668 AS BIGINT),
+        |   'Point2304_crop_0.tif', TRUE,
+        |   '20200116_DCIS', 'static 2d mibi nuclear',
+        |   'cell DCIS', '512', '512', 'H2B-mClover', 'stanford'),
+        |  ('static/3d/Phase/A549/20190514_EP01',
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), '', TRUE,
+        |   '20190514_EP01', 'static 2d Phase',
+        |   'cell A549', '1608', '1608', 'Phase', 'Caltech')
+        |) AS t(rel_dir, n_tifs, tif_bytes, first_file, has_metadata,
+        |       exp_id, ontology, type, dim_x, dim_y, marker0, facility)
+        |ORDER BY rel_dir""".stripMargin,
     "q_src_tiff_digest" ->
       """SELECT * FROM (VALUES
         |  ('20200116_DCIS_Point2304_crop_0', 0, 512, 512, 79868, 335851, 42, 394077718),
