@@ -394,6 +394,100 @@ object GraphQueries {
       .orderBy("cc_band")
   }
 
+  /** Synchronous-LPA round count for [[qGraphCommunities]] (shared
+    * with the unrolled oracle CTE chain so engine and replay can
+    * never disagree on depth).
+    */
+  val lpaRounds = 4
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara 2007's LPA, made deterministic): every node
+    * starts labeled with its own id; each round it adopts the label
+    * with the highest count among its neighbors' PREVIOUS-round
+    * labels, ties broken by the SMALLEST label — the engine-exact
+    * tie-break that lets a SQL replay agree bit-for-bit (classic
+    * asynchronous LPA breaks ties randomly and is irreproducible).
+    * Fixed [[lpaRounds]] supersteps; the result census is the
+    * community-size histogram (distinct size, community count) — a
+    * bounded readout at any corpus size.
+    *
+    * Scale shape: each round is two partial-aggregatable shuffles of
+    * at most m vote rows — (node, lab) count, then the per-node
+    * argmax folded as `max(struct(cnt, -lab))` so no window (and no
+    * whole-partition sort) is needed; hub fan-in compresses map-side
+    * in the first aggregation. The label relation is node-dimension,
+    * so AQE broadcasts it into the edge join when small and shuffles
+    * on the 8-byte key when not. `localCheckpoint` after every round
+    * cuts the iterative lineage — the same Pregel superstep
+    * discipline as kcore/pagerank/bfs. O(rounds·m) total, no
+    * driver-side state.
+    */
+  private[graft] def lpaCensus(pairs: DataFrame, rounds: Int): DataFrame = {
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = votes.groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("w"))
+        .select(col("node"), (-col("w.neg")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.groupBy("lab").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("community_size"))
+      .agg(count(lit(1)).as("n_communities"))
+      .orderBy("community_size")
+  }
+
+  /** LPA communities over the part co-purchase graph — the operator a
+    * curation pipeline runs right after triangles/clustering: tight
+    * co-purchase communities are the "customers who bought these also
+    * bought those" clusters recommendation and near-dup analysis feed
+    * on. Reuses [[coPurchasePairs]].
+    */
+  private def qGraphCommunities(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    lpaCensus(coPurchasePairs(li), lpaRounds)
+  }
+
+  /** The communities oracle unrolls [[lpaRounds]] synchronous vote
+    * rounds as a generated MATERIALIZED-CTE chain: per round, the
+    * per-(node, label) neighbor-vote count, then the deterministic
+    * argmax (count DESC, label ASC) via one window — the same
+    * max-count/min-label law the engine folds without a window.
+    */
+  private def lpaOracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM p
+        |  UNION ALL SELECT v, u FROM p),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e)""".stripMargin)
+    for (i <- 1 to lpaRounds) {
+      sb.append(s""",
+        |l$i AS MATERIALIZED (SELECT node, lab FROM (
+        |  SELECT node, lab, row_number() OVER (
+        |    PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+        |  FROM (SELECT e.src AS node, l.lab, count(*) AS cnt
+        |        FROM e JOIN l${i - 1} l ON e.dst = l.node
+        |        GROUP BY e.src, l.lab) v) w WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT CAST(sz AS BIGINT) AS community_size,
+      |       CAST(count(*) AS BIGINT) AS n_communities
+      |FROM (SELECT lab, count(*) AS sz FROM l$lpaRounds GROUP BY lab) c
+      |GROUP BY sz ORDER BY community_size""".stripMargin)
+    sb.toString
+  }
+
   /** Probe-batch size for [[qGraphLinkpred]] — the construction-time
     * bound that keeps the wedge fan-out fixed at any corpus size
     * (shared with the oracle so the cap cannot drift).
@@ -730,6 +824,7 @@ object GraphQueries {
     "q_graph_degree_dist" -> qGraphDegreeDist _,
     "q_graph_triangles" -> qGraphTriangles _,
     "q_graph_clustering" -> qGraphClustering _,
+    "q_graph_communities" -> qGraphCommunities _,
     "q_graph_linkpred" -> qGraphLinkpred _,
   )
 
@@ -787,6 +882,7 @@ object GraphQueries {
         |FROM s""".stripMargin,
     "q_graph_bfs" -> bfsOracle,
     "q_graph_kcore" -> kcoreOracle,
+    "q_graph_communities" -> lpaOracle,
     "q_basket_rules" ->
       """WITH items AS (
         |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand

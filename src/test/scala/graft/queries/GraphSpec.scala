@@ -145,4 +145,20 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(capped == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, -1 -> 3L), s"got $capped")
   }
+
+  test("lpa communities: two planted cliques bridged by one edge") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} plus bridge 3-4; hand-traced 4
+    // synchronous min-tie-break rounds converge to labels 1 and 3 —
+    // two communities of size 3 (the bridge never flips a clique)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val census = GraphQueries.lpaCensus(pairs, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census == Map(3L -> 2L), s"got $census")
+    // determinism: a second run produces the identical census
+    val again = GraphQueries.lpaCensus(pairs, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == census)
+  }
 }
