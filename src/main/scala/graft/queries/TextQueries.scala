@@ -578,6 +578,119 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Merge rounds for [[qTxtBpeTrain]] (shared with the unrolled
+    * oracle CTE chain so engine and replay can never disagree on
+    * depth).
+    */
+  val bpeRounds = 8
+
+  /** Multi-round BPE merge TRAINING (Sennrich et al. 2016) — the
+    * actual tokenizer-training loop an LLM data pipeline runs, not
+    * just round one ([[qTxtBpeMerge]]). Vocabulary-first: the corpus
+    * collapses to (token, freq) ONCE, and every round operates on
+    * that dimension table — pair fan-out is O(vocab · token_len) per
+    * round, independent of corpus token count. Per round: weighted
+    * adjacent-symbol-pair counts (one partial-aggregatable shuffle on
+    * the pair key), the deterministic argmax (max count, then
+    * lexicographically smallest pair — the tie-break that makes the
+    * replay exact), a 1-ROW collect, and a codegen'd leftmost-
+    * non-overlapping merge applied to every token's segmentation.
+    *
+    * The segmentation is a padded DOUBLE-SPACE-joined symbol string
+    * (` a  b  c `), which makes the merge ONE `replace` call whose
+    * law both engines share: pattern `␠a␠␠b␠` → `␠ab␠` consumes one
+    * delimiter space on each side, so consecutive occurrences stay
+    * matchable (leftmost scan resumes on the second space) and a
+    * symbol can never match inside a neighbor (the leading boundary
+    * space is required). Equal to the per-array greedy fold —
+    * spec-pinned on a planted vocab against hand-traced merges.
+    * `localCheckpoint` per round cuts the 8-deep replace lineage so
+    * round r never recomputes rounds 1..r-1 from the raw scan.
+    */
+  private[graft] def bpeTrain(vocab: DataFrame, rounds: Int): DataFrame = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    var seg = vocab.filter(length(col("token")) > 1)
+      .select(col("freq"),
+        concat(lit(" "),
+          concat_ws("  ", transform(sequence(lit(1), length(col("token"))),
+            i => substr(col("token"), i, lit(1)))),
+          lit(" ")).as("seg"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val syms = split(trim(col("seg")), "  ")
+      val best = seg
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1))).as("p"))
+        .select(col("p.0").as("lhs"), col("p.1").as("rhs"), col("freq"))
+        .groupBy("lhs", "rhs").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, a + b, n))
+        seg = seg.select(col("freq"),
+          replace(col("seg"), lit(s" $a  $b "), lit(s" $a$b ")).as("seg"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "n")
+  }
+
+  private def qTxtBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(toks).as("token"))
+      .filter(length(col("token")) > 1)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    bpeTrain(vocab, bpeRounds)
+  }
+
+  /** The bpe-train oracle unrolls [[bpeRounds]] (vote, argmax, merge)
+    * rounds as a generated CTE chain over the same double-space
+    * segmentation-string law (see [[bpeTrain]]); an exhausted round
+    * (no pairs left) yields an empty m_i whose cross join empties
+    * every later stage, matching the engine's early stop.
+    */
+  private def bpeTrainOracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH vocab AS MATERIALIZED (
+        |  SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) q
+        |  WHERE len(token) > 1 GROUP BY token),
+        |seg0 AS MATERIALIZED (SELECT freq,
+        |  ' ' || array_to_string(list_transform(range(1, len(token) + 1),
+        |          i -> token[CAST(i AS INT)]), '  ') || ' ' AS seg
+        |  FROM vocab)""".stripMargin)
+    for (i <- 1 to bpeRounds) {
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT s[CAST(j AS INT)] AS lhs, s[CAST(j AS INT) + 1] AS rhs,
+        |         sum(freq) AS n
+        |  FROM (SELECT freq, string_split(trim(seg), '  ') AS s FROM seg${i - 1}) q,
+        |       unnest(range(1, len(s))) AS t(j)
+        |  GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (SELECT lhs, rhs, n FROM p$i
+        |  ORDER BY n DESC, lhs, rhs LIMIT 1),
+        |seg$i AS MATERIALIZED (SELECT freq,
+        |  replace(seg, ' '||lhs||'  '||rhs||' ', ' '||lhs||rhs||' ') AS seg
+        |  FROM seg${i - 1}, m$i)""".stripMargin)
+    }
+    val sel = (1 to bpeRounds)
+      .map(i => s"SELECT $i AS rank, lhs, rhs, lhs||rhs AS merged, " +
+        s"CAST(n AS BIGINT) AS n FROM m$i")
+      .mkString("\nUNION ALL ")
+    sb.append("\n" + sel + "\nORDER BY rank")
+    sb.toString
+  }
+
   /** Training-mixture weights per (lang, source) slice with temperature
     * α = 0.5 — the GPT-3/Pile-style data-mixture recipe (public:
     * Brown et al. 2020 §2.2): sampling weight ∝ n_tokens^α flattens the
@@ -1135,6 +1248,7 @@ object TextQueries {
     "q_txt_mixture" -> qTxtMixture _,
     "q_txt_colloc" -> qTxtColloc _,
     "q_txt_bpe_merge" -> qTxtBpeMerge _,
+    "q_txt_bpe_train" -> qTxtBpeTrain _,
     "q_txt_tfidf" -> qTxtTfidf _,
     "q_txt_pii" -> qTxtPii _,
     "q_txt_repetition" -> qTxtRepetition _,
@@ -1441,6 +1555,7 @@ object TextQueries {
         |       WHERE bgc.n_xy >= 5),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, w1, w2) AS rk FROM sc)
         |SELECT lang, rk, w1, w2, n_xy, score FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    "q_txt_bpe_train" -> bpeTrainOracle,
     "q_txt_bpe_merge" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT token, count(*) AS freq FROM tok WHERE len(token) > 1 GROUP BY token),
