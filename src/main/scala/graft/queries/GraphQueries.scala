@@ -422,18 +422,71 @@ object GraphQueries {
     * discipline as kcore/pagerank/bfs. O(rounds·m) total, no
     * driver-side state.
     */
-  private[graft] def lpaCensus(pairs: DataFrame, rounds: Int): DataFrame = {
+  /** Node-count threshold under which [[lpaCensus]] BROADCASTS the
+    * label relation into the per-round join (16 bytes/node — 4M nodes
+    * ≈ 64 MB hashed); override with `spark.graft.lpa.broadcastNodeCap`.
+    */
+  val lpaBroadcastNodeCap = 4000000L
+
+  /** Vote-exchange sizing for [[lpaCensus]]: early LPA rounds have
+    * near-distinct (node, label) keys, so each reduce task's hash
+    * aggregate holds ~rows/partitions groups — at the session default
+    * (32) an sf10 round put ~6M groups in every task and fell back to
+    * sort-based aggregation (measured 36-42x sf1 instead of ~10x).
+    * Sizing the one per-round exchange to ~2M vote rows a task keeps
+    * the aggregate hash-resident at any m without touching the global
+    * shuffle-partition conf (a global raise was measured NEGATIVE —
+    * it degrades the pair-generation join feeding this operator).
+    */
+  private def lpaVoteParts(spark: SparkSession, nEdges: Long): Int =
+    math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (nEdges / 2000000L).toInt)
+
+  /** `pairs` must be pre-materialized (coPurchasePairs checkpoints) —
+    * every round streams it twice via the edge union below.
+    */
+  private[graft] def lpaCensus(pairs: DataFrame, rounds: Int,
+      broadcastNodeCap: Long = lpaBroadcastNodeCap): DataFrame = {
+    // edges are DERIVED, never checkpointed: the doubled relation is a
+    // pair of cheap map passes over the materialized pairs, and
+    // checkpointing 2m rows beside the m-row pairs cache thrashed the
+    // block store at sf10 (347 s to build vs 4 s at sf1 — an 83x
+    // cliff the decade drill caught; recomputing the union per round
+    // reads the same bytes without doubling residency).
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
+    var labels = pairs.select(col("u").as("node"))
+      .union(pairs.select(col("v").as("node"))).distinct()
       .withColumn("lab", col("node")).localCheckpoint()
+    val nNodes = labels.count()
+    val voteParts = lpaVoteParts(pairs.sparkSession, 2L * pairs.count())
+    // The label relation is NODE-dimension (16 bytes a row): under the
+    // cap it broadcasts, so the m-row edge relation never shuffles for
+    // the join — the sf10 decade drill measured the alternative
+    // (hash-partitioning edges by dst per round; localCheckpoint does
+    // NOT carry partitioning into the next round's plan, so all four
+    // rounds re-exchanged 239M rows: 30x wall for 10x data). Above the
+    // cap (a billion-node graph) the label side routes shuffle_hash —
+    // never sort-merge, which would drag the edge stream through a
+    // per-round sort; at that scale a bucketed edge table is the real
+    // deployment answer and is what the scan layer already supports
+    // (sources.PlaneStore.saveBucketedTable is the same mechanism).
+    def route(d: DataFrame): DataFrame =
+      if (nNodes <= broadcastNodeCap) broadcast(d) else d.hint("shuffle_hash")
     for (_ <- 1 to rounds) {
+      // ONE m-row exchange per round: the raw (src, lab) vote stream
+      // repartitions by src, which satisfies BOTH downstream
+      // aggregations (ClusteredDistribution on (src, lab) and on src),
+      // so the count and the argmax plan exchange-free on top of it.
       val votes = edges
-        .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
+        .join(route(labels.select(col("node").as("dst"), col("lab"))),
+          Seq("dst"))
+        .select(col("src"), col("lab"))
+        .repartition(voteParts, col("src"))
+      labels = votes
         .groupBy(col("src").as("node"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
-      labels = votes.groupBy("node")
+        .groupBy("node")
         .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("w"))
         .select(col("node"), (-col("w.neg")).as("lab"))
         .localCheckpoint()
@@ -453,7 +506,9 @@ object GraphQueries {
   private def qGraphCommunities(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    lpaCensus(coPurchasePairs(li), lpaRounds)
+    val cap = s.conf.getOption("spark.graft.lpa.broadcastNodeCap")
+      .map(_.toLong).getOrElse(lpaBroadcastNodeCap)
+    lpaCensus(coPurchasePairs(li), lpaRounds, cap)
   }
 
   /** The communities oracle unrolls [[lpaRounds]] synchronous vote
