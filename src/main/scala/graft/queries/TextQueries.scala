@@ -607,11 +607,23 @@ object TextQueries {
     * `localCheckpoint` per round cuts the 8-deep replace lineage so
     * round r never recomputes rounds 1..r-1 from the raw scan.
     */
-  private[graft] def bpeTrain(vocab: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeTrain(vocab: DataFrame, rounds: Int): DataFrame =
+    bpeTrainFull(vocab, rounds)._1
+
+  /** [[bpeTrain]] plus the trained tokenizer's OUTPUT: returns the
+    * ordered merge table AND the final per-token segmentation
+    * relation (token, seg) after all learned merges applied — the
+    * encode side ([[qTxtBpeEncode]]) consumes the latter. On early
+    * exhaustion (no pairs left) the segmentation stays at its last
+    * state, which the encode oracle mirrors with a LEFT-join merge
+    * application.
+    */
+  private[graft] def bpeTrainFull(vocab: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val s = vocab.sparkSession
     import s.implicits._
     var seg = vocab.filter(length(col("token")) > 1)
-      .select(col("freq"),
+      .select(col("token"), col("freq"),
         concat(lit(" "),
           concat_ws("  ", transform(sequence(lit(1), length(col("token"))),
             i => substr(col("token"), i, lit(1)))),
@@ -636,12 +648,13 @@ object TextQueries {
         val (a, b, n) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, a + b, n))
-        seg = seg.select(col("freq"),
+        seg = seg.select(col("token"), col("freq"),
           replace(col("seg"), lit(s" $a  $b "), lit(s" $a$b ")).as("seg"))
           .localCheckpoint()
       }
     }
-    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "n")
+    (merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "n"),
+      seg.select(col("token"), col("seg")))
   }
 
   private def qTxtBpeTrain(s: SparkSession, dir: String): DataFrame = {
@@ -650,6 +663,42 @@ object TextQueries {
       .filter(length(col("token")) > 1)
       .groupBy("token").agg(count(lit(1)).as("freq"))
     bpeTrain(vocab, bpeRounds)
+  }
+
+  /** Tokenizer APPLICATION — encode the corpus with the merge table
+    * [[qTxtBpeTrain]] just learned and report the per-language
+    * compression census (whitespace tokens vs BPE symbols, the
+    * symbols/token ratio a tokenizer team tracks per language slice).
+    * Vocabulary-first like training: the per-(lang, token) counts and
+    * the per-token symbol counts are both dimension tables, so the
+    * corpus text is scanned exactly once and nothing wider than
+    * (lang, token, count) ever shuffles. Tokens below the trainable
+    * width (single char) encode as one symbol via the left join's
+    * coalesce; symbols/token is one IEEE division of exact longs,
+    * rounded to 6 places.
+    */
+  private def qTxtBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = docs.select(explode(toks).as("token"))
+      .filter(length(col("token")) > 1)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val (_, segf) = bpeTrainFull(vocab, bpeRounds)
+    val nsym = segf.select(col("token"),
+      size(split(trim(col("seg")), "  ")).as("ns"))
+    val lt = docs.select(col("lang"), explode(toks).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+    lt.join(nsym, Seq("token"), "left_outer")
+      .select(col("lang"), col("c"),
+        coalesce(col("ns"), lit(1)).cast("long").as("ns"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_ws_tokens"),
+        sum(col("c") * col("ns")).as("n_bpe_symbols"),
+        max("ns").as("max_sym"),
+        count(lit(1)).as("n_distinct_tokens"))
+      .withColumn("symbols_per_token",
+        round(col("n_bpe_symbols").cast("double") / col("n_ws_tokens"), 6))
+      .orderBy("lang")
   }
 
   /** The bpe-train oracle unrolls [[bpeRounds]] (vote, argmax, merge)
@@ -688,6 +737,56 @@ object TextQueries {
         s"CAST(n AS BIGINT) AS n FROM m$i")
       .mkString("\nUNION ALL ")
     sb.append("\n" + sel + "\nORDER BY rank")
+    sb.toString
+  }
+
+  /** The encode oracle re-learns the merge chain (same unrolled law as
+    * [[bpeTrainOracle]], here carrying `token` through every seg stage
+    * and applying each merge via LEFT JOIN so an exhausted round — an
+    * empty m_i — leaves segmentations unchanged, exactly the engine's
+    * early stop), then replays the per-language census.
+    */
+  private def bpeEncodeOracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH vocab AS MATERIALIZED (
+        |  SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) q
+        |  WHERE len(token) > 1 GROUP BY token),
+        |seg0 AS MATERIALIZED (SELECT token, freq,
+        |  ' ' || array_to_string(list_transform(range(1, len(token) + 1),
+        |          i -> token[CAST(i AS INT)]), '  ') || ' ' AS seg
+        |  FROM vocab)""".stripMargin)
+    for (i <- 1 to bpeRounds) {
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT s[CAST(j AS INT)] AS lhs, s[CAST(j AS INT) + 1] AS rhs,
+        |         sum(freq) AS n
+        |  FROM (SELECT freq, string_split(trim(seg), '  ') AS s FROM seg${i - 1}) q,
+        |       unnest(range(1, len(s))) AS t(j)
+        |  GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (SELECT lhs, rhs FROM p$i
+        |  ORDER BY n DESC, lhs, rhs LIMIT 1),
+        |seg$i AS MATERIALIZED (SELECT token, freq,
+        |  CASE WHEN lhs IS NULL THEN seg
+        |       ELSE replace(seg, ' '||lhs||'  '||rhs||' ', ' '||lhs||rhs||' ')
+        |  END AS seg
+        |  FROM seg${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin)
+    }
+    sb.append(s"""
+      |, nsym AS (SELECT token,
+      |    len(string_split(trim(seg), '  ')) AS ns FROM seg$bpeRounds),
+      |lt AS (SELECT lang, token, count(*) AS c FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS token
+      |    FROM documents) q WHERE len(token) > 0 GROUP BY lang, token)
+      |SELECT lang, CAST(sum(c) AS BIGINT) AS n_ws_tokens,
+      |  CAST(sum(c * coalesce(ns, 1)) AS BIGINT) AS n_bpe_symbols,
+      |  CAST(max(coalesce(ns, 1)) AS BIGINT) AS max_sym,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+      |  round(CAST(sum(c * coalesce(ns, 1)) AS DOUBLE) / sum(c), 6)
+      |    AS symbols_per_token
+      |FROM lt LEFT JOIN nsym USING (token)
+      |GROUP BY lang ORDER BY lang""".stripMargin)
     sb.toString
   }
 
@@ -1249,6 +1348,7 @@ object TextQueries {
     "q_txt_colloc" -> qTxtColloc _,
     "q_txt_bpe_merge" -> qTxtBpeMerge _,
     "q_txt_bpe_train" -> qTxtBpeTrain _,
+    "q_txt_bpe_encode" -> qTxtBpeEncode _,
     "q_txt_tfidf" -> qTxtTfidf _,
     "q_txt_pii" -> qTxtPii _,
     "q_txt_repetition" -> qTxtRepetition _,
@@ -1556,6 +1656,7 @@ object TextQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, w1, w2) AS rk FROM sc)
         |SELECT lang, rk, w1, w2, n_xy, score FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
     "q_txt_bpe_train" -> bpeTrainOracle,
+    "q_txt_bpe_encode" -> bpeEncodeOracle,
     "q_txt_bpe_merge" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT token, count(*) AS freq FROM tok WHERE len(token) > 1 GROUP BY token),

@@ -42,4 +42,15 @@ class BpeTrainSpec extends SparkSpec {
     // r2: (ab,ab)=1, (x,ab)=1 -> tie, min lhs "ab" < "x"
     assert(got == List((1, "a", "b", 3L), (2, "ab", "ab", 1L)), s"got $got")
   }
+
+  test("encode side: final segmentations match the hand-traced merges") {
+    import spark.implicits._
+    val vocab = Seq(("aaab", 2L), ("ab", 3L), ("ba", 1L)).toDF("token", "freq")
+    val (_, segf) = TextQueries.bpeTrainFull(vocab, 3)
+    val segs = segf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // after merges ab, aa, aaab: both high-freq tokens collapse to one
+    // symbol; (b,a) hasn't won a round yet, so "ba" stays characters
+    assert(segs == Map(
+      "aaab" -> " aaab ", "ab" -> " ab ", "ba" -> " b  a "), s"got $segs")
+  }
 }
