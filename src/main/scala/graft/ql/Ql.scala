@@ -71,7 +71,11 @@ object Ql {
     "q_stream_session_native", // append-mode drain at construction
     "q_stream_range_outer",    // append-mode drain at construction
     "q_layout_bucket_join", // writes the bucketed tables + plan verdict
-    "q_npz_roundtrip" // writes the NPZ fixture at construction (S10 sink)
+    "q_npz_roundtrip", // writes the NPZ fixture at construction (S10 sink)
+    "q_graph_communities", // LPA supersteps: checkpoints + counts per round
+    "q_txt_bpe_train", // per-round argmax collect (merge learning)
+    "q_txt_bpe_encode", // re-learns the merge chain at construction
+    "q_src_ontology_digest" // metadata JSON schema inference at construction
   )
 
   /** Register inventory queries as temp views named after their registry
