@@ -36,6 +36,13 @@ object Scratch {
   /** Allocate a fresh scratch directory under the configured shared
     * base (or a local temp dir when unconfigured); returns a path
     * string usable by any Hadoop-FileSystem-aware reader/writer.
+    *
+    * Retention: allocations are NOT deleted here — the DataFrames the
+    * drain harnesses return read from them lazily, so their lifetime
+    * is the consumer's. Local temp dirs go with /tmp; a configured
+    * shared base should point at TTL'd storage (object-store lifecycle
+    * rule or a tmpwatch'd mount), the standard contract for Spark
+    * scratch space.
     */
   def dir(spark: SparkSession, prefix: String): String =
     spark.conf.getOption("spark.graft.scratchDir") match {
