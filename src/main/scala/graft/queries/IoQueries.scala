@@ -437,7 +437,42 @@ object IoQueries {
       .orderBy("rel_dir")
   }
 
+  // ===================================================================
+  // TAR-shard digest (beyond-reference: the WebDataset sharded-archive
+  // layout multimodal training pipelines read): the distributed
+  // binaryFile scan + pure-JVM ustar walk over the committed law
+  // fixture (fixtures/tarshard, tools/gen_tarshards.py). Entry (s, i)
+  // has length 64 + 16i + 8s and byte j = (7j + 13i + 19s) % 251 —
+  // pure arithmetic, so DuckDB replays every census (length, nonzero
+  // count, byte sum, position-weighted checksum) from generate_series,
+  // sharing NO code with the engine's parser: a header-walk slip
+  // (octal size, 512-padding, entry order) fails the hash.
+  // ===================================================================
+
+  private def qSrcTarDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.TarShards
+      .readTarDir(s, s"$fixturesRoot/tarshard")
+      .as[(String, Int, String, Long, Array[Byte])]
+      .map { case (shard, idx, entry, nBytes, content) =>
+        val P = 1000000007L
+        var nnz = 0L; var sum = 0L; var chk = 0L
+        var j = 0
+        while (j < content.length) {
+          val v = content(j) & 0xff
+          if (v != 0) nnz += 1
+          sum += v
+          chk = (chk + (j + 1).toLong * v % P) % P
+          j += 1
+        }
+        (shard, idx, entry, nBytes, nnz, sum, chk)
+      }
+      .toDF("shard", "idx", "entry", "n_bytes", "nnz", "byte_sum", "chk")
+      .orderBy("shard", "idx")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_src_tar_digest" -> qSrcTarDigest _,
     "q_src_tiff_digest" -> qSrcTiffDigest _,
     "q_img_clean_digest" -> qImgCleanDigest _,
     "q_src_ontology_digest" -> qSrcOntologyDigest _,
@@ -456,6 +491,26 @@ object IoQueries {
     * routed-away blank unit) + 2 separate/ rows.
     */
   val oracles: Map[String, String] = Map(
+    // Full generate_series replay of the tar-shard law — engine parser
+    // and oracle share no code path.
+    "q_src_tar_digest" ->
+      """WITH e AS (
+        |  SELECT s.s, i.i, 64 + 16 * i.i + 8 * s.s AS n
+        |  FROM generate_series(0, 1) s(s), generate_series(0, 9) i(i)),
+        |b AS (
+        |  SELECT s, i, n, j.j,
+        |         (7 * j.j + 13 * i + 19 * s) % 251 AS v
+        |  FROM e, unnest(range(0, n)) AS j(j))
+        |SELECT 'shard-00' || s || '.tar' AS shard, CAST(i AS INT) AS idx,
+        |       'doc_' || s || '_' || lpad(CAST(i AS VARCHAR), 3, '0')
+        |         || '.txt' AS entry,
+        |       CAST(n AS BIGINT) AS n_bytes,
+        |       CAST(sum(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+        |       CAST(sum(v) AS BIGINT) AS byte_sum,
+        |       CAST(sum((j + 1) * v % 1000000007) % 1000000007 AS BIGINT)
+        |         AS chk
+        |FROM b GROUP BY s, i, n
+        |ORDER BY shard, idx""".stripMargin,
     // Full DuckDB replay of the clean-labels law: blob j of plane
     // (fi, st) gets dense CC id j+1 (scan order), 7 px each at known
     // positions; speckles (area 1 < 4) vanish; planes with nb < 2
