@@ -471,8 +471,46 @@ object IoQueries {
       .orderBy("shard", "idx")
   }
 
+  /** Sample-assembly digest over the multi-entry fixture shards
+    * (fixtures/tarshard/samples, tools/gen_tarshards.py): one row per
+    * WebDataset SAMPLE — adjacent same-key entries folded map-side by
+    * [[graft.sources.TarShards.readSamples]]. The fixture's m == 5
+    * keys are 116 chars, so shard 0 (PAX format) exercises the 'x'
+    * path/size records and shard 1 (GNU format) the 'L' long-name
+    * header INSIDE the oracle gate — a parser that drops or truncates
+    * long names loses two samples and fails the hash. The checksum is
+    * ext-salted ((ei*1000003 + j + 1)·v) so entry identity within the
+    * sample is pinned, not just the byte multiset.
+    */
+  private def qSrcTarSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eiOf = Map("img" -> 0, "json" -> 1, "txt" -> 2)
+    graft.sources.TarShards
+      .readSamples(s, s"$fixturesRoot/tarshard/samples")
+      .as[(String, Int, String, Seq[String], Map[String, Array[Byte]])]
+      .map { case (shard, sidx, key, exts, entries) =>
+        val P = 1000000007L
+        var nBytes = 0L; var chk = 0L
+        exts.foreach { ext =>
+          val ei = eiOf(ext)
+          val content = entries(ext)
+          nBytes += content.length
+          var j = 0
+          while (j < content.length) {
+            val v = content(j) & 0xff
+            chk = (chk + (ei.toLong * 1000003L + j + 1) * v % P) % P
+            j += 1
+          }
+        }
+        (shard, sidx, key, exts.length, exts.mkString(","), nBytes, chk)
+      }
+      .toDF("shard", "sidx", "key", "n_entries", "exts", "n_bytes", "chk")
+      .orderBy("shard", "sidx")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_src_tar_digest" -> qSrcTarDigest _,
+    "q_src_tar_samples" -> qSrcTarSamples _,
     "q_src_tiff_digest" -> qSrcTiffDigest _,
     "q_img_clean_digest" -> qImgCleanDigest _,
     "q_src_ontology_digest" -> qSrcOntologyDigest _,
@@ -511,6 +549,35 @@ object IoQueries {
         |         AS chk
         |FROM b GROUP BY s, i, n
         |ORDER BY shard, idx""".stripMargin,
+    // Sample-assembly law replay — key (incl. the 116-char long-name
+    // cases), entry count/order, byte totals and the ext-salted
+    // checksum all from generate_series; no parser code shared.
+    "q_src_tar_samples" ->
+      """WITH sm AS (
+        |  SELECT s.s, m.m,
+        |         CASE WHEN m.m = 5
+        |              THEN 'k' || s.s || '_05_' || repeat('x', 110)
+        |              ELSE 'k' || s.s || '_0' || m.m END AS key,
+        |         CASE WHEN m.m % 2 = 0 THEN 3 ELSE 2 END AS ne
+        |  FROM generate_series(0, 1) s(s), generate_series(0, 5) m(m)),
+        |en AS (
+        |  SELECT s, m, key, ne, e.ei, 48 + 8 * m + 4 * e.ei + 2 * s AS n
+        |  FROM sm, generate_series(0, 2) e(ei) WHERE e.ei < ne),
+        |ec AS (
+        |  SELECT s, m, key, ne, ei, n,
+        |         (SELECT sum((ei * 1000003 + j.j + 1)
+        |                     * ((5 * j.j + 11 * m + 23 * s + 31 * ei) % 251)
+        |                     % 1000000007)
+        |          FROM unnest(range(0, n)) AS j(j)) AS chk_e
+        |  FROM en)
+        |SELECT 'sample-00' || s || '.tar' AS shard, CAST(m AS INT) AS sidx,
+        |       key, CAST(ne AS INT) AS n_entries,
+        |       CASE WHEN ne = 3 THEN 'img,json,txt'
+        |            ELSE 'img,json' END AS exts,
+        |       CAST(sum(n) AS BIGINT) AS n_bytes,
+        |       CAST(sum(chk_e) % 1000000007 AS BIGINT) AS chk
+        |FROM ec GROUP BY s, m, key, ne
+        |ORDER BY shard, sidx""".stripMargin,
     // Full DuckDB replay of the clean-labels law: blob j of plane
     // (fi, st) gets dense CC id j+1 (scan order), 7 px each at known
     // positions; speckles (area 1 < 4) vanish; planes with nb < 2

@@ -7,17 +7,32 @@ import org.apache.spark.sql.functions._
   * large multimodal training pipelines read (Aizman et al. 2019's
   * WebDataset convention: a dataset is a directory of .tar shards,
   * each holding many small sample files; the SHARD is the unit of
-  * parallelism and ordering within a shard is the sample order).
+  * parallelism, ordering within a shard is the sample order, and all
+  * entries sharing the basename up to the first dot form ONE training
+  * sample: `k.img` + `k.json` + `k.txt` are three views of sample
+  * `k`, stored adjacently).
   *
   * Spark-first shape: a distributed `binaryFile` scan assigns one
   * task per shard (archives are single-split by nature), and a pure
   * JVM ustar walk explodes each archive into (shard, entry, bytes)
   * rows map-side — entry payloads never shuffle unless a downstream
   * operator asks them to, mirroring the NPZ/TIFF source discipline.
+  * [[readSamples]] additionally folds adjacent same-key entries into
+  * one row per SAMPLE in the same map pass (adjacency is the
+  * WebDataset contract, so sample assembly needs no shuffle either).
   * No external TAR dependency: the POSIX ustar layout is 512-byte
-  * headers (name at 0..99 NUL-terminated, size as octal ASCII at
-  * 124..135, typeflag at 156) with data padded to 512, terminated by
-  * two zero blocks — a ~30-line loop.
+  * headers (name at 0..99 + prefix at 345..499, size as octal ASCII
+  * at 124..135, typeflag at 156) with data padded to 512, terminated
+  * by two zero blocks. Long paths arrive as override headers — GNU
+  * typeflag 'L' (payload = next entry's name) or PAX typeflag 'x'
+  * (`len key=value\n` records; `path`/`size` override the next
+  * entry) — both honored here, because real WebDataset shards
+  * routinely carry >100-char sample keys.
+  *
+  * Malformed archives FAIL LOUDLY: a size field pointing past the end
+  * of the archive, or an entry above the JVM array limit, throws a
+  * descriptive error instead of zero-padding fabricated payload bytes
+  * (the silent-wrong-answer mode a digest fixture cannot catch).
   *
   * Scale: shards are the parallelism unit, so a 100 TB corpus of
   * ~1 GB shards fans out to ~100k independent map tasks with zero
@@ -27,41 +42,174 @@ import org.apache.spark.sql.functions._
   */
 object TarShards {
 
+  /** JVM arrays top out just under Int.MaxValue elements; an entry
+    * above this cannot be materialized (and a shard containing one
+    * could not have been read by `binaryFile` in the first place).
+    */
+  private val MaxEntryBytes: Long = Int.MaxValue.toLong - 16L
+
+  /** Octal ASCII field at `bytes(off until off+len)` — leading
+    * spaces/NULs skipped, stops at the first non-octal byte. GNU
+    * base-256 (high bit of first byte set) is decoded too so a
+    * huge-size field is REJECTED by the size guard instead of being
+    * misread as a small octal number.
+    */
+  private def numField(bytes: Array[Byte], off: Int, len: Int): Long = {
+    if ((bytes(off) & 0x80) != 0) {
+      // GNU base-256: big-endian two's complement, high bit masked off
+      var v = (bytes(off) & 0x7f).toLong
+      var k = 1
+      while (k < len) { v = (v << 8) | (bytes(off + k) & 0xff); k += 1 }
+      v
+    } else {
+      var v = 0L
+      var k = off
+      val end = off + len
+      while (k < end && (bytes(k) == ' ' || bytes(k) == 0)) k += 1
+      while (k < end && bytes(k) >= '0' && bytes(k) <= '7') {
+        v = v * 8 + (bytes(k) - '0'); k += 1
+      }
+      v
+    }
+  }
+
+  /** NUL-terminated string field. */
+  private def strField(bytes: Array[Byte], off: Int, len: Int): String = {
+    var end = 0
+    while (end < len && bytes(off + end) != 0) end += 1
+    new String(bytes, off, end, "UTF-8")
+  }
+
+  /** PAX extended-header records: `"%d %s=%s\n"` where the decimal
+    * length counts the WHOLE record including itself and the newline.
+    */
+  private def parsePaxRecords(payload: Array[Byte]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var p = 0
+    while (p < payload.length) {
+      var q = p
+      var recLen = 0
+      while (q < payload.length && payload(q) >= '0' && payload(q) <= '9') {
+        recLen = recLen * 10 + (payload(q) - '0'); q += 1
+      }
+      if (q >= payload.length || payload(q) != ' ' || recLen <= 0 ||
+          p + recLen > payload.length)
+        throw new IllegalArgumentException(
+          s"malformed PAX record at offset $p (len=$recLen of ${payload.length})")
+      val rec = new String(payload, q + 1, p + recLen - q - 2, "UTF-8")
+      val eq = rec.indexOf('=')
+      if (eq > 0) out(rec.substring(0, eq)) = rec.substring(eq + 1)
+      p += recLen
+    }
+    out.toMap
+  }
+
   /** Parse one ustar archive into (entryName, payload) pairs —
-    * regular files only (typeflag '0' or NUL); directories, PAX
-    * headers and link entries are skipped but their data blocks are
-    * stepped over correctly.
+    * regular files only (typeflag '0' or NUL); directories and link
+    * entries are skipped but their data blocks are stepped over
+    * correctly. The ustar `prefix` field and GNU 'L' / PAX 'x'
+    * long-name (and PAX `size`) overrides are honored, so >100-char
+    * paths round-trip exactly; PAX 'g' global records serve as
+    * defaults under per-entry overrides. Truncated or oversize
+    * entries throw (see object doc).
     */
   def parseTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     var off = 0
     var ended = false
+    var nextName: String = null   // GNU 'L' or PAX 'x' path, next entry only
+    var nextSize: Long = -1L      // PAX 'x' size, next entry only
+    var globalName: String = null // PAX 'g' path default (rare but legal)
+    def checkBounds(off: Int, sz: Long, what: String): Unit = {
+      if (sz < 0 || sz > MaxEntryBytes)
+        throw new IllegalArgumentException(
+          s"tar $what at offset $off has size $sz — above the JVM array " +
+            "limit (or negative); entries must be under 2 GiB")
+      if (off + 512 + sz > bytes.length)
+        throw new IllegalArgumentException(
+          s"truncated tar: $what at offset $off declares $sz bytes but " +
+            s"only ${bytes.length - off - 512} remain")
+    }
+    def payloadOf(off: Int, sz: Long, what: String): Array[Byte] = {
+      checkBounds(off, sz, what)
+      java.util.Arrays.copyOfRange(bytes, off + 512, off + 512 + sz.toInt)
+    }
     while (!ended && off + 512 <= bytes.length) {
       var allZero = true
       var z = off
       while (allZero && z < off + 512) { if (bytes(z) != 0) allZero = false; z += 1 }
       if (allZero) ended = true
       else {
-        var nameEnd = 0
-        while (nameEnd < 100 && bytes(off + nameEnd) != 0) nameEnd += 1
-        val name = new String(bytes, off, nameEnd, "UTF-8")
-        var sz = 0L
-        var k = 124
-        // octal size field: skip leading spaces/NULs, stop at first non-digit
-        while (k < 136 && (bytes(off + k) == ' ' || bytes(off + k) == 0)) k += 1
-        while (k < 136 && bytes(off + k) >= '0' && bytes(off + k) <= '7') {
-          sz = sz * 8 + (bytes(off + k) - '0'); k += 1
-        }
+        val hdrSize = numField(bytes, off + 124, 12)
         val typeflag = bytes(off + 156)
-        if (typeflag == '0'.toByte || typeflag == 0.toByte) {
-          val data = java.util.Arrays.copyOfRange(
-            bytes, off + 512, off + 512 + sz.toInt)
-          out += name -> data
+        // effective data length: PAX size override wins for the entry
+        // it precedes; override headers use their own header size
+        val isOverride = typeflag == 'x'.toByte || typeflag == 'g'.toByte ||
+          typeflag == 'L'.toByte || typeflag == 'K'.toByte
+        val sz = if (!isOverride && nextSize >= 0) nextSize else hdrSize
+        typeflag match {
+          case b if b == 'L'.toByte => // GNU long name: payload names the NEXT entry
+            val p = payloadOf(off, hdrSize, "GNU long-name header")
+            var e = p.length
+            while (e > 0 && p(e - 1) == 0) e -= 1
+            nextName = new String(p, 0, e, "UTF-8")
+          case b if b == 'K'.toByte => // GNU long LINK name: step over, unused
+            checkBounds(off, hdrSize, "GNU long-link header")
+          case b if b == 'x'.toByte =>
+            val rec = parsePaxRecords(payloadOf(off, hdrSize, "PAX header"))
+            rec.get("path").foreach(nextName = _)
+            rec.get("size").foreach(v => nextSize = v.toLong)
+          case b if b == 'g'.toByte =>
+            val rec = parsePaxRecords(payloadOf(off, hdrSize, "PAX global header"))
+            rec.get("path").foreach(globalName = _)
+          case b if b == '0'.toByte || b == 0.toByte =>
+            val data = payloadOf(off, sz, "entry")
+            val name =
+              if (nextName != null) nextName
+              else if (globalName != null) globalName
+              else {
+                val base = strField(bytes, off, 100)
+                val prefix = strField(bytes, off + 345, 155)
+                if (prefix.nonEmpty) prefix + "/" + base else base
+              }
+            out += name -> data
+            nextName = null; nextSize = -1L
+          case _ => // dir/link/etc: step over payload, overrides are consumed
+            checkBounds(off, sz, "entry")
+            nextName = null; nextSize = -1L
         }
         off += 512 + (((sz + 511) / 512) * 512).toInt
       }
     }
     out.toSeq
+  }
+
+  /** WebDataset sample key of an entry path: everything up to the
+    * FIRST dot of the basename (directories included); the extension
+    * is everything after that dot, so `a/b.seg.png` → key `a/b`, ext
+    * `seg.png` — the multi-dot convention WebDataset uses for typed
+    * variants of one modality.
+    */
+  def sampleKey(name: String): (String, String) = {
+    val dot = name.indexOf('.', name.lastIndexOf('/') + 1)
+    if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
+  }
+
+  /** Fold an archive's entry list into samples: maximal runs of
+    * ADJACENT entries sharing a key form one sample (the WebDataset
+    * adjacency contract — a key recurring later in the shard is a new
+    * sample by convention, not a merge).
+    */
+  def assembleSamples(entries: Seq[(String, Array[Byte])])
+      : Seq[(String, Seq[(String, Array[Byte])])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, scala.collection.mutable.ArrayBuffer[(String, Array[Byte])])]
+    entries.foreach { case (name, data) =>
+      val (key, ext) = sampleKey(name)
+      if (out.nonEmpty && out.last._1 == key) out.last._2 += ext -> data
+      else out += key -> scala.collection.mutable.ArrayBuffer(ext -> data)
+    }
+    out.map { case (k, es) => k -> es.toSeq }.toSeq
   }
 
   /** Distributed shard scan: one row per regular-file entry —
@@ -85,5 +233,31 @@ object TarShards {
         }
       }
       .toDF("shard", "idx", "entry", "n_bytes", "content")
+  }
+
+  /** Distributed SAMPLE scan: one row per training sample —
+    * (shard, sidx, key, exts, entries) where `exts` preserves entry
+    * order within the sample and `entries` maps extension → payload
+    * (the shape the multimodal decoders consume: `entries['img']`,
+    * `entries['json']`…). Assembly is map-side within the shard task;
+    * nothing shuffles.
+    */
+  def readSamples(spark: SparkSession, dir: String,
+                  glob: String = "*.tar"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("shard"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (shard, bytes) =>
+        assembleSamples(parseTar(bytes)).zipWithIndex.map {
+          case ((key, es), i) =>
+            (shard, i, key, es.map(_._1), es.toMap)
+        }
+      }
+      .toDF("shard", "sidx", "key", "exts", "entries")
   }
 }
