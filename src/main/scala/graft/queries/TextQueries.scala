@@ -876,6 +876,86 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** ExactSubstr-style OVERLAPPING-substring dedup mass (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"
+    * §4.1: remove any ≥50-token substring occurring verbatim more
+    * than once in the corpus — their suffix-array criterion,
+    * re-expressed as overlapping k-gram RUN matching, the distributed
+    * form): every overlapping k-token window is hashed positionally;
+    * a window is REMOVABLE when the same window occurred at a
+    * strictly earlier (doc_id, pos) anywhere in the corpus
+    * (keep-first, same global tie-break as [[qTxtChunkDedup]]); a
+    * maximal run of `minLen - k + 1` consecutive removable starts
+    * witnesses a duplicated substring of ≥ minLen tokens. This
+    * catches SHIFTED duplicates that non-overlapping chunk dedup
+    * structurally misses — a copy offset by any non-multiple of the
+    * chunk width shares zero aligned chunks but every interior
+    * k-gram (ExactSubstrSpec plants exactly that case).
+    *
+    * Reported per doc: qualifying-span count and duplicated-token
+    * mass, where mass is the UNION of the token intervals the
+    * qualifying runs cover (runs whose coverage overlaps or abuts are
+    * merged first — two runs split by one novel window don't
+    * double-count their shared tokens).
+    *
+    * Scale shape: only (doc_id, pos, h) crosses the wide exchange —
+    * text never shuffles; the keep-first verdict is the same packed
+    * (doc_id, pos) min-window on ONE hash exchange as chunk dedup
+    * (same mass-duplication boundary, documented there: a boilerplate
+    * window in millions of docs wants the agg+join form whose map-side
+    * combine collapses the hot key). Run detection and interval merge
+    * are doc-partitioned windows — bounded by document length, never
+    * corpus-wide.
+    */
+  private[graft] def exactSubstrMass(docs: DataFrame, k: Int,
+                                     minLen: Int): DataFrame = {
+    require(minLen >= k, s"minLen $minLen must be >= window $k")
+    val minRun = minLen - k + 1
+    val tk = split(col("text"), " ")
+    val g = docs.select(col("doc_id"),
+      posexplode(graft.functions.Dedup.shingleHashSeqCol(tk, k))
+        .as(Seq("pos", "h")))
+    val packed = col("doc_id") * (1L << 20) + col("pos")
+    val runs = g
+      .withColumn("dup", packed > min(packed).over(Window.partitionBy("h")))
+      .filter(col("dup"))
+      // gaps-and-islands: pos - rank is constant exactly on maximal
+      // runs of consecutive removable starts (strictly increasing
+      // across runs, so separated runs never collide)
+      .withColumn("isl", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("first_pos"), max("pos").as("last_pos"),
+        count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+    // merge qualifying runs with overlapping/abutting token coverage
+    // [first_pos, last_pos + k - 1]: cumulative-max interval union
+    val byDoc = Window.partitionBy("doc_id").orderBy("first_pos")
+    val spans = runs
+      .withColumn("prev_end", max(col("last_pos") + (k - 1))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+        when(col("prev_end").isNull ||
+          col("first_pos") > col("prev_end") + 1, 1).otherwise(0)).over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg((max(col("last_pos") + (k - 1)) - min(col("first_pos")) + 1)
+        .as("span_tokens"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("span_tokens").cast("long").as("dup_tokens"))
+    docs.select(col("doc_id"), size(tk).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private def qTxtExactSubstr(s: SparkSession, dir: String): DataFrame =
+    exactSubstrMass(t(s, dir, "documents"), k = 8, minLen = 12)
+
   /** Two-phase Bloom-pruned decontamination — the same benchmark-overlap
     * census as [[qTxtDecontaminate]], but the corpus side is first
     * pruned by a Bloom filter built over the benchmark's shingle
@@ -1344,6 +1424,7 @@ object TextQueries {
     "q_txt_bm25" -> qTxtBm25 _,
     "q_txt_bloom_decon" -> qTxtBloomDecon _,
     "q_txt_chunk_dedup" -> qTxtChunkDedup _,
+    "q_txt_exact_substr" -> qTxtExactSubstr _,
     "q_txt_mixture" -> qTxtMixture _,
     "q_txt_colloc" -> qTxtColloc _,
     "q_txt_bpe_merge" -> qTxtBpeMerge _,
@@ -1625,6 +1706,45 @@ object TextQueries {
         |  count(*) - count(*) FILTER (WHERE rn = 1) AS n_dropped,
         |  round((count(*) FILTER (WHERE rn = 1))::DOUBLE / count(*), 6) AS retention
         |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Window identity on the 8-gram STRING where the engine uses its
+    // xxhash64 (same collision convention as q_txt_chunk_dedup); the
+    // rest replays the run/merge law with plain SQL windows.
+    "q_txt_exact_substr" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        array_to_string(tk[CAST(i+1 AS INT) : CAST(i+8 AS INT)], ' ') AS sh
+        |      FROM tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS t(i)),
+        |d AS (SELECT doc_id, pos,
+        |        (doc_id * 1048576 + pos) >
+        |          min(doc_id * 1048576 + pos) OVER (PARTITION BY sh) AS dup
+        |      FROM g),
+        |runs AS (SELECT doc_id, pos,
+        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |         FROM d WHERE dup),
+        |q AS (SELECT doc_id, min(pos) AS first_pos, max(pos) AS last_pos
+        |      FROM runs GROUP BY doc_id, isl HAVING count(*) >= 5),
+        |m AS (SELECT doc_id, first_pos, last_pos,
+        |        max(last_pos + 7) OVER (PARTITION BY doc_id ORDER BY first_pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM q),
+        |grp AS (SELECT doc_id, first_pos, last_pos,
+        |          sum(CASE WHEN prev_end IS NULL OR first_pos > prev_end + 1
+        |                   THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY first_pos) AS grp
+        |        FROM m),
+        |spans AS (SELECT doc_id, grp,
+        |            max(last_pos + 7) - min(first_pos) + 1 AS span_tokens
+        |          FROM grp GROUP BY doc_id, grp),
+        |pd AS (SELECT doc_id, count(*) AS n_spans,
+        |         sum(span_tokens) AS dup_tokens
+        |       FROM spans GROUP BY doc_id)
+        |SELECT tk.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE) / len(tk.tk), 6)
+        |    AS dup_ratio
+        |FROM tk LEFT JOIN pd ON tk.doc_id = pd.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
     "q_txt_mixture" ->
       """WITH g AS (SELECT lang, source, count(*) AS n_docs,
         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
