@@ -28,8 +28,9 @@ import org.apache.spark.sql.SparkSession
   * lineage truncation via `localCheckpoint` instead of a schemeless
   * /tmp checkpoint dir) — extended to every registered-path scratch
   * write. NOT used by the file-REPLAY harnesses (sliceParquet /
-  * timeSliceParquet): those depend on POSIX mtime manipulation to
-  * order micro-batches and are local-mode test drivers by design.
+  * timeSliceParquet / ScaleQueries.stitchStreamFixture): those depend
+  * on POSIX mtime manipulation to order micro-batches and are
+  * local-mode test drivers by design.
   */
 object Scratch {
 

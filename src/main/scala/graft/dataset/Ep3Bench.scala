@@ -63,8 +63,7 @@ object Ep3Bench {
 
     // ---- stage 1: GEN — distributed generation + parquet store ----
     val t0 = System.nanoTime()
-    val store = java.nio.file.Files.createTempDirectory("ep3bench")
-      .toFile.getAbsolutePath
+    val store = graft.core.Scratch.dir(spark, "ep3bench")
     spark.range(nFovs).repartition(cpus.toInt)
       .map { f =>
         val p = ImagePlane.gridLabels(

@@ -74,8 +74,10 @@ object Ep2Bench {
         "pixels", "labels", "ts", "grp")
       .persist()
     val nCrops = crops.count()
-    val streamDir = java.nio.file.Files.createTempDirectory("ep2bench")
-      .toFile.getAbsolutePath
+    // Scratch-routed for consistency; the mtime-ordered replay below
+    // still requires a LOCAL path, which is Scratch's unset-conf
+    // default — this bench is a local-mode driver by design.
+    val streamDir = graft.core.Scratch.dir(spark, "ep2bench")
     (0 until nFiles).foreach { g =>
       val tmp = java.nio.file.Files.createTempDirectory(s"ep2u$g")
         .toFile.getAbsolutePath
