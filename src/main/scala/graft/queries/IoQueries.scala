@@ -4,6 +4,7 @@ import graft.core.ImagePlane
 import graft.ops.{ImageResize, Reconstruct, Relabel}
 import graft.sources.{Npz, Tiff}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import Q._
 
 /** File-format IO queries — driver-checkable CORRECTNESS rows for the
@@ -508,9 +509,58 @@ object IoQueries {
       .orderBy("shard", "sidx")
   }
 
+  /** Write→read round trip through the TAR-shard SINK: the documents
+    * table becomes WebDataset samples (key doc_########, a .txt entry
+    * with the text bytes and a .meta entry with lang|source), sharded
+    * doc_id % 16, written once as real archives via
+    * [[graft.sources.TarShards.writeShards]] (Scratch-routed dir,
+    * executor-side Hadoop-FS writes), then read back through the
+    * independent [[graft.sources.TarShards.readSamples]] scan. The
+    * census is computed ONLY from the read-back rows while the oracle
+    * computes it DIRECTLY from the documents table — per-entry md5
+    * prefixes (ext-weighted) pin byte-exact payloads, so any
+    * encoder/parser asymmetry (header arithmetic, padding, sample
+    * grouping, entry order) fails the hash. This is the NPZ
+    * round-trip convention applied to the WebDataset layout.
+    */
+  private def qSrcTarRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir(s, "tar-roundtrip")
+    val samples = Q.t(s, dir, "documents").select(
+      concat(lit("shard-"),
+        lpad((col("doc_id") % 16).cast("string"), 3, "0"),
+        lit(".tar")).as("shard"),
+      concat(lit("doc_"),
+        lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+      array(lit("txt"), lit("meta")).as("exts"),
+      map(
+        lit("txt"), encode(col("text"), "UTF-8"),
+        lit("meta"),
+        encode(concat_ws("|", col("lang"), col("source")), "UTF-8")
+      ).as("entries"))
+    graft.sources.TarShards.writeShards(samples, out)
+    val P = 1000000007L
+    graft.sources.TarShards.readSamples(s, out)
+      .select(col("shard"), col("key"),
+        posexplode(col("exts")).as(Seq("ei", "ext")), col("entries"))
+      .select(col("shard"), col("key"), col("ei"),
+        element_at(col("entries"), col("ext")).as("payload"))
+      .select(col("shard"), col("key"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        ((col("ei") + 1) *
+          conv(substring(md5(col("payload")), 1, 8), 16, 10).cast("long")
+          % P).as("term"))
+      .groupBy("shard")
+      .agg(countDistinct(col("key")).as("n_samples"),
+        count(lit(1)).as("n_entries"),
+        sum(col("n_bytes")).as("n_bytes"),
+        (sum(col("term")) % P).as("chk"))
+      .orderBy("shard")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_src_tar_digest" -> qSrcTarDigest _,
     "q_src_tar_samples" -> qSrcTarSamples _,
+    "q_src_tar_roundtrip" -> qSrcTarRoundtrip _,
     "q_src_tiff_digest" -> qSrcTiffDigest _,
     "q_img_clean_digest" -> qImgCleanDigest _,
     "q_src_ontology_digest" -> qSrcOntologyDigest _,
@@ -578,6 +628,24 @@ object IoQueries {
         |       CAST(sum(chk_e) % 1000000007 AS BIGINT) AS chk
         |FROM ec GROUP BY s, m, key, ne
         |ORDER BY shard, sidx""".stripMargin,
+    // Round-trip law: the read-back census must equal this DIRECT
+    // census of the source table — byte-exactness via md5 prefixes.
+    "q_src_tar_roundtrip" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'shard-' || lpad(CAST(doc_id % 16 AS VARCHAR), 3, '0')
+        |      || '.tar' AS shard,
+        |    'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+        |    text, lang || '|' || source AS meta
+        |  FROM documents),
+        |e AS (SELECT shard, key, 0 AS ei, text AS payload FROM s
+        |      UNION ALL SELECT shard, key, 1, meta FROM s)
+        |SELECT shard, CAST(count(DISTINCT key) AS BIGINT) AS n_samples,
+        |  CAST(count(*) AS BIGINT) AS n_entries,
+        |  CAST(sum(strlen(payload)) AS BIGINT) AS n_bytes,
+        |  CAST(sum((ei + 1) * (('0x' || substr(md5(payload), 1, 8))::BIGINT)
+        |           % 1000000007) % 1000000007 AS BIGINT) AS chk
+        |FROM e GROUP BY shard ORDER BY shard""".stripMargin,
     // Full DuckDB replay of the clean-labels law: blob j of plane
     // (fi, st) gets dense CC id j+1 (scan order), 7 px each at known
     // positions; speckles (area 1 < 4) vanish; planes with nb < 2

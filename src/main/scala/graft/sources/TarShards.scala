@@ -235,6 +235,101 @@ object TarShards {
       .toDF("shard", "idx", "entry", "n_bytes", "content")
   }
 
+  /** Encode one archive: full ustar headers (computed checksum, magic,
+    * deterministic mode/uid/mtime so identical input bytes produce
+    * identical shards), payloads 512-padded, two zero terminator
+    * blocks. Names over 100 bytes emit a PAX 'x' `path` record — the
+    * encoding [[parseTar]] honors and python tarfile reads natively,
+    * so shards written here interoperate with standard WebDataset
+    * tooling. The inverse of [[parseTar]]: parseTar(encodeTar(e)) == e
+    * for any regular-file entry list (TarShardsSpec pins the law,
+    * incl. long names).
+    */
+  def encodeTar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def hdr(nameBytes: Array[Byte], size: Long, typeflag: Char): Array[Byte] = {
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, h, off, b.length)
+      }
+      System.arraycopy(nameBytes, 0, h, 0, math.min(nameBytes.length, 100))
+      put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+      put(124, f"$size%011o")
+      put(136, f"${1700000000L}%011o")
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum as spaces
+      h(156) = typeflag.toByte
+      put(257, "ustar"); put(263, "00")
+      var sum = 0
+      h.foreach(b => sum += b & 0xff)
+      put(148, f"$sum%06o")
+      h(154) = 0; h(155) = ' '.toByte
+      h
+    }
+    def blocks(data: Array[Byte]): Unit = {
+      bos.write(data)
+      bos.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    entries.foreach { case (name, data) =>
+      require(data.length.toLong <= MaxEntryBytes,
+        s"tar entry $name: ${data.length} bytes is above the JVM array limit")
+      val nb = name.getBytes("UTF-8")
+      if (nb.length > 100) {
+        // PAX record: "<len> path=<name>\n", len counting itself
+        val body = s" path=$name\n".getBytes("UTF-8")
+        var l = body.length + 1
+        while (l.toString.length + body.length != l)
+          l = body.length + l.toString.length
+        val rec = l.toString.getBytes("US-ASCII") ++ body
+        bos.write(hdr("PaxHeaders.0/x".getBytes("UTF-8"), rec.length, 'x'))
+        blocks(rec)
+      }
+      bos.write(hdr(nb, data.length, '0'))
+      blocks(data)
+    }
+    bos.write(new Array[Byte](1024))
+    bos.toByteArray
+  }
+
+  /** WebDataset shard SINK: one archive per distinct `shard` value,
+    * assembled and written where the data lives (groupByKey +
+    * executor-side Hadoop `FileSystem` create — the NPZ sink
+    * discipline, so `dir` can be file:// in tests and s3a://hdfs://
+    * on a cluster). Samples are key-sorted within the shard and each
+    * sample's entries land adjacently in `exts` order — exactly the
+    * layout [[readSamples]] (and any WebDataset reader) expects.
+    * Input schema = [[readSamples]]'s output (shard, key, exts,
+    * entries), making write→read a closed loop.
+    *
+    * Scale: the shard is the write unit exactly as it is the read
+    * unit — a 100 TB re-shard fans out to one independent task per
+    * output shard with no coordination beyond the one grouping
+    * shuffle that routes samples to shards.
+    */
+  def writeShards(samples: DataFrame, dir: String): Unit = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val hconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    new Path(dir).getFileSystem(hconf.value).mkdirs(new Path(dir))
+    samples.select(col("shard"), col("key"), col("exts"), col("entries"))
+      .as[(String, String, Seq[String], Map[String, Array[Byte]])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val entries = it.toSeq.sortBy(_._2).flatMap { case (_, key, exts, m) =>
+          exts.map(e => (if (e.isEmpty) key else s"$key.$e") -> m(e))
+        }
+        (shard, encodeTar(entries))
+      }
+      .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+        val fs = new Path(dir).getFileSystem(hconf.value)
+        it.foreach { case (shard, bytes) =>
+          val out = fs.create(new Path(dir, shard), true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+  }
+
   /** Distributed SAMPLE scan: one row per training sample —
     * (shard, sidx, key, exts, entries) where `exts` preserves entry
     * order within the sample and `entries` maps extension → payload
