@@ -483,11 +483,13 @@ object IoQueries {
     * ext-salted ((ei*1000003 + j + 1)·v) so entry identity within the
     * sample is pinned, not just the byte multiset.
     */
-  private def qSrcTarSamples(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The sample-law census, shared by the batch scan and its
+    * streaming-ingest twin so both gates replay the same law.
+    */
+  private def tarSampleCensus(samples: DataFrame): DataFrame = {
+    import samples.sparkSession.implicits._
     val eiOf = Map("img" -> 0, "json" -> 1, "txt" -> 2)
-    graft.sources.TarShards
-      .readSamples(s, s"$fixturesRoot/tarshard/samples")
+    samples
       .as[(String, Int, String, Seq[String], Map[String, Array[Byte]])]
       .map { case (shard, sidx, key, exts, entries) =>
         val P = 1000000007L
@@ -507,6 +509,24 @@ object IoQueries {
       }
       .toDF("shard", "sidx", "key", "n_entries", "exts", "n_bytes", "chk")
       .orderBy("shard", "sidx")
+  }
+
+  private def qSrcTarSamples(s: SparkSession, dir: String): DataFrame =
+    tarSampleCensus(
+      graft.sources.TarShards.readSamples(s, s"$fixturesRoot/tarshard/samples"))
+
+  /** Streaming twin of [[qSrcTarSamples]]: the same shards ingested
+    * one per micro-batch through the file stream source
+    * ([[graft.streaming.StreamOps.tarSampleIngest]]) and censused by
+    * the SAME law — plus `multi_batch` pinned TRUE by the oracle, so
+    * the gate also proves ingest was incremental (2 shards → ≥2
+    * micro-batches), not a single gulp.
+    */
+  private def qStreamTarIngest(s: SparkSession, dir: String): DataFrame = {
+    val (samples, batches) = graft.streaming.StreamOps
+      .tarSampleIngest(s, s"$fixturesRoot/tarshard/samples")
+    tarSampleCensus(samples)
+      .withColumn("multi_batch", lit(batches >= 2))
   }
 
   /** Write→read round trip through the TAR-shard SINK: the documents
@@ -561,6 +581,7 @@ object IoQueries {
     "q_src_tar_digest" -> qSrcTarDigest _,
     "q_src_tar_samples" -> qSrcTarSamples _,
     "q_src_tar_roundtrip" -> qSrcTarRoundtrip _,
+    "q_stream_tar_ingest" -> qStreamTarIngest _,
     "q_src_tiff_digest" -> qSrcTiffDigest _,
     "q_img_clean_digest" -> qImgCleanDigest _,
     "q_src_ontology_digest" -> qSrcOntologyDigest _,
@@ -626,6 +647,36 @@ object IoQueries {
         |            ELSE 'img,json' END AS exts,
         |       CAST(sum(n) AS BIGINT) AS n_bytes,
         |       CAST(sum(chk_e) % 1000000007 AS BIGINT) AS chk
+        |FROM ec GROUP BY s, m, key, ne
+        |ORDER BY shard, sidx""".stripMargin,
+    // The streaming-ingest twin shares the batch sample law verbatim
+    // (stateless assembly: append emission is total), plus the
+    // incrementality verdict pinned TRUE.
+    "q_stream_tar_ingest" ->
+      """WITH sm AS (
+        |  SELECT s.s, m.m,
+        |         CASE WHEN m.m = 5
+        |              THEN 'k' || s.s || '_05_' || repeat('x', 110)
+        |              ELSE 'k' || s.s || '_0' || m.m END AS key,
+        |         CASE WHEN m.m % 2 = 0 THEN 3 ELSE 2 END AS ne
+        |  FROM generate_series(0, 1) s(s), generate_series(0, 5) m(m)),
+        |en AS (
+        |  SELECT s, m, key, ne, e.ei, 48 + 8 * m + 4 * e.ei + 2 * s AS n
+        |  FROM sm, generate_series(0, 2) e(ei) WHERE e.ei < ne),
+        |ec AS (
+        |  SELECT s, m, key, ne, ei, n,
+        |         (SELECT sum((ei * 1000003 + j.j + 1)
+        |                     * ((5 * j.j + 11 * m + 23 * s + 31 * ei) % 251)
+        |                     % 1000000007)
+        |          FROM unnest(range(0, n)) AS j(j)) AS chk_e
+        |  FROM en)
+        |SELECT 'sample-00' || s || '.tar' AS shard, CAST(m AS INT) AS sidx,
+        |       key, CAST(ne AS INT) AS n_entries,
+        |       CASE WHEN ne = 3 THEN 'img,json,txt'
+        |            ELSE 'img,json' END AS exts,
+        |       CAST(sum(n) AS BIGINT) AS n_bytes,
+        |       CAST(sum(chk_e) % 1000000007 AS BIGINT) AS chk,
+        |       TRUE AS multi_batch
         |FROM ec GROUP BY s, m, key, ne
         |ORDER BY shard, sidx""".stripMargin,
     // Round-trip law: the read-back census must equal this DIRECT

@@ -713,6 +713,42 @@ object StreamOps {
     (spark.read.schema(out.schema).parquet(dir), maxState, progress.length)
   }
 
+  /** Streaming WebDataset ingest — the production arrival shape:
+    * shard archives LAND in a directory continuously and each becomes
+    * one micro-batch (`maxFilesPerTrigger = 1`, the shard being the
+    * WebDataset unit of both parallelism and delivery). Sample
+    * assembly is the same map-side pass as the batch scan
+    * ([[graft.sources.TarShards.readSamples]]) — STATELESS, so append
+    * emission is total (no watermark law needed) and exactly-once
+    * comes free from the file-source tracking log. Returns the
+    * drained samples plus the micro-batch count so callers can pin
+    * that ingest really was incremental, not one gulp.
+    */
+  def tarSampleIngest(spark: SparkSession, dir: String,
+                      glob: String = "*.tar"): (DataFrame, Int) = {
+    import spark.implicits._
+    val stream = spark.readStream.format("binaryFile")
+      // file streams need an explicit schema; binaryFile's is fixed
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"))
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1)
+      .load(dir)
+      .select(element_at(split(col("path"), "/"), -1).as("shard"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (shard, bytes) =>
+        graft.sources.TarShards
+          .assembleSamples(graft.sources.TarShards.parseTar(bytes))
+          .zipWithIndex.map { case ((key, es), i) =>
+            (shard, i, key, es.map(_._1), es.toMap)
+          }
+      }
+      .toDF("shard", "sidx", "key", "exts", "entries")
+    val (df, _, batches) = drainAppend(stream, "tar_ingest")
+    (df, batches)
+  }
+
   def ewmaState(spark: SparkSession, sfDir: String,
                 glob: String = "events.parquet",
                 maxFilesPerTrigger: Int = 0): (DataFrame, Long) = {
