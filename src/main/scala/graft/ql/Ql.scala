@@ -51,6 +51,7 @@ object Ql {
     "q_graph_communities_bucketed", // bucketed-table write + plan probe at construction
     "q_src_tar_roundtrip", // shard-sink write at construction
     "q_stream_tar_ingest", // stream drain at construction
+    "q_mm_tar_pipeline", // shard-sink write at construction
     "q_stream_hourly", "q_stream_dedup", "q_stream_sessionize",
     "q_stream_incremental", "q_stream_hourly_append", "q_stream_hourly_tws",
     "q_stream_incremental_append", "q_stream_sessionize_append",

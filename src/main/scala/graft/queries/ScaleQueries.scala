@@ -369,6 +369,62 @@ object ScaleQueries {
     exact.union(near).orderBy("kind", "h1", "h2")
   }
 
+  /** The full multimodal WebDataset pipeline as ONE gated composition:
+    * per-doc deterministic gray-tile PNGs (the [[qMmPhash]] law) and
+    * caption text are packed as training samples into REAL tar shards
+    * via the registered sink, read back through the independent
+    * sample scan, the image entry decoded through the REAL ImageIO
+    * codec and dHash'd, the text entry token-counted — per-shard
+    * census. The oracle rebuilds every number from text arithmetic
+    * (the q_mm_phash convention), so a corruption ANYWHERE in the
+    * chain — shard encode, ustar parse, sample grouping, PNG bytes,
+    * codec decode, hash bits, caption bytes — fails the hash gate.
+    * This is the operator a multimodal curation pipeline actually
+    * runs: shards in, per-modality features out, no intermediate
+    * tables.
+    *
+    * Scale shape: two narrow map passes (encode into the sink's one
+    * routing shuffle; decode straight off the shard scan, no shuffle)
+    * + one bounded groupBy(shard). The codec never crosses an
+    * exchange.
+    */
+  private def qMmTarPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val side = 8
+    val out = graft.core.Scratch.dir(s, "mm-tar")
+    val samples = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val png = Multimodal.encodeGrayPng(
+          Multimodal.grayTileOf(text, side), side, side)
+        (f"shard-${id % 16}%03d.tar", f"doc_$id%08d", Seq("png", "txt"),
+          Map("png" -> png, "txt" -> text.getBytes("UTF-8")))
+      }.toDF("shard", "key", "exts", "entries")
+    graft.sources.TarShards.writeShards(samples, out)
+    val P = 1000000007L
+    graft.sources.TarShards.readSamples(s, out)
+      .as[(String, Int, String, Seq[String], Map[String, Array[Byte]])]
+      .map { case (shard, _, _, _, entries) =>
+        val (_, _, lum) = Multimodal.decodeImage(entries("png")).get
+        var hash = 0L
+        var j = 0
+        while (j < 63) {
+          val r = j / side; val c = j % side
+          if (lum(r * side + (c + 1) % side) > lum(r * side + c)) hash |= 1L << j
+          j += 1
+        }
+        // -1 limit = Spark SQL split semantics (trailing empties kept)
+        val nTok = new String(entries("txt"), "UTF-8").split(" ", -1).length
+        (shard, hash, nTok.toLong)
+      }.toDF("shard", "phash", "n_tokens")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_samples"),
+        countDistinct(col("phash")).as("n_distinct_phash"),
+        (sum(col("phash") % P) % P).as("phash_chk"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("shard")
+  }
+
   /** REAL audio decode end-to-end: each document synthesizes a
     * deterministic k-cycle sine (k = 4 + doc_id % 8, amplitude 0.5,
     * phase 0.1 so no sample lands exactly on zero), encodes it as
@@ -860,6 +916,7 @@ object ScaleQueries {
     "q_mm_audio" -> qMmAudio _,
     "q_mm_frames" -> qMmFrames _,
     "q_mm_phash" -> qMmPhash _,
+    "q_mm_tar_pipeline" -> qMmTarPipeline _,
     "q_stream_hourly" -> qStreamHourly _,
     "q_stream_psi" -> qStreamPsi _,
     "q_stream_psi_tws" -> qStreamPsiTws _,
@@ -939,6 +996,27 @@ object ScaleQueries {
         |         n AS n1, n AS n2, 0 AS hamming
         |       FROM cl WHERE n >= 2)
         |SELECT * FROM ex UNION ALL SELECT * FROM near ORDER BY kind, h1, h2""".stripMargin,
+    // the pipeline census rebuilt from text arithmetic: phash by the
+    // q_mm_phash law, shards by doc_id % 16, tokens by string_split —
+    // the engine derives the same numbers through shard-encode ->
+    // parse -> codec-decode -> hash
+    "q_mm_tar_pipeline" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |px AS (SELECT doc_id,
+        |    list_transform(range(64), i -> ord(substr(text, CAST(i % len AS INT) + 1, 1))) AS p
+        |  FROM d),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(63), j ->
+        |    CASE WHEN p[CAST((j // 8) * 8 + ((j % 8) + 1) % 8 AS INT) + 1] > p[CAST(j AS INT) + 1]
+        |         THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END)) AS BIGINT) AS phash FROM px),
+        |r AS (SELECT h.doc_id,
+        |        'shard-' || lpad(CAST(h.doc_id % 16 AS VARCHAR), 3, '0') || '.tar' AS shard,
+        |        h.phash, len(string_split(d.text, ' ')) AS ntok
+        |      FROM h JOIN d ON h.doc_id = d.doc_id)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct_phash,
+        |  CAST(sum(phash % 1000000007) % 1000000007 AS BIGINT) AS phash_chk,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     "q_mm_features" ->
       """SELECT doc_id AS id, 'text/fake' AS modality,
         |       octet_length(encode(text)) AS n_bytes,
