@@ -956,6 +956,76 @@ object TextQueries {
   private def qTxtExactSubstr(s: SparkSession, dir: String): DataFrame =
     exactSubstrMass(t(s, dir, "documents"), k = 8, minLen = 12)
 
+  /** Content-defined chunking dedup (Muthitacharoen et al. SOSP'01's
+    * LBFS Rabin-boundary family): a chunk boundary falls after every
+    * character position whose rolling 4-gram hash matches the divisor
+    * mask (h % 64 == 63), so boundaries move WITH the content — an
+    * edit resynchronizes within one gram and only the touched chunks
+    * change identity, where fixed-width chunking re-keys every later
+    * chunk (the char-level sibling of [[qTxtExactSubstr]]'s
+    * shift-robustness, and the storage-dedup primitive LLM data lakes
+    * run below the token layer). Plain Rabin form — no FastCDC
+    * min/max clamps — stated as the law so the oracle replays it
+    * exactly. Census: corpus-wide keep-first on chunk CONTENT
+    * (ordered by (doc_id, chunk_idx)) with per-doc retention.
+    *
+    * Scale shape: chunking is per-row higher-order expressions over
+    * the native O(n) rolling hash (no UDF, no explode until the
+    * census); the one wide exchange partitions on the chunk string
+    * for keep-first — same packed-min window and same
+    * mass-duplication boundary as [[qTxtChunkDedup]].
+    */
+  private def qTxtCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    val mask = 64
+    val h = graft.functions.RollingHash.rollingHash(col("text"), w)
+    val emptyInts = array().cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
+    // 1-based gram index j cuts AFTER char j + w - 1: next chunk
+    // starts at char j + w (sequence(1, 0) would count DOWN, so the
+    // empty-gram case is guarded explicitly)
+    val cutPos = when(size(col("h")) > 0,
+      filter(sequence(lit(1), size(col("h"))),
+        j => element_at(col("h"), j) % mask === mask - 1))
+      .otherwise(emptyInts)
+    val d = t(s, dir, "documents")
+      .withColumn("h", h)
+      .withColumn("cp", cutPos)
+      .withColumn("st", concat(array(lit(1)), transform(col("cp"), _ + w)))
+      .withColumn("en", concat(transform(col("cp"), _ + w),
+        array(length(col("text")) + 1)))
+      .select(col("doc_id"),
+        filter(zip_with(col("st"), col("en"),
+          (a, b) => col("text").substr(a, b - a)),
+          c => length(c) > 0).as("chunks"))
+    val packed = col("doc_id") * (1L << 20) + col("chunk_idx")
+    // OUTER explode + a post-explode null filter, deliberately: the
+    // non-outer form lets InferFiltersFromGenerate synthesize
+    // size(chunks) > 0 AND isnotnull(chunks) and push it below this
+    // Project — inlining the WHOLE chunk-construction tree (rolling
+    // hash and all) into a per-row Filter, re-evaluating it ~6x per
+    // row in interpreted lambdas (measured 13 ms/row at sf1; the
+    // outer form is 40x faster). Same relation: no document produces
+    // an all-empty chunk list, and an empty-text doc drops in both
+    // engines.
+    d.select(col("doc_id"),
+        posexplode_outer(col("chunks")).as(Seq("chunk_idx", "chunk")))
+      .filter(col("chunk").isNotNull)
+      .withColumn("kept",
+        packed === min(packed).over(Window.partitionBy("chunk")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        max(length(col("chunk"))).cast("long").as("max_chunk"))
+      .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
+      .withColumn("retention",
+        round(col("n_kept").cast("double") / col("n_chunks"), 6))
+      .select("doc_id", "n_chunks", "n_kept", "n_dropped", "retention",
+        "max_chunk")
+      .orderBy("doc_id")
+  }
+
   /** Two-phase Bloom-pruned decontamination — the same benchmark-overlap
     * census as [[qTxtDecontaminate]], but the corpus side is first
     * pruned by a Bloom filter built over the benchmark's shingle
@@ -1425,6 +1495,7 @@ object TextQueries {
     "q_txt_bloom_decon" -> qTxtBloomDecon _,
     "q_txt_chunk_dedup" -> qTxtChunkDedup _,
     "q_txt_exact_substr" -> qTxtExactSubstr _,
+    "q_txt_cdc_chunks" -> qTxtCdcChunks _,
     "q_txt_mixture" -> qTxtMixture _,
     "q_txt_colloc" -> qTxtColloc _,
     "q_txt_bpe_merge" -> qTxtBpeMerge _,
@@ -1745,6 +1816,47 @@ object TextQueries {
         |    AS dup_ratio
         |FROM tk LEFT JOIN pd ON tk.doc_id = pd.doc_id
         |ORDER BY tk.doc_id""".stripMargin,
+    // Full law replay: the naive per-position polynomial (the
+    // q_txt_rolling_fp convention) drives the same mask cuts, chunk
+    // slicing, and keep-first census on chunk STRINGS.
+    "q_txt_cdc_chunks" ->
+      """WITH hs AS (
+        |  SELECT doc_id, text, len(text) AS n,
+        |    CASE WHEN len(text) >= 4 THEN
+        |      list_transform(range(1, len(text) - 2), i ->
+        |        (((CAST(ord(text[i]) AS BIGINT) * 31 + ord(text[i+1])) * 31
+        |          + ord(text[i+2])) * 31 + ord(text[i+3])) % 1000000007)
+        |    ELSE [] END AS h
+        |  FROM documents),
+        |cut AS (SELECT doc_id, text, n,
+        |          list_filter(range(1, len(h) + 1), j -> h[CAST(j AS INT)] % 64 = 63) AS cp
+        |        FROM hs),
+        |ck AS (SELECT doc_id, text, n,
+        |         list_prepend(1, list_transform(cp, j -> j + 4)) AS st,
+        |         list_append(list_transform(cp, j -> j + 4), n + 1) AS en
+        |       FROM cut),
+        |cs AS (SELECT doc_id,
+        |         list_filter(list_transform(range(1, len(st) + 1),
+        |           k -> {'k': k, 'c': substr(text, CAST(st[CAST(k AS INT)] AS INT),
+        |                                      CAST(en[CAST(k AS INT)] - st[CAST(k AS INT)] AS INT))}),
+        |           x -> len(x.c) > 0) AS chunks
+        |       FROM ck),
+        |e AS (SELECT doc_id, u.k AS k0, u.c AS chunk
+        |      FROM (SELECT doc_id, unnest(chunks) AS u FROM cs)),
+        |i AS (SELECT doc_id, chunk, len(chunk) AS clen,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY k0) - 1 AS chunk_idx
+        |      FROM e),
+        |win AS (SELECT doc_id, clen,
+        |          (doc_id * 1048576 + chunk_idx) =
+        |            min(doc_id * 1048576 + chunk_idx)
+        |              OVER (PARTITION BY chunk) AS kept
+        |        FROM i)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - count(*) FILTER (WHERE kept) AS BIGINT) AS n_dropped,
+        |  round((count(*) FILTER (WHERE kept))::DOUBLE / count(*), 6) AS retention,
+        |  CAST(max(clen) AS BIGINT) AS max_chunk
+        |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_txt_mixture" ->
       """WITH g AS (SELECT lang, source, count(*) AS n_docs,
         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
