@@ -50,6 +50,8 @@ object Ql {
     "q_txt_heavy_hitters", "q_w3_dense_relabel",
     "q_graph_communities_bucketed", // bucketed-table write + plan probe at construction
     "q_src_tar_roundtrip", // shard-sink write at construction
+    "q_src_tar_gzip", // gzip shard-sink write at construction
+    "q_src_tar_reshard", // size-targeted reshard + sink write at construction
     "q_stream_tar_ingest", // stream drain at construction
     "q_mm_tar_pipeline", // shard-sink write at construction
     "q_stream_hourly", "q_stream_dedup", "q_stream_sessionize",

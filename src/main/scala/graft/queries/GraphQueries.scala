@@ -614,16 +614,27 @@ object GraphQueries {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val buckets = lpaBuckets(s)
-    val table = "graft_lpa_edges_bucketed"
     val path = graft.core.Scratch.dir(s, "lpa-edges")
+    // per-run table name (token derived from the fresh scratch dir):
+    // concurrent runs sharing a warehouse/metastore must not race on
+    // one catalog entry; the table is dropped below once the loop has
+    // materialized, so the catalog carries nothing between runs
+    val token = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(path))
+    val table = s"graft_lpa_edges_bucketed_$token"
     saveLpaEdgesBucketed(coPurchasePairs(li), table, s"$path/edges", buckets)
     val edges = s.table(table)
     val probe = s.table(table).select(col("dst").as("node")).distinct()
       .withColumn("lab", col("node"))
     val planOk = lpaEdgeSideShuffleFree(
       lpaVotes(edges, probe, _.hint("shuffle_hash")))
-    lpaCensusBucketed(s, table, lpaRounds)
+    // lpaCensusBucketed materializes every round (localCheckpoint), so
+    // the returned census reads only the final checkpointed labels —
+    // the table can be dropped before the caller ever executes it
+    val out = lpaCensusBucketed(s, table, lpaRounds)
       .withColumn("edge_scan_exchange_free", lit(planOk))
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    out
   }
 
   /** The communities oracle unrolls [[lpaRounds]] synchronous vote
@@ -819,15 +830,23 @@ object GraphQueries {
       var converged = prev == 0L
       var rounds = 0
       while (!converged && rounds < 16) {
+        // `keep` feeds BOTH semi-joins: persisted so the degree
+        // aggregation (a full pass over the round's edges) runs once
+        // per round, not twice — halves the round's edge reads, which
+        // is exactly where a cold page cache made this the most
+        // load-sensitive query in the inventory (BASELINE.md round-18
+        // adjudication)
         val keep = edges.select(col("u").as("node"))
           .union(edges.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select("node")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val next = edges
           .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
           .localCheckpoint()
         val n = next.count()
+        keep.unpersist()
         converged = n == prev
         prev = n
         edges = next

@@ -543,12 +543,15 @@ object IoQueries {
     * grouping, entry order) fails the hash. This is the NPZ
     * round-trip convention applied to the WebDataset layout.
     */
-  private def qSrcTarRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = graft.core.Scratch.dir(s, "tar-roundtrip")
-    val samples = Q.t(s, dir, "documents").select(
-      concat(lit("shard-"),
-        lpad((col("doc_id") % 16).cast("string"), 3, "0"),
-        lit(".tar")).as("shard"),
+  /** Documents-as-WebDataset-samples frame shared by the tar sink
+    * gates: key doc_########, a .txt entry with the text bytes and a
+    * .meta entry with lang|source. `shardCol` picks the routing.
+    */
+  private def docSamples(s: SparkSession, dir: String,
+      shardCol: org.apache.spark.sql.Column,
+      shardName: String = "shard"): DataFrame =
+    Q.t(s, dir, "documents").select(
+      shardCol.as(shardName),
       concat(lit("doc_"),
         lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
       array(lit("txt"), lit("meta")).as("exts"),
@@ -557,9 +560,17 @@ object IoQueries {
         lit("meta"),
         encode(concat_ws("|", col("lang"), col("source")), "UTF-8")
       ).as("entries"))
-    graft.sources.TarShards.writeShards(samples, out)
+
+  /** Per-shard payload census via the independent [[graft.sources
+    * .TarShards.readSamples]] scan — per-entry md5 prefixes
+    * (ext-weighted) pin byte-exact payloads. Shared by the roundtrip /
+    * gzip / reshard gates, whose oracles compute the same census
+    * DIRECTLY from the documents table.
+    */
+  private def tarReadbackCensus(s: SparkSession, out: String,
+      glob: String): DataFrame = {
     val P = 1000000007L
-    graft.sources.TarShards.readSamples(s, out)
+    graft.sources.TarShards.readSamples(s, out, glob)
       .select(col("shard"), col("key"),
         posexplode(col("exts")).as(Seq("ei", "ext")), col("entries"))
       .select(col("shard"), col("key"), col("ei"),
@@ -577,10 +588,65 @@ object IoQueries {
       .orderBy("shard")
   }
 
+  private def qSrcTarRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir(s, "tar-roundtrip")
+    val samples = docSamples(s, dir,
+      concat(lit("shard-"),
+        lpad((col("doc_id") % 16).cast("string"), 3, "0"),
+        lit(".tar")))
+    graft.sources.TarShards.writeShards(samples, out)
+    tarReadbackCensus(s, out, "*.tar")
+  }
+
+  /** The COMPRESSED-shard round trip: same law as [[qSrcTarRoundtrip]]
+    * but the sink writes `*.tar.gz` (deterministic JDK gzip, MTIME=0)
+    * and the read-back scan inflates by magic byte — so a compression
+    * asymmetry, a header-time nondeterminism, or a reader that chokes
+    * on compressed shards fails the hash. 8 shards instead of 16 so
+    * the two gates also differ structurally, not just in codec. The
+    * oracle never sees the compression: it censuses the documents
+    * table directly, which is the point — gzip must be a transparent
+    * transport layer.
+    */
+  private def qSrcTarGzip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir(s, "tar-gzip")
+    val samples = docSamples(s, dir,
+      concat(lit("shard-"),
+        lpad((col("doc_id") % 8).cast("string"), 3, "0"),
+        lit(".tar.gz")))
+    graft.sources.TarShards.writeShards(samples, out)
+    tarReadbackCensus(s, out, "*.tar.gz")
+  }
+
+  /** Size-targeted WebDataset RESHARD gate ([[graft.sources.TarShards
+    * .reshardBySize]]): documents become samples grouped by `source`,
+    * packed into ~16 KiB output shards by the boundary-by-start-offset
+    * law (cumulative archive footprint — 512-byte header + 512-padded
+    * payload per entry — in key order within the source), written as
+    * real archives and read back through the independent sample scan.
+    * The oracle replays the ASSIGNMENT LAW ITSELF from the documents
+    * table (the cumsum, the floor-division binning, the shard naming)
+    * plus the byte-exact payload census — so a wrong footprint
+    * formula, a mis-ordered cumsum, or an off-by-one bin boundary
+    * moves a sample to a different shard and fails the hash, not just
+    * a row count. 16 KiB targets ~3-4 bins per source at sf0.01
+    * (real boundary crossings at the smallest gate scale) and stays
+    * linear to sf1; production targeting (~1 GB) is pure parameter.
+    */
+  private def qSrcTarReshard(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir(s, "tar-reshard")
+    val samples = docSamples(s, dir, col("source"), shardName = "group")
+    val sharded = graft.sources.TarShards.reshardBySize(samples, 16384L)
+    graft.sources.TarShards.writeShards(sharded, out)
+    tarReadbackCensus(s, out, "*.tar")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_src_tar_digest" -> qSrcTarDigest _,
     "q_src_tar_samples" -> qSrcTarSamples _,
     "q_src_tar_roundtrip" -> qSrcTarRoundtrip _,
+    "q_src_tar_gzip" -> qSrcTarGzip _,
+    "q_src_tar_reshard" -> qSrcTarReshard _,
     "q_stream_tar_ingest" -> qStreamTarIngest _,
     "q_src_tiff_digest" -> qSrcTiffDigest _,
     "q_img_clean_digest" -> qImgCleanDigest _,
@@ -679,6 +745,58 @@ object IoQueries {
         |       TRUE AS multi_batch
         |FROM ec GROUP BY s, m, key, ne
         |ORDER BY shard, sidx""".stripMargin,
+    // Gzip round-trip law: identical to the raw round trip (the codec
+    // must be a transparent transport layer — the oracle censuses the
+    // source table directly and never sees the compression), with the
+    // 8-way routing and the .tar.gz naming.
+    "q_src_tar_gzip" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'shard-' || lpad(CAST(doc_id % 8 AS VARCHAR), 3, '0')
+        |      || '.tar.gz' AS shard,
+        |    'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+        |    text, lang || '|' || source AS meta
+        |  FROM documents),
+        |e AS (SELECT shard, key, 0 AS ei, text AS payload FROM s
+        |      UNION ALL SELECT shard, key, 1, meta FROM s)
+        |SELECT shard, CAST(count(DISTINCT key) AS BIGINT) AS n_samples,
+        |  CAST(count(*) AS BIGINT) AS n_entries,
+        |  CAST(sum(strlen(payload)) AS BIGINT) AS n_bytes,
+        |  CAST(sum((ei + 1) * (('0x' || substr(md5(payload), 1, 8))::BIGINT)
+        |           % 1000000007) % 1000000007 AS BIGINT) AS chk
+        |FROM e GROUP BY shard ORDER BY shard""".stripMargin,
+    // Reshard law: the bin-boundary ASSIGNMENT is replayed from the
+    // documents table — archive footprint per sample (512-byte header
+    // + 512-padded payload per entry), per-source cumsum in key order,
+    // floor-division binning at 16384, shard naming — then the same
+    // byte-exact md5 census per OUTPUT shard.
+    "q_src_tar_reshard" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+        |    text, lang || '|' || source AS meta,
+        |    512 + ((strlen(text) + 511) // 512) * 512
+        |      + 512 + ((strlen(lang || '|' || source) + 511) // 512) * 512
+        |      AS tb
+        |  FROM documents),
+        |a AS (
+        |  SELECT s.*, coalesce(sum(tb) OVER (PARTITION BY source
+        |    ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS start_off
+        |  FROM s),
+        |sh AS (
+        |  SELECT source || '-'
+        |           || lpad(CAST(start_off // 16384 AS VARCHAR), 5, '0')
+        |           || '.tar' AS shard,
+        |         key, text, meta FROM a),
+        |e AS (SELECT shard, key, 0 AS ei, text AS payload FROM sh
+        |      UNION ALL SELECT shard, key, 1, meta FROM sh)
+        |SELECT shard, CAST(count(DISTINCT key) AS BIGINT) AS n_samples,
+        |  CAST(count(*) AS BIGINT) AS n_entries,
+        |  CAST(sum(strlen(payload)) AS BIGINT) AS n_bytes,
+        |  CAST(sum((ei + 1) * (('0x' || substr(md5(payload), 1, 8))::BIGINT)
+        |           % 1000000007) % 1000000007 AS BIGINT) AS chk
+        |FROM e GROUP BY shard ORDER BY shard""".stripMargin,
     // Round-trip law: the read-back census must equal this DIRECT
     // census of the source table — byte-exactness via md5 prefixes.
     "q_src_tar_roundtrip" ->

@@ -16,6 +16,23 @@ object TextQueries {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Packed (doc_id, idx) keep-first tiebreak key, shared by the chunk
+    * and substring dedup family: doc_id shifted past a 20-bit index.
+    * The 20-bit bound (1M chunks / token positions per document) is
+    * LOAD-BEARING — an index at or above 2^20 would alias into the
+    * next doc_id's range and silently flip keep-first ordering — so it
+    * is enforced by an `assert_true` folded INTO the expression (a
+    * standalone check column would be pruned away by the optimizer;
+    * this way an overlong document fails the query loudly instead of
+    * corrupting the census). assert_true rewrites to
+    * `if(cond, null, raise_error)`, staying in codegen.
+    */
+  private def packedKeepFirst(docId: Column, idx: Column): Column =
+    when(assert_true(idx < lit(1 << 20),
+      lit("packed keep-first key: per-document index exceeds 2^20 — " +
+        "document too long for 20-bit packing")).isNull,
+      docId * (1L << 20) + idx)
+
   /** Token counting: whitespace tokens, distinct tokens, type/token
     * ratio, mean token length — all scalar array expressions.
     */
@@ -865,7 +882,7 @@ object TextQueries {
           .as(Seq("pos", "h")))
       .filter(col("pos") % w === 0)
       .select(col("doc_id"), (col("pos") / w).cast("int").as("chunk_idx"), col("h"))
-    val packed = col("doc_id") * (1L << 20) + col("chunk_idx")
+    val packed = packedKeepFirst(col("doc_id"), col("chunk_idx"))
     ch.withColumn("kept", packed === min(packed).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
@@ -915,7 +932,7 @@ object TextQueries {
     val g = docs.select(col("doc_id"),
       posexplode(graft.functions.Dedup.shingleHashSeqCol(tk, k))
         .as(Seq("pos", "h")))
-    val packed = col("doc_id") * (1L << 20) + col("pos")
+    val packed = packedKeepFirst(col("doc_id"), col("pos"))
     val runs = g
       .withColumn("dup", packed > min(packed).over(Window.partitionBy("h")))
       .filter(col("dup"))
@@ -971,9 +988,10 @@ object TextQueries {
     *
     * Scale shape: chunking is per-row higher-order expressions over
     * the native O(n) rolling hash (no UDF, no explode until the
-    * census); the one wide exchange partitions on the chunk string
-    * for keep-first — same packed-min window and same
-    * mass-duplication boundary as [[qTxtChunkDedup]].
+    * census); the one wide exchange partitions on (xxhash64(chunk),
+    * length(chunk)) — HASHES, never the chunk strings, which stay
+    * map-side — same packed-min window and same mass-duplication
+    * boundary as [[qTxtChunkDedup]].
     */
   private def qTxtCdcChunks(s: SparkSession, dir: String): DataFrame = {
     val w = 4
@@ -999,7 +1017,7 @@ object TextQueries {
         filter(zip_with(col("st"), col("en"),
           (a, b) => col("text").substr(a, b - a)),
           c => length(c) > 0).as("chunks"))
-    val packed = col("doc_id") * (1L << 20) + col("chunk_idx")
+    val packed = packedKeepFirst(col("doc_id"), col("chunk_idx"))
     // OUTER explode + a post-explode null filter, deliberately: the
     // non-outer form lets InferFiltersFromGenerate synthesize
     // size(chunks) > 0 AND isnotnull(chunks) and push it below this
@@ -1009,15 +1027,27 @@ object TextQueries {
     // outer form is 40x faster). Same relation: no document produces
     // an all-empty chunk list, and an empty-text doc drops in both
     // engines.
+    //
+    // The chunk TEXT is reduced to (xxhash64, length) BEFORE the
+    // keep-first exchange — the q_txt_chunk_dedup convention — so only
+    // ~28-byte rows cross the one wide shuffle instead of the corpus'
+    // raw chunk strings (at 100 TB the text-bearing form ships the
+    // whole corpus through the exchange and lands any hot boilerplate
+    // chunk's full text on one partition). Identity by (hash, length)
+    // pair: a 64-bit collision additionally requires equal lengths,
+    // and max_chunk needs the length column anyway.
     d.select(col("doc_id"),
         posexplode_outer(col("chunks")).as(Seq("chunk_idx", "chunk")))
       .filter(col("chunk").isNotNull)
+      .select(col("doc_id"), col("chunk_idx"),
+        xxhash64(col("chunk")).as("ch"),
+        length(col("chunk")).as("clen"))
       .withColumn("kept",
-        packed === min(packed).over(Window.partitionBy("chunk")))
+        packed === min(packed).over(Window.partitionBy("ch", "clen")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         count(when(col("kept"), lit(1))).as("n_kept"),
-        max(length(col("chunk"))).cast("long").as("max_chunk"))
+        max(col("clen")).cast("long").as("max_chunk"))
       .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
       .withColumn("retention",
         round(col("n_kept").cast("double") / col("n_chunks"), 6))

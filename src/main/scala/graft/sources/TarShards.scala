@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   * No external TAR dependency: the POSIX ustar layout is 512-byte
   * headers (name at 0..99 + prefix at 345..499, size as octal ASCII
   * at 124..135, typeflag at 156) with data padded to 512, terminated
-  * by two zero blocks. Long paths arrive as override headers — GNU
+  * by two zero blocks. Gzip-compressed shards (`*.tar.gz`, the other
+  * layout WebDataset tooling ships) inflate transparently by magic
+  * byte inside the shard task. Long paths arrive as override headers — GNU
   * typeflag 'L' (payload = next entry's name) or PAX typeflag 'x'
   * (`len key=value\n` records; `path`/`size` override the next
   * entry) — both honored here, because real WebDataset shards
@@ -56,10 +58,21 @@ object TarShards {
     */
   private def numField(bytes: Array[Byte], off: Int, len: Int): Long = {
     if ((bytes(off) & 0x80) != 0) {
-      // GNU base-256: big-endian two's complement, high bit masked off
+      // GNU base-256: big-endian two's complement, high bit masked off.
+      // A 12-byte field holds up to 95 bits — shifting that into a Long
+      // silently WRAPS, and a crafted field could wrap to a small
+      // positive value that slips past the size guards and mis-slices
+      // every later payload. Overflow is detected before each shift and
+      // fails with the same loud contract as oversize entries.
       var v = (bytes(off) & 0x7f).toLong
       var k = 1
-      while (k < len) { v = (v << 8) | (bytes(off + k) & 0xff); k += 1 }
+      while (k < len) {
+        if (v > (Long.MaxValue >> 8))
+          throw new IllegalArgumentException(
+            s"tar base-256 numeric field at offset $off overflows a Long " +
+              "— above the JVM array limit (corrupt or hostile header)")
+        v = (v << 8) | (bytes(off + k) & 0xff); k += 1
+      }
       v
     } else {
       var v = 0L
@@ -109,9 +122,10 @@ object TarShards {
     * entries are skipped but their data blocks are stepped over
     * correctly. The ustar `prefix` field and GNU 'L' / PAX 'x'
     * long-name (and PAX `size`) overrides are honored, so >100-char
-    * paths round-trip exactly; PAX 'g' global records serve as
-    * defaults under per-entry overrides. Truncated or oversize
-    * entries throw (see object doc).
+    * paths round-trip exactly; PAX 'g' global records are stepped over
+    * with a global `path` deliberately ignored (GNU-tar semantics — see
+    * the 'g' case). Truncated or oversize entries throw (see object
+    * doc).
     */
   def parseTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
@@ -119,7 +133,6 @@ object TarShards {
     var ended = false
     var nextName: String = null   // GNU 'L' or PAX 'x' path, next entry only
     var nextSize: Long = -1L      // PAX 'x' size, next entry only
-    var globalName: String = null // PAX 'g' path default (rare but legal)
     def checkBounds(off: Int, sz: Long, what: String): Unit = {
       if (sz < 0 || sz > MaxEntryBytes)
         throw new IllegalArgumentException(
@@ -160,13 +173,16 @@ object TarShards {
             rec.get("path").foreach(nextName = _)
             rec.get("size").foreach(v => nextSize = v.toLong)
           case b if b == 'g'.toByte =>
-            val rec = parsePaxRecords(payloadOf(off, hdrSize, "PAX global header"))
-            rec.get("path").foreach(globalName = _)
+            // PAX global header: records are parsed (malformed ones still
+            // fail loudly) but a global `path` is IGNORED, as GNU tar
+            // does — honoring it would rename EVERY subsequent entry
+            // without a per-entry override to one string, and sample
+            // assembly would then silently merge all samples into one.
+            parsePaxRecords(payloadOf(off, hdrSize, "PAX global header"))
           case b if b == '0'.toByte || b == 0.toByte =>
             val data = payloadOf(off, sz, "entry")
             val name =
               if (nextName != null) nextName
-              else if (globalName != null) globalName
               else {
                 val base = strField(bytes, off, 100)
                 val prefix = strField(bytes, off + 345, 155)
@@ -184,6 +200,41 @@ object TarShards {
     out.toSeq
   }
 
+  /** Transparently inflate a gzip-compressed shard (`*.tar.gz` — the
+    * other WebDataset shard layout in the wild): detected by the gzip
+    * magic (0x1f 0x8b), NOT the file name, so a mixed directory works
+    * and a mis-named raw archive still parses. Raw archives pass
+    * through untouched. Decompression happens inside the shard's map
+    * task — the parallelism unit is unchanged, and since a gzip stream
+    * is single-member sequential anyway, per-shard inflation is exactly
+    * the granularity a cluster wants.
+    */
+  private def maybeGunzip(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+        (bytes(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(bytes.length.toLong * 4, MaxEntryBytes).toInt)
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    } else bytes
+
+  /** Deflate one encoded shard. Java's gzip header carries MTIME=0 and
+    * fixed flags, so identical archive bytes produce identical
+    * compressed shards — the determinism the digest gates rely on.
+    */
+  private def gzipBytes(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    try gz.write(bytes) finally gz.close()
+    bos.toByteArray
+  }
+
   /** WebDataset sample key of an entry path: everything up to the
     * FIRST dot of the basename (directories included); the extension
     * is everything after that dot, so `a/b.seg.png` → key `a/b`, ext
@@ -198,7 +249,11 @@ object TarShards {
   /** Fold an archive's entry list into samples: maximal runs of
     * ADJACENT entries sharing a key form one sample (the WebDataset
     * adjacency contract — a key recurring later in the shard is a new
-    * sample by convention, not a merge).
+    * sample by convention, not a merge). A repeated EXTENSION inside
+    * one run throws: the sample's ext→payload map could keep only one
+    * of the payloads, so censuses would double-count an entry whose
+    * bytes a write→read round trip then silently rewrites — the
+    * malformed-archive fail-loudly policy applies.
     */
   def assembleSamples(entries: Seq[(String, Array[Byte])])
       : Seq[(String, Seq[(String, Array[Byte])])] = {
@@ -206,7 +261,14 @@ object TarShards {
       .empty[(String, scala.collection.mutable.ArrayBuffer[(String, Array[Byte])])]
     entries.foreach { case (name, data) =>
       val (key, ext) = sampleKey(name)
-      if (out.nonEmpty && out.last._1 == key) out.last._2 += ext -> data
+      if (out.nonEmpty && out.last._1 == key) {
+        if (out.last._2.exists(_._1 == ext))
+          throw new IllegalArgumentException(
+            s"duplicate extension '$ext' within sample '$key' — WebDataset " +
+              "samples carry one payload per extension; refusing to " +
+              "silently drop one")
+        out.last._2 += ext -> data
+      }
       else out += key -> scala.collection.mutable.ArrayBuffer(ext -> data)
     }
     out.map { case (k, es) => k -> es.toSeq }.toSeq
@@ -228,7 +290,7 @@ object TarShards {
         col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (shard, bytes) =>
-        parseTar(bytes).zipWithIndex.map { case ((name, data), i) =>
+        parseTar(maybeGunzip(bytes)).zipWithIndex.map { case ((name, data), i) =>
           (shard, i, name, data.length.toLong, data)
         }
       }
@@ -298,7 +360,10 @@ object TarShards {
     * sample's entries land adjacently in `exts` order — exactly the
     * layout [[readSamples]] (and any WebDataset reader) expects.
     * Input schema = [[readSamples]]'s output (shard, key, exts,
-    * entries), making write→read a closed loop.
+    * entries), making write→read a closed loop. A `shard` value ending
+    * in `.gz` is written gzip-compressed (deterministically — see
+    * [[gzipBytes]]); the readers inflate by magic, closing the loop
+    * for compressed shards too.
     *
     * Scale: the shard is the write unit exactly as it is the read
     * unit — a 100 TB re-shard fans out to one independent task per
@@ -319,7 +384,18 @@ object TarShards {
         val entries = it.toSeq.sortBy(_._2).flatMap { case (_, key, exts, m) =>
           exts.map(e => (if (e.isEmpty) key else s"$key.$e") -> m(e))
         }
-        (shard, encodeTar(entries))
+        // one shard = one task-held byte array (plus its encoded copy);
+        // a pathological shard key that routes too many samples to one
+        // archive must fail LOUDLY here, not OOM the executor
+        val footprint = entries.iterator.map { case (_, d) =>
+          512L + ((d.length.toLong + 511L) / 512L) * 512L
+        }.sum + 1024L
+        require(footprint <= MaxEntryBytes,
+          s"shard $shard would assemble to $footprint bytes — above the " +
+            "JVM array limit; use a finer shard key (or reshardBySize) " +
+            "to keep shards under 2 GiB")
+        val tar = encodeTar(entries)
+        (shard, if (shard.endsWith(".gz")) gzipBytes(tar) else tar)
       }
       .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
         val fs = new Path(dir).getFileSystem(hconf.value)
@@ -328,6 +404,53 @@ object TarShards {
           try out.write(bytes) finally out.close()
         }
       }
+  }
+
+  /** Size-targeted RESHARD: assign samples to output shards by
+    * cumulative payload within their `group` prefix — the
+    * boundary-by-start-offset law of the compaction planner
+    * ([[graft.queries.AdvancedQueries]]' q_layout_compaction) applied
+    * to the tar sink, which is how real WebDataset prep packs a corpus
+    * into ~1 GB shards rather than routing by a caller-invented key. A
+    * sample's accounted size is its archive footprint (one 512-byte
+    * header + 512-padded payload per entry; PAX long-name blocks are
+    * NOT counted — targeting is approximate by design, the same
+    * trade-off as `maxPartitionBytes` slicing), its start offset is
+    * the running sum of prior samples in (group, key) order, and its
+    * shard is `group-<floor(start / targetBytes)>.tar` — shards
+    * overshoot `targetBytes` by at most one sample. Output feeds
+    * [[writeShards]] directly.
+    *
+    * Scale shape: the ordering window runs over the NARROW (group,
+    * key, tar_bytes) projection — payload bytes do NOT flow through
+    * the per-group sort; the assignment then joins back on (group,
+    * key), so payloads cross only hash-parallel exchanges (this join,
+    * then writeShards' routing shuffle, which is inherent to
+    * re-keying). Groups are the parallel axis exactly as source
+    * prefixes are in the compaction planner; sample keys must be
+    * unique within a group (the WebDataset contract — [[writeShards]]
+    * key-sorts within the shard on the same assumption).
+    */
+  def reshardBySize(samples: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val sampleBytes = aggregate(
+      map_values(col("entries")), lit(0L),
+      (acc, v) => acc + lit(512L) +
+        ((length(v) + lit(511)) / lit(512)).cast("long") * lit(512L))
+    val w = Window.partitionBy("group").orderBy("key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assign = samples
+      .select(col("group"), col("key"), sampleBytes.as("tar_bytes"))
+      .withColumn("start_off", coalesce(sum("tar_bytes").over(w), lit(0L)))
+      .select(col("group"), col("key"),
+        concat(col("group"), lit("-"),
+          lpad((col("start_off") / targetBytes).cast("long").cast("string"),
+            5, "0"),
+          lit(".tar")).as("shard"))
+    samples.join(assign, Seq("group", "key"))
+      .select(col("shard"), col("group"), col("key"), col("exts"),
+        col("entries"))
   }
 
   /** Distributed SAMPLE scan: one row per training sample —
@@ -348,7 +471,7 @@ object TarShards {
         col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (shard, bytes) =>
-        assembleSamples(parseTar(bytes)).zipWithIndex.map {
+        assembleSamples(parseTar(maybeGunzip(bytes))).zipWithIndex.map {
           case ((key, es), i) =>
             (shard, i, key, es.map(_._1), es.toMap)
         }

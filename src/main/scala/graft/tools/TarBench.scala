@@ -63,10 +63,23 @@ object TarBench {
     graft.sources.TarShards.writeShards(reshard, dir2)
     val reS = sec(t0)
 
+    // size-targeted reshard (reshardBySize): group by the key's shard
+    // prefix, pack into ~4 MiB output shards by cumulative footprint —
+    // the narrow-window + join-back + sink path end to end
+    val dir3 = graft.core.Scratch.dir(spark, "tarbench-sized")
+    t0 = now()
+    val sized = graft.sources.TarShards.reshardBySize(
+      graft.sources.TarShards.readSamples(spark, dir)
+        .withColumn("group", split(col("key"), "/").getItem(0)),
+      targetBytes = 4L * 1024 * 1024)
+    graft.sources.TarShards.writeShards(sized, dir3)
+    val szS = sec(t0)
+
     val mb = totalBytes / 1e6
     println(f"[tarbench] shards=$nShards samples=$nSamples payload=${mb}%.0f MB | " +
       f"gen ${genS}%.1f s (${mb / genS}%.0f MB/s) | read ${readS}%.1f s " +
-      f"(${mb / readS}%.0f MB/s) | reshard ${reS}%.1f s (${mb / reS}%.0f MB/s)")
+      f"(${mb / readS}%.0f MB/s) | reshard ${reS}%.1f s (${mb / reS}%.0f MB/s) | " +
+      f"sized-reshard ${szS}%.1f s (${mb / szS}%.0f MB/s)")
     spark.stop()
   }
 }

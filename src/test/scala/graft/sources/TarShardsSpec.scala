@@ -99,6 +99,43 @@ class TarShardsSpec extends SparkSpec {
     assert(e2.getMessage.contains("truncated"))
   }
 
+  test("base-256 size field that would WRAP a Long fails loudly, not mis-slice") {
+    // 0x81 then 11 zero bytes = 2^88: the naive shift loop wraps this
+    // to 0, which would slip past every size guard and mis-slice all
+    // later payloads — the overflow check must throw instead
+    val h = header("wrap.bin", 0, '0')
+    h(124) = 0x81.toByte
+    for (k <- 125 until 136) h(k) = 0
+    val e = intercept[IllegalArgumentException] {
+      TarShards.parseTar(h ++ new Array[Byte](1024))
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
+  test("PAX 'g' global path is ignored — entries keep their own names") {
+    // an archive carrying a global `path` must NOT collapse every
+    // subsequent entry name onto one string (GNU-tar semantics)
+    val rec = " path=everything.bin\n"
+    var l = rec.length + 1
+    while ((l.toString.length + rec.length) != l) l = rec.length + l.toString.length
+    val pax = (l.toString + rec).getBytes("UTF-8")
+    val tar = header("PaxHeaders/g", pax.length, 'g') ++ padded(pax) ++
+      header("a.txt", 1, '0') ++ padded(Array[Byte](1)) ++
+      header("b.txt", 1, '0') ++ padded(Array[Byte](2)) ++
+      new Array[Byte](1024)
+    assert(TarShards.parseTar(tar).map(_._1) == Seq("a.txt", "b.txt"))
+  }
+
+  test("duplicate extension within one sample run throws, not silently drops") {
+    val e = Seq(
+      "s1.img" -> Array[Byte](1), "s1.json" -> Array[Byte](2),
+      "s1.img" -> Array[Byte](3)) // same ext, same adjacency run
+    val ex = intercept[IllegalArgumentException] {
+      TarShards.assembleSamples(e)
+    }
+    assert(ex.getMessage.contains("duplicate extension"))
+  }
+
   test("sampleKey: first dot of the basename splits key from ext") {
     assert(TarShards.sampleKey("a/b.seg.png") == ("a/b", "seg.png"))
     assert(TarShards.sampleKey("v0.1/c.img") == ("v0.1/c", "img"))
@@ -168,6 +205,56 @@ class TarShardsSpec extends SparkSpec {
       Seq(("s-0.tar", "k0"), ("s-0.tar", "k1"), ("s-1.tar", "k2")))
     val k1 = back.find(_._2 == "k1").get
     assert(k1._3 == Seq("img", "json") && k1._4("img").sameElements(Array[Byte](1, 2)))
+  }
+
+  test("gzip shards: write .tar.gz, python tarfile and readSamples both inflate") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gzshard").toFile.getAbsolutePath
+    val df = Seq(
+      ("z-0.tar.gz", "k0", Seq("txt"), Map("txt" -> Array[Byte](4, 5, 6))),
+      ("z-0.tar.gz", "k1", Seq("img"), Map("img" -> Array[Byte](7)))
+    ).toDF("shard", "key", "exts", "entries")
+    TarShards.writeShards(df, d)
+    // magic check: the file on disk IS gzip, not a renamed raw tar
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d, "z-0.tar.gz"))
+    assert((raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+    // a standard reader inflates it (tarfile auto-detects gzip)
+    import scala.sys.process._
+    val out = Seq("python3", "-c",
+      "import tarfile\n" +
+        s"ms = tarfile.open('$d/z-0.tar.gz').getmembers()\n" +
+        "print(';'.join(f'{m.name}:{m.size}' for m in ms))").!!.trim
+    assert(out == "k0.txt:3;k1.img:1", out)
+    // and our own scan round-trips the payloads
+    val back = TarShards.readSamples(spark, d, "*.tar.gz")
+      .collect().map(r => (r.getString(2), r.getMap[String, Array[Byte]](4)))
+    assert(back.map(_._1).sorted.toSeq == Seq("k0", "k1"))
+    assert(back.find(_._1 == "k0").get._2("txt").sameElements(Array[Byte](4, 5, 6)))
+  }
+
+  test("reshardBySize: boundary-by-start-offset bins, closed loop through the sink") {
+    import spark.implicits._
+    // each sample is one 300-byte entry → footprint 512 (header) +
+    // 512 (padded payload) = 1024; target 2048 → group g bins k0,k1
+    // into shard 0 and k2,k3 into shard 1; group h's lone sample gets
+    // its own shard 0
+    def s(k: String, g: String) =
+      (g, k, Seq("bin"), Map("bin" -> Array.tabulate[Byte](300)(_.toByte)))
+    val df = Seq(s("k0", "g"), s("k1", "g"), s("k2", "g"), s("k3", "g"),
+      s("k9", "h")).toDF("group", "key", "exts", "entries")
+    val sharded = TarShards.reshardBySize(df, 2048L)
+    val assign = sharded.select("key", "shard").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(assign == Map(
+      "k0" -> "g-00000.tar", "k1" -> "g-00000.tar",
+      "k2" -> "g-00001.tar", "k3" -> "g-00001.tar",
+      "k9" -> "h-00000.tar"))
+    val d = java.nio.file.Files.createTempDirectory("reshard").toFile.getAbsolutePath
+    TarShards.writeShards(sharded, d)
+    val back = TarShards.readSamples(spark, d)
+    assert(back.count() == 5)
+    assert(back.select("shard").distinct().count() == 3)
   }
 
   test("distributed scan: one row per entry, shard/idx/n_bytes columns") {
