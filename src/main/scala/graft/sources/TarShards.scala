@@ -448,10 +448,22 @@ object TarShards {
           lpad((col("start_off") / targetBytes).cast("long").cast("string"),
             5, "0"),
           lit(".tar")).as("shard"))
-    samples.join(assign, Seq("group", "key"))
+    // re-keying REPLACES any prior routing: an input straight from
+    // readSamples carries the old `shard` (and `sidx`) — dropped so the
+    // new assignment is unambiguous
+    samples.drop("shard", "sidx").join(assign, Seq("group", "key"))
       .select(col("shard"), col("group"), col("key"), col("exts"),
         col("entries"))
   }
+
+  /** Gunzip-aware parse + sample assembly of one shard's bytes — the
+    * single entry point BOTH the batch scan ([[readSamples]]) and the
+    * streaming ingest ([[graft.streaming.StreamOps]]' tarSampleIngest)
+    * map over, so compressed shards behave identically on either path.
+    */
+  def parseSamples(bytes: Array[Byte])
+      : Seq[(String, Seq[(String, Array[Byte])])] =
+    assembleSamples(parseTar(maybeGunzip(bytes)))
 
   /** Distributed SAMPLE scan: one row per training sample —
     * (shard, sidx, key, exts, entries) where `exts` preserves entry
@@ -471,7 +483,7 @@ object TarShards {
         col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (shard, bytes) =>
-        assembleSamples(parseTar(maybeGunzip(bytes))).zipWithIndex.map {
+        parseSamples(bytes).zipWithIndex.map {
           case ((key, es), i) =>
             (shard, i, key, es.map(_._1), es.toMap)
         }

@@ -738,8 +738,9 @@ object StreamOps {
         col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (shard, bytes) =>
-        graft.sources.TarShards
-          .assembleSamples(graft.sources.TarShards.parseTar(bytes))
+        // the shared gunzip-aware entry point: compressed shards ingest
+        // identically to the batch scan
+        graft.sources.TarShards.parseSamples(bytes)
           .zipWithIndex.map { case ((key, es), i) =>
             (shard, i, key, es.map(_._1), es.toMap)
           }

@@ -231,6 +231,11 @@ class TarShardsSpec extends SparkSpec {
       .collect().map(r => (r.getString(2), r.getMap[String, Array[Byte]](4)))
     assert(back.map(_._1).sorted.toSeq == Seq("k0", "k1"))
     assert(back.find(_._1 == "k0").get._2("txt").sameElements(Array[Byte](4, 5, 6)))
+    // the STREAMING ingest shares the gunzip-aware entry point, so
+    // compressed shards arrive identically through the file stream
+    val (streamed, batches) =
+      graft.streaming.StreamOps.tarSampleIngest(spark, d, "*.tar.gz")
+    assert(streamed.count() == 2 && batches >= 1)
   }
 
   test("reshardBySize: boundary-by-start-offset bins, closed loop through the sink") {
