@@ -830,23 +830,19 @@ object GraphQueries {
       var converged = prev == 0L
       var rounds = 0
       while (!converged && rounds < 16) {
-        // `keep` feeds BOTH semi-joins: persisted so the degree
-        // aggregation (a full pass over the round's edges) runs once
-        // per round, not twice — halves the round's edge reads, which
-        // is exactly where a cold page cache made this the most
-        // load-sensitive query in the inventory (BASELINE.md round-18
-        // adjudication)
+        // `keep` feeds BOTH semi-joins; an explicit persist was A/B'd
+        // NEUTRAL here (BASELINE.md round-18): AQE's runtime stage
+        // reuse already unifies the two canonically-equal degree-agg
+        // exchanges, so the cache write only added overhead
         val keep = edges.select(col("u").as("node"))
           .union(edges.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select("node")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val next = edges
           .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
           .localCheckpoint()
         val n = next.count()
-        keep.unpersist()
         converged = n == prev
         prev = n
         edges = next
