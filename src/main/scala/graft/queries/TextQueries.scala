@@ -1510,7 +1510,49 @@ object TextQueries {
         col("top.contrib_nnat").as("top_contrib_nnat"))
   }
 
+  /** Incremental corpus snapshot DIFF — the census an incremental
+    * crawl refresh runs before committing a new corpus version
+    * (added / removed / changed / unchanged, with byte mass before and
+    * after, per source): v2 is derived from v1 by a deterministic
+    * engine-neutral edit law (removals doc_id % 23 == 5, in-place
+    * edits % 17 == 3, additions spawned from % 29 == 7 under offset
+    * ids), then the two snapshots FULL-OUTER join on doc_id and
+    * payloads compare by md5 DIGEST — so at 100 TB the one diff
+    * exchange ships ids and 16-byte digests, never documents (the
+    * narrow-projection discipline of reshardBySize/cdc_chunks applied
+    * to the join). The oracle replays the same law comparing the TEXT
+    * itself — digest-vs-text independence means an md5 plumbing slip
+    * on either side fails the hash.
+    */
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      col("text"))
+    val v2 = v1.filter(col("doc_id") % 23 =!= 5)
+      .withColumn("text", when(col("doc_id") % 17 === 3,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") % 29 === 7)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("source"),
+          concat(lit("new "), col("text")).as("text")))
+    def narrow(df: DataFrame, tag: String) = df.select(
+      col("doc_id"), col("source").as(s"source_$tag"),
+      md5(col("text")).as(s"h_$tag"),
+      length(col("text")).cast("long").as(s"n_$tag"))
+    narrow(v1, "a").join(narrow(v2, "b"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source_a"), col("source_b")).as("source"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("n_a"), lit(0L)).as("na"),
+        coalesce(col("n_b"), lit(0L)).as("nb"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("na").as("bytes_before"), sum("nb").as("bytes_after"))
+      .orderBy("source", "status")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_corpus_diff" -> qCorpusDiff _,
     "q_txt_js_drift" -> qTxtJsDrift _,
     "q_txt_kappa" -> qTxtKappa _,
     "q_txt_langid_eval" -> qTxtLangidEval _,
@@ -1557,6 +1599,31 @@ object TextQueries {
        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_$name""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Diff law replayed comparing TEXT equality (the engine compares
+    // md5 digests — independence by construction).
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 17 = 3 THEN text || ' v2'
+        |              ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 23 != 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, source, 'new ' || text
+        |  FROM v1 WHERE doc_id % 29 = 7),
+        |j AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |         CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.text != b.text THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |         coalesce(strlen(a.text), 0) AS na,
+        |         coalesce(strlen(b.text), 0) AS nb
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(na) AS BIGINT) AS bytes_before,
+        |       CAST(sum(nb) AS BIGINT) AS bytes_after
+        |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin,
     "q_txt_js_drift" ->
       """WITH toks AS (
         |  SELECT CAST(doc_id % 2 AS INTEGER) AS half,
