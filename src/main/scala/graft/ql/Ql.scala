@@ -49,6 +49,7 @@ object Ql {
     "q_ds_split_contract", "q_ds_nested_prefix", "q_ds_build",
     "q_txt_heavy_hitters", "q_w3_dense_relabel",
     "q_graph_communities_bucketed", // bucketed-table write + plan probe at construction
+    "q_src_jsonl", // gzip JSONL sink write at construction
     "q_src_tar_roundtrip", // shard-sink write at construction
     "q_src_tar_gzip", // gzip shard-sink write at construction
     "q_src_tar_reshard", // size-targeted reshard + sink write at construction

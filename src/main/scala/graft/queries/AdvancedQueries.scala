@@ -453,8 +453,122 @@ object AdvancedQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Mergeable QUANTILE sketch census — the rank companion of
+    * [[qSketchHllMerge]]'s distinct counter, in the DDSketch family
+    * (Masson, Rim & Lee, VLDB 2019): values land in
+    * relative-error-bounded buckets whose merge is plain counter
+    * addition. Where DDSketch buckets by `ceil(log_gamma(x))`, this
+    * engine buckets by (digit-count, first-3-significant-digits) of
+    * the exact integer cents — the same log-spaced geometry (bucket
+    * width ≤ 1% of its low edge ⇒ midpoint estimate within 0.5% of
+    * any member) but computed in INTEGER/string arithmetic, so the
+    * sketch is bit-deterministic and the full law (buckets, merge,
+    * readout) replays exactly in any engine — no IEEE-ln boundary
+    * can flip a bucket, which is what makes the readout itself
+    * hash-gateable where DataSketches HLL estimates could not be.
+    *
+    * Per ship-month (plus the merged 'ALL' rollup): the DIRECT
+    * month histogram vs the histogram REBUILT from finer
+    * (month × day-of-week) part sketches — `merge_identical` pins
+    * them register-equal (a deterministic sketch merges exactly;
+    * contrast the HLL row, where mode transitions force a
+    * bounds-only gate) — then p50/p95/p99 read out of the sketch as
+    * bucket midpoints (deci-cents) beside the EXACT twin quantiles
+    * (cents, discrete: least value with cumulative count ≥ ⌈qn⌉),
+    * with `p*_within` pinning the ≤0.65% relative-error contract
+    * (0.5% geometric bound + headroom; prices sit ≥ 3 digits so the
+    * 3-significant-digit regime always applies).
+    *
+    * Scale shape: the sketch path is ONE scan → partial-aggregable
+    * groupBy to (month × dw × ~300 buckets) rows — counters, not
+    * values, cross the exchange, and the month/ALL rollups re-add
+    * counters without rescanning (100k part sketches merge
+    * associatively on a cluster). The exact twin groups by distinct
+    * cents — the sort-heavy pass a 100 TB deployment drops once
+    * these verdicts prove the sketch can replace it. Rank cuts use
+    * integer ceil-division ((q·n + 99) div 100) — no float rank
+    * boundary exists anywhere in the law.
+    */
+  private def qSketchDdQuantile(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+      date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+      dayofweek(col("l_shipdate")).as("dw"),
+      (dec("l_extendedprice") * 100).cast("long").as("c"))
+    val bk = base
+      .withColumn("cs", col("c").cast("string"))
+      .withColumn("len", length(col("cs")).cast("long"))
+      .withColumn("top3", substring(col("cs"), 1, 3).cast("long"))
+      .withColumn("sp", greatest(col("len") - 3, lit(0L)))
+      .withColumn("p10", pow(lit(10.0), col("sp")).cast("long"))
+      .select(col("m"), col("dw"), col("c"),
+        (col("len") * 1000 + col("top3")).as("bid"),
+        (col("top3") * col("p10")).as("low_c"),
+        ((col("top3") * 10 + 5) * col("p10")).as("rep_dc"))
+    // fine part sketches: the unit of distribution at scale
+    val fine = bk.groupBy("m", "dw", "bid")
+      .agg(count(lit(1)).as("cnt"),
+        max("rep_dc").as("rep_dc"), max("low_c").as("low_c"))
+    // direct month sketches + the ALL rollup (counter re-addition)
+    val directM = bk.groupBy("m", "bid")
+      .agg(count(lit(1)).as("cnt"),
+        max("rep_dc").as("rep_dc"), max("low_c").as("low_c"))
+    val direct = directM.unionByName(
+      directM.groupBy("bid")
+        .agg(sum("cnt").as("cnt"),
+          max("rep_dc").as("rep_dc"), max("low_c").as("low_c"))
+        .select(lit("ALL").as("m"), col("bid"), col("cnt"),
+          col("rep_dc"), col("low_c")))
+    // merged-from-parts month sketches + ALL, rebuilt from `fine` only
+    val mergedM = fine.groupBy("m", "bid").agg(sum("cnt").as("mcnt"))
+    val merged = mergedM.unionByName(
+      fine.groupBy("bid").agg(sum("cnt").as("mcnt"))
+        .select(lit("ALL").as("m"), col("bid"), col("mcnt")))
+    val mi = direct.select("m", "bid", "cnt")
+      .join(merged, Seq("m", "bid"), "full_outer")
+      .groupBy("m")
+      .agg(min(coalesce(col("cnt") === col("mcnt"), lit(false)))
+        .as("merge_identical"))
+    val nTot = direct.groupBy("m")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("n_buckets"))
+    val wcum = Window.partitionBy("m").orderBy("low_c", "bid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = direct.withColumn("cum", sum("cnt").over(wcum))
+    def estAt(pct: Int) =
+      min(when(col("cum") >= expr(s"($pct * n + 99) div 100"),
+        col("rep_dc")))
+    val est = hist.join(nTot, Seq("m")).groupBy("m")
+      .agg(estAt(50).as("p50_est_dc"), estAt(95).as("p95_est_dc"),
+        estAt(99).as("p99_est_dc"))
+    // exact twin over the distinct-cents histogram (dropped at 100 TB)
+    val cm = bk.groupBy("m", "c").agg(count(lit(1)).as("cc"))
+    val cu = cm.unionByName(
+        cm.groupBy("c").agg(sum("cc").as("cc"))
+          .select(lit("ALL").as("m"), col("c"), col("cc")))
+      .withColumn("cum", sum("cc").over(
+        Window.partitionBy("m").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def exAt(pct: Int) =
+      min(when(col("cum") >= expr(s"($pct * n + 99) div 100"), col("c")))
+    val exact = cu.join(nTot, Seq("m")).groupBy("m")
+      .agg(exAt(50).as("p50_exact_c"), exAt(95).as("p95_exact_c"),
+        exAt(99).as("p99_exact_c"))
+    def within(e: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =
+      abs(e - x * 10) * 10000 <= x * 10 * 65
+    nTot.join(mi, Seq("m")).join(est, Seq("m")).join(exact, Seq("m"))
+      .select(col("m").as("bucket"), col("n"), col("n_buckets"),
+        col("merge_identical"),
+        col("p50_est_dc"), col("p50_exact_c"),
+        within(col("p50_est_dc"), col("p50_exact_c")).as("p50_within"),
+        col("p95_est_dc"), col("p95_exact_c"),
+        within(col("p95_est_dc"), col("p95_exact_c")).as("p95_within"),
+        col("p99_est_dc"), col("p99_exact_c"),
+        within(col("p99_est_dc"), col("p99_exact_c")).as("p99_within"))
+      .orderBy("bucket")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_layout_bucket_join" -> qLayoutBucketJoin _,
+    "q_sketch_dd_quantile" -> qSketchDdQuantile _,
     "q_approx_sum" -> qApproxSum _,
     "q_sketch_hll_merge" -> qSketchHllMerge _,
     "q_layout_compaction" -> qLayoutCompaction _,
@@ -518,6 +632,88 @@ object AdvancedQueries {
         |SELECT bucket, exact_distinct, n_parts,
         |       TRUE AS direct_within_pct, TRUE AS merged_within_pct
         |FROM (SELECT * FROM m UNION ALL SELECT * FROM a)
+        |ORDER BY bucket""".stripMargin,
+    // Full-law replay (not a bounds-only pin): the digit-bucket sketch
+    // is bit-deterministic, so buckets, merge counters, midpoint
+    // readouts and exact twins all reproduce in integer arithmetic.
+    // merge_identical replays as the same full-histogram comparison.
+    "q_sketch_dd_quantile" ->
+      """WITH b AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m,
+        |         dayofweek(l_shipdate) AS dw,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS c
+        |  FROM lineitem),
+        |bk AS (
+        |  SELECT m, dw, c,
+        |    strlen(CAST(c AS VARCHAR)) * 1000
+        |      + CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT) AS bid,
+        |    CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT)
+        |      * CAST(power(10, greatest(strlen(CAST(c AS VARCHAR)) - 3, 0))
+        |             AS BIGINT) AS low_c,
+        |    (CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT) * 10 + 5)
+        |      * CAST(power(10, greatest(strlen(CAST(c AS VARCHAR)) - 3, 0))
+        |             AS BIGINT) AS rep_dc
+        |  FROM b),
+        |fine AS (SELECT m, dw, bid, count(*) AS cnt,
+        |                max(rep_dc) AS rep_dc, max(low_c) AS low_c
+        |         FROM bk GROUP BY 1, 2, 3),
+        |dm AS (SELECT m, bid, count(*) AS cnt,
+        |              max(rep_dc) AS rep_dc, max(low_c) AS low_c
+        |       FROM bk GROUP BY 1, 2),
+        |d AS (SELECT * FROM dm
+        |      UNION ALL
+        |      SELECT 'ALL', bid, CAST(sum(cnt) AS BIGINT),
+        |             max(rep_dc), max(low_c) FROM dm GROUP BY bid),
+        |mm AS (SELECT m, bid, CAST(sum(cnt) AS BIGINT) AS mcnt
+        |       FROM fine GROUP BY 1, 2
+        |       UNION ALL
+        |       SELECT 'ALL', bid, CAST(sum(cnt) AS BIGINT)
+        |       FROM fine GROUP BY bid),
+        |mi AS (SELECT coalesce(d.m, mm.m) AS m,
+        |              min(coalesce(d.cnt = mm.mcnt, FALSE)) AS merge_identical
+        |       FROM d FULL JOIN mm ON d.m = mm.m AND d.bid = mm.bid
+        |       GROUP BY 1),
+        |nt AS (SELECT m, CAST(sum(cnt) AS BIGINT) AS n,
+        |              count(*) AS n_buckets FROM d GROUP BY 1),
+        |h AS (SELECT d.*, CAST(sum(cnt) OVER (PARTITION BY m
+        |        ORDER BY low_c, bid ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |        AS cum FROM d),
+        |est AS (SELECT m,
+        |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN rep_dc END)
+        |      AS p50_est_dc,
+        |    min(CASE WHEN cum >= (95 * n + 99) // 100 THEN rep_dc END)
+        |      AS p95_est_dc,
+        |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN rep_dc END)
+        |      AS p99_est_dc
+        |  FROM h JOIN nt USING (m) GROUP BY m),
+        |cm AS (SELECT m, c, count(*) AS cc FROM bk GROUP BY 1, 2),
+        |cu AS (SELECT m, c, cum FROM (
+        |         SELECT m, c, CAST(sum(cc) OVER (PARTITION BY m ORDER BY c
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |         FROM (SELECT * FROM cm
+        |               UNION ALL
+        |               SELECT 'ALL', c, CAST(sum(cc) AS BIGINT)
+        |               FROM cm GROUP BY c))),
+        |ex AS (SELECT m,
+        |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN c END)
+        |      AS p50_exact_c,
+        |    min(CASE WHEN cum >= (95 * n + 99) // 100 THEN c END)
+        |      AS p95_exact_c,
+        |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN c END)
+        |      AS p99_exact_c
+        |  FROM cu JOIN nt USING (m) GROUP BY m)
+        |SELECT nt.m AS bucket, n, n_buckets, merge_identical,
+        |  p50_est_dc, p50_exact_c,
+        |  abs(p50_est_dc - p50_exact_c * 10) * 10000
+        |    <= p50_exact_c * 10 * 65 AS p50_within,
+        |  p95_est_dc, p95_exact_c,
+        |  abs(p95_est_dc - p95_exact_c * 10) * 10000
+        |    <= p95_exact_c * 10 * 65 AS p95_within,
+        |  p99_est_dc, p99_exact_c,
+        |  abs(p99_est_dc - p99_exact_c * 10) * 10000
+        |    <= p99_exact_c * 10 * 65 AS p99_within
+        |FROM nt JOIN mi USING (m) JOIN est USING (m) JOIN ex ON ex.m = nt.m
         |ORDER BY bucket""".stripMargin,
     "q_layout_compaction" ->
       """WITH f AS (

@@ -189,6 +189,46 @@ object DqQueries {
     * integer cents (floor division by 100 000), so bucket edges are
     * engine-exact.
     */
+  /** Differentially-private histogram release (the Laplace mechanism,
+    * Dwork-McSherry-Nissim-Smith 2006) — the fourth rung of the
+    * privacy family after k-anonymity / l-diversity / t-closeness:
+    * the per-(event-type × day) activity histogram released with
+    * Laplace(1/ε) noise at ε = 1 per cell (disjoint count cells ⇒
+    * parallel composition, so ε is also the release's total budget).
+    * The noise draw is SEEDED: each cell's uniform comes from the
+    * md5 of its own key + a version salt (inverse-CDF transform to
+    * Laplace), so the release is reproducible across engines and
+    * re-runs — the property a governed pipeline needs for release
+    * audits (a production release rotates the salt per epoch, which
+    * is exactly one literal). Noise quantizes to micro units as a
+    * LONG at emission; the true count appears beside the released
+    * value because this is the INTERNAL audit view of the release,
+    * not the published artifact.
+    *
+    * Scale shape: one partial-aggregable count; the mechanism is a
+    * per-CELL scalar expression after aggregation — zero extra
+    * shuffle, noise work proportional to cells, not rows.
+    */
+  private def qPrivDpHist(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), asDate(col("ts")).as("day"))
+    val hist = ev.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val hx = conv(substring(md5(concat_ws("|",
+      col("event_type"), col("day"), lit("dp-v1"))), 1, 8), 16, 10)
+      .cast("long")
+    val u = (hx.cast("double") + lit(0.5)) / lit(4294967296.0)
+    // u is (x+0.5)/2^32 with integer x, so u == 0.5 is impossible and
+    // signum never returns 0
+    val noise = -(lit(1.0) / lit(1.0)) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    hist
+      .withColumn("noise_micro", round(noise * lit(1e6)).cast("long"))
+      .withColumn("released_micro",
+        col("n") * lit(1000000L) + col("noise_micro"))
+      .withColumn("eps_micro", lit(1000000L))
+      .orderBy("event_type", "day")
+  }
+
   private def qPrivKanon(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
       .select(col("c_nationkey"), col("c_mktsegment"),
@@ -332,6 +372,7 @@ object DqQueries {
   }
 
   val defs: Map[String, QueryFn] = Map(
+    "q_priv_dp_hist" -> qPrivDpHist _,
     "q_priv_tclose" -> qPrivTclose _,
     "q_priv_ldiv" -> qPrivLdiv _,
     "q_priv_kanon" -> qPrivKanon _,
@@ -430,6 +471,30 @@ object DqQueries {
         |  UNION ALL
         |  SELECT qi_level, 11, n_classes, c11, r11 FROM u)
         |ORDER BY qi_level, l""".stripMargin,
+    // Seeded-Laplace replay: the same md5-keyed inverse-CDF transform
+    // on identical operands — noise is deterministic by design (the
+    // release-audit property), so the whole release hashes exactly.
+    "q_priv_dp_hist" ->
+      """WITH h AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, day, n,
+        |    (CAST(('0x' || substr(md5(event_type || '|' || day
+        |       || '|' || 'dp-v1'), 1, 8))::BIGINT AS DOUBLE) + 0.5)
+        |      / 4294967296.0 AS u
+        |  FROM h),
+        |nz AS (
+        |  SELECT event_type, day, n,
+        |    CAST(round(-(1.0 / 1.0) * sign(u - 0.5)
+        |      * ln(1.0 - 2.0 * abs(u - 0.5)) * 1e6) AS BIGINT)
+        |      AS noise_micro
+        |  FROM x)
+        |SELECT event_type, day, n, noise_micro,
+        |  CAST(n * 1000000 + noise_micro AS BIGINT) AS released_micro,
+        |  CAST(1000000 AS BIGINT) AS eps_micro
+        |FROM nz ORDER BY event_type, day""".stripMargin,
     "q_priv_kanon" ->
       """WITH cust AS (
         |  SELECT c_nationkey, c_mktsegment,

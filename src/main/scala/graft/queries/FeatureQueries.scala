@@ -100,9 +100,91 @@ object FeatureQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Distributed ordinary least squares by Gram-matrix sufficient
+    * statistics — the one-pass linear-model fit every feature pipeline
+    * ends in (predict price cents from quantity and discount points,
+    * per return flag): the normal equations X'X β = X'y need only the
+    * d² = 9 Gram sums and d = 3 moment sums, each an EXACT-integer
+    * partial-aggregable aggregate (quantity, discount points and
+    * price cents are all exact integers; the one product that can
+    * outgrow a long — Σy² — rides a decimal(38)), so the per-group
+    * model state crossing the exchange is ~10 numbers regardless of
+    * row count. The 'ALL' pooled fit is rebuilt by ADDING the
+    * per-mode statistics — Gram matrices merge like counters, which
+    * is exactly how a 1000-executor fit (or a federated one) composes
+    * without a second scan. The 3×3 solve runs per OUTPUT ROW by
+    * Cramer's rule on doubles converted from the exact sums: same
+    * integer operands and same expression tree ⇒ bit-identical
+    * coefficients in any IEEE engine, which is what lets the fit
+    * itself cross the hash gate (R² likewise, from the β'X'y
+    * identity). At 100 TB this shape — scan → tiny Gram partials →
+    * closed-form solve — replaces a gradient loop for any d where
+    * d² doubles fit a partial (thousands of features).
+    */
+  private def qFeatOls(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      dec("l_quantity").cast("long").as("x1"),
+      (dec("l_discount") * 100).cast("long").as("x2"),
+      (dec("l_extendedprice") * 100).cast("long").as("y"))
+    val gm = li.groupBy("flag").agg(
+      count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    val pooled = gm.groupBy().agg(
+      sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+      sum("sy").as("sy"), sum("s11").as("s11"), sum("s12").as("s12"),
+      sum("s22").as("s22"), sum("s1y").as("s1y"), sum("s2y").as("s2y"),
+      sum("syy").as("syy"))
+      .select(lit("ALL").as("flag"), col("n"), col("s1"), col("s2"),
+        col("sy"), col("s11"), col("s12"), col("s22"), col("s1y"),
+        col("s2y"), col("syy"))
+    val st = gm.unionByName(pooled).select(col("flag"), col("n"),
+      col("n").cast("double").as("a00"),
+      col("s1").cast("double").as("a01"),
+      col("s2").cast("double").as("a02"),
+      col("s11").cast("double").as("a11"),
+      col("s12").cast("double").as("a12"),
+      col("s22").cast("double").as("a22"),
+      col("sy").cast("double").as("b0"),
+      col("s1y").cast("double").as("b1"),
+      col("s2y").cast("double").as("b2"),
+      col("syy").cast("double").as("byy"))
+    val det = col("a00") * (col("a11") * col("a22") - col("a12") * col("a12")) -
+      col("a01") * (col("a01") * col("a22") - col("a12") * col("a02")) +
+      col("a02") * (col("a01") * col("a12") - col("a11") * col("a02"))
+    val detX0 = col("b0") * (col("a11") * col("a22") - col("a12") * col("a12")) -
+      col("a01") * (col("b1") * col("a22") - col("a12") * col("b2")) +
+      col("a02") * (col("b1") * col("a12") - col("a11") * col("b2"))
+    val detX1 = col("a00") * (col("b1") * col("a22") - col("a12") * col("b2")) -
+      col("b0") * (col("a01") * col("a22") - col("a12") * col("a02")) +
+      col("a02") * (col("a01") * col("b2") - col("b1") * col("a02"))
+    val detX2 = col("a00") * (col("a11") * col("b2") - col("b1") * col("a12")) -
+      col("a01") * (col("a01") * col("b2") - col("b1") * col("a02")) +
+      col("b0") * (col("a01") * col("a12") - col("a11") * col("a02"))
+    st.withColumn("c0", detX0 / det)
+      .withColumn("c1", detX1 / det)
+      .withColumn("c2", detX2 / det)
+      .withColumn("sse", col("byy") -
+        (col("c0") * col("b0") + col("c1") * col("b1") + col("c2") * col("b2")))
+      .withColumn("sst", col("byy") - col("b0") * col("b0") / col("a00"))
+      .select(col("flag"), col("n"),
+        round(col("c0"), 4).as("b0_cents"),
+        round(col("c1"), 4).as("b1_cents"),
+        round(col("c2"), 4).as("b2_cents"),
+        round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
+      .orderBy("flag")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_feat_target_enc" -> qFeatTargetEnc _,
     "q_feat_woe" -> qFeatWoe _,
+    "q_feat_ols" -> qFeatOls _,
   )
 
   private val labelCte =
@@ -114,6 +196,52 @@ object FeatureQueries {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Full-law replay: exact-integer Gram sums, then the SAME Cramer
+    // expression tree on doubles — identical operands + identical IEEE
+    // ops = identical coefficients, so the fit crosses the hash gate.
+    "q_feat_ols" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x1,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |gm AS (
+        |  SELECT flag, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+        |    sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+        |    sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+        |    sum(y*y) AS syy
+        |  FROM li GROUP BY 1),
+        |un AS (SELECT * FROM gm
+        |       UNION ALL
+        |       SELECT 'ALL', sum(n), sum(s1), sum(s2), sum(sy), sum(s11),
+        |              sum(s12), sum(s22), sum(s1y), sum(s2y), sum(syy)
+        |       FROM gm),
+        |st AS (SELECT flag, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) AS a00, CAST(s1 AS DOUBLE) AS a01,
+        |  CAST(s2 AS DOUBLE) AS a02, CAST(s11 AS DOUBLE) AS a11,
+        |  CAST(s12 AS DOUBLE) AS a12, CAST(s22 AS DOUBLE) AS a22,
+        |  CAST(sy AS DOUBLE) AS b0, CAST(s1y AS DOUBLE) AS b1,
+        |  CAST(s2y AS DOUBLE) AS b2, CAST(syy AS DOUBLE) AS byy
+        |  FROM un),
+        |sol AS (SELECT flag, n, b0, b1, b2, byy, a00,
+        |  (a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02)
+        |     + a02*(a01*a12 - a11*a02)) AS det,
+        |  (b0*(a11*a22 - a12*a12) - a01*(b1*a22 - a12*b2)
+        |     + a02*(b1*a12 - a11*b2)) AS dx0,
+        |  (a00*(b1*a22 - a12*b2) - b0*(a01*a22 - a12*a02)
+        |     + a02*(a01*b2 - b1*a02)) AS dx1,
+        |  (a00*(a11*b2 - b1*a12) - a01*(a01*b2 - b1*a02)
+        |     + b0*(a01*a12 - a11*a02)) AS dx2
+        |  FROM st),
+        |co AS (SELECT flag, n, dx0/det AS c0, dx1/det AS c1, dx2/det AS c2,
+        |              b0, b1, b2, byy, a00 FROM sol)
+        |SELECT flag, n,
+        |  round(c0, 4) AS b0_cents, round(c1, 4) AS b1_cents,
+        |  round(c2, 4) AS b2_cents,
+        |  round(1.0 - (byy - (c0*b0 + c1*b1 + c2*b2))
+        |              / (byy - b0*b0/a00), 6) AS r2
+        |FROM co ORDER BY flag""".stripMargin,
     "q_feat_target_enc" ->
       s"""WITH $labelCte,
          |cat AS (SELECT o_orderpriority, count(*) AS n, sum(late) AS n_pos

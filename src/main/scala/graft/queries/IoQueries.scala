@@ -641,7 +641,72 @@ object IoQueries {
     tarReadbackCensus(s, out, "*.tar")
   }
 
+  /** Gzipped-JSONL corpus round trip with corrupt-record routing —
+    * the OTHER standard LLM-corpus interchange format beside the
+    * WebDataset tar family: documents write as 8 hash-routed
+    * `.json.gz` shards (Spark's native JSON sink; gzip is the
+    * dominant wild format even though it is NOT splittable — at
+    * 100 TB parallelism is per-shard, thousands of ~file-sized
+    * shards, exactly how The Pile / C4 / RedPajama ship, with zstd
+    * the drop-in when re-encoding is allowed). Read-back enforces an
+    * EXPLICIT schema in PERMISSIVE mode with a `_corrupt_record`
+    * column, and the law plants three malformed lines (truncated
+    * JSON, non-JSON, bare brace-garbage) in the read path: a real
+    * web-scale corpus ALWAYS carries broken lines, and the routing
+    * contract — parse what parses, quarantine the rest with the raw
+    * line preserved, never crash the job — is what this gate pins:
+    * the per-lang census (count, char mass, md5-prefix checksum)
+    * must match the source table byte-exactly (codec and JSON
+    * escaping are transparent transport), and the `_CORRUPT` row
+    * must count exactly the planted lines.
+    */
+  private def qSrcJsonl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = graft.core.Scratch.dir(s, "jsonl")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").option("compression", "gzip")
+      .json(s"$out/clean")
+    val bad = Seq(
+      """{"doc_id": 999999901, "lang": "xx", "source": "bad", "text": "trunc""",
+      "this line is not json",
+      "{bad}")
+    s.createDataFrame(
+      s.sparkContext.parallelize(bad.map(org.apache.spark.sql.Row(_)), 1),
+      StructType(Seq(StructField("value", StringType))))
+      .write.mode("overwrite").text(s"$out/bad")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val back = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$out/clean", s"$out/bad")
+    val P = 1000000007L
+    // ONE aggregation over a quarantine-or-language key: Spark bans
+    // plans whose referenced columns are ONLY the corrupt-record
+    // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the corrupt rows
+    // are censused in the same pass as the clean ones, which is also
+    // the single-scan shape you want over thousands of gzip shards.
+    val isBad = col("_corrupt_record").isNotNull
+    back
+      .withColumn("k", when(isBad, lit("_CORRUPT")).otherwise(col("lang")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(isBad, 0L)
+          .otherwise(length(col("text")).cast("long"))).as("sum_chars"),
+        (sum(when(isBad, 0L)
+          .otherwise(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long") % P)) % P).as("chk"))
+      .select(col("k").as("lang"), col("n_docs"), col("sum_chars"),
+        col("chk"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_src_jsonl" -> qSrcJsonl _,
     "q_src_tar_digest" -> qSrcTarDigest _,
     "q_src_tar_samples" -> qSrcTarSamples _,
     "q_src_tar_roundtrip" -> qSrcTarRoundtrip _,
@@ -745,6 +810,22 @@ object IoQueries {
         |       TRUE AS multi_batch
         |FROM ec GROUP BY s, m, key, ne
         |ORDER BY shard, sidx""".stripMargin,
+    // JSONL round-trip law: the read-back census must equal this
+    // DIRECT census of the source table (codec + JSON escaping are
+    // transparent transport), plus exactly the three planted corrupt
+    // lines in quarantine.
+    "q_src_jsonl" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |    CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT
+        |             % 1000000007) % 1000000007 AS BIGINT) AS chk
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, n_docs, sum_chars, chk FROM c
+        |UNION ALL
+        |SELECT '_CORRUPT', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+        |       CAST(0 AS BIGINT)
+        |ORDER BY lang""".stripMargin,
     // Gzip round-trip law: identical to the raw round trip (the codec
     // must be a transparent transport layer — the oracle censuses the
     // source table directly and never sees the compression), with the

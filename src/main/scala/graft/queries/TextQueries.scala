@@ -356,6 +356,161 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", public recipe): each
+    * raw document is scored by the log importance ratio
+    * Σ_t [ln p_target(t) − ln p_raw(t)] between a TARGET-domain
+    * unigram LM (here the English slice, standing in for the curated
+    * domain DSIR resamples toward) and the RAW-corpus LM, both add-1
+    * smoothed over the shared top-`unigramVocabK` vocabulary (the
+    * same capped-broadcast discipline as [[qTxtUnigramLp]] — OOV
+    * tokens take the +1 floor in BOTH models, so their ratio is the
+    * constant totals correction and heavy-tailed web vocab can never
+    * grow the broadcast). Each token's ratio is quantized to
+    * nano-nats as a LONG before any cross-row sum, so the per-doc
+    * weight and every census sum are exact integers — the selection
+    * cut (`w > 0`, i.e. likelier under the target LM) compares exact
+    * longs, never a float boundary. Census per (lang, source): doc
+    * count, selected count, total weight — the sampling-rate table a
+    * pipeline turns into per-shard resampling probabilities.
+    *
+    * Scale shape: one token-count shuffle for each LM (partial-
+    * aggregable), a K-row broadcast scoring join inside the scan
+    * stage, a per-doc rollup, and a ~|lang×source|-row census. The
+    * corpus text itself never crosses an exchange.
+    */
+  private def qTxtDsir(s: SparkSession, dir: String): DataFrame = {
+    val vocabK = unigramVocabK
+    val smoothK = lit(vocabK.toLong + 1L) // vocab + implicit UNK cell
+    val tokens = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(toks).as("token"))
+    val rawCnt = tokens.groupBy("token").agg(count(lit(1)).as("rc"))
+    val vocab = rawCnt.orderBy(desc("rc"), col("token")).limit(vocabK)
+    val tgtCnt = tokens.filter(col("lang") === "en")
+      .groupBy("token").agg(count(lit(1)).as("tc"))
+    val vtab = vocab.join(tgtCnt, Seq("token"), "left")
+      .select(col("token"), col("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val totals = tokens.agg(count(lit(1)).as("tot_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tot_t"))
+    val scored = tokens
+      .join(broadcast(vtab), Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(lit(1e9) * (
+          log((coalesce(col("tc"), lit(0L)) + 1L).cast("double"))
+            - log((col("tot_t") + smoothK).cast("double"))
+            - log((coalesce(col("rc"), lit(0L)) + 1L).cast("double"))
+            + log((col("tot_r") + smoothK).cast("double"))))
+          .cast("long").as("lr_nnat"))
+    val perDoc = scored.groupBy("doc_id", "lang", "source")
+      .agg(sum("lr_nnat").as("w_nnat"))
+    perDoc.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("w_nnat") > 0L, 1L).otherwise(0L)).as("n_selected"),
+        sum("w_nnat").as("sum_w_nnat"))
+      .orderBy("lang", "source")
+  }
+
+  /** CCNet perplexity bucketing (Wenzek et al. 2020, public recipe):
+    * documents are scored by a PER-LANGUAGE unigram LM (top-256
+    * vocabulary per language by (count desc, token) — the
+    * deterministic engine-portable cut — add-1 smoothed, OOV at the
+    * +1 floor against the full per-language total) and split into
+    * head/middle/tail TERCILES of mean surprisal within their
+    * language, CCNet's exact partitioning trick for separating
+    * clean from noisy web text without labels. Per-token surprisal
+    * quantizes to nano-nats as a LONG before the per-doc sum; the
+    * per-doc mean is integer division (positive operands, so Spark's
+    * truncating `div` and the oracle's floor `//` agree), and the
+    * tercile assignment orders by (exact mean, doc_id) — no float
+    * enters any ordering or aggregate, so the census hashes exactly.
+    *
+    * Scale shape: per-lang vocab build is one token-count shuffle
+    * capped at 256 rows per language; scoring is a broadcast join in
+    * the scan stage; the ntile window partitions BY LANGUAGE over
+    * doc-level rows (corpus-count, not token-count — and at 100 TB
+    * the tercile cut would come from a quantile sketch of the same
+    * exact mean, see [[AdvancedQueries]]'s q_sketch_dd_quantile).
+    */
+  private def qTxtPplBucket(s: SparkSession, dir: String): DataFrame = {
+    val vocabK = 256
+    val tokens = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(toks).as("token"))
+    val freq = tokens.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val vocab = freq
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))))
+      .filter(col("rk") <= vocabK).drop("rk")
+    val totals = freq.groupBy("lang").agg(sum("cnt").as("tot"))
+    val scored = tokens
+      .join(broadcast(vocab), Seq("lang", "token"), "left")
+      .join(broadcast(totals), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(lit(1e9) * (
+          log((col("tot") + lit(vocabK.toLong + 1L)).cast("double"))
+            - log((coalesce(col("cnt"), lit(0L)) + 1L).cast("double"))))
+          .cast("long").as("sup_nnat"))
+    val perDoc = scored.groupBy("doc_id", "lang", "n_chars")
+      .agg(sum("sup_nnat").as("sup_sum"), count(lit(1)).as("n_tok"))
+      .withColumn("mean_nnat", expr("sup_sum div n_tok"))
+    perDoc
+      .withColumn("tercile", ntile(3).over(
+        Window.partitionBy("lang").orderBy("mean_nnat", "doc_id"))
+        .cast("long"))
+      .groupBy("lang", "tercile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum("mean_nnat").as("sum_mean_nnat"))
+      .orderBy("lang", "tercile")
+  }
+
+  /** Mojibake detect-and-fix census — the ftfy-style encoding repair
+    * every web-corpus pipeline runs before tokenization (UTF-8 text
+    * mis-decoded as Latin-1 leaves characteristic digraphs: é→"Ã©",
+    * ’→"â€™", ·→"Â·"): the repair is a fixed digraph substitution
+    * table applied as literal replaces, ftfy's core mechanism in
+    * declarative form. The law PLANTS the corruption (every 7th doc
+    * gets a mojibake-bearing suffix on the wire) so the gate pins
+    * detection (artifact counts per doc), repair (zero artifacts
+    * after), and non-destruction (clean docs byte-identical through
+    * the fixer — the md5 checksum covers every fixed doc). Per-lang
+    * census: docs, flagged docs, artifact mass before/after, fixed
+    * checksum.
+    *
+    * Scale shape: pure per-row string algebra inside the scan stage —
+    * no shuffle before the |lang|-row census, whole-stage codegen end
+    * to end (regexp_count + regexp_replace on metachar-free literal
+    * patterns).
+    */
+  private def qTxtMojibake(s: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val marks = Seq("Ã©" -> "é", "â€™" -> "’", "Â·" -> "·")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("wire", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" Ã©â€™Â· broken"))).otherwise(col("text")))
+    def artifacts(c: Column): Column =
+      marks.map { case (m, _) => regexp_count(c, lit(m)).cast("long") }
+        .reduce(_ + _)
+    val fixed = marks.foldLeft(col("wire")) { case (c, (m, r)) =>
+      regexp_replace(c, m, r)
+    }
+    base
+      .withColumn("n_art", artifacts(col("wire")))
+      .withColumn("fixed", fixed)
+      .withColumn("n_art_after", artifacts(col("fixed")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_art") > 0L, 1L).otherwise(0L)).as("n_flagged"),
+        sum("n_art").as("artifacts_before"),
+        sum("n_art_after").as("artifacts_after"),
+        (sum(conv(substring(md5(col("fixed")), 1, 8), 16, 10)
+          .cast("long") % P) % P).as("chk_fixed"))
+      .orderBy("lang")
+  }
+
   /** Gopher-style repetition filter (Rae et al. 2021 quality rules,
     * public recipe): per-document word n-gram repetition rates
     * (`1 - distinct/total` for 2- and 3-grams) and the token share of
@@ -1578,6 +1733,9 @@ object TextQueries {
     "q_txt_repetition" -> qTxtRepetition _,
     "q_txt_dup_spans" -> qTxtDupSpans _,
     "q_txt_unigram_lp" -> qTxtUnigramLp _,
+    "q_txt_dsir" -> qTxtDsir _,
+    "q_txt_ppl_bucket" -> qTxtPplBucket _,
+    "q_txt_mojibake" -> qTxtMojibake _,
     "q_txt_decontaminate" -> qTxtDecontaminate _,
     "q_txt_redact" -> qTxtRedact _,
     "q_txt_pack" -> qTxtPack _,
@@ -2106,6 +2264,99 @@ object TextQueries {
         |FROM sh t JOIN bench b USING (sh)
         |WHERE t.doc_id % 100 <> 0
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    // Mojibake replay: identical plant, literal-replace repair chain
+    // (the digraphs are metachar-free so regexp_* == literal
+    // replace()), md5-prefix checksum over the fixed text.
+    "q_txt_mojibake" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN text || ' Ã©â€™Â· broken' ELSE text END AS wire
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, wire,
+        |    len(regexp_extract_all(wire, 'Ã©'))
+        |      + len(regexp_extract_all(wire, 'â€™'))
+        |      + len(regexp_extract_all(wire, 'Â·')) AS n_art,
+        |    replace(replace(replace(wire, 'Ã©', 'é'), 'â€™', '’'),
+        |            'Â·', '·') AS fixed
+        |  FROM w),
+        |g AS (
+        |  SELECT doc_id, lang, n_art, fixed,
+        |    len(regexp_extract_all(fixed, 'Ã©'))
+        |      + len(regexp_extract_all(fixed, 'â€™'))
+        |      + len(regexp_extract_all(fixed, 'Â·')) AS n_art_after
+        |  FROM f)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE n_art > 0) AS BIGINT) AS n_flagged,
+        |  CAST(sum(n_art) AS BIGINT) AS artifacts_before,
+        |  CAST(sum(n_art_after) AS BIGINT) AS artifacts_after,
+        |  CAST(sum(('0x' || substr(md5(fixed), 1, 8))::BIGINT
+        |           % 1000000007) % 1000000007 AS BIGINT) AS chk_fixed
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DSIR replay: same capped vocab cut, same add-1 ratio with the
+    // per-token quantization to nano-nat longs BEFORE any sum, so
+    // every census number is an exact integer in both engines.
+    "q_txt_dsir" ->
+      """WITH tk AS (SELECT doc_id, lang, source,
+        |              unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |rc AS (SELECT token, count(*) AS rc FROM tk GROUP BY 1),
+        |vocab AS (SELECT token, rc FROM rc
+        |          ORDER BY rc DESC, token LIMIT 512),
+        |tc AS (SELECT token, count(*) AS tc FROM tk
+        |       WHERE lang = 'en' GROUP BY 1),
+        |vt AS (SELECT v.token, v.rc, coalesce(tc.tc, 0) AS tc
+        |       FROM vocab v LEFT JOIN tc USING (token)),
+        |tot AS (SELECT count(*) AS tot_r,
+        |               count(*) FILTER (WHERE lang = 'en') AS tot_t
+        |        FROM tk),
+        |sc AS (SELECT t.doc_id, t.lang, t.source,
+        |         CAST(round(1e9 * (
+        |           ln(CAST(coalesce(vt.tc, 0) + 1 AS DOUBLE))
+        |           - ln(CAST(tot_t + 513 AS DOUBLE))
+        |           - ln(CAST(coalesce(vt.rc, 0) + 1 AS DOUBLE))
+        |           + ln(CAST(tot_r + 513 AS DOUBLE)))) AS BIGINT) AS lr
+        |       FROM tk t LEFT JOIN vt USING (token), tot),
+        |pd AS (SELECT doc_id, lang, source, CAST(sum(lr) AS BIGINT) AS w
+        |       FROM sc GROUP BY 1, 2, 3)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE w > 0) AS BIGINT) AS n_selected,
+        |  CAST(sum(w) AS BIGINT) AS sum_w_nnat
+        |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // CCNet tercile replay: per-lang vocab cut by row_number, the
+    // same nano-nat surprisal quantization, integer-division means
+    // (operands positive, so div == //), ntile over the exact key.
+    "q_txt_ppl_bucket" ->
+      """WITH tk AS (SELECT doc_id, lang, n_chars,
+        |              unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |fr AS (SELECT lang, token, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |vocab AS (SELECT lang, token, cnt FROM (
+        |    SELECT lang, token, cnt, row_number() OVER (
+        |      PARTITION BY lang ORDER BY cnt DESC, token) AS rk FROM fr)
+        |  WHERE rk <= 256),
+        |tt AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot
+        |       FROM fr GROUP BY 1),
+        |sc AS (SELECT t.doc_id, t.lang, t.n_chars,
+        |         CAST(round(1e9 * (
+        |           ln(CAST(tot + 257 AS DOUBLE))
+        |           - ln(CAST(coalesce(v.cnt, 0) + 1 AS DOUBLE))))
+        |           AS BIGINT) AS sup
+        |       FROM tk t
+        |       LEFT JOIN vocab v ON t.lang = v.lang AND t.token = v.token
+        |       JOIN tt ON tt.lang = t.lang),
+        |pd AS (SELECT doc_id, lang, n_chars, CAST(sum(sup) AS BIGINT) AS ss,
+        |              count(*) AS n_tok
+        |       FROM sc GROUP BY 1, 2, 3),
+        |nt AS (SELECT lang, n_chars, ss // n_tok AS mean_nnat,
+        |         ntile(3) OVER (PARTITION BY lang
+        |           ORDER BY ss // n_tok, doc_id) AS tercile
+        |       FROM pd)
+        |SELECT lang, tercile, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(mean_nnat) AS BIGINT) AS sum_mean_nnat
+        |FROM nt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_txt_tokens" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

@@ -1,0 +1,178 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Planted-fixture specs for the round-18 additions: the digit-bucket
+  * quantile sketch (merge identity + readout error law on closed-form
+  * data), the Gram-matrix OLS (exactly-linear plant recovers exact
+  * coefficients with R² = 1; pooled 'ALL' fit equals the fit of the
+  * union), DSIR importance selection (target-domain docs select,
+  * off-domain docs don't), CCNet perplexity terciles (balanced sizes,
+  * monotone surprisal), and the JSONL round trip (quarantine counts
+  * exactly the planted corrupt lines; clean census matches the plant).
+  */
+class Round18OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dir(): String =
+    Files.createTempDirectory("r18").toFile.getAbsolutePath
+
+  private def ts(s: String) = Timestamp.valueOf(s"$s 00:00:00")
+
+  test("dd_quantile: bucket midpoint readout, merge identity, error law") {
+    val d = dir()
+    // month 1996-01: prices 100.00..199.00 in dollar steps (cents
+    // 10000..19900, all len=5, top3 = 100..199 -> 100 distinct buckets
+    // of width 100 cents); p50 rank = 50 -> exact cents 14900? ranks:
+    // n=100, (50*100+99) div 100 = 50 -> 50th smallest = 14900 cents.
+    val rows = (0 until 100).map { i =>
+      (ts("1996-01-03"), (10000L + 100L * i) / 100.0)
+    }
+    rows.toDF("l_shipdate", "l_extendedprice")
+      .write.parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("q_sketch_dd_quantile")(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("1996-01", "ALL"))
+    val m = out("1996-01")
+    assert(m.getAs[Long]("n") == 100L)
+    assert(m.getAs[Boolean]("merge_identical"))
+    // rank 50 value = 10000 + 100*49 = 14900 cents; its bucket top3 =
+    // 149, sp = 2 -> midpoint (149*10+5)*100 = 149500 deci-cents
+    assert(m.getAs[Long]("p50_exact_c") == 14900L, m.toString)
+    assert(m.getAs[Long]("p50_est_dc") == 149500L, m.toString)
+    Seq("p50_within", "p95_within", "p99_within").foreach { c =>
+      assert(m.getAs[Boolean](c), c)
+      assert(out("ALL").getAs[Boolean](c), s"ALL.$c")
+    }
+  }
+
+  test("ols: exactly-linear plant recovers exact coefficients, r2 = 1") {
+    val d = dir()
+    // y_cents = 500 + 200*q + 30*disc_points, planted exactly
+    val rows = for {
+      q <- 1 to 10; disc <- 0 to 5
+      flag = if (q % 2 == 0) "A" else "R"
+    } yield (flag, q.toDouble, disc / 100.0,
+      (500L + 200L * q + 30L * disc) / 100.0)
+    rows.toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+      .write.parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("q_feat_ols")(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("A", "R", "ALL"))
+    out.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("b0_cents") - 500.0) < 1e-3, r.toString)
+      assert(math.abs(r.getAs[Double]("b1_cents") - 200.0) < 1e-3, r.toString)
+      assert(math.abs(r.getAs[Double]("b2_cents") - 30.0) < 1e-3, r.toString)
+      assert(r.getAs[Double]("r2") == 1.0, r.toString)
+    }
+    assert(out("ALL").getAs[Long]("n") == 60L)
+  }
+
+  test("dsir: target-domain docs select, off-domain docs do not") {
+    val d = dir()
+    // en docs speak 'alpha', de docs speak 'beta': the target (en) LM
+    // loads all its mass on alpha, so alpha-docs carry positive
+    // importance weight and beta-docs negative.
+    val docs = (0 until 20).map { i =>
+      if (i < 10) (i.toLong, "alpha alpha alpha", "en", "srcA", 17L)
+      else (i.toLong, "beta beta beta", "de", "srcB", 14L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q_txt_dsir")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val en = out(("en", "srcA"))
+    val de = out(("de", "srcB"))
+    assert(en.getAs[Long]("n_docs") == 10L && en.getAs[Long]("n_selected") == 10L, en.toString)
+    assert(de.getAs[Long]("n_docs") == 10L && de.getAs[Long]("n_selected") == 0L, de.toString)
+    assert(en.getAs[Long]("sum_w_nnat") > 0L && de.getAs[Long]("sum_w_nnat") < 0L)
+  }
+
+  test("ppl_bucket: balanced terciles, surprisal monotone in tercile") {
+    val d = dir()
+    // 9 en docs: 3 of the common token, 3 mixed, 3 of a rare token —
+    // per-doc surprisal strictly increases across the three groups.
+    val docs = (0 until 9).map { i =>
+      val text = i / 3 match {
+        case 0 => "the the the the"
+        case 1 => "the the odd one"
+        case _ => s"zz$i yy$i xx$i ww$i"
+      }
+      (i.toLong, text, "en", "src0", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q_txt_ppl_bucket")(spark, d)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("tercile"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_mean_nnat")))
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L), out.toSeq.toString)
+    assert(out.forall(_._3 == 3L), out.toSeq.toString)
+    val means = out.map(t => t._4.toDouble / t._3)
+    assert(means(0) < means(1) && means(1) < means(2), means.toSeq.toString)
+  }
+
+  test("dp_hist: seeded Laplace release is deterministic, bounded, composable") {
+    val d = dir()
+    val ev = (0 until 50).map { i =>
+      (i.toLong, ts(f"1996-01-${1 + i % 3}%02d"), i.toLong % 5,
+        if (i % 2 == 0) "view" else "click", 1.0, "{}")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val run1 = SparkEntry.queries("q_priv_dp_hist")(spark, d).collect()
+    val run2 = SparkEntry.queries("q_priv_dp_hist")(spark, d).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq,
+      "seeded release must be reproducible")
+    run1.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val noise = r.getAs[Long]("noise_micro")
+      assert(r.getAs[Long]("released_micro") == n * 1000000L + noise)
+      // Laplace(b=1): |noise| beyond 25 has probability e^-25 — a
+      // planted-cell draw outside this is a broken transform, not luck
+      assert(math.abs(noise) < 25000000L, r.toString)
+      assert(r.getAs[Long]("eps_micro") == 1000000L)
+    }
+    assert(run1.length == 6) // 2 types x 3 days
+  }
+
+  test("mojibake: planted docs flagged and repaired, clean docs untouched") {
+    val d = dir()
+    val docs = Seq(
+      (0L, "plain zero doc", "en", "src0", 14L),   // planted (0 % 7 == 0)
+      (1L, "clean one", "en", "src0", 9L),
+      (7L, "seven doc", "de", "src1", 9L),          // planted
+      (8L, "clean eight", "de", "src1", 11L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q_txt_mojibake")(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("en", "de").foreach { l =>
+      val r = out(l)
+      assert(r.getAs[Long]("n_docs") == 2L)
+      assert(r.getAs[Long]("n_flagged") == 1L, r.toString)
+      assert(r.getAs[Long]("artifacts_before") == 3L, r.toString)
+      assert(r.getAs[Long]("artifacts_after") == 0L, r.toString)
+    }
+  }
+
+  test("jsonl: quarantine counts exactly the planted corrupt lines") {
+    val d = dir()
+    val docs = Seq(
+      (1L, "hello world", "en", "src0", 11L),
+      (2L, "bonjour \"le\" monde \\ fin", "fr", "src1", 24L),
+      (3L, "hallo welt", "de", "src0", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q_src_jsonl")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"))).toMap
+    assert(out("_CORRUPT") == ((3L, 0L)), out.toString)
+    assert(out("en") == ((1L, 11L)) && out("de") == ((1L, 10L)), out.toString)
+    // JSON escaping is transparent: the quoted/backslashed fr text
+    // round-trips to its exact char count
+    assert(out("fr") == ((1L, 24L)), out.toString)
+  }
+}
