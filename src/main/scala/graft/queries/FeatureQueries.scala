@@ -181,10 +181,118 @@ object FeatureQueries {
       .orderBy("flag")
   }
 
+  /** Cramer 3×3 solve: (c0, c1, c2) columns from the symmetric system
+    * named by (a00,a01,a02,a11,a12,a22) and rhs (r0,r1,r2) — shared
+    * expression TREE, so engine replays stay bit-identical.
+    */
+  private def cramer3(pfx: String): Seq[org.apache.spark.sql.Column] = {
+    def c(n: String) = col(pfx + n)
+    val det = c("a00") * (c("a11") * c("a22") - c("a12") * c("a12")) -
+      c("a01") * (c("a01") * c("a22") - c("a12") * c("a02")) +
+      c("a02") * (c("a01") * c("a12") - c("a11") * c("a02"))
+    val d0 = c("r0") * (c("a11") * c("a22") - c("a12") * c("a12")) -
+      c("a01") * (c("r1") * c("a22") - c("a12") * c("r2")) +
+      c("a02") * (c("r1") * c("a12") - c("a11") * c("r2"))
+    val d1 = c("a00") * (c("r1") * c("a22") - c("a12") * c("r2")) -
+      c("r0") * (c("a01") * c("a22") - c("a12") * c("a02")) +
+      c("a02") * (c("a01") * c("r2") - c("r1") * c("a02"))
+    val d2 = c("a00") * (c("a11") * c("r2") - c("r1") * c("a12")) -
+      c("a01") * (c("a01") * c("r2") - c("r1") * c("a02")) +
+      c("r0") * (c("a01") * c("a12") - c("a11") * c("a02"))
+    Seq(d0 / det, d1 / det, d2 / det)
+  }
+
+  /** Distributed iterative classifier training, bit-reproducible — the
+    * logistic-regression-shaped sibling of [[qFeatOls]]: predict the
+    * late-lineitem flag from (quantity, discount points) by THREE
+    * Gauss-Newton rounds of a least-squares probability fit with the
+    * Elliott rational squashing link p(z) = ½ + ½·(z/2)/(1+|z/2|)
+    * (Elliott 1993). The rational link is the load-bearing choice:
+    * a per-row exp() would put libm's last-ulp freedom inside 10⁷
+    * quantization boundaries per iteration (the engine-parity
+    * discipline that keeps ln to once-per-cell operands elsewhere —
+    * see q_txt_tfidf's rational idf), while add/mul/div/abs are
+    * IEEE-exact in every engine. Each round: per-row score and
+    * curvature contributions (Jᵀr, JᵀJ for the 3-parameter model)
+    * quantize to nano units as LONGS before the exchange — so each
+    * iteration ships 9 exact integers per group, the solve is the
+    * shared [[cramer3]] tree on identical doubles, and the whole
+    * 3-round trajectory (coefficients, SSE, accuracy) hash-gates
+    * across engines (the q_emb_pca unrolled-iteration discipline
+    * applied to supervised training). Groups train independently per
+    * return flag plus a pooled 'ALL' model via a row-doubling
+    * explode — one pipeline, four models.
+    *
+    * Scale shape: one fact join, then per iteration ONE scan with a
+    * broadcast 4-row β join and a partial-aggregable 9-long rollup —
+    * at 100 TB, 3 scans and ~36 longs of shuffle state total.
+    * Nano-quantized curvature terms stay under long range through
+    * sf10 (|j12| ≤ 31·1e9 per row × 1.2e8 rows ≈ 4e18 < 2⁶³).
+    */
+  private def qFeatGlm(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_returnflag"), col("l_shipdate"),
+      dec("l_quantity").cast("long").as("x1"),
+      (dec("l_discount") * 100).cast("long").as("x2"))
+    val rows = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(explode(array(col("l_returnflag"), lit("ALL"))).as("flag"),
+        col("x1"), col("x2"),
+        when(col("l_shipdate") > date_add(col("o_orderdate"), 60), 1L)
+          .otherwise(0L).as("y"))
+    def z = col("b0") + col("b1") * col("x1") + col("b2") * col("x2")
+    def pOf(zc: org.apache.spark.sql.Column) =
+      lit(0.5) + lit(0.5) * (zc / 2) / (lit(1.0) + abs(zc / 2))
+    def dpOf(zc: org.apache.spark.sql.Column) =
+      lit(0.25) / ((lit(1.0) + abs(zc / 2)) * (lit(1.0) + abs(zc / 2)))
+    def q9(c: org.apache.spark.sql.Column) =
+      round(c * lit(1e9)).cast("long")
+    val beta0 = rows.select("flag").distinct()
+      .withColumn("b0", lit(0.0)).withColumn("b1", lit(0.0))
+      .withColumn("b2", lit(0.0))
+    def step(beta: DataFrame): DataFrame = {
+      val p = pOf(z); val dp = dpOf(z); val r = col("y") - p
+      val sums = rows.join(broadcast(beta), Seq("flag"))
+        .select(col("flag"),
+          q9(dp * dp).as("j00"), q9(dp * dp * col("x1")).as("j01"),
+          q9(dp * dp * col("x2")).as("j02"),
+          q9(dp * dp * col("x1") * col("x1")).as("j11"),
+          q9(dp * dp * col("x1") * col("x2")).as("j12"),
+          q9(dp * dp * col("x2") * col("x2")).as("j22"),
+          q9(dp * r).as("g0"), q9(dp * r * col("x1")).as("g1"),
+          q9(dp * r * col("x2")).as("g2"))
+        .groupBy("flag")
+        .agg(sum("j00").as("a00"), sum("j01").as("a01"),
+          sum("j02").as("a02"), sum("j11").as("a11"),
+          sum("j12").as("a12"), sum("j22").as("a22"),
+          sum("g0").as("r0"), sum("g1").as("r1"), sum("g2").as("r2"))
+        .select(col("flag") +: Seq("a00", "a01", "a02", "a11", "a12",
+          "a22", "r0", "r1", "r2").map(n => col(n).cast("double").as(n)): _*)
+      val Seq(d0, d1, d2) = cramer3("")
+      beta.join(sums, Seq("flag"))
+        .select(col("flag"), (col("b0") + d0).as("b0"),
+          (col("b1") + d1).as("b1"), (col("b2") + d2).as("b2"))
+    }
+    val betaF = step(step(step(beta0)))
+    rows.join(broadcast(betaF), Seq("flag"))
+      .select(col("flag"), col("b0"), col("b1"), col("b2"),
+        q9((col("y") - pOf(z)) * (col("y") - pOf(z))).as("se"),
+        when((z > 0) === (col("y") === 1L), 1L).otherwise(0L).as("ok"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), max("b0").as("b0"), max("b1").as("b1"),
+        max("b2").as("b2"), sum("se").as("sse_nano"),
+        sum("ok").as("n_correct"))
+      .select(col("flag"), col("n"),
+        round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+        round(col("b2"), 6).as("b2"), col("sse_nano"), col("n_correct"))
+      .orderBy("flag")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_feat_target_enc" -> qFeatTargetEnc _,
     "q_feat_woe" -> qFeatWoe _,
     "q_feat_ols" -> qFeatOls _,
+    "q_feat_glm" -> qFeatGlm _,
   )
 
   private val labelCte =
@@ -195,7 +303,74 @@ object FeatureQueries {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2)""".stripMargin
 
+  // --- q_feat_glm oracle: the 3-round Gauss-Newton trajectory
+  // unrolled as CTEs (the q_emb_pca discipline). Every per-row term
+  // quantizes to nano longs inside the sums; the solve repeats the
+  // cramer3 expression tree verbatim.
+  private val glmZ = "(b0 + b1 * x1 + b2 * x2)"
+  private val glmP =
+    s"(0.5 + 0.5 * ($glmZ / 2) / (1.0 + abs($glmZ / 2)))"
+  private val glmDp =
+    s"(0.25 / ((1.0 + abs($glmZ / 2)) * (1.0 + abs($glmZ / 2))))"
+  private def glmQ9(v: String) = s"CAST(round(($v) * 1e9) AS BIGINT)"
+  private def glmStep(bIn: String, sN: String, bOut: String): String = {
+    def t(v: String, as: String) =
+      s"CAST(sum(${glmQ9(v)}) AS DOUBLE) AS $as"
+    val r = s"(y - $glmP)"
+    s"""$sN AS (
+       |  SELECT r.flag,
+       |    ${t(s"$glmDp * $glmDp", "a00")},
+       |    ${t(s"$glmDp * $glmDp * x1", "a01")},
+       |    ${t(s"$glmDp * $glmDp * x2", "a02")},
+       |    ${t(s"$glmDp * $glmDp * x1 * x1", "a11")},
+       |    ${t(s"$glmDp * $glmDp * x1 * x2", "a12")},
+       |    ${t(s"$glmDp * $glmDp * x2 * x2", "a22")},
+       |    ${t(s"$glmDp * $r", "r0")},
+       |    ${t(s"$glmDp * $r * x1", "r1")},
+       |    ${t(s"$glmDp * $r * x2", "r2")}
+       |  FROM rows r JOIN $bIn USING (flag) GROUP BY r.flag),
+       |$bOut AS (
+       |  SELECT s.flag,
+       |    b.b0 + (r0*(a11*a22 - a12*a12) - a01*(r1*a22 - a12*r2)
+       |            + a02*(r1*a12 - a11*r2))
+       |         / (a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02)
+       |            + a02*(a01*a12 - a11*a02)) AS b0,
+       |    b.b1 + (a00*(r1*a22 - a12*r2) - r0*(a01*a22 - a12*a02)
+       |            + a02*(a01*r2 - r1*a02))
+       |         / (a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02)
+       |            + a02*(a01*a12 - a11*a02)) AS b1,
+       |    b.b2 + (a00*(a11*r2 - r1*a12) - a01*(a01*r2 - r1*a02)
+       |            + r0*(a01*a12 - a11*a02))
+       |         / (a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02)
+       |            + a02*(a01*a12 - a11*a02)) AS b2
+       |  FROM $sN s JOIN $bIn b USING (flag))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_feat_glm" ->
+      s"""WITH rows AS (
+         |  SELECT unnest([l_returnflag, 'ALL']) AS flag,
+         |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x1,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+         |    CAST(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+         |         THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |bt0 AS (SELECT DISTINCT flag, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+         |        FROM rows),
+         |${glmStep("bt0", "s1", "bt1")},
+         |${glmStep("bt1", "s2", "bt2")},
+         |${glmStep("bt2", "s3", "bt3")},
+         |m AS (
+         |  SELECT r.flag, count(*) AS n, max(b0) AS b0, max(b1) AS b1,
+         |    max(b2) AS b2,
+         |    CAST(sum(${glmQ9(s"(y - $glmP) * (y - $glmP)")}) AS BIGINT)
+         |      AS sse_nano,
+         |    CAST(sum(CASE WHEN (($glmZ) > 0) = (y = 1) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM rows r JOIN bt3 USING (flag) GROUP BY r.flag)
+         |SELECT flag, n, round(b0, 6) AS b0, round(b1, 6) AS b1,
+         |  round(b2, 6) AS b2, sse_nano, n_correct
+         |FROM m ORDER BY flag""".stripMargin,
     // Full-law replay: exact-integer Gram sums, then the SAME Cramer
     // expression tree on doubles — identical operands + identical IEEE
     // ops = identical coefficients, so the fit crosses the hash gate.

@@ -466,6 +466,79 @@ object TextQueries {
       .orderBy("lang", "tercile")
   }
 
+  /** End-to-end curation funnel — the composition a real pretraining
+    * data pipeline runs as ONE job, censused stage by stage (the
+    * survivor table every curation report leads with): benchmark
+    * holdout (the doc_id%100 convention shared with
+    * [[qTxtDecontaminate]]) → length/token quality rules → exact
+    * dedup (keep-first by md5 among survivors) → benchmark
+    * decontamination (any shared 3-shingle, bench side broadcast) →
+    * sequence packing yield (per-language 512-token budgets; the
+    * tail remainder is the packing loss). Each stage's in/out doc and
+    * token counts come from ONE flags relation aggregated once —
+    * conditional sums over booleans, not five scans.
+    *
+    * Scale shape: the dedup exchange ships (md5, doc_id) — 24-byte
+    * rows, text stays map-side; decon joins the corpus's shingle
+    * stream against a BROADCAST distinct-bench-shingle set; the
+    * packing rollup is |lang| rows. One wide exchange total (the
+    * md5 groupBy) plus the shingle partial-agg — at 100 TB the
+    * funnel is scan-bound, which is the point of fusing the stages.
+    */
+  private def qTxtCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .withColumn("tk", toks)
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+    val isBench = col("doc_id") % 100 === 0
+    val passQ = !isBench && col("n_chars") >= 100 &&
+      col("n_chars") <= 1500 && col("n_tok") >= 25
+    val base = docs.withColumn("in_corpus", !isBench)
+      .withColumn("pass_q", passQ)
+    // exact dedup keep-first among quality survivors: narrow exchange
+    val keepIds = base.filter(col("pass_q"))
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("keep"))
+    // contamination among dedup survivors: any 3-shingle shared with
+    // the held-out benchmark slice
+    val benchSh = docs.filter(isBench)
+      .select(explode(shingleHashes3(col("tk"))).as("sh")).distinct()
+    val flags0 = base.join(keepIds, Seq("doc_id"), "left")
+      .withColumn("keep_dd", col("pass_q") &&
+        coalesce(col("keep"), lit(false)))
+    val contam = flags0.filter(col("keep_dd"))
+      .select(col("doc_id"), explode(shingleHashes3(col("tk"))).as("sh"))
+      .join(broadcast(benchSh), "sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("bad", lit(true))
+    val flags = flags0.join(contam, Seq("doc_id"), "left")
+      .withColumn("pass_all", col("keep_dd") &&
+        coalesce(col("bad"), lit(false)) === false)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def tok(c: Column) = sum(when(c, col("n_tok")).otherwise(0L))
+    val g = flags.agg(
+      count(lit(1)).as("n0"), cnt(col("in_corpus")).as("n1"),
+      tok(col("in_corpus")).as("t1"),
+      cnt(col("pass_q")).as("n2"), tok(col("pass_q")).as("t2"),
+      cnt(col("keep_dd")).as("n3"), tok(col("keep_dd")).as("t3"),
+      cnt(col("pass_all")).as("n4"), tok(col("pass_all")).as("t4"))
+    val pack = flags.filter(col("pass_all")).groupBy("lang")
+      .agg(sum("n_tok").as("lt"))
+      .agg(sum(expr("lt div 512")).as("seqs"),
+        sum(expr("(lt div 512) * 512")).as("packed"))
+    g.crossJoin(broadcast(pack)).select(expr(
+      """stack(5,
+        |  1L, 'ingest_holdout', n0, n1, t1, n1,
+        |  2L, 'quality',        n1, n2, t2, n2,
+        |  3L, 'dedup_exact',    n2, n3, t3, n3,
+        |  4L, 'decontaminate',  n3, n4, t4, n4,
+        |  5L, 'pack',           n4, n4, packed, seqs)
+        |  AS (stage_id, stage, docs_in, docs_out, tokens_out, n_units)
+        |""".stripMargin))
+      .orderBy("stage_id")
+  }
+
   /** Mojibake detect-and-fix census — the ftfy-style encoding repair
     * every web-corpus pipeline runs before tokenization (UTF-8 text
     * mis-decoded as Latin-1 leaves characteristic digraphs: é→"Ã©",
@@ -1736,6 +1809,7 @@ object TextQueries {
     "q_txt_dsir" -> qTxtDsir _,
     "q_txt_ppl_bucket" -> qTxtPplBucket _,
     "q_txt_mojibake" -> qTxtMojibake _,
+    "q_txt_curation_funnel" -> qTxtCurationFunnel _,
     "q_txt_decontaminate" -> qTxtDecontaminate _,
     "q_txt_redact" -> qTxtRedact _,
     "q_txt_pack" -> qTxtPack _,
@@ -2251,6 +2325,60 @@ object TextQueries {
         |  round(-ln(CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE)
         |    / 4294967296) / n_chars, 12) AS skey
         |FROM documents ORDER BY skey, doc_id LIMIT 100""".stripMargin,
+    // Funnel replay: same stage laws chained as CTEs — quality rules,
+    // md5 keep-first, shingle-STRING contamination (the collision
+    // convention of q_txt_decontaminate), per-lang 512-token packing.
+    "q_txt_curation_funnel" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |f0 AS (
+        |  SELECT doc_id, lang, text, n_chars, n_tok,
+        |    doc_id % 100 <> 0 AS in_corpus,
+        |    (doc_id % 100 <> 0 AND n_chars >= 100 AND n_chars <= 1500
+        |       AND n_tok >= 25) AS pass_q
+        |  FROM d),
+        |kd AS (SELECT min(doc_id) AS doc_id FROM f0 WHERE pass_q
+        |       GROUP BY md5(text)),
+        |f1 AS (SELECT f0.*, (pass_q AND kd.doc_id IS NOT NULL) AS keep_dd
+        |       FROM f0 LEFT JOIN kd USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+        |    ELSE [] END) AS sh
+        |  FROM documents),
+        |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0),
+        |bad AS (SELECT DISTINCT t.doc_id FROM sh t
+        |        JOIN bsh USING (sh)
+        |        JOIN f1 ON f1.doc_id = t.doc_id WHERE f1.keep_dd),
+        |f2 AS (SELECT f1.*, (keep_dd AND bad.doc_id IS NULL) AS pass_all
+        |       FROM f1 LEFT JOIN bad ON f1.doc_id = bad.doc_id),
+        |g AS (SELECT count(*) AS n0,
+        |  CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN in_corpus THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+        |  CAST(sum(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN pass_q THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+        |  CAST(sum(CASE WHEN keep_dd THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(sum(CASE WHEN keep_dd THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+        |  CAST(sum(CASE WHEN pass_all THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |  CAST(sum(CASE WHEN pass_all THEN n_tok ELSE 0 END) AS BIGINT) AS t4
+        |  FROM f2),
+        |pk AS (SELECT CAST(coalesce(sum(lt // 512), 0) AS BIGINT) AS seqs,
+        |              CAST(coalesce(sum((lt // 512) * 512), 0) AS BIGINT) AS packed
+        |       FROM (SELECT lang, sum(n_tok) AS lt FROM f2
+        |             WHERE pass_all GROUP BY lang))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'ingest_holdout' AS stage,
+        |         n0 AS docs_in, n1 AS docs_out, t1 AS tokens_out,
+        |         n1 AS n_units FROM g
+        |  UNION ALL SELECT 2, 'quality', n1, n2, t2, n2 FROM g
+        |  UNION ALL SELECT 3, 'dedup_exact', n2, n3, t3, n3 FROM g
+        |  UNION ALL SELECT 4, 'decontaminate', n3, n4, t4, n4 FROM g
+        |  UNION ALL SELECT 5, 'pack', n4, n4, packed, seqs FROM g, pk)
+        |ORDER BY stage_id""".stripMargin,
     "q_txt_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(

@@ -158,6 +158,58 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("curation funnel: each stage drops exactly its planted victim") {
+    val d = dir()
+    val longTok = (0 until 700).map(i => ((i % 26) + 'a').toChar).mkString(" ")
+    val docs = Seq(
+      // doc 0: benchmark holdout (0 % 100 == 0)
+      (0L, "foo bar baz qux quux corge grault garply", "en", "src0"),
+      // doc 1: survivor (700 one-char tokens -> 1 packed sequence)
+      (1L, longTok, "en", "src0"),
+      // doc 2: exact duplicate of doc 1 -> dedup drops
+      (2L, longTok, "en", "src0"),
+      // doc 3: carries a bench 3-gram -> decontamination drops
+      (3L, ("foo bar baz " + (0 until 27).map(i => s"w$i").mkString(" ")),
+        "en", "src1"),
+      // doc 4: too few tokens -> quality drops
+      (4L, "tiny doc here", "en", "src1"))
+      .map { case (id, tx, l, src) => (id, tx, l, src, tx.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q_txt_curation_funnel")(spark, d)
+      .collect().map(r => r.getString(1) ->
+        (r.getAs[Long]("docs_in"), r.getAs[Long]("docs_out"),
+          r.getAs[Long]("n_units"))).toMap
+    assert(out("ingest_holdout") == ((5L, 4L, 4L)), out.toString)
+    assert(out("quality") == ((4L, 3L, 3L)), out.toString)
+    assert(out("dedup_exact") == ((3L, 2L, 2L)), out.toString)
+    assert(out("decontaminate") == ((2L, 1L, 1L)), out.toString)
+    assert(out("pack") == ((1L, 1L, 1L)), out.toString) // 700 tok -> 1 seq
+  }
+
+  test("glm: three Gauss-Newton rounds separate a planted margin") {
+    val d = dir()
+    val jan96 = ts("1996-01-01")
+    val orders = (1 to 40).map(i => (i.toLong, jan96))
+    orders.toDF("o_orderkey", "o_orderdate").write.parquet(s"$d/orders.parquet")
+    val lines = (0 until 40).map { i =>
+      val q = if (i % 2 == 0) 1.0 else 10.0
+      val late = i % 2 == 1 // y == 1 exactly when quantity is high
+      (i.toLong + 1, if (i < 20) "A" else "R", q, (i % 5) / 100.0,
+        if (late) ts("1996-04-01") else ts("1996-01-15"))
+    }
+    lines.toDF("l_orderkey", "l_returnflag", "l_quantity", "l_discount",
+      "l_shipdate").write.parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("q_feat_glm")(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("A", "R", "ALL"))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_correct") == r.getAs[Long]("n"), r.toString)
+      assert(r.getAs[Double]("b1") > 0.0, r.toString) // high qty -> late
+    }
+    assert(out("ALL").getAs[Long]("n") == 40L)
+  }
+
   test("jsonl: quarantine counts exactly the planted corrupt lines") {
     val d = dir()
     val docs = Seq(
