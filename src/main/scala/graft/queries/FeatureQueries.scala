@@ -235,6 +235,12 @@ object FeatureQueries {
       col("l_returnflag"), col("l_shipdate"),
       dec("l_quantity").cast("long").as("x1"),
       (dec("l_discount") * 100).cast("long").as("x2"))
+    // The 4 passes (3 steps + metrics) re-derive this relation, but
+    // ReuseExchange dedups the join's shuffle WRITE across them, so
+    // only the narrow post-exchange projection recomputes. Measured
+    // at sf10 (A/B, loads 20-30): recompute 61/70 s vs localCheckpoint
+    // 81/180 s — materializing 120M 4-column rows to local disk costs
+    // more than recomputing them; the kcore-persist verdict repeats.
     val rows = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(explode(array(col("l_returnflag"), lit("ALL"))).as("flag"),
         col("x1"), col("x2"),
