@@ -73,6 +73,7 @@ object Ql {
     "q_graph_clustering", // edge-list checkpoint at construction
     "q_sim_maxsim", "q_emb_meanpool_nn",
     "q_stream_countmin", "q_stream_topk",
+    "q_stream_dd_quantile", // complete-mode sketch drain at construction
     "q_stream_psi",        // append-mode drain at construction
     "q_stream_psi_tws",    // append-mode drain at construction
     "q_stream_session_native", // append-mode drain at construction

@@ -4,6 +4,7 @@ import graft.functions.{Dedup, Ivf, Multimodal, Similarity}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Q._
 
 /** Scale-path operators: MinHash/SimHash LSH dedup, LSH-bucketed ANN,
@@ -878,6 +879,95 @@ object ScaleQueries {
     EventQueries.cmsProbeTable(ev, sk)
   }
 
+  /** Streaming quantile monitoring — the digit-bucket DD sketch
+    * ([[AdvancedQueries]] q_sketch_dd_quantile) run as a COMPLETE-mode
+    * streaming aggregation over a 6-way sliced events replay: state
+    * holds one counter per (event-type × bucket) — O(sketch), ~200
+    * rows however long the stream runs, the p95-latency-dashboard
+    * shape a 100 TB/day feed needs. Because the sketch is
+    * bit-deterministic and its merge is counter addition, the DRAINED
+    * histogram must equal the batch histogram register-for-register:
+    * `stream_matches_batch` pins that per event type (the mergeable-
+    * across-micro-batches contract as a hash-gated verdict, not a
+    * bound). p50/p95/p99 then read out of the drained sketch beside
+    * exact twins from the batch table; the within bound carries a
+    * +5 deci-cent absolute term so exact-width small-cent buckets
+    * (width ≤ 1 cent ⇒ half-cent midpoint error) stay inside it at
+    * any value scale.
+    */
+  private def qStreamDdQuantile(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def bucketize(df: DataFrame): DataFrame = df
+      .select(col("event_type"), dec(col("value")).multiply(100)
+        .cast("long").as("c"))
+      .withColumn("cs", col("c").cast("string"))
+      .withColumn("len", length(col("cs")).cast("long"))
+      .withColumn("top3", substring(col("cs"), 1, 3).cast("long"))
+      .withColumn("sp", greatest(col("len") - 3, lit(0L)))
+      .withColumn("p10", pow(lit(10.0), col("sp")).cast("long"))
+      .select(col("event_type"), col("c"),
+        (col("len") * 1000 + col("top3")).as("bid"),
+        (col("top3") * col("p10")).as("low_c"),
+        ((col("top3") * 10 + 5) * col("p10")).as("rep_dc"))
+    val streamDir = StreamOps.sliceParquet(ev, col("event_id"), 6, "q_stream_ddq")
+    val qn = s"stream_ddq_${math.abs(dir.hashCode)}"
+    StreamOps.completeAggDrain(s, streamDir, "*.parquet",
+      df => bucketize(df).groupBy("event_type", "bid")
+        .agg(count(lit(1)).as("s_cnt"), max("rep_dc").as("s_rep"),
+          max("low_c").as("s_low")),
+      queryName = qn, stateKey = "q_stream_dd_quantile")
+    // The drained memory-sink relation exposes FIXED attribute ids, so
+    // its self-joins fail relation dedup (INTERNAL_ERROR conflicting
+    // references). The histogram is sketch-sized BY CONSTRUCTION
+    // (|event types| x ~40 buckets), so pinning it into a local
+    // relation is bounded and gives the readout joins ordinary
+    // dedup-able leaves.
+    val drained = s.table(qn)
+    val streamHist = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(drained.collect(): _*)),
+      drained.schema)
+    val batchHist = bucketize(ev).groupBy("event_type", "bid")
+      .agg(count(lit(1)).as("cnt"), max("rep_dc").as("rep_dc"),
+        max("low_c").as("low_c"))
+    val mi = batchHist.join(streamHist, Seq("event_type", "bid"), "full_outer")
+      .groupBy("event_type")
+      .agg(min(coalesce(col("cnt") === col("s_cnt"), lit(false)))
+        .as("stream_matches_batch"))
+    val nTot = streamHist.groupBy("event_type")
+      .agg(sum("s_cnt").as("n"), count(lit(1)).as("n_buckets"))
+    val wcum = Window.partitionBy("event_type").orderBy("s_low", "bid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = streamHist.withColumn("cum", sum("s_cnt").over(wcum))
+    def estAt(pct: Int) =
+      min(when(col("cum") >= expr(s"($pct * n + 99) div 100"), col("s_rep")))
+    val est = hist.join(nTot, Seq("event_type")).groupBy("event_type")
+      .agg(estAt(50).as("p50_est_dc"), estAt(95).as("p95_est_dc"),
+        estAt(99).as("p99_est_dc"))
+    val cu = bucketize(ev).groupBy("event_type", "c")
+      .agg(count(lit(1)).as("cc"))
+      .withColumn("cum", sum("cc").over(
+        Window.partitionBy("event_type").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def exAt(pct: Int) =
+      min(when(col("cum") >= expr(s"($pct * n + 99) div 100"), col("c")))
+    val exact = cu.join(nTot, Seq("event_type")).groupBy("event_type")
+      .agg(exAt(50).as("p50_exact_c"), exAt(95).as("p95_exact_c"),
+        exAt(99).as("p99_exact_c"))
+    def within(e: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =
+      abs(e - x * 10) * 10000 <= x * 10 * 65 + 50000
+    nTot.join(mi, Seq("event_type")).join(est, Seq("event_type"))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("n_buckets"),
+        col("stream_matches_batch"),
+        col("p50_est_dc"), col("p50_exact_c"),
+        within(col("p50_est_dc"), col("p50_exact_c")).as("p50_within"),
+        col("p95_est_dc"), col("p95_exact_c"),
+        within(col("p95_est_dc"), col("p95_exact_c")).as("p95_within"),
+        col("p99_est_dc"), col("p99_exact_c"),
+        within(col("p99_est_dc"), col("p99_exact_c")).as("p99_within"))
+      .orderBy("event_type")
+  }
+
   /** Streaming twin of q_txt_topk_mg: the Misra–Gries summary as a
     * complete-mode global aggregation over a 5-way sliced documents
     * replay — one ≤k-counter buffer in state, merged across
@@ -902,6 +992,7 @@ object ScaleQueries {
 
   val defs: Map[String, QueryFn] = Map(
     "q_stream_countmin" -> qStreamCountmin _,
+    "q_stream_dd_quantile" -> qStreamDdQuantile _,
     "q_stream_topk" -> qStreamTopk _,
     "q_stream_sessionize" -> qStreamSessionize _,
     "q_dedup_minhash_pairs" -> qDedupMinhash _,
@@ -951,6 +1042,67 @@ object ScaleQueries {
       new java.io.File("fixtures").getAbsolutePath)
 
   val oracles: Map[String, String] = Map(
+    // Streaming DD-quantile: the drained histogram is bit-equal to the
+    // batch sketch (deterministic counter merge), so the oracle replays
+    // the WHOLE law from the events table and pins the stream-vs-batch
+    // verdict TRUE. Within bound carries +5 dc for exact-width buckets.
+    "q_stream_dd_quantile" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |bk AS (
+        |  SELECT event_type, c,
+        |    strlen(CAST(c AS VARCHAR)) * 1000
+        |      + CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT) AS bid,
+        |    CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT)
+        |      * CAST(power(10, greatest(strlen(CAST(c AS VARCHAR)) - 3, 0))
+        |             AS BIGINT) AS low_c,
+        |    (CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT) * 10 + 5)
+        |      * CAST(power(10, greatest(strlen(CAST(c AS VARCHAR)) - 3, 0))
+        |             AS BIGINT) AS rep_dc
+        |  FROM b),
+        |d AS (SELECT event_type, bid, count(*) AS cnt,
+        |             max(rep_dc) AS rep_dc, max(low_c) AS low_c
+        |      FROM bk GROUP BY 1, 2),
+        |nt AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+        |              count(*) AS n_buckets FROM d GROUP BY 1),
+        |h AS (SELECT d.*, CAST(sum(cnt) OVER (PARTITION BY event_type
+        |        ORDER BY low_c, bid ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |        AS cum FROM d),
+        |est AS (SELECT event_type,
+        |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN rep_dc END)
+        |      AS p50_est_dc,
+        |    min(CASE WHEN cum >= (95 * n + 99) // 100 THEN rep_dc END)
+        |      AS p95_est_dc,
+        |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN rep_dc END)
+        |      AS p99_est_dc
+        |  FROM h JOIN nt USING (event_type) GROUP BY event_type),
+        |cm AS (SELECT event_type, c, count(*) AS cc FROM bk GROUP BY 1, 2),
+        |cu AS (SELECT event_type, c, CAST(sum(cc) OVER (
+        |         PARTITION BY event_type ORDER BY c
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM cm),
+        |ex AS (SELECT event_type,
+        |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN c END)
+        |      AS p50_exact_c,
+        |    min(CASE WHEN cum >= (95 * n + 99) // 100 THEN c END)
+        |      AS p95_exact_c,
+        |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN c END)
+        |      AS p99_exact_c
+        |  FROM cu JOIN nt USING (event_type) GROUP BY event_type)
+        |SELECT nt.event_type, n, n_buckets,
+        |  TRUE AS stream_matches_batch,
+        |  p50_est_dc, p50_exact_c,
+        |  abs(p50_est_dc - p50_exact_c * 10) * 10000
+        |    <= p50_exact_c * 10 * 65 + 50000 AS p50_within,
+        |  p95_est_dc, p95_exact_c,
+        |  abs(p95_est_dc - p95_exact_c * 10) * 10000
+        |    <= p95_exact_c * 10 * 65 + 50000 AS p95_within,
+        |  p99_est_dc, p99_exact_c,
+        |  abs(p99_est_dc - p99_exact_c * 10) * 10000
+        |    <= p99_exact_c * 10 * 65 + 50000 AS p99_within
+        |FROM nt JOIN est USING (event_type) JOIN ex ON ex.event_type = nt.event_type
+        |ORDER BY event_type""".stripMargin,
     // Shared batch oracles: CMS commits a bit-identical matrix under
     // any slicing (value replay); MG's verdict columns are
     // merge-invariant by the PODS bound (verdict replay).

@@ -84,6 +84,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_stream_ewma", "q_stream_pattern", "q_stream_ewma_tws",
     "q_stream_pattern_tws",
     "q_stream_attribution", "q_stream_countmin", "q_stream_topk",
+    "q_stream_dd_quantile",
     "q_stream_psi", "q_stream_session_native", "q_stream_range_outer")
 
   test("decontamination joins against a BROADCAST benchmark set, and the self-checking queries hold") {

@@ -210,6 +210,25 @@ class Round18OpsSpec extends SparkSpec {
     assert(out("ALL").getAs[Long]("n") == 40L)
   }
 
+  test("stream dd_quantile: drained sketch register-equal to batch") {
+    val d = dir()
+    val ev = (0 until 120).map { i =>
+      (i.toLong, ts("1996-01-01"), i.toLong % 7,
+        if (i % 2 == 0) "view" else "click", (100 + i * 7) / 100.0, "{}")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("q_stream_dd_quantile")(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("view", "click"))
+    out.values.foreach { r =>
+      assert(r.getAs[Boolean]("stream_matches_batch"), r.toString)
+      Seq("p50_within", "p95_within", "p99_within")
+        .foreach(c => assert(r.getAs[Boolean](c), s"$c in $r"))
+      assert(r.getAs[Long]("n") == 60L)
+    }
+  }
+
   test("jsonl: quarantine counts exactly the planted corrupt lines") {
     val d = dir()
     val docs = Seq(
