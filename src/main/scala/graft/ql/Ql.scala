@@ -50,6 +50,7 @@ object Ql {
     "q_txt_heavy_hitters", "q_w3_dense_relabel",
     "q_graph_communities_bucketed", // bucketed-table write + plan probe at construction
     "q_src_jsonl", // gzip JSONL sink write at construction
+    "q_src_csv", // gzip CSV sink write at construction
     "q_src_tar_roundtrip", // shard-sink write at construction
     "q_src_tar_gzip", // gzip shard-sink write at construction
     "q_src_tar_reshard", // size-targeted reshard + sink write at construction

@@ -705,7 +705,77 @@ object IoQueries {
       .orderBy("lang")
   }
 
+  /** Gzipped-CSV corpus round trip with quarantine — the jsonl law's
+    * sibling for the other interchange format bulk exports still
+    * arrive in: headerless 8-shard gzip CSV out of the native sink
+    * (the writer QUOTES fields carrying separators/quotes/escapes, so
+    * arbitrary text survives — the spec plants a comma-and-quote-
+    * heavy document to pin it), read back under an explicit schema in
+    * PERMISSIVE mode. The quarantine law differs from JSON by
+    * NECESSITY, measured not assumed: Spark's CSV parser coerces
+    * token-count/type mismatches and even unclosed quotes to nulls
+    * without setting `_corrupt_record`, so the CSV gate quarantines
+    * on parser flag OR the NOT-NULL schema contract on (doc_id,
+    * text) — the post-parse contract check every production CSV
+    * ingest pairs with the parser. Census identical to the jsonl
+    * gate: per-lang counts + char mass + md5-prefix checksum must
+    * equal the source table byte-exactly, `_CORRUPT` counts exactly
+    * the three planted violations, one aggregation pass for both.
+    */
+  private def qSrcCsv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = graft.core.Scratch.dir(s, "csvshards")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").option("compression", "gzip")
+      .option("header", "false").csv(s"$out/clean")
+    // PERMISSIVE CSV is far more lenient than JSON: token-count and
+    // type mismatches — even unclosed quotes — coerce to nulls or
+    // absorbed text WITHOUT setting _corrupt_record (all measured).
+    // So the CSV quarantine is a SCHEMA CONTRACT, not a parser flag:
+    // rows violating the NOT-NULL contract on (doc_id, text) route to
+    // quarantine post-parse — which is how production CSV ingests
+    // actually work (the parser can't refuse, the contract must).
+    // Three planted violations: missing text, unparseable key, short
+    // row.
+    val bad = Seq(
+      "90000001,xx,bad,",
+      "notanumber,xx,bad,some text here",
+      "90000003,xx")
+    s.createDataFrame(
+      s.sparkContext.parallelize(bad.map(org.apache.spark.sql.Row(_)), 1),
+      StructType(Seq(StructField("value", StringType))))
+      .write.mode("overwrite").text(s"$out/bad")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val back = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", "false")
+      .csv(s"$out/clean", s"$out/bad")
+    val P = 1000000007L
+    // quarantine = parser flag (rare for CSV) OR contract violation
+    val isBad = col("_corrupt_record").isNotNull ||
+      col("doc_id").isNull || col("text").isNull
+    back
+      .withColumn("k", when(isBad, lit("_CORRUPT")).otherwise(col("lang")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(isBad, 0L)
+          .otherwise(length(col("text")).cast("long"))).as("sum_chars"),
+        (sum(when(isBad, 0L)
+          .otherwise(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long") % P)) % P).as("chk"))
+      .select(col("k").as("lang"), col("n_docs"), col("sum_chars"),
+        col("chk"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, QueryFn] = Map(
+    "q_src_csv" -> qSrcCsv _,
     "q_src_jsonl" -> qSrcJsonl _,
     "q_src_tar_digest" -> qSrcTarDigest _,
     "q_src_tar_samples" -> qSrcTarSamples _,
@@ -810,6 +880,21 @@ object IoQueries {
         |       TRUE AS multi_batch
         |FROM ec GROUP BY s, m, key, ne
         |ORDER BY shard, sidx""".stripMargin,
+    // CSV round-trip law: identical to the jsonl gate — codec and CSV
+    // quoting are transparent transport; three planted malformed
+    // lines quarantine.
+    "q_src_csv" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |    CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT
+        |             % 1000000007) % 1000000007 AS BIGINT) AS chk
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, n_docs, sum_chars, chk FROM c
+        |UNION ALL
+        |SELECT '_CORRUPT', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+        |       CAST(0 AS BIGINT)
+        |ORDER BY lang""".stripMargin,
     // JSONL round-trip law: the read-back census must equal this
     // DIRECT census of the source table (codec + JSON escaping are
     // transparent transport), plus exactly the three planted corrupt

@@ -539,6 +539,59 @@ object TextQueries {
       .orderBy("stage_id")
   }
 
+  /** Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    * smoothing every serious n-gram LM shipped, and the quality bar
+    * perplexity filters like CCNet's are trained against): per
+    * language, P(w2|w1) = (c12−D)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/T
+    * with discount D = 3/4 — chosen RATIONAL so the whole law stays
+    * in exact integer arithmetic: with integer counts the max(·,0)
+    * never binds, the two terms share the common denominator 4·c1·T,
+    * and the emitted probability is the exact integer
+    * (10000·((4·c12−3)·T + 3·N1w1·N2w2)) div (4·c1·T) — no libm, no
+    * float, hash-exact in any engine (the q_txt_tfidf rational-form
+    * discipline applied to LM smoothing). The continuation count
+    * N1+(·w2) is KN's signature: "York" scores low as a continuation
+    * however frequent "New York" is. Emitted for the top-20 contexts
+    * × top-3 continuations per language beside the raw MLE myriad,
+    * so the smoothing's reordering is visible in the gate.
+    *
+    * Scale shape: one bigram-count shuffle (partial-aggregable),
+    * vocab-sized continuation counts joined on (lang, w2) AFTER the
+    * broadcast top-context cut prunes the bigram side, |lang|-row
+    * type totals broadcast. Corpus text never crosses an exchange.
+    */
+  private def qTxtKneserNey(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .select(col("lang"), toks.as("w")).filter(size(col("w")) >= 2)
+    val bi = tk.select(col("lang"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnt = bi.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n12"))
+    val ctx = cnt.groupBy("lang", "w1")
+      .agg(sum("n12").as("n1"), count(lit(1)).as("n_cont"))
+      .withColumn("ctx_rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("n1"), col("w1"))))
+      .filter(col("ctx_rnk") <= 20)
+    val contCnt = cnt.groupBy("lang", "w2")
+      .agg(count(lit(1)).as("n2"))
+    val types = cnt.groupBy("lang").agg(count(lit(1)).as("tt"))
+    cnt.join(broadcast(ctx), Seq("lang", "w1"))
+      .join(contCnt, Seq("lang", "w2"))
+      .join(broadcast(types), Seq("lang"))
+      .withColumn("cont_rnk", row_number().over(
+        Window.partitionBy("lang", "w1").orderBy(desc("n12"), col("w2"))))
+      .filter(col("cont_rnk") <= 3)
+      .select(col("lang"), col("w1"), col("w2"), col("n12"), col("n1"),
+        col("n_cont"), col("n2"), col("tt"), col("ctx_rnk"), col("cont_rnk"),
+        expr("(10000 * n12) div n1").as("mle_myriad"),
+        expr("""(10000 * ((4 * n12 - 3) * tt + 3 * n_cont * n2))
+               | div (4 * n1 * tt)""".stripMargin).as("kn_myriad"))
+      .orderBy("lang", "ctx_rnk", "cont_rnk")
+  }
+
   /** Mojibake detect-and-fix census — the ftfy-style encoding repair
     * every web-corpus pipeline runs before tokenization (UTF-8 text
     * mis-decoded as Latin-1 leaves characteristic digraphs: é→"Ã©",
@@ -1810,6 +1863,7 @@ object TextQueries {
     "q_txt_ppl_bucket" -> qTxtPplBucket _,
     "q_txt_mojibake" -> qTxtMojibake _,
     "q_txt_curation_funnel" -> qTxtCurationFunnel _,
+    "q_txt_kneser_ney" -> qTxtKneserNey _,
     "q_txt_decontaminate" -> qTxtDecontaminate _,
     "q_txt_redact" -> qTxtRedact _,
     "q_txt_pack" -> qTxtPack _,
@@ -2023,6 +2077,38 @@ object TextQueries {
          |SELECT token, n, (n * ${mgK + 1} > n_total) AS guaranteed,
          |  TRUE AS present_ok, TRUE AS est_ok
          |FROM e, tot ORDER BY n DESC, token""".stripMargin,
+    // KN replay: identical integer-rational law — counts, continuation
+    // counts, type totals, and the common-denominator div emission.
+    "q_txt_kneser_ney" ->
+      """WITH tk AS (SELECT lang, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT lang,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> {'w1': w[i], 'w2': w[i + 1]})) AS b FROM tk),
+        |cnt AS (SELECT lang, b.w1 AS w1, b.w2 AS w2, count(*) AS n12
+        |  FROM bi GROUP BY 1, 2, 3),
+        |ctx AS (SELECT lang, w1, CAST(sum(n12) AS BIGINT) AS n1,
+        |    count(*) AS n_cont,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY sum(n12) DESC, w1) AS INTEGER) AS ctx_rnk
+        |  FROM cnt GROUP BY lang, w1 QUALIFY ctx_rnk <= 20),
+        |cc AS (SELECT lang, w2, count(*) AS n2 FROM cnt GROUP BY 1, 2),
+        |ty AS (SELECT lang, count(*) AS tt FROM cnt GROUP BY 1),
+        |j AS (SELECT cnt.lang, cnt.w1, cnt.w2, cnt.n12, ctx.n1,
+        |    ctx.n_cont, cc.n2, ty.tt, ctx.ctx_rnk,
+        |    CAST(row_number() OVER (PARTITION BY cnt.lang, cnt.w1
+        |      ORDER BY cnt.n12 DESC, cnt.w2) AS INTEGER) AS cont_rnk
+        |  FROM cnt
+        |  JOIN ctx ON cnt.lang = ctx.lang AND cnt.w1 = ctx.w1
+        |  JOIN cc ON cnt.lang = cc.lang AND cnt.w2 = cc.w2
+        |  JOIN ty ON cnt.lang = ty.lang)
+        |SELECT lang, w1, w2, n12, n1, n_cont, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(tt AS BIGINT) AS tt, ctx_rnk, cont_rnk,
+        |  (10000 * n12) // n1 AS mle_myriad,
+        |  (10000 * ((4 * n12 - 3) * tt + 3 * n_cont * n2))
+        |    // (4 * n1 * tt) AS kn_myriad
+        |FROM j WHERE cont_rnk <= 3
+        |ORDER BY lang, ctx_rnk, cont_rnk""".stripMargin,
     "q_txt_bigram_lm" ->
       """WITH tk AS (SELECT lang, string_split(text, ' ') AS w FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),

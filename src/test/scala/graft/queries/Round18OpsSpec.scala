@@ -229,6 +229,49 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("kneser-ney: one-context continuation discounts below versatile one") {
+    val d = dir()
+    // 'york' appears ONLY after 'new' (12 times); 'cat' appears after
+    // many different contexts (8 distinct) but only 3 times after
+    // 'new'. MLE ranks york >> cat after 'new'; KN's continuation
+    // count pulls york down relative to its raw frequency.
+    val texts =
+      Seq.fill(12)("new york") ++ Seq.fill(3)("new cat") ++
+        (0 until 8).map(i => s"ctx$i cat") ++ Seq.fill(4)("new day")
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong + 1, t, "en", "src0", t.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q_txt_kneser_ney")(spark, d)
+      .collect().filter(r => r.getString(1) == "new")
+      .map(r => r.getString(2) ->
+        (r.getAs[Long]("mle_myriad"), r.getAs[Long]("kn_myriad"))).toMap
+    val (mleY, knY) = out("york")
+    val (mleC, knC) = out("cat")
+    // the discount transfers mass AWAY from the single-context word
+    // and TOWARD the versatile one, relative to MLE
+    assert(knY < mleY, s"york: kn=$knY mle=$mleY")
+    assert(knC > mleC, s"cat: kn=$knC mle=$mleC")
+  }
+
+  test("csv: quoting survives hostile text; contract violations quarantine") {
+    val d = dir()
+    val hostile = "a,b,\"c\" d \\ e,, \"\"x\"\" ,end"
+    val docs = Seq(
+      (1L, hostile, "en", "src0", hostile.length.toLong),
+      (2L, "plain words", "de", "src0", 11L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q_src_csv")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"))).toMap
+    assert(out("_CORRUPT") == ((3L, 0L)), out.toString)
+    // the comma/quote/backslash text round-trips to its exact length
+    assert(out("en") == ((1L, hostile.length.toLong)), out.toString)
+    assert(out("de") == ((1L, 11L)), out.toString)
+  }
+
   test("jsonl: quarantine counts exactly the planted corrupt lines") {
     val d = dir()
     val docs = Seq(
