@@ -294,11 +294,60 @@ object FeatureQueries {
       .orderBy("flag")
   }
 
+  /** Deployed-model calibration census (the reliability diagram +
+    * expected calibration error every model-monitoring pipeline
+    * computes, Naeini et al. 2015 formulation): a FIXED released
+    * scorer — the Elliott-link model with pinned coefficients,
+    * standing in for whatever artifact serving ships — scores every
+    * lineitem, predictions bucket into probability deciles, and per
+    * bin the census carries count, positive count, and the
+    * nano-quantized confidence mass (per-row quantization BEFORE the
+    * sum, as everywhere). ECE rides along per row in ppm, computed
+    * from the exact per-bin integers: Σ |n_pos·1e6 − conf_sum/1e3| /
+    * n_total — a pure integer expression, so the whole audit hashes.
+    * Decile edges compare identical doubles in both engines (same
+    * fixed β, same expression tree), so binning can't diverge.
+    *
+    * Scale shape: scoring is scan-stage scalar algebra; the census
+    * is a ≤10-row groupBy plus a broadcast 1-row total — the
+    * monitoring query you run per model per day at any corpus size.
+    */
+  private def qFeatCalibration(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_shipdate"),
+      dec("l_quantity").cast("long").as("x1"),
+      (dec("l_discount") * 100).cast("long").as("x2"))
+    // the released model: fixed coefficients, Elliott link
+    val z = lit(-0.55) + lit(0.012) * col("x1") + lit(0.004) * col("x2")
+    val p = lit(0.5) + lit(0.5) * (z / 2) / (lit(1.0) + abs(z / 2))
+    val scored = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(col("l_shipdate") > date_add(col("o_orderdate"), 60), 1L)
+          .otherwise(0L).as("y"),
+        least(floor(p * 10).cast("long"), lit(9L)).as("bin"),
+        round(p * lit(1e9)).cast("long").as("p_nnat"))
+    val bins = scored.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("p_nnat").as("conf_nnat"))
+    val tot = bins.agg(sum("n").as("n_tot"),
+      // per-bin |accuracy - confidence| mass in micro units, summed
+      // exactly: |n_pos*1e6 - conf_nnat div 1000| is the bin's
+      // absolute gap scaled by its count
+      sum(abs(col("n_pos") * lit(1000000L) -
+        expr("conf_nnat div 1000"))).as("gap_micro"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_nnat"),
+        expr("gap_micro div n_tot").as("ece_ppm"))
+      .orderBy("bin")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "q_feat_target_enc" -> qFeatTargetEnc _,
     "q_feat_woe" -> qFeatWoe _,
     "q_feat_ols" -> qFeatOls _,
     "q_feat_glm" -> qFeatGlm _,
+    "q_feat_calibration" -> qFeatCalibration _,
   )
 
   private val labelCte =
@@ -353,6 +402,37 @@ object FeatureQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Calibration replay: same fixed-coefficient scorer, same decile
+    // law, same exact-integer ECE arithmetic.
+    "q_feat_calibration" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_shipdate,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x1,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2
+        |  FROM lineitem),
+        |sc AS (
+        |  SELECT
+        |    CAST(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |         THEN 1 ELSE 0 END AS BIGINT) AS y,
+        |    least(CAST(floor((0.5 + 0.5
+        |      * ((-0.55 + 0.012 * x1 + 0.004 * x2) / 2)
+        |      / (1.0 + abs((-0.55 + 0.012 * x1 + 0.004 * x2) / 2)))
+        |      * 10) AS BIGINT), 9) AS bin,
+        |    CAST(round((0.5 + 0.5
+        |      * ((-0.55 + 0.012 * x1 + 0.004 * x2) / 2)
+        |      / (1.0 + abs((-0.55 + 0.012 * x1 + 0.004 * x2) / 2)))
+        |      * 1e9) AS BIGINT) AS p_nnat
+        |  FROM li JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |             CAST(sum(p_nnat) AS BIGINT) AS conf_nnat
+        |      FROM sc GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+        |             CAST(sum(abs(n_pos * 1000000 - conf_nnat // 1000))
+        |                  AS BIGINT) AS gap_micro
+        |      FROM b)
+        |SELECT bin, n, n_pos, conf_nnat,
+        |       gap_micro // n_tot AS ece_ppm
+        |FROM b, t ORDER BY bin""".stripMargin,
     "q_feat_glm" ->
       s"""WITH rows AS (
          |  SELECT unnest([l_returnflag, 'ALL']) AS flag,

@@ -57,6 +57,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_eval_lift",      // crossJoin of the 1-row totals aggregate
     "q_txt_dsir",       // crossJoin of the 1-row LM-totals aggregate
     "q_txt_curation_funnel", // crossJoin of the two 1-row census aggregates
+    "q_feat_calibration", // crossJoin of the 1-row ECE-total aggregate
     "q_feat_target_enc", // crossJoin of the 1-row global-prior aggregate
     "q_feat_woe",       // crossJoins of the 1-row totals + IV-total aggregates
     "q_txt_kappa",      // crossJoins of the 1-row confusion-totals aggregate

@@ -272,6 +272,28 @@ class Round18OpsSpec extends SparkSpec {
     assert(out("de") == ((1L, 11L)), out.toString)
   }
 
+  test("calibration: decile bins span the score range, ECE law recomputes") {
+    val d = dir()
+    val jan96 = ts("1996-01-01")
+    (1 to 60).map(i => (i.toLong, jan96)).toDF("o_orderkey", "o_orderdate")
+      .write.parquet(s"$d/orders.parquet")
+    val lines = (0 until 60).map { i =>
+      val q = (i % 3) match { case 0 => 1.0; case 1 => 45.0; case _ => 200.0 }
+      (i.toLong + 1, q, 0.02,
+        if (i % 2 == 0) ts("1996-04-01") else ts("1996-01-15"))
+    }
+    lines.toDF("l_orderkey", "l_quantity", "l_discount", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    val rows = SparkEntry.queries("q_feat_calibration")(spark, d).collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSet.size >= 3, "bins span")
+    assert(rows.map(_.getAs[Long]("n")).sum == 60L)
+    // recompute the exact-integer ECE law from the bin columns
+    val gap = rows.map(r => math.abs(r.getAs[Long]("n_pos") * 1000000L -
+      r.getAs[Long]("conf_nnat") / 1000L)).sum
+    val ece = gap / rows.map(_.getAs[Long]("n")).sum
+    rows.foreach(r => assert(r.getAs[Long]("ece_ppm") == ece, r.toString))
+  }
+
   test("jsonl: quarantine counts exactly the planted corrupt lines") {
     val d = dir()
     val docs = Seq(
