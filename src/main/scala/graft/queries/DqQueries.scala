@@ -229,6 +229,39 @@ object DqQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Differentially-private MEAN release with clamping — the second
+    * Laplace-mechanism rung after [[qPrivDpHist]]'s counts, and the
+    * step where real DP releases earn their sensitivity bound: values
+    * CLAMP to [0, C] (C = $100) so one record moves the sum by at
+    * most C, the Laplace scale is C/ε, and the released mean is
+    * (clamped sum + noise)/n. The clamp is the law's load-bearing
+    * part (an unbounded value would make the release's privacy claim
+    * false); the noise draw is seeded per cell exactly as the
+    * histogram release (md5 of key + version salt through the
+    * inverse CDF — reproducible audits). All integer micro-dollar
+    * arithmetic around one per-cell noise double.
+    */
+  private def qPrivDpMean(s: SparkSession, dir: String): DataFrame = {
+    val clampMicro = 100000000L // C = $100 in micro-dollars
+    val ev = t(s, dir, "events").select(col("event_type"),
+      least((dec("value") * 100).cast("long"), lit(10000L)).as("vc"))
+    val agg = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), (sum("vc") * 10000L).as("sum_micro"))
+    val hx = conv(substring(md5(concat_ws("|",
+      col("event_type"), lit("dp-mean-v1"))), 1, 8), 16, 10).cast("long")
+    val u = (hx.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val lap = -signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    agg
+      .withColumn("noise_micro",
+        round(lap * lit(clampMicro.toDouble)).cast("long"))
+      .withColumn("released_mean_micro",
+        expr("(sum_micro + noise_micro) div n"))
+      .withColumn("clamp_micro", lit(clampMicro))
+      .withColumn("eps_micro", lit(1000000L))
+      .orderBy("event_type")
+  }
+
   private def qPrivKanon(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
       .select(col("c_nationkey"), col("c_mktsegment"),
@@ -373,6 +406,7 @@ object DqQueries {
 
   val defs: Map[String, QueryFn] = Map(
     "q_priv_dp_hist" -> qPrivDpHist _,
+    "q_priv_dp_mean" -> qPrivDpMean _,
     "q_priv_tclose" -> qPrivTclose _,
     "q_priv_ldiv" -> qPrivLdiv _,
     "q_priv_kanon" -> qPrivKanon _,
@@ -471,6 +505,31 @@ object DqQueries {
         |  UNION ALL
         |  SELECT qi_level, 11, n_classes, c11, r11 FROM u)
         |ORDER BY qi_level, l""".stripMargin,
+    // Clamped-mean replay: same clamp, same seeded draw, same integer
+    // micro arithmetic.
+    "q_priv_dp_mean" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |          10000) AS vc
+        |  FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(vc) * 10000 AS BIGINT) AS sum_micro
+        |      FROM ev GROUP BY 1),
+        |x AS (SELECT event_type, n, sum_micro,
+        |        (CAST(('0x' || substr(md5(event_type || '|' ||
+        |           'dp-mean-v1'), 1, 8))::BIGINT AS DOUBLE) + 0.5)
+        |          / 4294967296.0 AS u
+        |      FROM a),
+        |nz AS (SELECT event_type, n, sum_micro,
+        |        CAST(round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+        |             * 100000000.0) AS BIGINT) AS noise_micro
+        |      FROM x)
+        |SELECT event_type, n, sum_micro, noise_micro,
+        |  (sum_micro + noise_micro) // n AS released_mean_micro,
+        |  CAST(100000000 AS BIGINT) AS clamp_micro,
+        |  CAST(1000000 AS BIGINT) AS eps_micro
+        |FROM nz ORDER BY event_type""".stripMargin,
     // Seeded-Laplace replay: the same md5-keyed inverse-CDF transform
     // on identical operands — noise is deterministic by design (the
     // release-audit property), so the whole release hashes exactly.

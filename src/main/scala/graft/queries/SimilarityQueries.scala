@@ -33,6 +33,55 @@ object SimilarityQueries {
     * The probe vector is a broadcast single-row cross join — the same
     * shape a 1000-executor scan would use.
     */
+  /** Matryoshka-truncation retrieval audit (Kusupati et al.
+    * NeurIPS'22: MRL-trained embeddings keep their information
+    * front-loaded, so a PREFIX of the vector is a usable cheaper
+    * index) — the census a pipeline runs before committing to a
+    * truncated serving dim: for a probe batch, exact top-10 by
+    * full-64-dim L2 beside top-10 by the 16- and 32-dim prefixes,
+    * with recall@10 of each truncation against the full-dim list.
+    * ALL THREE distances come out of ONE corpus scan (three slice
+    * folds per row), ranks use the floor(1e6·d²) quantization + id
+    * tiebreak (the PQ-recall convention), and the 64-dim row's
+    * recall is 100 by construction — a built-in sanity pin inside
+    * the gate.
+    *
+    * Scale shape: probe batch broadcasts, corpus scans ONCE for all
+    * probes and all dims, per-probe windows rank — the batched
+    * brute-force shape of q_sim_knn_join with the dim ladder fused
+    * into the same pass. The synthetic embeddings are not MRL-
+    * trained, so measured recall is the honest baseline a real
+    * MRL model would beat.
+    */
+  private def qEmbMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(16, 32, 64)
+    val e = t(s, dir, "embeddings").withColumn("vec", dvec(col("embedding")))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("vec").as("qvec"))
+    def qd(d: Int) = floor(lit(1e6) * aggregate(
+      zip_with(slice(col("vec"), 1, d), slice(col("qvec"), 1, d),
+        (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)).cast("long")
+    val scored = e.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id") +: col("vec_id") +:
+        dims.map(d => qd(d).as(s"qd$d")): _*)
+    val tops = dims.map { d =>
+      scored.withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col(s"qd$d"), col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("probe_id"), col("vec_id"), lit(d.toLong).as("dim"))
+    }.reduce(_ unionByName _)
+    val full = tops.filter(col("dim") === 64L)
+      .select(col("probe_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    tops.join(full, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id", "dim")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        (sum(coalesce(col("hit"), lit(0L))) * 10).as("recall_pct"))
+      .orderBy("probe_id", "dim")
+  }
+
   private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").withColumn("vec", dvec(col("embedding")))
     val probe = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
@@ -952,6 +1001,7 @@ object SimilarityQueries {
     "q_emb_dim_stats" -> qEmbDimStats _,
     "q_emb_outliers" -> qEmbOutliers _,
     "q_sim_knn_join" -> qSimKnnJoin _,
+    "q_emb_matryoshka" -> qEmbMatryoshka _,
     "q_sim_topk" -> qSimTopk _,
     "q_sim_pair_count" -> qSimPairCount _,
     "q_sim_norms" -> qSimNorms _,
@@ -1331,6 +1381,51 @@ object SimilarityQueries {
         |        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
         |SELECT probe_id, vec_id, label, cos_sim, rk FROM r
         |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
+    // Matryoshka replay: same slice folds over DOUBLE[] prefixes, the
+    // floor(1e6) quantization + id tiebreak, and the same top-10
+    // overlap law against the full-dim list.
+    "q_emb_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, vec AS qvec FROM e
+        |      WHERE vec_id < 8),
+        |c AS (SELECT vec_id, vec FROM e WHERE vec_id >= 8),
+        |sc AS (SELECT p.probe_id, c.vec_id,
+        |    CAST(floor(1e6 * list_sum(list_transform(range(1, 17),
+        |      i -> (c.vec[i]-p.qvec[i])*(c.vec[i]-p.qvec[i]))))
+        |      AS BIGINT) AS qd16,
+        |    CAST(floor(1e6 * list_sum(list_transform(range(1, 33),
+        |      i -> (c.vec[i]-p.qvec[i])*(c.vec[i]-p.qvec[i]))))
+        |      AS BIGINT) AS qd32,
+        |    CAST(floor(1e6 * list_sum(list_transform(range(1, 65),
+        |      i -> (c.vec[i]-p.qvec[i])*(c.vec[i]-p.qvec[i]))))
+        |      AS BIGINT) AS qd64
+        |  FROM c, p),
+        |t16 AS (SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY qd16, vec_id) AS rk FROM sc)
+        |  WHERE rk <= 10),
+        |t32 AS (SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY qd32, vec_id) AS rk FROM sc)
+        |  WHERE rk <= 10),
+        |t64 AS (SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY qd64, vec_id) AS rk FROM sc)
+        |  WHERE rk <= 10),
+        |tt AS (SELECT probe_id, vec_id, CAST(16 AS BIGINT) AS dim FROM t16
+        |       UNION ALL
+        |       SELECT probe_id, vec_id, CAST(32 AS BIGINT) FROM t32
+        |       UNION ALL
+        |       SELECT probe_id, vec_id, CAST(64 AS BIGINT) FROM t64)
+        |SELECT tt.probe_id, dim, count(*) AS k,
+        |  CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10
+        |       AS BIGINT) AS recall_pct
+        |FROM tt LEFT JOIN t64 f
+        |  ON tt.probe_id = f.probe_id AND tt.vec_id = f.vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |probe AS (SELECT vec FROM e WHERE vec_id = 0)

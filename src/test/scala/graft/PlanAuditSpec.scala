@@ -17,6 +17,7 @@ class PlanAuditSpec extends SparkSpec {
   /** Queries whose cross join is bounded by construction. */
   private val declaredBoundedCross = Set(
     "q_sim_topk",       // broadcast single-row probe vector
+    "q_emb_matryoshka", // broadcast 8-row probe batch (id-bounded)
     "q_sim_ann_lsh",    // brute-force recall stage: same single-row probe
     "q_sim_ann_ivf",    // same single-row probe in the exact stage
     "q_sim_pair_count", // id<100-bounded exact-verify stage (declared)
