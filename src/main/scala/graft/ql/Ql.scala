@@ -70,6 +70,7 @@ object Ql {
     "q_img_reconstruct_digest", // writes+reconstructs the NPZ law fixture
     "q_npz_sinks_digest", // writes the stitched/combined NPZ sinks (S13/S14)
     "q_emb_pca", "q_emb_pca2", "q_txt_bloom_decon", "q_graph_pagerank",
+    "q_graph_hits", // pair-list checkpoint at construction
     "q_graph_kcore", "q_graph_bfs", "q_graph_triangles", // edge-list checkpoint + count
     "q_graph_clustering", // edge-list checkpoint at construction
     "q_sim_maxsim", "q_emb_meanpool_nn",

@@ -43,6 +43,57 @@ object GraphQueries {
     * 150000 + floor(0.85·Σ) — one double multiply+floor per node, so
     * no accumulation-order noise can enter the gate.
     */
+  /** HITS hubs/authorities (Kleinberg 1999) on the bipartite
+    * customer→supplier purchase graph — the OTHER classic
+    * eigenvector-centrality law beside PageRank, and it differs where
+    * it matters for a gate: two mutually-recursive score vectors and
+    * a per-round NORMALIZATION. The normalization is where float HITS
+    * would leak last-ulp divergence (an L2 norm's sqrt per round), so
+    * this form normalizes by the round MAXIMUM in integer micro
+    * units — (score·1e6) div max — keeping every score an exact
+    * integer through both rounds (the quantized-iteration discipline
+    * of q_graph_pagerank / q_emb_pca applied to a coupled recursion).
+    * Top-10 per side emitted with scores.
+    *
+    * Scale shape: the distinct pair list localCheckpoints once
+    * (triangles/kcore pattern); each half-round is one key join +
+    * partial-agg groupBy, and the 1-row max broadcasts — no
+    * full-vector exchange beyond the score join. Micro-unit headroom:
+    * raw sums reach |smaller side|·1e6 ≤ ~1.5e12 at sf10, ×1e6 for
+    * the normalize still inside a long.
+    */
+  private def qGraphHits(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+      .localCheckpoint()
+    var hub = pairs.select(col("c")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auth = pairs.select(col("sp")).distinct()
+      .withColumn("a", lit(1000000L))
+    for (_ <- 1 to 2) {
+      val ar = pairs.join(hub, Seq("c")).groupBy("sp")
+        .agg(sum("h").as("a_raw"))
+      auth = ar.crossJoin(broadcast(ar.agg(max("a_raw").as("mx"))))
+        .select(col("sp"), expr("(a_raw * 1000000) div mx").as("a"))
+      val hr = pairs.join(auth, Seq("sp")).groupBy("c")
+        .agg(sum("a").as("h_raw"))
+      hub = hr.crossJoin(broadcast(hr.agg(max("h_raw").as("mx"))))
+        .select(col("c"), expr("(h_raw * 1000000) div mx").as("h"))
+    }
+    val topA = auth.orderBy(desc("a"), col("sp")).limit(10)
+      .select(lit("authority").as("side"), col("sp").as("key"),
+        col("a").as("score_micro"))
+    val topH = hub.orderBy(desc("h"), col("c")).limit(10)
+      .select(lit("hub").as("side"), col("c").as("key"),
+        col("h").as("score_micro"))
+    topA.unionByName(topH)
+      .orderBy(col("side"), desc("score_micro"), col("key"))
+  }
+
   private def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
     // nid encodes the bipartite side: customer 2k, supplier 2k+1
     val pairs = t(s, dir, "orders")
@@ -1006,6 +1057,7 @@ object GraphQueries {
     "q_graph_kcore" -> qGraphKcore _,
     "q_basket_rules" -> qBasketRules _,
     "q_graph_pagerank" -> qGraphPagerank _,
+    "q_graph_hits" -> qGraphHits _,
     "q_graph_degree_dist" -> qGraphDegreeDist _,
     "q_graph_triangles" -> qGraphTriangles _,
     "q_graph_clustering" -> qGraphClustering _,
@@ -1095,6 +1147,35 @@ object GraphQueries {
         |           CROSS JOIN n
         |ORDER BY lift_ppm DESC, b1, b2 LIMIT 20""".stripMargin,
     "q_graph_pagerank" -> prOracle,
+    // HITS replay: two unrolled rounds of the coupled recursion with
+    // the integer max-normalization.
+    "q_graph_hits" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM pairs),
+        |a1r AS (SELECT sp, CAST(sum(h) AS BIGINT) AS a_raw
+        |        FROM pairs JOIN h0 USING (c) GROUP BY sp),
+        |a1 AS (SELECT sp, (a_raw * 1000000)
+        |         // (SELECT max(a_raw) FROM a1r) AS a FROM a1r),
+        |h1r AS (SELECT c, CAST(sum(a) AS BIGINT) AS h_raw
+        |        FROM pairs JOIN a1 USING (sp) GROUP BY c),
+        |h1 AS (SELECT c, (h_raw * 1000000)
+        |         // (SELECT max(h_raw) FROM h1r) AS h FROM h1r),
+        |a2r AS (SELECT sp, CAST(sum(h) AS BIGINT) AS a_raw
+        |        FROM pairs JOIN h1 USING (c) GROUP BY sp),
+        |a2 AS (SELECT sp, (a_raw * 1000000)
+        |         // (SELECT max(a_raw) FROM a2r) AS a FROM a2r),
+        |h2r AS (SELECT c, CAST(sum(a) AS BIGINT) AS h_raw
+        |        FROM pairs JOIN a2 USING (sp) GROUP BY c),
+        |h2 AS (SELECT c, (h_raw * 1000000)
+        |         // (SELECT max(h_raw) FROM h2r) AS h FROM h2r),
+        |ta AS (SELECT 'authority' AS side, sp AS key, a AS score_micro
+        |       FROM a2 ORDER BY a DESC, sp LIMIT 10),
+        |th AS (SELECT 'hub' AS side, c AS key, h AS score_micro
+        |       FROM h2 ORDER BY h DESC, c LIMIT 10)
+        |SELECT side, key, score_micro FROM
+        |  (SELECT * FROM ta UNION ALL SELECT * FROM th)
+        |ORDER BY side, score_micro DESC, key""".stripMargin,
     "q_graph_linkpred" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          |p AS (SELECT DISTINCT a.pk AS x, b.pk AS y

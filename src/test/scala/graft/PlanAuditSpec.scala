@@ -46,6 +46,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_txt_ngram_novelty", // crossJoin of the 1-row corpus-count aggregate
     "q_txt_vocab_growth", // crossJoin of the 1-row corpus-count aggregate
     "q_emb_kmeans",     // broadcast of the k=8-row centroid relation per round
+    "q_graph_hits",     // crossJoins of the 1-row per-round max aggregates
     "q_evt_audience_hll", // pair join of the |event-type|-row sketch relation
     "q_basket_rules",   // crossJoin of the 1-row order-total aggregate
     "q_evt_acf",        // crossJoin of the literal 6-row lag relation
