@@ -75,14 +75,30 @@ object GraphQueries {
     var auth = pairs.select(col("sp")).distinct()
       .withColumn("a", lit(1000000L))
     for (_ <- 1 to 2) {
+      // localCheckpoint per HALF-ROUND (optimization r18): `ar`/`hr`
+      // each feed BOTH the 1-row max aggregate and the normalize
+      // select, and the next half-round consumes the result again —
+      // left lazy, the pairs⋈score lineage doubles per half-round
+      // (2^4 plan copies by round 2 — a 4,235-line formatted plan,
+      // plans/r18/q_graph_hits_before.txt) and the raw-score
+      // join+groupBy re-executes inside every copy AQE's stage reuse
+      // fails to unify. Materializing the node-dimension score
+      // relation once per half-round is the same Pregel superstep
+      // discipline as qGraphPagerank (see its docstring) — plan
+      // 4,235 → 37 lines; wall 10.1 → 8.5 s median-of-3 in cold
+      // subset isolation at sf0.1 (the cold pair-gen scan dominates
+      // there; the full-bench warm wall moves more, see
+      // OPTIMIZATION_r18.md).
       val ar = pairs.join(hub, Seq("c")).groupBy("sp")
-        .agg(sum("h").as("a_raw"))
+        .agg(sum("h").as("a_raw")).localCheckpoint()
       auth = ar.crossJoin(broadcast(ar.agg(max("a_raw").as("mx"))))
         .select(col("sp"), expr("(a_raw * 1000000) div mx").as("a"))
+        .localCheckpoint()
       val hr = pairs.join(auth, Seq("sp")).groupBy("c")
-        .agg(sum("a").as("h_raw"))
+        .agg(sum("a").as("h_raw")).localCheckpoint()
       hub = hr.crossJoin(broadcast(hr.agg(max("h_raw").as("mx"))))
         .select(col("c"), expr("(h_raw * 1000000) div mx").as("h"))
+        .localCheckpoint()
     }
     val topA = auth.orderBy(desc("a"), col("sp")).limit(10)
       .select(lit("authority").as("side"), col("sp").as("key"),

@@ -660,23 +660,8 @@ object ScaleQueries {
     val streamDir = StreamOps.timeSliceParquet(
       graft.core.EventTime.normalize(s.read.parquet(s"$dir/events.parquet")),
       col("ts"), 6, "q_stream_sesswin")
-    withFewShufflePartitions(s) {
-      StreamOps.sessionWindowAppend(s, streamDir, glob = None,
-        queryName = s"stream_session_native_${math.abs(dir.hashCode)}").result
-    }
-  }
-
-  /** Stateful multi-batch drains commit state stores per shuffle
-    * partition per micro-batch; at the session's 32 partitions a
-    * 6-batch replay spends its wall on state-store commits, not on the
-    * operator. 8 partitions carry the slice volumes comfortably — a
-    * deployment sizes this to its micro-batch volume. Restored after
-    * the drain so batch queries keep their plan.
-    */
-  private def withFewShufflePartitions[T](s: SparkSession)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    StreamOps.sessionWindowAppend(s, streamDir, glob = None,
+      queryName = s"stream_session_native_${math.abs(dir.hashCode)}").result
   }
 
   /** Left-outer stream-stream interval join (StreamOps
@@ -701,10 +686,8 @@ object ScaleQueries {
       .normalize(s.read.parquet(s"$dir/events.parquet"))
     val streamDir = StreamOps.timeSliceParquet(
       events, col("ts"), 6, "q_stream_range_outer")
-    val run = withFewShufflePartitions(s) {
-      StreamOps.intervalJoinOuterAppend(s, streamDir, glob = None,
-        queryName = s"stream_range_outer_${math.abs(dir.hashCode)}").result
-    }
+    val run = StreamOps.intervalJoinOuterAppend(s, streamDir, glob = None,
+      queryName = s"stream_range_outer_${math.abs(dir.hashCode)}").result
     val maxUs = events.agg(max(unix_micros(col("ts")))).head.getLong(0)
     run.filter(col("p_us") <= maxUs - 7200000000L)
   }
@@ -719,10 +702,8 @@ object ScaleQueries {
     val streamDir = StreamOps.timeSliceParquet(
       graft.core.EventTime.normalize(s.read.parquet(s"$dir/events.parquet")),
       col("ts"), 6, "q_stream_psi")
-    withFewShufflePartitions(s) {
-      StreamOps.psiDriftAppend(s, streamDir, glob = None,
-        queryName = s"stream_psi_${math.abs(dir.hashCode)}").result
-    }
+    StreamOps.psiDriftAppend(s, streamDir, glob = None,
+      queryName = s"stream_psi_${math.abs(dir.hashCode)}").result
   }
 
   /** [[qStreamPsi]] on Spark 4's transformWithState — ValueState
@@ -735,10 +716,8 @@ object ScaleQueries {
     val streamDir = StreamOps.timeSliceParquet(
       graft.core.EventTime.normalize(s.read.parquet(s"$dir/events.parquet")),
       col("ts"), 6, "q_stream_psi_tws")
-    withFewShufflePartitions(s) {
-      StreamOps.psiDriftAppendTws(s, streamDir, glob = None,
-        queryName = s"stream_psi_tws_${math.abs(dir.hashCode)}").result
-    }
+    StreamOps.psiDriftAppendTws(s, streamDir, glob = None,
+      queryName = s"stream_psi_tws_${math.abs(dir.hashCode)}").result
   }
 
   /** The bounded-state incremental dedup, driver-visible:
@@ -780,17 +759,30 @@ object ScaleQueries {
     val plan = CropOps.planCrops(60, 60, 24, 24, 0.5)
     val streamDir = Files.createTempDirectory("q_stream_stitch")
       .toFile.getAbsolutePath
-    orig.zipWithIndex.foreach { case (p, k) =>
-      val crops = CropOps.cropOne(p, plan)
+    // ONE write job for all 8 work-unit files (optimization r18, guide
+    // §2.4): rows carry their unit index, land one-unit-per-partition
+    // via repartitionByRange (8 distinct keys → 8 partitions, exact),
+    // and partitionBy lays out one part file per unit — replacing 8
+    // sequential coalesce(1) write jobs. Row content and within-unit
+    // order are unchanged (driver Seq order, pinned by __row).
+    val rows = orig.zipWithIndex.flatMap { case (p, k) =>
+      CropOps.cropOne(p, plan)
         .filter(c => !(k == 0 && c.crop == plan.numCrops - 1))
-      val withTs = crops.map { c =>
-        (c.fov, c.stack, c.crop, c.slice, c.nRows, c.nCols, c.channels,
-          c.pixels, c.labels, new java.sql.Timestamp(1700000000000L + k * 60000L))
-      }.toDF("fov", "stack", "crop", "slice", "nRows", "nCols",
-        "channels", "pixels", "labels", "ts")
-      val tmp = Files.createTempDirectory(s"stitch_unit$k").toFile.getAbsolutePath
-      withTs.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+        .zipWithIndex.map { case (c, i) =>
+          (k, i, c.fov, c.stack, c.crop, c.slice, c.nRows, c.nCols,
+            c.channels, c.pixels, c.labels,
+            new java.sql.Timestamp(1700000000000L + k * 60000L))
+        }
+    }
+    val tmp = Files.createTempDirectory("stitch_units").toFile.getAbsolutePath
+    rows.toDF("__unit", "__row", "fov", "stack", "crop", "slice",
+      "nRows", "nCols", "channels", "pixels", "labels", "ts")
+      .repartitionByRange(orig.length, col("__unit"))
+      .sortWithinPartitions("__unit", "__row")
+      .drop("__row")
+      .write.mode("overwrite").partitionBy("__unit").parquet(tmp)
+    orig.indices.foreach { k =>
+      val part = new java.io.File(s"$tmp/__unit=$k").listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
       val dest = Paths.get(streamDir, f"unit_$k%03d.parquet")
       Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
@@ -852,10 +844,8 @@ object ScaleQueries {
     val streamDir = StreamOps.timeSliceParquet(
       graft.core.EventTime.normalize(s.read.parquet(s"$dir/events.parquet")),
       col("ts"), 6, "q_stream_range")
-    withFewShufflePartitions(s) {
-      StreamOps.intervalJoinAppend(s, streamDir,
-        queryName = s"stream_range_append_${math.abs(dir.hashCode)}").result
-    }
+    StreamOps.intervalJoinAppend(s, streamDir,
+      queryName = s"stream_range_append_${math.abs(dir.hashCode)}").result
   }
 
   /** Streaming twin of q_evt_countmin: the native CMS aggregate runs

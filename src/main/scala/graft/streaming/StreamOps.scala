@@ -38,14 +38,16 @@ object StreamOps {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShufflePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName).orderBy("hour", "event_type")
   }
 
@@ -129,6 +131,31 @@ object StreamOps {
   val stateHighWater: scala.collection.concurrent.TrieMap[String, Long] =
     scala.collection.concurrent.TrieMap.empty
 
+  /** Run `body` (a stream start + drain) with the streaming shuffle
+    * partition count, restoring the session value after. Stateful
+    * micro-batch drains commit one state store PER SHUFFLE PARTITION
+    * PER BATCH, so at the session's core-count partitions a short
+    * multi-batch replay spends its wall on state-store commits, not on
+    * the operator (measured for the 5 wrapped append drains in
+    * round 17; extended to every drain in optimization r18 — guide §2,
+    * partitioning sized to the workload, not the core count). A
+    * deployment sizes `spark.graft.stream.shufflePartitions` to its
+    * per-micro-batch volume; the local default 8 carries the replay
+    * slice volumes comfortably. Partition count changes no registered
+    * result: every drained contract is either a deterministic per-key
+    * fold, a mergeable aggregation, or set-semantics output (the
+    * arrival-order caveats are the same at any partition count).
+    */
+  private[graft] def withStreamShufflePartitions[T](
+      spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val n = spark.conf.getOption("spark.graft.stream.shufflePartitions")
+      .getOrElse("8")
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Replay a batch table as genuinely incremental arrival: `nSlices`
     * single-part parquet files (keyed `idCol mod nSlices`) with
     * ascending mtimes in a fresh temp dir, so a file source with
@@ -137,20 +164,56 @@ object StreamOps {
     * nothing about cross-batch state merging.
     */
   def sliceParquet(df: DataFrame, idCol: org.apache.spark.sql.Column,
-                   nSlices: Int, prefix: String): String = {
+                   nSlices: Int, prefix: String): String =
+    sliceBy(df, pmod(idCol, lit(nSlices)), nSlices, prefix)
+
+  /** Shared one-job writer behind [[sliceParquet]] / [[timeSliceParquet]]
+    * (optimization r18, guide §2.4): the old form ran one full
+    * filtered scan + single-task write PER SLICE — nSlices sequential
+    * jobs, each reading the whole input — purely to lay out nSlices
+    * single-part files. This form keys every row with its slice once,
+    * pays ONE shuffle, and writes every slice in one `partitionBy`
+    * job; per-slice row CONTENT is identical (same slice law) and
+    * per-slice row ORDER is identical too (the `__row` sort replays
+    * scan order — partition index, then position — exactly the order
+    * the old `filter(...).coalesce(1)` concatenation produced).
+    */
+  private def sliceBy(df: DataFrame, sliceCol: org.apache.spark.sql.Column,
+                      nSlices: Int, prefix: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val streamDir = Files.createTempDirectory(prefix).toFile.getAbsolutePath
+    val tmp = Files.createTempDirectory(s"${prefix}_all").toFile.getAbsolutePath
+    val cols = df.columns
+    df.withColumn("__slice", sliceCol)
+      .withColumn("__row", monotonically_increasing_id())
+      .repartition(nSlices, col("__slice"))
+      .sortWithinPartitions(col("__slice"), col("__row"))
+      .drop("__row")
+      .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
     (0 until nSlices).foreach { i =>
-      val tmp = Files.createTempDirectory(s"${prefix}_slice$i").toFile.getAbsolutePath
-      df.filter(pmod(idCol, lit(nSlices)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      new java.io.File(tmp).listFiles()
+      val dest = Paths.get(streamDir, f"slice_$i%03d.parquet")
+      val sliceDir = new java.io.File(s"$tmp/__slice=$i")
+      val part = Option(sliceDir.listFiles()).toSeq.flatten
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .foreach { part =>
-          val dest = Paths.get(streamDir, f"slice_$i%03d.parquet")
-          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
-          dest.toFile.setLastModified(1700000000000L + i * 10000L)
-        }
+      part match {
+        case Some(p) =>
+          Files.move(p.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+        case None =>
+          // an EMPTY slice: the old per-slice path still wrote a
+          // zero-row part file (and the file source still saw a
+          // micro-batch for it), so reproduce that — batch structure
+          // is load-bearing for append-mode watermark progression
+          val etmp = Files.createTempDirectory(s"${prefix}_empty$i")
+            .toFile.getAbsolutePath
+          df.select(cols.map(col): _*).filter(lit(false))
+            .coalesce(1).write.mode("overwrite").parquet(etmp)
+          new java.io.File(etmp).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .foreach(p => Files.move(p.toPath, dest,
+              StandardCopyOption.REPLACE_EXISTING))
+      }
+      if (Files.exists(dest))
+        dest.toFile.setLastModified(1700000000000L + i * 10000L)
     }
     streamDir
   }
@@ -166,25 +229,14 @@ object StreamOps {
     */
   def timeSliceParquet(df: DataFrame, tsCol: org.apache.spark.sql.Column,
                        nSlices: Int, prefix: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val tsUs = unix_micros(tsCol)
     val b = df.agg(min(tsUs).as("lo"), max(tsUs).as("hi")).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val width = math.max(1L, (hi - lo) / nSlices + 1)
-    val streamDir = Files.createTempDirectory(prefix).toFile.getAbsolutePath
-    (0 until nSlices).foreach { i =>
-      val tmp = Files.createTempDirectory(s"${prefix}_ts$i").toFile.getAbsolutePath
-      df.filter(tsUs >= lit(lo + i * width) && tsUs < lit(lo + (i + 1) * width))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .foreach { part =>
-          val dest = Paths.get(streamDir, f"slice_$i%03d.parquet")
-          Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
-          dest.toFile.setLastModified(1700000000000L + i * 10000L)
-        }
-    }
-    streamDir
+    // same span law as the old per-slice filters: floor((ts - lo) / width),
+    // which lands every row in [0, nSlices) by the width construction
+    sliceBy(df, floor((tsUs - lit(lo)) / lit(width)).cast("int"),
+      nSlices, prefix)
   }
 
   /** Drain a complete-mode aggregation over a sliced file stream and
@@ -208,15 +260,18 @@ object StreamOps {
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-    val q = build(stream).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
+    val progress = withStreamShufflePartitions(spark) {
+      val q = build(stream).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val p = q.recentProgress
+      q.stop()
+      p
+    }
     val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
     stateHighWater(stateKey) = maxState
@@ -260,15 +315,18 @@ object StreamOps {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
+    val progress = withStreamShufflePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val p = q.recentProgress
+      q.stop()
+      p
+    }
     val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
     stateHighWater("q_stream_hourly_append") = maxState
@@ -312,15 +370,18 @@ object StreamOps {
     val out = psiTotals(agg.join(ref, "j"))
       .select(col("hour"), col("n_events"), psiMicro.as("psi_micro"))
       .withColumn("drifted", col("psi_micro") > 200000L)
-    val q = out.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
+    val progress = withStreamShufflePartitions(spark) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val p = q.recentProgress
+      q.stop()
+      p
+    }
     val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
     stateHighWater("q_stream_psi") = maxState
@@ -665,17 +726,20 @@ object StreamOps {
       cols: Seq[String]): (DataFrame, Long) = {
     val spark = updates.sparkSession
     val dir = graft.core.Scratch.dir(spark, "graft_drain")
-    val q = updates.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
-        batch.write.mode("append").parquet(dir)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
+    val progress = withStreamShufflePartitions(spark) {
+      val q = updates.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
+          batch.write.mode("append").parquet(dir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val p = q.recentProgress
+      q.stop()
+      p
+    }
     val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
     (spark.read.schema(updates.schema).parquet(dir).toDF(cols: _*), maxState)
@@ -694,20 +758,23 @@ object StreamOps {
       : (DataFrame, Long, Int) = {
     val spark = out.sparkSession
     val dir = graft.core.Scratch.dir(spark, "graft_drain")
-    val q = out.writeStream
-      .outputMode("append")
-      .queryName(queryName)
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) =>
-          batch.write.mode("append").parquet(dir)
-          ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    val progress = q.recentProgress
-    q.stop()
+    val progress = withStreamShufflePartitions(spark) {
+      val q = out.writeStream
+        .outputMode("append")
+        .queryName(queryName)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            batch.write.mode("append").parquet(dir)
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val p = q.recentProgress
+      q.stop()
+      p
+    }
     val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
     (spark.read.schema(out.schema).parquet(dir), maxState, progress.length)
