@@ -243,11 +243,29 @@ object GraphQueries {
     * triangle, clustering and TriBench consumers so they can never
     * silently measure different graphs.
     */
-  private[graft] def coPurchasePairs(li: DataFrame): DataFrame =
-    li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+  private[graft] def coPurchasePairs(li: DataFrame): DataFrame = {
+    // Optimization r18 (guide §2.4): the original self-join form paid
+    // THREE exchanges — li.distinct() on (ok, pk), the a⋈b join
+    // re-exchange on ok, then the pair distinct on (u, v). A basket
+    // is ≤ 7 lines by the generator contract, so the per-order pair
+    // set fits an array: ONE groupBy(ok) collect_set (map-side
+    // partial, subsumes the old li.distinct) + a map-side sorted-array
+    // pair explosion (u < v by sort order, ≤ C(7,2) = 21 rows/order),
+    // then the same (u, v) distinct — two exchanges, no join, same
+    // distinct pair set bit-for-bit. Measured over the six consumers
+    // at sf0.1: 48.1 → 39.7 s (0.83x, medians of 3; linkpred 0.62x —
+    // its inline form was also lazy, and the registered plan drops
+    // from 102 Exchange mentions to 20, plans/r18/
+    // q_graph_linkpred_{before,after}.txt).
+    val perOrder = li.groupBy("ok")
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+    perOrder
+      .select(col("pks"), posexplode(col("pks")).as(Seq("i", "u")))
+      .select(col("u"),
+        explode(slice(col("pks"), col("i") + lit(2), size(col("pks")))).as("v"))
+      .distinct()
       .localCheckpoint()
+  }
 
   /** Per-node triangle participation over the (apex, lo, hi) relation
     * — each triangle credits all three corners once.
@@ -269,8 +287,11 @@ object GraphQueries {
       .map(_.toLong).getOrElse(5000000L)
 
   private def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    // no pre-distinct: coPurchasePairs' per-order collect_set dedups
+    // (ok, pk) itself — the old join form needed the distinct, the
+    // grouped form makes it a wasted exchange (optimization r18)
     val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val pairs = coPurchasePairs(li)
     // Registered path since round 15: the ADJACENCY-INTERSECT twin
     // ([[trianglesFromPairsAdj]]) — same census, measured 3.2x faster
@@ -444,8 +465,11 @@ object GraphQueries {
     * skew armor needed — see q_graph_triangles).
     */
   private def qGraphClustering(s: SparkSession, dir: String): DataFrame = {
+    // no pre-distinct: coPurchasePairs' per-order collect_set dedups
+    // (ok, pk) itself — the old join form needed the distinct, the
+    // grouped form makes it a wasted exchange (optimization r18)
     val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val pairs = coPurchasePairs(li)
     val (tri, deg) = trianglesFromPairsAdj(pairs, triBroadcastCap(s))
     val perNode = perNodeTriCensus(tri)
@@ -660,8 +684,11 @@ object GraphQueries {
     * on. Reuses [[coPurchasePairs]].
     */
   private def qGraphCommunities(s: SparkSession, dir: String): DataFrame = {
+    // no pre-distinct: coPurchasePairs' per-order collect_set dedups
+    // (ok, pk) itself — the old join form needed the distinct, the
+    // grouped form makes it a wasted exchange (optimization r18)
     val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val cap = s.conf.getOption("spark.graft.lpa.broadcastNodeCap")
       .map(_.toLong).getOrElse(lpaBroadcastNodeCap)
     lpaCensus(coPurchasePairs(li), lpaRounds, cap)
@@ -678,8 +705,9 @@ object GraphQueries {
     */
   private def qGraphCommunitiesBucketed(s: SparkSession,
       dir: String): DataFrame = {
+    // no pre-distinct: coPurchasePairs' collect_set dedups (see above)
     val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val buckets = lpaBuckets(s)
     val path = graft.core.Scratch.dir(s, "lpa-edges")
     // per-run table name (token derived from the fresh scratch dir):
@@ -767,11 +795,17 @@ object GraphQueries {
     * q_graph_degree_dist is the pre-flight), so no cap binds.
     */
   private def qGraphLinkpred(s: SparkSession, dir: String): DataFrame = {
+    // no pre-distinct: coPurchasePairs' per-order collect_set dedups
+    // (ok, pk) itself — the old join form needed the distinct, the
+    // grouped form makes it a wasted exchange (optimization r18)
     val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val pairs = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct()
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // shared checkpointed pair-gen (optimization r18): the inline
+    // self-join form here was additionally LAZY — `edges` feeds four
+    // consumers (deg, both hops, the anti-join), each re-deriving the
+    // pair lineage when AQE stage reuse missed
+    val pairs = coPurchasePairs(li)
+      .select(col("u").as("x"), col("v").as("y"))
     val edges = pairs.select(col("x").as("a"), col("y").as("b"))
       .union(pairs.select(col("y").as("a"), col("x").as("b")))
     val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
@@ -875,12 +909,14 @@ object GraphQueries {
 
   private def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // no pre-distinct: coPurchasePairs' per-order collect_set dedups
+    // (ok, pk) itself — the old join form needed the distinct, the
+    // grouped form makes it a wasted exchange (optimization r18)
     val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges0 = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-      .localCheckpoint()
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // shared pair-gen (optimization r18) — same distinct (u < v) edge
+    // set the inline self-join produced, one exchange fewer
+    val edges0 = coPurchasePairs(li)
     // Ascending thresholds peel NESTED cores (k' > k ⇒ the k'-core is a
     // subgraph of the k-core), so each k starts from the PREVIOUS k's
     // converged core instead of the full edge list — identical results
