@@ -83,6 +83,8 @@ object Ql {
     "q_layout_bucket_join", // writes the bucketed tables + plan verdict
     "q_npz_roundtrip", // writes the NPZ fixture at construction (S10 sink)
     "q_graph_communities", // LPA supersteps: checkpoints + counts per round
+    "q_graph_linkpred", // shared pair-gen checkpoint at construction (r18)
+    "q_basket_rules",   // per-order brand-set checkpoint at construction (r18)
     "q_txt_bpe_train", // per-round argmax collect (merge learning)
     "q_txt_bpe_encode", // re-learns the merge chain at construction
     "q_src_ontology_digest" // metadata JSON schema inference at construction

@@ -852,16 +852,30 @@ object GraphQueries {
     * key.
     */
   private def qBasketRules(s: SparkSession, dir: String): DataFrame = {
-    val items = t(s, dir, "lineitem")
+    // Optimization r18 (guide §2.4, the coPurchasePairs move): the
+    // original distinct + self-join on ok paid two exchanges and
+    // re-derived the (ok, brand) lineage for each of its four
+    // consumers. Baskets are ≤ 7 lines, so ONE groupBy(ok)
+    // collect_set materializes the per-order distinct brand set
+    // (checkpointed — supports, order count and pairs all read it),
+    // pairs explode map-side from the sorted array (b1 < b2 by sort
+    // order), and n_orders is the row count (every order has ≥ 1
+    // line). Same supports/confidences/lifts bit-for-bit. Measured
+    // 6.39 → 4.06 s (0.64x, medians of 3, cold subset isolation at
+    // sf0.1); plans/r18/q_basket_rules_{before,after}.txt.
+    val perOrder = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .join(broadcast(t(s, dir, "part")
         .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))), Seq("pk"))
-      .select("ok", "brand").distinct()
-    val supp = items.groupBy("brand").agg(count(lit(1)).as("supp"))
-    val n = items.agg(countDistinct("ok").as("n_orders"))
-    val pairs = items.select(col("ok"), col("brand").as("b1"))
-      .join(items.select(col("ok"), col("brand").as("b2")), Seq("ok"))
-      .filter(col("b1") < col("b2"))
+      .groupBy("ok").agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .localCheckpoint()
+    val supp = perOrder.select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("supp"))
+    val n = perOrder.agg(count(lit(1)).as("n_orders"))
+    val pairs = perOrder
+      .select(col("bs"), posexplode(col("bs")).as(Seq("i", "b1")))
+      .select(col("b1"),
+        explode(slice(col("bs"), col("i") + lit(2), size(col("bs")))).as("b2"))
       .groupBy("b1", "b2").agg(count(lit(1)).as("supp_pair"))
     pairs
       .join(broadcast(supp.select(col("brand").as("b1"), col("supp").as("supp_b1"))), Seq("b1"))
