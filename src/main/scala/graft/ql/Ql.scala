@@ -83,6 +83,7 @@ object Ql {
     "q_layout_bucket_join", // writes the bucketed tables + plan verdict
     "q_npz_roundtrip", // writes the NPZ fixture at construction (S10 sink)
     "q_graph_communities", // LPA supersteps: checkpoints + counts per round
+    "q_sketch_dd_quantile", // bucketized-base checkpoint at construction (r18)
     "q_graph_linkpred", // shared pair-gen checkpoint at construction (r18)
     "q_basket_rules",   // per-order brand-set checkpoint at construction (r18)
     "q_txt_bpe_train", // per-round argmax collect (merge learning)

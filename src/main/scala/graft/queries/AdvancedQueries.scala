@@ -504,6 +504,13 @@ object AdvancedQueries {
         (col("len") * 1000 + col("top3")).as("bid"),
         (col("top3") * col("p10")).as("low_c"),
         ((col("top3") * 10 + 5) * col("p10")).as("rep_dc"))
+      // materialized once (optimization r18, guide §2.4): four
+      // aggregation branches (fine, directM, the exact-cents twin,
+      // and their rollups) consume bk with NO shared exchange at the
+      // boundary — ReuseExchange cannot unify them, so each branch's
+      // map stage re-ran the scan + per-row string bucketization.
+      // One checkpoint = one bucketization pass.
+      .localCheckpoint()
     // fine part sketches: the unit of distribution at scale
     val fine = bk.groupBy("m", "dw", "bid")
       .agg(count(lit(1)).as("cnt"),
